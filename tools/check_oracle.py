@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every catalog query on Spark and its oracle on DuckDB over the same
+parquet tables, then compares row count, sorted column names, and an
+order-insensitive value hash (values normalized: doubles rounded to 9
+significant digits, timestamps to ISO strings, NaN/None unified).
+
+Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from virapipe_spark import catalog
+from virapipe_spark.session import session
+
+TABLES = catalog.TABLES
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_norm_cell(x) for x in seq) + "]"
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        "|".join(_norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    catalog.load_all()
+
+    spark = session(app_name="check_oracle", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures = []
+    names = [n for n in catalog.QUERIES if not only or n in only]
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = catalog.QUERIES[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in catalog.ORACLES:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(catalog.ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rows {len(sdf)} != {len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(ddf.columns)}")
+        elif value_hash(sdf) != value_hash(ddf):
+            problems.append("value hash mismatch")
+            sk = sdf[sorted(sdf.columns)].copy()
+            dk = ddf[sorted(ddf.columns)].copy()
+            sk_rows = sorted("|".join(_norm_cell(v) for v in r) for r in sk.itertuples(index=False))
+            dk_rows = sorted("|".join(_norm_cell(v) for v in r) for r in dk.itertuples(index=False))
+            s_only = [r for r in sk_rows if r not in set(dk_rows)][:3]
+            d_only = [r for r in dk_rows if r not in set(sk_rows)][:3]
+            if s_only:
+                problems.append(f"spark-only: {s_only}")
+            if d_only:
+                problems.append(f"duckdb-only: {d_only}")
+        dt = time.time() - t0
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"OK    {name} ({dt:.1f}s, {len(sdf)} rows)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,27 @@
+"""virapipe_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of NGSeq/ViraPipe.
+
+The reference (ViraPipe, ``org.ngseq.metagenomics``) is ~19 independent
+Spark driver programs chained through HDFS by a bash orchestrator
+(reference ``scripts/virapipe.sh:38-63``). This package re-expresses every
+operator as composable DataFrame -> DataFrame functions running in a
+single SparkSession, letting Catalyst/AQE plan the physical execution.
+
+Layout
+------
+- :mod:`virapipe_spark.session`   — tuned SparkSession builder
+- :mod:`virapipe_spark.schemas`   — the four reference record schemas
+- :mod:`virapipe_spark.io`        — FASTQ/FASTA/SAM/BLAST/parquet readers & writers
+- :mod:`virapipe_spark.operators` — filters, dedup, normalize, joins, grouping
+- :mod:`virapipe_spark.functions` — sequence/quality/ORF scalar functions
+- :mod:`virapipe_spark.plans`     — Pipeline runner + ExternalTool plug-point
+- :mod:`virapipe_spark.streaming` — Structured Streaming over event tables
+- :mod:`virapipe_spark.extensions`— training-data ops: dedup, ANN, text, multimodal
+"""
+
+from virapipe_spark.session import session
+from virapipe_spark import schemas
+
+__version__ = "0.1.0"
+
+__all__ = ["session", "schemas", "__version__"]

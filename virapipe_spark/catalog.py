@@ -1,0 +1,78 @@
+"""Named-query catalog: the driver-facing registry of engine operations.
+
+Every operator from SURVEY.md §2 (plus the training-data extensions) is
+registered here as a named query: a ``(spark, sf_dir) -> DataFrame``
+callable, optionally paired with an equivalent ANSI-SQL oracle string
+runnable by DuckDB over the same parquet tables. The driver compares the
+two (row count + schema + order-insensitive value hash) at sf=0.01.
+
+Conventions that keep the comparison honest:
+
+- Every computed/aggregate column is aliased identically on both sides.
+- Double aggregates are rounded (2-4 dp) on both sides — float sums are
+  order-dependent, and Spark and DuckDB reduce in different orders.
+- Top-k queries order by a unique tie-break key so the row set is
+  deterministic.
+- Timestamps are pinned to UTC (session.py) and compared as-is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+#: Parquet tables the driver provides at each scale factor.
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as a long (nanos) and truncate to a
+    proper microsecond timestamp — the same truncation DuckDB applies.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is the DuckDB-equivalent
+    SQL (omit for non-SQL-expressible ops -> rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from virapipe_spark.queries import (  # noqa: F401
+        relational,
+        genomics,
+        dataflow,
+        extensions,
+        streaming,
+    )

@@ -1,0 +1,572 @@
+"""Relational-core catalog entries (SURVEY.md §2.3-2.7).
+
+Each entry exercises one operator family from the reference's inventory,
+re-expressed over the driver's TPC-H-ish tables so it can be checked
+against the DuckDB oracle. The genomics-typed counterparts (same
+operators over reads/contigs fixtures) live in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from virapipe_spark.catalog import query, table
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (§2.1, §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity < 5
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + pushed-down predicate — the `SELECT cols WHERE ...`
+    shape of the reference's generic SQL surface (SQLQueryFastq.java:95-110).
+    Catalyst pushes both the filter and the 3-column read schema into the
+    parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 5).select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive scalar predicate — the unmapped-flag filter shape
+    (SQLQueryBAM.java:23 `WHERE readUnmapped = TRUE`)."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit — `SELECT * FROM records ORDER BY key ASC`
+    (SQLQueryFastq.java:22) with the reference's show(100) limit
+    (SQLQueryFastq.java:100). Unique tie-break key keeps the row set
+    deterministic. Spark plans this as TakeOrderedAndProject — no full
+    sort at scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship hash aggregate (TPC-H Q1 shape): scan -> filter ->
+    partial agg -> shuffle on (returnflag, linestatus) -> final agg.
+    Map-side partial aggregation bounds the shuffle at O(groups), so the
+    plan is scan-dominated at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT count(DISTINCT(sequence)) FROM records` — the documented
+    example query at SQLQueryFastq.java:93."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "group_having_band",
+    oracle="""
+    SELECT l_partkey, count(*) AS c
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > 2 AND count(*) < 8
+    """,
+)
+def group_having_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-band HAVING — the coverage-band filter of digital
+    normalization (`minc < count < maxc`, NormalizeRDD.java:94-103)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .filter((F.col("c") > 2) & (F.col("c") < 8))
+    )
+
+
+@query(
+    "dedup_first_per_key",
+    oracle="""
+    SELECT
+      o_custkey,
+      min(o_orderkey) AS first_orderkey,
+      min_by(o_totalprice, o_orderkey) AS first_totalprice
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep one representative record per key — the reference dedups
+    FASTQ by read id with `reduceByKey((a,b) -> a)`
+    (FastqFilter.java:88-94). 'First' is order-dependent there; we pin a
+    deterministic representative (min key) so the op is testable."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("first_orderkey"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_totalprice"),
+    )
+
+
+@query(
+    "dedup_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    """,
+)
+def dedup_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct (NormalizeRDD.java:103 `.distinct()`)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — free on the engine's SQL surface
+    (no reference counterpart; stock Spark semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+      round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+      round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation) — engine SQL-surface extra."""
+    li = table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(o_totalprice), 2) AS segment_total,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + aggregate. The dimension side is broadcast —
+    the Spark-native replacement for the reference's driver-side
+    collect-and-filter idiom (FastaFilter.java:54)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("segment_total"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer equi-join, null-tolerant aggregate — the contig ⋈
+    BLAST-hits join (BlastNFilter.java:172: contigs with no hit survive
+    with null hit columns)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join by id set — the reference hand-rolls this by collecting
+    ids to the driver and filtering with `!ids.contains(id)`
+    (FastaFilter.java:50-65). A left-anti join keeps it distributed and
+    broadcastable."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45
+    )
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) — dual of the anti-join above."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join through two broadcast dimensions — the shape every
+    reference 'broadcast variable' use case (BlastN.java:103,
+    HDFSWriter.java:70) becomes in DataFrame land. Both dims broadcast;
+    zero shuffles before the final aggregate."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_threshold_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) / o_totalprice * 100, 4)
+             AS contribution_pct
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_extendedprice * (1 - l_discount) / o_totalprice * 100 > 70
+      AND l_quantity > 30
+    """,
+)
+def join_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + derived-ratio threshold predicate — the BlastNFilter
+    overlap/identity filter (`overlap = (qend-qstart+1)/len(seq)*100 > 70
+    AND pident > 70`, BlastNFilter.java:172-192), with the *intended*
+    float-division semantics (the reference's integer division makes
+    overlap 0 — see QUIRKS.md)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pct = F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("o_totalprice") * 100
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((pct > 70) & (F.col("l_quantity") > 30))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            F.round(pct, 4).alias("contribution_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the engine's ranking surface
+    (no reference counterpart beyond ORDER BY; SURVEY §2.6)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an ordered partition."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@query(
+    "window_lag_gap",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           )) AS gap_us
+    FROM events
+    WHERE user_id <= 20
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — inter-event gap per user; the primitive under
+    sessionization (see extensions)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return ev.select("user_id", "event_id", gap.alias("gap_us"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — directory-glob union is implicit in the
+    reference (NormalizeRDD.java:39); explicit set semantics here."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Generic SQL pass-through (§2.3 row 1 — the flagship surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_passthrough",
+    oracle="""
+    SELECT l_returnflag AS key, count(*) AS n,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY key ASC
+    """,
+)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User SQL over a registered view — `registerTempTable` +
+    `sqlContext.sql(query)` (SQLQueryFastq.java:92-99) via
+    virapipe_spark.sql.sql()."""
+    from virapipe_spark.sql import sql
+
+    li = table(spark, sf_dir, "lineitem")
+    return sql(
+        li,
+        """
+        SELECT l_returnflag AS key, count(*) AS n,
+               round(avg(l_extendedprice), 4) AS avg_price
+        FROM records
+        GROUP BY l_returnflag
+        ORDER BY key ASC
+        """,
+    )
