@@ -42,7 +42,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     proper microsecond timestamp — the same truncation DuckDB applies.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

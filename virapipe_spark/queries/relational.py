@@ -150,17 +150,19 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, count(*) AS c
     FROM lineitem
     GROUP BY l_partkey
-    HAVING count(*) > 2 AND count(*) < 8
+    HAVING count(*) > 20 AND count(*) < 40
     """,
 )
 def group_having_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-band HAVING — the coverage-band filter of digital
-    normalization (`minc < count < maxc`, NormalizeRDD.java:94-103)."""
+    normalization (`minc < count < maxc`, NormalizeRDD.java:94-103).
+    Band (20, 40) sits inside the sf0.01 per-part count range [14, 49]
+    so the check is non-vacuous (~1.8k rows)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_partkey")
         .agg(F.count("*").alias("c"))
-        .filter((F.col("c") > 2) & (F.col("c") < 8))
+        .filter((F.col("c") > 20) & (F.col("c") < 40))
     )
 
 
@@ -307,16 +309,20 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join by id set — the reference hand-rolls this by collecting
     ids to the driver and filtering with `!ids.contains(id)`
     (FastaFilter.java:50-65). A left-anti join keeps it distributed and
-    broadcastable."""
+    broadcastable. Anti-joining against the *filtered* orders subset
+    (totalprice > 300k) keeps the result non-empty at sf0.01 (~30 rows)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -529,13 +535,21 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT (distinct semantics). `subtract` IS EXCEPT DISTINCT;
+    `exceptAll().distinct()` is not (a row appearing more often on the
+    left than the right would survive). The right side is filtered so the
+    result is non-empty at sf0.01 (~11 rows)."""
     c = table(spark, sf_dir, "customer").select("c_custkey")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet scans: 128m split target is the right default for a cluster;
     # AQE handles the small-file end.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark
+    # rejects by default; read nanos as long once, globally (catalog.table
+    # truncates to microseconds, the same truncation DuckDB applies).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
