@@ -1,0 +1,198 @@
+"""Genomics scalar functions (SURVEY.md §2.8) as Column-expression builders.
+
+Every function here returns a Catalyst ``Column`` built from JVM built-ins
+(``pyspark.sql.functions``) — no Python UDFs — so whole-stage codegen,
+predicate pushdown, and vectorization all apply. The only reference
+operations that genuinely need Python are the 6-frame ORF scan
+(:mod:`virapipe_spark.orf`).
+
+Where the reference implementation carries an off-by-one or similar bug,
+the *intended* semantics are implemented and the deviation documented on
+the function (see also QUIRKS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Quality-string functions (phred+33 ASCII, kept as string — SURVEY §1.2)
+# ---------------------------------------------------------------------------
+
+
+def quality_bytes(quality: Column | str) -> Column:
+    """``array<int>`` of raw ASCII byte values of the quality string.
+
+    The reference iterates ``quality.getBytes()`` row-at-a-time
+    (FastqFilter.java:174-196); here the byte expansion is a codegen'd
+    array expression evaluated lazily inside the same stage as its
+    consumer, so nothing is materialized.
+    """
+    q = _col(quality)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(q)), lambda i: F.ascii(q.substr(i, F.lit(1)))
+    )
+
+
+def avg_quality(quality: Column | str) -> Column:
+    """Mean quality byte value (double; null for empty strings).
+
+    Matches ``avgQualityTest``'s accumulator (FastqFilter.java:174-184):
+    plain mean over raw ASCII values, no phred-33 offset subtraction.
+    """
+    q = _col(quality)
+    total = F.aggregate(
+        quality_bytes(q), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return F.when(F.length(q) > 0, total / F.length(q))
+
+
+def low_quality_count(quality: Column | str, threshold: int) -> Column:
+    """Count of quality bytes strictly below ``threshold``
+    (``lowQCountTest``, FastqFilter.java:186-196)."""
+    q = _col(quality)
+    return F.size(F.filter(quality_bytes(q), lambda b: b < F.lit(threshold)))
+
+
+def avg_quality_pass(quality: Column | str, min_avg: float) -> Column:
+    """Boolean: read passes the average-quality filter
+    (keep iff mean byte > ``min_avg``, FastqFilter.java:109-120)."""
+    return avg_quality(quality) > F.lit(float(min_avg))
+
+
+def low_quality_pass(quality: Column | str, threshold: int, max_count: int) -> Column:
+    """Boolean: read passes the low-quality-count filter
+    (keep iff count(byte < threshold) < max_count, FastqFilter.java:186-196)."""
+    return low_quality_count(quality, threshold) < F.lit(int(max_count))
+
+
+# ---------------------------------------------------------------------------
+# Sequence functions
+# ---------------------------------------------------------------------------
+
+#: DNA complement map used by the reference (ORF.scala:13-33): A<->T,
+#: C<->G, N->N; lowercase handled by upper-casing first.
+_COMPLEMENT_FROM = "ATCGN"
+_COMPLEMENT_TO = "TAGCN"
+
+
+def reverse_complement(sequence: Column | str) -> Column:
+    """DNA reverse complement.
+
+    Implements the *intended* full-length semantics; the reference's loop
+    ``for i <- len-1 to 1`` drops the final base (ORF.scala:36-38 — see
+    QUIRKS.md). One ``translate`` + ``reverse``, fully codegen'd.
+    """
+    s = F.upper(_col(sequence))
+    return F.reverse(F.translate(s, _COMPLEMENT_FROM, _COMPLEMENT_TO))
+
+
+def kmers(sequence: Column | str, k: int) -> Column:
+    """All overlapping k-length substrings, in order (``array<string>``).
+
+    Full slide — ``length - k + 1`` k-mers; the reference's loop bound
+    ``i < len - k - 1`` drops the last two (NormalizeRDD.java:78-81, see
+    QUIRKS.md). Sequences shorter than ``k`` yield an empty array.
+    """
+    s = _col(sequence)
+    n = F.length(s) - F.lit(int(k) - 1)
+    return F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(int(k)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def codons(sequence: Column | str, frame: int = 0) -> Column:
+    """Non-overlapping 3-char codons of one reading frame (0, 1 or 2),
+    truncated to whole codons (``Codondict.scala:9-55`` splits ORF strings
+    the same way)."""
+    if frame not in (0, 1, 2):
+        raise ValueError(f"frame must be 0, 1 or 2, got {frame}")
+    s = _col(sequence)
+    n_codons = (F.length(s) - F.lit(frame)) / F.lit(3)
+    n = F.floor(n_codons).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: s.substr(i * 3 + F.lit(frame + 1), F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Read-name / record-shape functions
+# ---------------------------------------------------------------------------
+
+
+def sample_id(key: Column | str) -> Column:
+    """Sample id = first ``:``-field of the read name
+    (``readname.split(":")[0]``, FastqGroupper.java:65)."""
+    return F.split(_col(key), ":").getItem(0)
+
+
+def mate_suffix(name: Column | str, is_first: Column) -> Column:
+    """Append ``/1`` or ``/2`` to a read name by first/second-of-pair flag
+    (HDFSWriter.java:141-146, SamToFastq.java:52-57)."""
+    return F.concat(_col(name), F.when(is_first, F.lit("/1")).otherwise(F.lit("/2")))
+
+
+def is_forward_read(key: Column | str) -> Column:
+    """Forward-mate predicate: Illumina ``" 1:N:"`` tag or legacy ``/1``
+    suffix (FastqFilter.java:80-83)."""
+    k = _col(key)
+    return k.contains(" 1:N:") | k.endswith("/1")
+
+
+def is_reverse_read(key: Column | str) -> Column:
+    """Reverse-mate predicate (FastqFilter.java:84-87)."""
+    k = _col(key)
+    return k.contains(" 2:N:") | k.endswith("/2")
+
+
+def fasta_record(id_: Column | str, sequence: Column | str) -> Column:
+    """``>id\\nsequence`` FASTA reconstruction (BlastNFilter.java:194,
+    FastaFilter.java:67)."""
+    return F.format_string(">%s\n%s", _col(id_), _col(sequence))
+
+
+def fastq_record(
+    key: Column | str, sequence: Column | str, quality: Column | str
+) -> Column:
+    """4-line FASTQ stanza. The reference writes the *literal string*
+    ``"key"`` as every read name (SQLQueryFastq.java:117 — bug, see
+    QUIRKS.md); intended semantics write the actual key."""
+    return F.format_string(
+        "@%s\n%s\n+\n%s", _col(key), _col(sequence), _col(quality)
+    )
+
+
+#: SAM mandatory-column positions used by the reference's line splitter
+#: (AlignInterleaved.java:108-116: indices 0,1,9,10).
+_SAM_FIELDS = {"qname": 0, "flag": 1, "rname": 2, "pos": 3, "mapq": 4,
+               "cigar": 5, "rnext": 6, "pnext": 7, "tlen": 8, "seq": 9,
+               "qual": 10}
+
+
+def sam_field(line: Column | str, field: str) -> Column:
+    """Extract one mandatory SAM column from a raw tab-separated line
+    (HDFSWriter.java:139-149). Numeric fields are cast permissively
+    (malformed -> null), matching the reference's silent tolerance
+    (HDFSWriter.java:109-128)."""
+    idx = _SAM_FIELDS[field]
+    c = F.split(_col(line), "\t").getItem(idx)
+    if field in ("flag", "pos", "mapq", "pnext", "tlen"):
+        return c.cast("int")
+    return c
+
+
+def sam_unmapped(flag: Column | str) -> Column:
+    """SAM flag bit 0x4 (read unmapped) — the predicate under
+    ``getReadUnmappedFlag`` (AlignNFilter.java:157-184)."""
+    return (_col(flag).cast("int").bitwiseAND(F.lit(4))) != 0
