@@ -1,0 +1,212 @@
+"""Round-trip tests for the IO layer (virapipe_spark.io, SURVEY.md §2.1-2.2)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from virapipe_spark import io as vio
+from tests import fixtures
+
+FASTQ_TEXT = """\
+@S1:12:FCA123:1:1101:1000:2000 1:N:0:ACGTACGT
+ACGTACGTAC
++
+IIIIIIIIII
+@S1:12:FCA123:1:1101:1000:2000 2:N:0:ACGTACGT
+GTACGTACGT
++
+IIIIIHHHHH
+@legacy_read/1
+TTGGCCAATT
++
+JJJJJJJJJJ
+"""
+
+FASTA_TEXT = """\
+>k141_1 flag=1 len=15
+ATGAAATTTGGG
+TAA
+>k141_2
+TTACCCAAATTTCAT
+>empty_seq
+>k141_3 multi word header
+CCCCC
+"""
+
+BLAST_TEXT = (
+    "k141_1\tCM000001.1\t95.5\t12\t1\t0\t1\t12\t500\t511\t1e-30\t120.0\n"
+    "k141_3\tCM000003.1\t71.0\t4\t1\t0\t1\t4\t10\t13\t0.01\t40.0\n"
+    "k141_x\tCM000009.1\tnotanumber\t\t\t\t\t\t\t\t\t\n"  # malformed -> nulls
+)
+
+SAM_TEXT = (
+    "@HD\tVN:1.6\n"
+    "@SQ\tSN:chr1\tLN:248956422\n"
+    "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII\n"
+    "r2\t4\t*\t0\t0\t*\t*\t0\t0\tTTTT\t####\n"
+    "r3\t1028\tchr1\t7\t60\t4M\t*\t0\t0\tGGCC\tJJJJ\n"
+)
+
+
+class TestFastq:
+    @pytest.fixture(scope="class")
+    def fastq_df(self, spark, tmp_path_factory):
+        p = tmp_path_factory.mktemp("fastq") / "reads.fastq"
+        p.write_text(FASTQ_TEXT)
+        return vio.read_fastq(spark, str(p)).cache()
+
+    def test_schema_and_rows(self, fastq_df):
+        from virapipe_spark import schemas
+
+        # names+types match READS (literal-0 columns are non-nullable,
+        # which only widens on union with parquet-backed tables)
+        assert [(f.name, f.dataType) for f in fastq_df.schema.fields] == [
+            (f.name, f.dataType) for f in schemas.READS.fields
+        ]
+        assert fastq_df.count() == 3
+
+    def test_illumina_metadata_parsed(self, fastq_df):
+        r = fastq_df.filter(F.col("read") == 1).first()
+        assert r["instrument"] == "S1"
+        assert r["runNumber"] == 12
+        assert r["flowcellId"] == "FCA123"
+        assert (r["lane"], r["tile"], r["xpos"], r["ypos"]) == (1, 1101, 1000, 2000)
+        assert r["filterPassed"] is True
+        assert r["indexSequence"] == "ACGTACGT"
+        assert r["sequence"] == "ACGTACGTAC"
+        assert r["quality"] == "IIIIIIIIII"
+
+    def test_legacy_name_nulls(self, fastq_df):
+        r = fastq_df.filter(F.col("key") == "legacy_read/1").first()
+        assert r is not None
+        assert r["instrument"] is None and r["read"] is None
+
+    def test_gzip_transparent(self, spark, tmp_path):
+        p = tmp_path / "reads.fastq.gz"
+        with gzip.open(p, "wt") as f:
+            f.write(FASTQ_TEXT)
+        assert vio.read_fastq(spark, str(p)).count() == 3
+
+    def test_roundtrip(self, spark, fastq_df, tmp_path):
+        out = tmp_path / "out_fastq"
+        vio.write_fastq(fastq_df.select("key", "sequence", "quality"), str(out))
+        back = vio.read_fastq(spark, str(out))
+        orig = {(r["key"], r["sequence"], r["quality"]) for r in fastq_df.collect()}
+        got = {(r["key"], r["sequence"], r["quality"]) for r in back.collect()}
+        assert got == orig
+
+
+class TestFasta:
+    @pytest.fixture(scope="class")
+    def fasta_df(self, spark, tmp_path_factory):
+        p = tmp_path_factory.mktemp("fasta") / "contigs.fasta"
+        p.write_text(FASTA_TEXT)
+        return vio.read_fasta(spark, str(p)).cache()
+
+    def test_parse(self, fasta_df):
+        rows = {r["id"]: r["sequence"] for r in fasta_df.collect()}
+        # empty_seq dropped; multi-line sequence joined; header first word only
+        assert rows == {
+            "k141_1": "ATGAAATTTGGGTAA",
+            "k141_2": "TTACCCAAATTTCAT",
+            "k141_3": "CCCCC",
+        }
+
+    def test_roundtrip(self, spark, fasta_df, tmp_path):
+        out = tmp_path / "out_fasta"
+        vio.write_fasta(fasta_df, str(out))
+        back = vio.read_fasta(spark, str(out))
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in fasta_df.collect()
+        }
+
+
+class TestBlast:
+    def test_read_blast(self, spark, tmp_path):
+        p = tmp_path / "hits.tsv"
+        p.write_text(BLAST_TEXT)
+        df = vio.read_blast(spark, str(p))
+        from virapipe_spark import schemas
+
+        assert df.schema == schemas.BLAST_HITS
+        rows = df.orderBy("qseqid").collect()
+        assert len(rows) == 3
+        assert rows[0]["pident"] == 95.5 and rows[0]["bitscore"] == 120.0
+        # malformed row: qseqid survives, numeric fields null
+        assert rows[2]["qseqid"] == "k141_x" and rows[2]["pident"] is None
+
+    def test_write_ordered(self, spark, tmp_path):
+        df = fixtures.blast_df(spark)
+        out = tmp_path / "blast_out"
+        vio.write_blast_tab(df, str(out))
+        lines = [
+            line.rstrip("\n")
+            for f in glob.glob(os.path.join(out, "part-*"))
+            for line in open(f)
+        ]
+        assert len(lines) == 3
+        for line in lines:
+            cols = line.split("\t")
+            assert cols[0].startswith("k141_")
+            assert len(cols) == 12  # documented outfmt-6 column order
+        back = vio.read_blast(spark, str(out))
+        assert back.count() == 3
+
+
+class TestSam:
+    def test_read_sam(self, spark, tmp_path):
+        p = tmp_path / "aln.sam"
+        p.write_text(SAM_TEXT)
+        df = vio.read_sam(spark, str(p))
+        from virapipe_spark import schemas
+
+        assert [(f.name, f.dataType) for f in df.schema.fields] == [
+            (f.name, f.dataType) for f in schemas.ALIGNMENTS.fields
+        ]
+        rows = {r["readName"]: r for r in df.collect()}
+        assert len(rows) == 3  # header lines dropped
+        assert rows["r1"]["readUnmapped"] is False
+        assert rows["r2"]["readUnmapped"] is True
+        assert rows["r3"]["duplicateRead"] is True  # 1028 = 0x400 | 0x4
+        assert rows["r1"]["referenceName"] == "chr1" and rows["r1"]["start"] == 100
+
+    def test_sam_to_fastq(self, spark):
+        aln = fixtures.alignments_df(spark)
+        fq = vio.sam_to_fastq(aln)
+        keys = sorted(r["key"] for r in fq.collect())
+        assert sum(k.endswith("/1") for k in keys) == 2
+        assert sum(k.endswith("/2") for k in keys) == 2
+
+
+class TestGenericSinks:
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        df = fixtures.contigs_df(spark)
+        out = str(tmp_path / "contigs_parquet")
+        vio.write_parquet(df, out)
+        assert spark.read.parquet(out).count() == 4
+
+    def test_csv_ordered(self, spark, tmp_path):
+        df = fixtures.contigs_df(spark)
+        out = str(tmp_path / "csv_out")
+        vio.write_csv_ordered(df, out, ["sequence", "id"], sep=",")
+        line = open(glob.glob(os.path.join(out, "part-*"))[0]).readline().strip()
+        seq, cid = line.split(",")
+        assert cid.startswith("k141_")  # pinned order: sequence first
+
+    def test_grouped_write(self, spark, tmp_path):
+        from virapipe_spark.functions import sample_id
+
+        reads = fixtures.reads_df(spark).withColumn("sample", sample_id("key"))
+        out = str(tmp_path / "grouped")
+        vio.write_grouped(reads, out, "sample")
+        subdirs = {d for d in os.listdir(out) if d.startswith("sample=")}
+        assert subdirs == {"sample=S1", "sample=S2", "sample=S3"}
+        back = spark.read.parquet(out)
+        assert back.count() == 8
+        # partition pruning works on the group column
+        assert back.filter(F.col("sample") == "S2").count() == 2

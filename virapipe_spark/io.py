@@ -1,0 +1,263 @@
+"""Readers and writers for the reference's file formats (SURVEY.md §2.1-2.2).
+
+Readers produce DataFrames with the explicit schemas of
+:mod:`virapipe_spark.schemas`; writers are thin, format-preserving wrappers
+over ``df.write``. Compressed inputs (``.gz``/``.bz2``) work through every
+text-based reader transparently — Spark sniffs the codec by extension, the
+same behavior the reference implements by hand with
+``CompressionCodecFactory`` (Decompress.java:113-126).
+
+Scale notes are inline per reader; the common theme: parallelism comes
+from *many files* (the reference's own layout — one FASTQ pair per sample,
+hundreds of samples) and from splittable uncompressed text. Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from virapipe_spark import schemas
+from virapipe_spark.functions import fasta_record, fastq_record, sam_field
+
+# ---------------------------------------------------------------------------
+# FASTQ
+# ---------------------------------------------------------------------------
+
+#: Illumina read-name pattern: instrument:run:flowcell:lane:tile:x:y and the
+#: optional comment "read:filter:control:index" (hadoop-bam parses the same
+#: fields into SequencedFragment; projected at SQLQueryFastq.java:71-89).
+_ILLUMINA_NAME = r"^([^:\s]+):(\d+):([^:\s]+):(\d+):(\d+):(\d+):(\d+)"
+_ILLUMINA_COMMENT = r"\s([12]):([YN]):(\d+):(\S+)"
+
+
+def read_fastq(spark: SparkSession, path: str) -> DataFrame:
+    """Read FASTQ (globs ok) into the ``reads`` schema (§1.1 row 1).
+
+    The reference delegates stanza assembly to hadoop-bam's
+    ``FastqInputFormat`` (SQLQueryFastq.java:69). Pure-Spark equivalent:
+
+    1. ``spark.read.text`` (splittable; codec-transparent),
+    2. a global contiguous line index (``zipWithIndex`` — the one place
+       the engine touches the RDD API, because 4-line stanza grouping
+       needs a *gap-free* index and ``monotonically_increasing_id`` jumps
+       at partition boundaries),
+    3. ``groupBy(line_idx div 4)`` pivoting the 4 stanza lines into one
+       row, then Illumina-header parsing with ``regexp_extract``.
+
+    Scale: the stanza shuffle moves each input byte once — the same cost
+    class as the reference's own repartition stages (RepartitionFastq).
+    With many input files (the reference's layout), prefer globbing them
+    into one call: file boundaries are stanza-aligned by the FASTQ spec,
+    so the global index stays stanza-consistent.
+    """
+    lines = spark.read.text(path)
+    # zipWithIndex runs one lightweight count job, then tags rows without
+    # shuffling; keep everything else in DataFrame land.
+    idx_schema = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("idx", T.LongType()),
+        ]
+    )
+    indexed = spark.createDataFrame(
+        lines.rdd.map(lambda r: r[0]).zipWithIndex(), idx_schema
+    )
+    stanza = indexed.withColumn("stanza", F.col("idx") - (F.col("idx") % 4))
+    line_of = F.col("idx") % 4
+
+    def _line(n: int) -> Column:
+        return F.max(F.when(line_of == n, F.col("value")))
+
+    raw = stanza.groupBy("stanza").agg(
+        _line(0).alias("header"),
+        _line(1).alias("sequence"),
+        _line(3).alias("quality"),
+    )
+    name = F.regexp_replace(F.col("header"), r"^@", "")
+
+    def _part(pat: str, i: int, typ: str = "string") -> Column:
+        v = F.regexp_extract(name, pat, i)
+        c = F.when(v != "", v).cast(typ)
+        return c
+
+    return raw.select(
+        name.alias("key"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(0).cast("long").alias("end"),
+        F.lit(0).cast("long").alias("pos"),
+        F.col("sequence"),
+        F.col("quality"),
+        _part(_ILLUMINA_NAME, 1).alias("instrument"),
+        _part(_ILLUMINA_NAME, 2, "int").alias("runNumber"),
+        _part(_ILLUMINA_NAME, 3).alias("flowcellId"),
+        _part(_ILLUMINA_NAME, 4, "int").alias("lane"),
+        _part(_ILLUMINA_NAME, 5, "int").alias("tile"),
+        _part(_ILLUMINA_NAME, 6, "int").alias("xpos"),
+        _part(_ILLUMINA_NAME, 7, "int").alias("ypos"),
+        _part(_ILLUMINA_COMMENT, 1, "int").alias("read"),
+        F.when(F.regexp_extract(name, _ILLUMINA_COMMENT, 2) == "N", True)
+        .when(F.regexp_extract(name, _ILLUMINA_COMMENT, 2) == "Y", False)
+        .alias("filterPassed"),
+        _part(_ILLUMINA_COMMENT, 3, "int").alias("controlNumber"),
+        _part(_ILLUMINA_COMMENT, 4).alias("indexSequence"),
+    )
+
+
+def write_fastq(df: DataFrame, path: str, mode: str = "error") -> None:
+    """DataFrame(key, sequence, quality) -> 4-line FASTQ text.
+
+    Writes the *actual* read name; the reference writes the literal
+    string ``"key"`` for every record (SQLQueryFastq.java:117 — bug,
+    QUIRKS.md).
+    """
+    df.select(
+        fastq_record("key", "sequence", "quality").alias("value")
+    ).write.mode(mode).text(path)
+
+
+# ---------------------------------------------------------------------------
+# FASTA
+# ---------------------------------------------------------------------------
+
+
+def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``>``-delimited FASTA into ``contigs(id, sequence)``.
+
+    The reference sets ``textinputformat.record.delimiter='>'``
+    (SplitFasta.java:41-43); Spark ≥3 exposes the same splittable record
+    reader via ``lineSep``. id = first word of the header line, sequence =
+    remaining lines concatenated (BlastNFilter.java:163-170); empty and
+    headerless records dropped (FastaFilter.java:64-65).
+    """
+    recs = spark.read.text(path, lineSep=">")
+    lines = F.split(F.regexp_replace(F.col("value"), "\r", ""), "\n")
+    header = F.element_at(lines, 1)
+    seq = F.concat_ws("", F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))))
+    return (
+        recs.filter(F.trim(F.col("value")) != "")
+        .select(
+            F.split(F.trim(header), r"\s+").getItem(0).alias("id"),
+            seq.alias("sequence"),
+        )
+        .filter((F.length("id") > 0) & (F.length("sequence") > 0))
+    )
+
+
+def write_fasta(df: DataFrame, path: str, mode: str = "error") -> None:
+    """DataFrame(id, sequence) -> FASTA text (BlastNFilter.java:194)."""
+    df.select(fasta_record("id", "sequence").alias("value")).write.mode(mode).text(
+        path
+    )
+
+
+# ---------------------------------------------------------------------------
+# BLAST tabular (outfmt 6)
+# ---------------------------------------------------------------------------
+
+
+def read_blast(spark: SparkSession, path: str) -> DataFrame:
+    """Read 12-column tab-separated BLAST output into ``blast_hits``.
+
+    The reference splits and casts field-by-field with per-field null
+    tolerance (SQLQueryBlast.java:74-97); ``spark.read.csv`` in PERMISSIVE
+    mode has exactly those semantics, JVM-side, with column pruning.
+    """
+    return spark.read.csv(
+        path, sep="\t", schema=schemas.BLAST_HITS, mode="PERMISSIVE"
+    )
+
+
+def write_blast_tab(df: DataFrame, path: str, sep: str = "\t", mode: str = "error") -> None:
+    """Column-ordered TSV/CSV of blast hits — the reference hand-formats
+    lines because Spark-2 ``df.write().csv`` "prints columns in wrong
+    order" (comment at SQLQueryBlast.java:115); an explicit select pins
+    the documented outfmt-6 order (BlastRecord.java:12-13)."""
+    cols = [f.name for f in schemas.BLAST_HITS.fields]
+    df.select(*cols).write.mode(mode).csv(path, sep=sep)
+
+
+# ---------------------------------------------------------------------------
+# SAM (text) -> typed alignments
+# ---------------------------------------------------------------------------
+
+
+def read_sam(spark: SparkSession, path: str) -> DataFrame:
+    """Read SAM text into the ``alignments`` schema.
+
+    Header lines (``@``-prefixed) are dropped; malformed fields go null
+    (permissive casts), matching the reference's silent tolerance
+    (HDFSWriter.java:109-128). The full flag word is reduced to the two
+    booleans of ``MyAlignment`` (readUnmapped=0x4, duplicateRead=0x400 —
+    MyAlignment.java:12-19).
+    """
+    lines = spark.read.text(path).filter(~F.col("value").startswith("@"))
+    flag = sam_field("value", "flag")
+    return lines.select(
+        sam_field("value", "qname").alias("readName"),
+        sam_field("value", "pos").alias("start"),
+        sam_field("value", "rname").alias("referenceName"),
+        F.length(sam_field("value", "seq")).cast("int").alias("length"),
+        sam_field("value", "seq").alias("bases"),
+        sam_field("value", "cigar").alias("cigar"),
+        (flag.bitwiseAND(F.lit(4)) != 0).alias("readUnmapped"),
+        (flag.bitwiseAND(F.lit(1024)) != 0).alias("duplicateRead"),
+    )
+
+
+def sam_to_fastq(alignments: DataFrame, mate_flags: DataFrame | None = None) -> DataFrame:
+    """SAM/BAM records -> FASTQ-shaped rows (SamToFastq.java:47-68).
+
+    Returns (key, sequence, quality?) rows ready for :func:`write_fastq`.
+    The reference suffixes ``/1``/``/2`` by the first-of-pair flag; the
+    typed ``alignments`` table has no flag word, so mates are numbered by
+    their order within each readName (deterministic window, not file
+    order — SURVEY §7.5 non-determinism note).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("readName").orderBy("start", "bases")
+    rn = F.row_number().over(w)
+    return alignments.select(
+        F.concat(
+            F.col("readName"),
+            F.when(rn == 1, F.lit("/1")).otherwise(F.lit("/2")),
+        ).alias("key"),
+        F.col("bases").alias("sequence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic sinks
+# ---------------------------------------------------------------------------
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Result persistence (SQLQueryFastq.java:108)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv_ordered(
+    df: DataFrame, path: str, columns: list[str], sep: str = ",", mode: str = "error"
+) -> None:
+    """CSV/TSV with an explicit, pinned column order
+    (SQLQueryBlast.java:113-121)."""
+    df.select(*columns).write.mode(mode).csv(path, sep=sep)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Single-string-column text write (BlastN.java:152-154)."""
+    df.write.mode(mode).text(path)
+
+
+def write_grouped(
+    df: DataFrame, path: str, group_col: str, fmt: str = "parquet", mode: str = "error"
+) -> None:
+    """One output directory per group key — the idiomatic replacement for
+    the reference's manual per-sample ``FSDataOutputStream`` loop
+    (FastqGroupper.java:71-109). ``partitionBy`` keeps the write fully
+    distributed: each task writes only its groups, no driver fan-out, and
+    downstream reads get partition pruning on ``group_col`` for free."""
+    df.write.mode(mode).partitionBy(group_col).format(fmt).save(path)
