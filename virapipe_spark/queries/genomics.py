@@ -1,1 +1,344 @@
-"""Placeholder — filled in as operators land."""
+"""Genomics-operator catalog entries (SURVEY.md §2.3-2.5, §2.8).
+
+The driver's oracle tables carry no DNA, so each genomics operator is
+exercised over its closest analog column — ``documents.text`` stands in
+for sequence/quality strings (characters ARE the bytes the reference's
+filters iterate over), ``lineitem.l_linenumber`` 1/2 for mate pairs.
+The *genomics-typed* versions of the same operators (over reads/contigs
+fixtures, via :mod:`virapipe_spark.functions` and :mod:`virapipe_spark.io`)
+are golden-tested in ``tests/``; the entries here give every operator a
+hash-checked DuckDB correctness row on driver data.
+
+Scale notes are inline: the k-mer explode keeps the aggregate fused
+behind the explode (one stage, map-side partial agg), quality scoring is
+a pure codegen projection, and the zip join partitions by its "file"
+analog rather than a global row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from virapipe_spark import functions as vf
+from virapipe_spark.catalog import query, table
+
+# ---------------------------------------------------------------------------
+# Quality filters (FastqFilter.java:109-196) — documents.text as the
+# quality string; char codes are the "phred bytes".
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_avg_quality",
+    oracle="""
+    SELECT doc_id,
+           round(list_avg(list_transform(generate_series(1, len(text)),
+                                         g -> ascii(substr(text, g, 1)))), 4)
+             AS avg_q
+    FROM documents
+    WHERE list_avg(list_transform(generate_series(1, len(text)),
+                                  g -> ascii(substr(text, g, 1)))) > 94.5
+    """,
+)
+def filter_avg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-quality filter (``avgQualityTest``,
+    FastqFilter.java:174-184): keep iff mean byte value > threshold.
+    Whole predicate is one codegen'd array expression — evaluated inside
+    the scan stage, no shuffle, no Python."""
+    d = table(spark, sf_dir, "documents")
+    avg_q = vf.avg_quality("text")
+    return d.filter(avg_q > 94.5).select(
+        "doc_id", F.round(avg_q, 4).alias("avg_q")
+    )
+
+
+@query(
+    "filter_lowq_count",
+    oracle="""
+    SELECT doc_id, lowq FROM (
+      SELECT doc_id,
+             len(list_filter(list_transform(generate_series(1, len(text)),
+                                            g -> ascii(substr(text, g, 1))),
+                             x -> x < 97)) AS lowq
+      FROM documents
+    )
+    WHERE lowq < 50
+    """,
+)
+def filter_lowq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-quality-count filter (``lowQCountTest``,
+    FastqFilter.java:186-196): keep iff count(byte < threshold) < cutoff."""
+    d = table(spark, sf_dir, "documents")
+    lowq = vf.low_quality_count("text", 97)
+    return d.select("doc_id", lowq.alias("lowq")).filter(F.col("lowq") < 50)
+
+
+# ---------------------------------------------------------------------------
+# k-mer digital normalization (NormalizeRDD.java:66-103)
+# ---------------------------------------------------------------------------
+
+_K = 8
+_MINC, _MAXC = 5, 50
+
+_KMER_CTE = f"""
+    WITH km AS (
+      SELECT doc_id, substr(text, g, {_K}) AS kmer
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {_K - 1})) AS g
+            FROM documents)
+    ),
+    grouped AS (
+      SELECT kmer, count(*) AS c, min(doc_id) AS rep_doc
+      FROM km GROUP BY kmer
+      HAVING count(*) > {_MINC} AND count(*) < {_MAXC}
+    )
+"""
+
+
+def _kmer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(vf.kmers("text", _K)).alias("kmer"))
+        .groupBy("kmer")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("rep_doc"))
+        .filter((F.col("c") > _MINC) & (F.col("c") < _MAXC))
+    )
+
+
+@query("kmer_count_band", oracle=_KMER_CTE + "SELECT kmer, c, rep_doc FROM grouped")
+def kmer_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer explode -> count -> coverage band, carrying one
+    deterministic representative record (NormalizeRDD.java:66-103; the
+    reference's ``reduceByKey((a,b)->a)`` representative is
+    order-dependent — pinned to min doc_id here, SURVEY §7.5).
+
+    Scale: the explode multiplies rows ×(len-k+1), but Catalyst fuses
+    scan -> explode -> partial agg into one stage, so the shuffle carries
+    only per-kmer partials (bounded by distinct-kmer count, not input
+    rows). This is the plan shape SURVEY §4.3 prescribes."""
+    return _kmer_band(spark, sf_dir)
+
+
+@query(
+    "normalize_digital",
+    oracle=_KMER_CTE + "SELECT DISTINCT rep_doc AS doc_id FROM grouped",
+)
+def normalize_digital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full digital-normalization output: distinct representative records
+    of band-passing k-mers (NormalizeRDD.java:94-103 re-emits reads then
+    ``.distinct()``)."""
+    return (
+        _kmer_band(spark, sf_dir)
+        .select(F.col("rep_doc").alias("doc_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence projections (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revcomp_projection",
+    oracle="""
+    SELECT doc_id,
+           reverse(translate(upper(replace(substr(text, 1, 60), ' ', '')),
+                             'ATCGN', 'TAGCN')) AS revcomp
+    FROM documents
+    """,
+)
+def revcomp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse complement (ORF.scala:11-40, full-length semantics — the
+    reference drops the final base, QUIRKS.md). One translate+reverse,
+    codegen'd."""
+    d = table(spark, sf_dir, "documents")
+    seq = F.replace(F.substring("text", 1, 60), F.lit(" "), F.lit(""))
+    return d.select("doc_id", vf.reverse_complement(seq).alias("revcomp"))
+
+
+@query(
+    "codon_usage",
+    oracle="""
+    WITH seqs AS (SELECT upper(replace(text, ' ', '')) AS s FROM documents),
+    cod AS (
+      SELECT substr(s, g, 3) AS codon
+      FROM (SELECT s, unnest(generate_series(1, len(s) - 2, 3)) AS g FROM seqs)
+    )
+    SELECT codon, count(*) AS n FROM cod GROUP BY codon
+    """,
+)
+def codon_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codon-usage histogram (Codondict.scala:9-55): frame-0 triplet
+    split -> explode -> hash aggregate. Same fused explode+partial-agg
+    shape as the k-mer count."""
+    d = table(spark, sf_dir, "documents")
+    s = F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return (
+        d.select(F.explode(vf.codons(s, 0)).alias("codon"))
+        .groupBy("codon")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "rename_unique",
+    oracle="""
+    SELECT doc_id,
+           concat(CAST(doc_id AS VARCHAR), '_', substr(md5(text), 1, 8))
+             AS new_id
+    FROM documents
+    """,
+)
+def rename_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique record rename (RenameContigsUniq.java:58). The reference
+    appends ``UUID.randomUUID()`` — non-deterministic and untestable;
+    pinned to a content hash (same uniqueness guarantee, reproducible —
+    SURVEY §7.5)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("_"),
+            F.substring(F.md5(F.col("text")), 1, 8),
+        ).alias("new_id"),
+    )
+
+
+@query(
+    "sample_group_count",
+    oracle="""
+    SELECT string_split(text, ' ')[1] AS sample,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY sample
+    """,
+)
+def sample_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-sample (FastqGroupper.java:63-69: sample id = first
+    delimited field of the record name). The per-group *write* half is
+    io.write_grouped (partitionBy), golden-tested in tests/test_io.py."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("sample", vf.sample_id(F.replace(F.col("text"), F.lit(" "), F.lit(":"))))
+        .groupBy("sample")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "fasta_format_lines",
+    oracle="""
+    SELECT printf('>%s\n%s', CAST(doc_id AS VARCHAR), substr(text, 1, 30))
+             AS fasta
+    FROM documents
+    """,
+)
+def fasta_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTA record reconstruction (``">"+id+"\\n"+seq``,
+    BlastNFilter.java:194) — the write.text payload of io.write_fasta."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        vf.fasta_record(
+            F.col("doc_id").cast("string"), F.substring("text", 1, 30)
+        ).alias("fasta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mate-pair operators (§2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mate_pivot",
+    oracle="""
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN l_partkey END) AS part_1,
+           max(CASE WHEN l_linenumber = 2 THEN l_partkey END) AS part_2,
+           round(max(CASE WHEN l_linenumber = 1 THEN l_quantity END), 2) AS qty_1,
+           round(max(CASE WHEN l_linenumber = 2 THEN l_quantity END), 2) AS qty_2
+    FROM lineitem
+    WHERE l_linenumber IN (1, 2)
+    GROUP BY l_orderkey
+    HAVING count(*) = 2
+    """,
+)
+def mate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mate-pair key-equality check + pivot to one row per pair
+    (AlignNFilter.java:96-150 re-syncs consecutive records sharing a read
+    key; AlignInterleaved.java:76-99). DataFrames have no row order, so
+    the pair is keyed (l_orderkey = read key, l_linenumber = mate number)
+    and incomplete pairs are dropped — exactly the reference's skip-one
+    re-sync outcome. One hash aggregate; no window, no sort."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber").isin(1, 2))
+
+    def mate(n: int, col: str):
+        return F.max(F.when(F.col("l_linenumber") == n, F.col(col)))
+
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            mate(1, "l_partkey").alias("part_1"),
+            mate(2, "l_partkey").alias("part_2"),
+            F.round(mate(1, "l_quantity"), 2).alias("qty_1"),
+            F.round(mate(2, "l_quantity"), 2).alias("qty_2"),
+            F.count("*").alias("n_mates"),
+        )
+        .filter(F.col("n_mates") == 2)
+        .drop("n_mates")
+    )
+
+
+@query(
+    "interleave_zip",
+    oracle="""
+    WITH fwd AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    rev AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT fwd.grp, fwd.rn, fwd.o_orderkey AS key_1, rev.o_orderkey AS key_2
+    FROM fwd JOIN rev ON fwd.grp = rev.grp AND fwd.rn = rev.rn
+    """,
+)
+def interleave_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional (no-key) zip join — interleaving mate files pairs the
+    i-th record of file 1 with the i-th of file 2
+    (Interleave.java:230-232 ``zipPartitions``). Row order is made
+    explicit with row_number per side, *partitioned by the file-pair
+    analog* (o_orderpriority): a global row_number would funnel every row
+    through one task, while per-group numbering scales with group count —
+    the same per-file-pair parallelism the reference gets from
+    zipPartitions (SURVEY §4.3)."""
+    o = table(spark, sf_dir, "orders")
+    sides = []
+    for parity in (0, 1):
+        w = W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        sides.append(
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .select(
+                F.col("o_orderpriority").alias("grp"),
+                F.col("o_orderkey"),
+                F.row_number().over(w).alias("rn"),
+            )
+        )
+    fwd, rev = sides
+    return fwd.alias("f").join(
+        rev.alias("r"), ["grp", "rn"], "inner"
+    ).select(
+        "grp",
+        "rn",
+        F.col("f.o_orderkey").alias("key_1"),
+        F.col("r.o_orderkey").alias("key_2"),
+    )
