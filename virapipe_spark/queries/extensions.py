@@ -1,1 +1,700 @@
-"""Placeholder — filled in as operators land."""
+"""Training-data-pipeline extension operators (SURVEY.md §7.6).
+
+First-class components for a 100 TB text/embedding corpus, over the
+driver's ``documents`` and ``embeddings`` tables: exact + near
+deduplication (content hash, n-gram Jaccard, MinHash-LSH, SimHash), text
+analysis (stats, quality score, language-ID heuristic, token counting,
+winnowing fingerprints), and similarity search (brute-force cosine top-k
+baseline + LSH-bucketed variant).
+
+Design rules used throughout:
+
+- Every hash both engines must agree on is md5 (hex string) — never an
+  engine-native hash (Spark xxhash64 and DuckDB hash() differ).
+- MinHash signatures are lexicographic minima of md5 strings — a valid
+  uniform permutation, with no bigint conversion to disagree on.
+- Cosine similarity quantizes embeddings to integers (round(x*10000))
+  so dot products and norms are EXACT integer arithmetic; the single
+  final sqrt/divide is bit-identical across engines. Float reduction
+  order can never flip a rank.
+- All-pairs work is never emitted unblocked: Jaccard joins block on a
+  shared shingle, LSH variants block on band/bucket keys. Scale notes
+  per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from virapipe_spark.catalog import query, table
+
+# ---------------------------------------------------------------------------
+# Shared shingle machinery (word 3-grams)
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE producing the distinct word-3-gram set per document.
+_SHINGLES_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, concat(t[g], ' ', t[g+1], ' ', t[g+2]) AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS g
+            FROM toks)
+    )
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-grams per doc (Spark mirror of _SHINGLES_SQL)."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda g: F.concat_ws(
+                " ", F.element_at(t, g), F.element_at(t, g + 1), F.element_at(t, g + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(grams).alias("s")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on md5(text), keep the min
+    doc_id as the canonical copy. One hash aggregate; at 100 TB the
+    shuffle carries (hash, id) pairs only — bytes ~ row count, not corpus
+    size, because the hash is computed map-side in the scan stage."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "docs_ngram_jaccard",
+    oracle=_SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5), blocked on a
+    shared shingle — only docs with ≥1 common 3-gram ever meet.
+
+    Scale: the block join explodes on ultra-frequent shingles; at corpus
+    scale drop the top-percentile document-frequency shingles first (they
+    carry no discriminative mass) or switch to docs_minhash_lsh, whose
+    candidate volume is tunable by band shape. This entry is the exact
+    oracle the LSH variant is measured against."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# MinHash-LSH: H hashes, banded into B bands of R rows (H = B*R).
+_H, _R, _B = 16, 2, 8
+_EST_THRESHOLD = 0.5
+
+
+def _minhash_cols_sql() -> str:
+    return ",\n".join(
+        f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, _H + 1)
+    )
+
+
+def _bands_sql() -> str:
+    selects = []
+    for b in range(_B):
+        parts = " || ".join(f"h{b * _R + r}" for r in range(1, _R + 1))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bk FROM mh"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(1, _H + 1)
+)
+
+_MINHASH_ORACLE = (
+    _SHINGLES_SQL
+    + f"""
+    , mh AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(({_MATCHES_SQL}) / {_H}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN mh a ON doc_a = a.doc_id
+    JOIN mh b ON doc_b = b.doc_id
+    WHERE ({_MATCHES_SQL}) / {_H}.0 >= {_EST_THRESHOLD}
+    """
+)
+
+
+@query("docs_minhash_lsh", oracle=_MINHASH_ORACLE)
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the scale path for deduplication.
+
+    Pipeline: distinct shingles -> {_H}-component MinHash signature (min
+    of md5(j|shingle) per j — lexicographic min of a uniform hash IS a
+    MinHash permutation) -> {_B} bands x {_R} rows -> band-bucket
+    self-join for candidates -> estimated Jaccard = matching signature
+    fraction, thresholded at {_EST_THRESHOLD}.
+
+    Scale: never forms unblocked pairs. Work = O(corpus) for signatures
+    (one groupBy over shingles) + O(sum of bucket-size²) for candidates;
+    band shape (B, R) tunes the candidate-probability curve
+    1-(1-j^R)^B, so recall/cost trades off without touching the
+    all-pairs cliff. Signature agg is {_H} min-aggregates in ONE shuffle
+    pass, not {_H} passes."""
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(1, _H + 1)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{b * _R + r}") for r in range(1, _R + 1)])
+                ).alias("bk"),
+            )
+            for b in range(_B)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    matches = sum(
+        F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
+        for j in range(1, _H + 1)
+    )
+    est = matches / F.lit(float(_H))
+    return (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
+        .filter(est >= _EST_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n".join(
+        f"sum(CASE WHEN substr(md5(tok), {b}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(1, _SIMHASH_BITS + 1)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)"
+        for b in range(1, _SIMHASH_BITS + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM sums
+    """
+
+
+@query("docs_simhash", oracle=_simhash_oracle())
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signature ({_SIMHASH_BITS} bits): per token, each
+    md5 hex digit's top bit votes +1/-1; the per-bit vote sign is the
+    signature bit. Near-dups then cluster by signature prefix or Hamming
+    distance on a banded join (same blocking idea as MinHash bands).
+    One explode + one {_SIMHASH_BITS}-column hash aggregate — a single
+    shuffle pass whose width is the bit count, independent of text size."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    md5t = F.md5(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(md5t, b, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(1, _SIMHASH_BITS + 1)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(1, _SIMHASH_BITS + 1)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "in")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@query(
+    "docs_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_types,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+           round(list_avg(list_transform(toks, x -> len(x))), 4)
+             AS avg_token_len,
+           round(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                 * 1.0 / len(toks), 4) AS stop_ratio
+    FROM t
+    """,
+)
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics for corpus quality analysis: token
+    count, type count, type-token ratio, mean token length, stopword
+    ratio. Pure codegen array expressions inside the scan stage — zero
+    shuffles, zero Python; at 100 TB this runs at scan speed."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    types = F.size(F.array_distinct(toks))
+    avg_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        / n,
+        4,
+    )
+    stops = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        types.alias("n_types"),
+        F.round(types / n.cast("double"), 4).alias("ttr"),
+        avg_len.alias("avg_token_len"),
+        F.round(stops / n.cast("double"), 4).alias("stop_ratio"),
+    )
+
+
+@query(
+    "docs_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)
+               AS stop_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+      FROM t
+    )
+    SELECT doc_id,
+           round(ttr * (1 - stop_ratio), 4) AS quality_score
+    FROM scored
+    WHERE n_tokens BETWEEN 20 AND 90
+      AND stop_ratio < 0.4
+      AND n_chars >= 100
+    """,
+)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate for training data: length band + stopword
+    ceiling + a diversity score (type-token ratio damped by stopword
+    mass). Same zero-shuffle projection shape as docs_text_stats."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) / n.cast(
+        "double"
+    )
+    ttr = F.size(F.array_distinct(toks)) / n.cast("double")
+    return (
+        d.filter(
+            n.between(20, 90) & (stop_ratio < 0.4) & (F.col("n_chars") >= 100)
+        )
+        .select(
+            "doc_id", F.round(ttr * (1 - stop_ratio), 4).alias("quality_score")
+        )
+    )
+
+
+#: (lang, marker words) profiles for the language-ID vote. Deterministic
+#: toy profiles — the *shape* (per-profile token votes, argmax with a
+#: stable tiebreak) is the real n-gram-profile algorithm's.
+_LANG_PROFILES = (
+    ("en", ("the", "a", "of", "and", "value")),
+    ("es", ("data", "row", "query", "table", "batch")),
+    ("zh", ("spark", "window", "merge", "join", "stream")),
+)
+
+
+def _langid_oracle() -> str:
+    votes = ",\n".join(
+        "len(list_filter(toks, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) AS v_{lang}"
+        for lang, words in _LANG_PROFILES
+    )
+    langs = [lang for lang, _ in _LANG_PROFILES]
+    greatest = f"greatest({', '.join('v_' + l for l in langs)})"
+    pick = "CASE " + " ".join(
+        f"WHEN v_{l} = {greatest} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    v AS (SELECT doc_id, {votes} FROM t)
+    SELECT doc_id, {pick} AS pred_lang FROM v
+    """
+
+
+@query("docs_langid_vote", oracle=_langid_oracle())
+def docs_langid_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token vote (n-gram-profile heuristic shape:
+    count profile hits per language, argmax with first-profile-wins
+    tiebreak). Projection-only — no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _votes(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    votes = {lang: _votes(words) for lang, words in _LANG_PROFILES}
+    top = F.greatest(*votes.values())
+    # stable first-profile-wins argmax
+    pred = F.when(votes[_LANG_PROFILES[0][0]] == top, F.lit(_LANG_PROFILES[0][0]))
+    for lang, _ in _LANG_PROFILES[1:]:
+        pred = pred.when(votes[lang] == top, F.lit(lang))
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@query(
+    "docs_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+    FROM documents
+    """,
+)
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer (letter runs | digit runs | single other). Both JVM-side;
+    regexp_count avoids materializing the match array."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "re_tokens"
+        ),
+    )
+
+
+_FP_K = 8  # fingerprint k-gram length
+_FP_W = 5  # winnowing window (k-grams per window)
+
+
+@query(
+    "docs_fingerprint_winnow",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, g AS pos, md5(substr(text, g, {_FP_K})) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {_FP_K - 1})) AS g
+            FROM documents)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_FP_W - 1} FOLLOWING)
+               AS fp
+      FROM grams
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints
+    FROM wins GROUP BY doc_id
+    """,
+)
+def docs_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm shape): hash
+    all {_FP_K}-grams, keep the minimum hash of every {_FP_W}-gram
+    window, count the distinct selected fingerprints. Guarantees any
+    shared substring of length >= {_FP_K + _FP_W - 1} shares a
+    fingerprint. The window partitions by doc — parallelism = doc count,
+    no global sort."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    grams = F.when(
+        F.length(t) >= _FP_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (_FP_K - 1)),
+            lambda g: F.struct(
+                g.alias("pos"), F.md5(t.substr(g, F.lit(_FP_K))).alias("h")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    gdf = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _FP_W - 1)
+    )
+    return (
+        gdf.select("doc_id", F.min("h").over(w).alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+_QUANT = 10000  # int quantization: round(x * _QUANT)
+
+#: Quantized-integer cosine (exact integer dot/norms; one final sqrt).
+_Q_SQL = f"""
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(x * {_QUANT}) AS BIGINT)) AS q
+      FROM embeddings
+"""
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len(a.q)), "
+    "i -> a.q[i] * b.q[i]))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({s}.q, x -> x * x)))"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT).cast("long"),
+    )
+    return e.select("vec_id", "label", q.alias("q"))
+
+
+def _cosine(a: str, b: str) -> Column:
+    dot = F.aggregate(
+        F.zip_with(F.col(f"{a}.q"), F.col(f"{b}.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda s: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{s}.q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return dot.cast("double") / (norm(a) * norm(b))
+
+
+@query(
+    "embed_knn_bruteforce",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_SQL} /
+                   ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')}),
+                   6) AS cosine
+      FROM q a JOIN q b ON a.vec_id < {_N_QUERIES}
+                       AND b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact-ANN baseline. Query side
+    (vec_id < {_N_QUERIES}) is broadcast against the corpus; cosine is
+    exact integer arithmetic on quantized vectors (see module doc), so
+    ranking is reduction-order-proof.
+
+    Scale: per-query cost is a full corpus scan — the right baseline,
+    and the right *measure* for embed_knn_lsh's recall. The broadcast
+    keeps it one shuffle-free stage followed by a top-k window over
+    query_id (parallelism = query count; use more queries, not a global
+    sort, to widen)."""
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    corpus = qdf.alias("b")
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(_cosine("a", "b"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+_LSH_DIMS = (1, 17, 33, 49)  # 1-indexed sign-sampled dimensions -> 16 buckets
+
+
+def _bucket_sql(alias: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {alias}.q[{d}] >= 0 THEN '1' ELSE '0' END)"
+        for d in _LSH_DIMS
+    )
+
+
+@query(
+    "embed_knn_lsh",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_SQL} /
+                   ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')}),
+                   6) AS cosine
+      FROM q a JOIN q b
+        ON a.vec_id < {_N_QUERIES}
+       AND b.vec_id <> a.vec_id
+       AND {_bucket_sql('a')} = {_bucket_sql('b')}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the scale path. Bit-sampling LSH:
+    bucket key = sign bits of {len(_LSH_DIMS)} fixed dimensions
+    ({2 ** len(_LSH_DIMS)} buckets); candidates only meet inside their
+    bucket, then exact quantized cosine ranks them.
+
+    Scale: candidate volume drops by ~the bucket count vs brute force;
+    the bucket join is a plain equi-join Catalyst can shuffle-partition
+    by bucket key (or broadcast the query side, as here). Recall is
+    measured against embed_knn_bruteforce on the same queries; more
+    bits/planes (IVF-style) sharpen buckets without changing the plan
+    shape."""
+    qdf = _quantized(spark, sf_dir)
+
+    def bucket(side: str) -> Column:
+        return F.concat(
+            *[
+                F.when(F.element_at(F.col(f"{side}.q"), d) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for d in _LSH_DIMS
+            ]
+        )
+
+    queries = qdf.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    corpus = qdf.alias("b")
+    scored = (
+        F.broadcast(queries)
+        .join(
+            corpus,
+            (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (bucket("a") == bucket("b")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(_cosine("a", "b"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
