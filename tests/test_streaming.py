@@ -1,0 +1,123 @@
+"""Structured Streaming tests: drain a bounded parquet source through the
+streaming engine (availableNow) and assert the results equal the batch
+twin of the same plan — the strongest oracle available for streaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from virapipe_spark import streaming as vs
+
+
+def _ts(day: int, hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+#: Two users; u1 has two sessions on day 1 (split by a >2h gap) and one
+#: on day 2; u2 one session. A late event (day 1, after day-2 events in
+#: file order) exercises watermark tolerance under availableNow (all data
+#: in one batch -> nothing droppable).
+EVENT_ROWS = [
+    (1, _ts(1, 9, 0), 1, "click", 1.0, "{}"),
+    (2, _ts(1, 9, 30), 1, "view", 2.0, "{}"),
+    (3, _ts(1, 14, 0), 1, "click", 3.0, "{}"),   # new session (4.5h gap)
+    (4, _ts(2, 10, 0), 1, "purchase", 4.0, "{}"),
+    (5, _ts(1, 11, 0), 2, "click", 5.0, "{}"),
+    (6, _ts(1, 12, 30), 2, "error", 6.0, "{}"),
+    (7, _ts(1, 9, 45), 1, "view", 7.0, "{}"),    # late arrival for u1 s1
+]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    df = spark.createDataFrame(EVENT_ROWS, vs.EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    return spark.read.schema(vs.EVENTS_SCHEMA).parquet(events_dir)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestStreamBatchParity:
+    def test_tumbling(self, spark, events_dir, batch_events):
+        stream = vs.read_event_stream(spark, events_dir)
+        assert stream.isStreaming
+        got = vs.drain_available_now(
+            vs.tumbling_counts(stream, window="1 day"), "t_tumble"
+        )
+        want = vs.tumbling_counts(batch_events, window="1 day")
+        cols = ["w_start", "event_type", "n", "total"]
+        assert _rows(got, *cols) == _rows(want, *cols)
+        # sanity: day-1 clicks = events 1 (u1 9:00), 3 (u1 14:00), 5 (u2 11:00)
+        day1_clicks = [
+            r for r in got.collect()
+            if r["event_type"] == "click" and r["w_start"].day == 1
+        ]
+        assert day1_clicks[0]["n"] == 3
+
+    def test_sliding(self, spark, events_dir, batch_events):
+        stream = vs.read_event_stream(spark, events_dir)
+        got = vs.drain_available_now(
+            vs.sliding_counts(stream, window="2 days", slide="1 day"), "t_slide"
+        )
+        want = vs.sliding_counts(batch_events, window="2 days", slide="1 day")
+        assert _rows(got, "w_start", "n") == _rows(want, "w_start", "n")
+        # every event appears in exactly 2 windows
+        assert sum(r["n"] for r in got.collect()) == 2 * len(EVENT_ROWS)
+
+    def test_session_window(self, spark, events_dir, batch_events):
+        stream = vs.read_event_stream(spark, events_dir)
+        got = vs.drain_available_now(
+            vs.session_aggregate(stream, gap="2 hours"), "t_sess"
+        )
+        want = vs.session_aggregate(batch_events, gap="2 hours")
+        cols = ["user_id", "session_start", "n_events", "total"]
+        assert _rows(got, *cols) == _rows(want, *cols)
+        # u1: sessions {9:00-9:45 x3 incl. late event}, {14:00}, {day2};
+        # u2: one session (11:00 + 12:30 within 2h gap)
+        per_user = {
+            (r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()
+        }
+        assert per_user[(1, _ts(1, 9, 0))] == 3
+        assert len([k for k in per_user if k[0] == 1]) == 3
+        assert len([k for k in per_user if k[0] == 2]) == 1
+
+    def test_watermark_present_on_stream_plan(self, spark, events_dir):
+        stream = vs.read_event_stream(spark, events_dir)
+        agg = vs.tumbling_counts(stream, window="1 day", watermark="3 hours")
+        assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+class TestBatchSessionizeMatchesSessionWindow:
+    def test_lag_cumsum_equals_session_window(self, spark, batch_events):
+        """The catalog's lag+cumsum sessionization and F.session_window
+        produce identical sessions for gap semantics < vs <=."""
+        from virapipe_spark.queries.streaming import sessionize_events  # noqa: F401
+        from pyspark.sql import Window as W
+
+        gap_us = 2 * 3_600_000_000
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        g = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        flagged = batch_events.withColumn(
+            "new_s", F.when(g.isNull() | (g >= gap_us), 1).otherwise(0)
+        )
+        wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        sess = flagged.withColumn("sid", F.sum("new_s").over(wsum))
+        lagged = sess.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+        sw = vs.session_aggregate(batch_events, gap="2 hours")
+        assert _rows(lagged, "user_id", "session_start", "n_events") == _rows(
+            sw, "user_id", "session_start", "n_events"
+        )

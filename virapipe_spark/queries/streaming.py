@@ -1,1 +1,123 @@
-"""Placeholder — filled in as operators land."""
+"""Event-time windowing catalog entries (SURVEY.md §2.11, §7.6).
+
+Batch halves of the streaming surface, hash-checked against DuckDB.
+Each entry's logical plan is the same one
+:mod:`virapipe_spark.streaming` runs incrementally on a stream
+(tests/test_streaming.py asserts batch == streamed results).
+
+Window-start arithmetic is spelled out as epoch math in the oracles;
+Spark's ``F.window`` aligns tumbling windows to the epoch in UTC
+(session timezone pinned in session.py), so ``floor(epoch_us / width) *
+width`` is the identical bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from virapipe_spark.catalog import query, table
+from virapipe_spark import streaming as vstream
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT)
+                          * {_DAY_US}) AS w_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY w_start, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type — the batch twin of
+    streaming.tumbling_counts. Shuffle keys = (window, type): state and
+    shuffle bounded by windows x types, not events."""
+    ev = table(spark, sf_dir, "events")
+    return vstream.tumbling_counts(ev, window="1 day")
+
+
+@query(
+    "window_sliding",
+    oracle=f"""
+    WITH offs AS (SELECT unnest([0, 1]) AS o),
+    assigned AS (
+      SELECT make_timestamp((CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT)
+                             - o) * {_DAY_US}) AS w_start
+      FROM events, offs
+    )
+    SELECT w_start, count(*) AS n
+    FROM assigned
+    GROUP BY w_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day windows — each event replicated into its 2
+    covering windows (the oracle spells the replication out; Spark's
+    F.window does it natively). Replication factor = window/slide: keep
+    it small at scale or pre-aggregate per slide then roll up."""
+    ev = table(spark, sf_dir, "events")
+    return vstream.sliding_counts(ev, window="2 days", slide="1 day")
+
+
+_GAP_US = 12 * 3_600_000_000  # 12 hours
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, sid,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h inactivity gap), the lag+cumsum
+    batch formulation of ``F.session_window``: flag gap-openers with
+    lag(), number sessions with a running sum, aggregate per session.
+
+    The event_id tiebreak makes lag() deterministic under microsecond
+    ties. Windows partition by user_id — parallelism = user count, state
+    per partition = one user's history; the streaming twin
+    (streaming.session_aggregate) replaces the sort with stateful
+    session merge."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > _GAP_US), 1).otherwise(0),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wsum))
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

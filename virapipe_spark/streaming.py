@@ -1,0 +1,123 @@
+"""Structured Streaming surface (SURVEY.md §2.11, §7.6).
+
+The reference is batch-only; these are the capability extension over the
+``events`` stream table, following stock Spark semantics: event-time
+windows + watermark late-data handling, with ``availableNow`` used by the
+test harness to drain a bounded source through the *streaming* engine.
+
+Batch/stream parity: each helper takes ANY events-shaped DataFrame —
+batch (``catalog.table``) or streaming (:func:`read_event_stream`) — and
+builds the identical logical plan; Spark plans it as an incremental
+stateful query when the source is streaming. The batch halves are
+hash-checked against DuckDB in :mod:`virapipe_spark.queries.streaming`;
+the streaming halves are asserted equal to their batch twins in
+``tests/test_streaming.py`` — the strongest check available for an
+engine DuckDB can't mirror.
+
+Scale: windowed aggregations shuffle by (window, key) — state store size
+is bounded by watermark horizon x key cardinality, not stream length.
+``session_window`` state merges per user; skewed users are the one risk
+(a power user's session chain lives on one partition) — mitigate with a
+session-key salt upstream if a key exceeds state budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the events stream (TESTDATA.md; ts kept as a proper
+#: timestamp — parquet fixtures written by tests use micros).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over a parquet directory of events. File sources
+    are replayable and support exactly-once with checkpointing."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Per-(window, event_type) count + value sum over tumbling windows.
+
+    On a stream, the watermark bounds state: windows older than
+    ``watermark`` behind max event time finalize and evict."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "12 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Session windows: events of one user separated by < ``gap`` merge
+    into one session (``F.session_window`` — stateful merge on a stream;
+    the gap-and-cumsum batch formulation lives in
+    queries/streaming.py:sessionize_events with a DuckDB oracle)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def drain_available_now(sdf: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+    """Run a streaming DataFrame to completion on currently-available
+    data (``trigger(availableNow=True)``) into an in-memory table and
+    return it as a batch DataFrame. Test/dev harness only — production
+    sinks are parquet/kafka with checkpointing."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
