@@ -12,16 +12,18 @@ Layout
 - :mod:`virapipe_spark.session`   — tuned SparkSession builder
 - :mod:`virapipe_spark.schemas`   — the four reference record schemas
 - :mod:`virapipe_spark.io`        — FASTQ/FASTA/SAM/BLAST/parquet readers & writers
-- :mod:`virapipe_spark.operators` — filters, dedup, normalize, joins, grouping
-- :mod:`virapipe_spark.functions` — sequence/quality/ORF scalar functions
-- :mod:`virapipe_spark.plans`     — Pipeline runner + ExternalTool plug-point
+- :mod:`virapipe_spark.functions` — sequence/quality/name scalar functions (Column builders)
+- :mod:`virapipe_spark.orf`       — six-frame ORF translation (the one pandas UDF)
+- :mod:`virapipe_spark.pipeline`  — Pipeline runner + ExternalTool plug-point
 - :mod:`virapipe_spark.streaming` — Structured Streaming over event tables
-- :mod:`virapipe_spark.extensions`— training-data ops: dedup, ANN, text, multimodal
+- :mod:`virapipe_spark.catalog`   — named-query registry (driver correctness contract)
+- :mod:`virapipe_spark.queries`   — catalog entries: relational, genomics,
+  dataflow, streaming, and the training-data extensions (dedup/ANN/text)
 """
 
 from virapipe_spark.session import session
 from virapipe_spark import schemas
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["session", "schemas", "__version__"]

@@ -1,1 +1,99 @@
-"""Placeholder — filled in as operators land."""
+"""Dataflow-utility catalog entries (SURVEY.md §2.1, §2.3, §2.7).
+
+The partitioning utilities (repartition/coalesce), the line-oriented
+taxonomy filter, and the driver-listing scan. Repartitioning changes no
+rows, so those entries aggregate after reshaping — the oracle checks the
+data survived the reshape byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from virapipe_spark.catalog import query, table
+
+
+@query(
+    "repartition_scan",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def repartition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition(n) — reshuffle to n partitions for downstream
+    parallelism / output-file count (RepartitionFastq.java:32). A full
+    shuffle of every row: at scale prefer letting AQE size partitions, or
+    repartition BY COLUMN to make the shuffle reusable by the next join
+    or grouped write."""
+    li = table(spark, sf_dir, "lineitem").repartition(16)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@query(
+    "coalesce_merge",
+    oracle="""
+    SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    """,
+)
+def coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce(n) — shrink partition count WITHOUT a shuffle
+    (MergeFastq.java:30 merges small FASTQ files the same way). The
+    narrow dependency keeps upstream parallelism for the scan and only
+    merges at the end — the right tool for small-file compaction."""
+    o = table(spark, sf_dir, "orders").coalesce(2)
+    return o.agg(
+        F.count("*").alias("n"), F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+@query(
+    "taxonomy_filter",
+    oracle="""
+    WITH lines AS (
+      SELECT concat(CAST(l_orderkey AS VARCHAR), chr(9),
+                    CAST(l_partkey AS VARCHAR), chr(9),
+                    l_returnflag) AS line
+      FROM lineitem
+    )
+    SELECT line FROM lines
+    WHERE string_split(line, chr(9))[-1] = 'R'
+    """,
+)
+def taxonomy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy filter on the LAST tab-field of a raw line
+    (BlastN.java:147-152; as written it indexes out of bounds — the
+    intent, per scripts/sequential.sh:30 `grep viruses`, is a match on
+    the trailing sskingdoms column; QUIRKS.md). Line-parsing shape kept:
+    build the line, split, test element -1."""
+    li = table(spark, sf_dir, "lineitem")
+    line = F.concat_ws(
+        "\t",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_returnflag"),
+    )
+    return (
+        li.select(line.alias("line"))
+        .filter(F.element_at(F.split(F.col("line"), "\t"), -1) == "R")
+    )
+
+
+@query("files_listing")  # rows-only: file paths are environment-dependent
+def files_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-listing scan (Decompress.java:79-98 et al. list an HDFS dir
+    and fan out one task per file). DataFrame-native: input_file_name()
+    tags provenance; one row per (file, row-count). The fan-out itself is
+    the one-row-per-file grouping — no driver loop, no collect."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.regexp_extract("file", r"([^/]+)$", 1).alias("filename"), "n_rows")
+    )

@@ -249,6 +249,37 @@ def fasta_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Six-frame ORF translation (§2.8) — rows-only check (pandas UDF scan is
+# not expressible in DuckDB SQL; golden-tested in tests/test_orf.py).
+# ---------------------------------------------------------------------------
+
+
+@query("orf_six_frame")  # no oracle -> driver records a rows-only check
+def orf_six_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-frame ORF scan (ORF.scala:125-165) over deterministic synthetic
+    DNA derived from documents (md5 hex -> ACGT, 3x32 = 96 bases), via
+    the engine's one pandas UDF (orf.orf_expand). The length filter sits
+    BEFORE the UDF — Catalyst can't push predicates through mapInPandas
+    (SURVEY §4.3)."""
+    from virapipe_spark.orf import orf_expand
+
+    d = table(spark, sf_dir, "documents")
+    dna = F.translate(
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.col("text"), F.lit("2"))),
+            F.md5(F.concat(F.col("text"), F.lit("3"))),
+        ),
+        "0123456789abcdef",
+        "AAAACCCCGGGGTTTT",
+    )
+    seqs = d.filter(F.col("n_chars") >= 50).select(
+        F.col("doc_id").cast("string").alias("id"), dna.alias("sequence")
+    )
+    return orf_expand(seqs, "id", "sequence", min_length=15)
+
+
+# ---------------------------------------------------------------------------
 # Mate-pair operators (§2.4)
 # ---------------------------------------------------------------------------
 
