@@ -74,4 +74,5 @@ def load_all() -> None:
         dataflow,
         extensions,
         streaming,
+        multimodal,
     )
