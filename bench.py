@@ -3,6 +3,12 @@
 Runs each headline query end-to-end (noop sink — full execution, no
 driver collect) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Hygiene (per round-1 ADVICE):
+- every table referenced by a headline query is warmed (parquet footer,
+  codegen, broadcast machinery) before timing starts;
+- each query is run REPS times and the reported figure is the median, so
+  one-off JIT/GC hiccups don't masquerade as plan cost.
 """
 
 from __future__ import annotations
@@ -10,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -18,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from virapipe_spark import catalog
 from virapipe_spark.session import session
 
-#: Queries timed by the bench — the engine's headline workload. Extend as
-#: operators land; keep it representative (scan/agg/join/window/dedup/ann).
+#: Queries timed by the bench — the engine's headline workload. One per
+#: operator family: scan, agg, join, window, k-mer, dedup, near-dup, ANN,
+#: text stats, sessionize. Extend as operators land.
 HEADLINE = [
     "q1_pricing_summary",
     "scan_project",
@@ -31,7 +39,19 @@ HEADLINE = [
     "group_having_band",
     "set_intersect",
     "orderby_limit",
+    # round-2 operators: genomics + training-data extensions
+    "kmer_count_band",
+    "normalize_digital",
+    "filter_avg_quality",
+    "docs_exact_dedup",
+    "docs_minhash_lsh",
+    "docs_text_stats",
+    "embed_knn_lsh",
+    "sessionize_events",
+    "window_tumbling",
 ]
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def main() -> None:
@@ -43,15 +63,29 @@ def main() -> None:
     spark = session(app_name="virapipe_bench")
 
     names = [n for n in HEADLINE if n in catalog.QUERIES]
-    # warm-up: JVM/codegen/parquet-footer caches, one tiny action
-    catalog.table(spark, sf_dir, "lineitem").limit(1).count()
+
+    # Warm-up: touch every driver table once (parquet footers + scan
+    # codegen), then run the first headline query once to pay the
+    # one-time whole-stage-codegen / broadcast-exchange warm-up.
+    for t in catalog.TABLES:
+        try:
+            catalog.table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass  # table absent at this sf — queries using it will fail loudly
+    if names:
+        catalog.QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = catalog.QUERIES[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = catalog.QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(
