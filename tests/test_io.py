@@ -182,6 +182,26 @@ class TestSam:
         assert sum(k.endswith("/1") for k in keys) == 2
         assert sum(k.endswith("/2") for k in keys) == 2
 
+    def test_write_sam_roundtrip(self, spark, tmp_path):
+        p = tmp_path / "aln.sam"
+        p.write_text(SAM_TEXT)
+        df = vio.read_sam(spark, str(p))
+        out = str(tmp_path / "sam_out")
+        header = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:248956422"]
+        vio.write_sam(df.repartition(2), out, header=header)
+        # every part file starts with the full header (per-writer
+        # injection, HDFSWriter.java:62-91)
+        for part in glob.glob(os.path.join(out, "part-*")):
+            lines = open(part).read().splitlines()
+            assert lines[: len(header)] == header
+        back = vio.read_sam(spark, out)
+        orig = {tuple(r) for r in df.collect()}
+        assert {tuple(r) for r in back.collect()} == orig
+        # flag word rebuilt: unmapped + duplicate bits survive
+        rows = {r["readName"]: r for r in back.collect()}
+        assert rows["r2"]["readUnmapped"] is True
+        assert rows["r3"]["duplicateRead"] is True
+
 
 class TestGenericSinks:
     def test_parquet_roundtrip(self, spark, tmp_path):

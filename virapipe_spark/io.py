@@ -229,6 +229,60 @@ def sam_to_fastq(alignments: DataFrame, mate_flags: DataFrame | None = None) -> 
     )
 
 
+def write_sam(
+    df: DataFrame, path: str, header: list[str] | None = None, mode: str = "error"
+) -> None:
+    """SAM text write with per-file header injection
+    (HDFSWriter.java:62-91,247-262).
+
+    The reference's ``KeyIgnoringBAMOutputFormat`` subclass writes the
+    broadcast header into EVERY output file so each part is independently
+    a valid SAM; mirrored here by prepending the header lines to each
+    partition (``mapInPandas`` — partitions map 1:1 to output files, and
+    the header is a tiny Python list captured by closure, the same role
+    as the reference's broadcast variable). The flag word is rebuilt from
+    the two booleans the typed schema keeps (0x4 unmapped, 0x400
+    duplicate — MyAlignment.java:12-19); untracked SAM columns write as
+    their ``*``/0 placeholders. BAM binary encoding is external-tool
+    territory (SURVEY §2.2).
+    """
+    flag = (
+        F.when(F.col("readUnmapped"), F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.col("duplicateRead"), F.lit(1024)).otherwise(F.lit(0))
+    )
+    line = F.concat_ws(
+        "\t",
+        F.col("readName"),
+        flag.cast("string"),
+        F.coalesce(F.col("referenceName"), F.lit("*")),
+        F.coalesce(F.col("start").cast("string"), F.lit("0")),
+        F.lit("255"),
+        F.coalesce(F.col("cigar"), F.lit("*")),
+        F.lit("*"),
+        F.lit("0"),
+        F.lit("0"),
+        F.coalesce(F.col("bases"), F.lit("*")),
+        F.lit("*"),
+    )
+    body = df.select(line.alias("value"))
+    hdr = list(header or ())
+    if hdr:
+        import pandas as pd
+
+        def prepend(batches):
+            emitted = False
+            for pdf in batches:
+                if not emitted:
+                    yield pd.DataFrame({"value": hdr})
+                    emitted = True
+                yield pdf
+            if not emitted:
+                yield pd.DataFrame({"value": hdr})
+
+        body = body.mapInPandas(prepend, schema="value string")
+    body.write.mode(mode).text(path)
+
+
 # ---------------------------------------------------------------------------
 # Generic sinks
 # ---------------------------------------------------------------------------

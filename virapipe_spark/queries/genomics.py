@@ -121,6 +121,26 @@ def kmer_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmer_unique_set",
+    oracle=f"""
+    SELECT count(DISTINCT substr(text, g, {_K})) AS n_unique
+    FROM (SELECT text, unnest(generate_series(1, len(text) - {_K - 1})) AS g
+          FROM documents)
+    """,
+)
+def kmer_unique_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique k-mer cardinality (NormalizeRDD.java:109-128's per-partition
+    HashSet + distinct helper). count(DISTINCT) gives partial distinct
+    map-side — the reference's per-partition HashSet IS Spark's partial
+    aggregate, expressed declaratively. For telemetry at 100 TB use
+    approx_count_distinct (HLL, no exact-distinct shuffle) instead."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(F.explode(vf.kmers("text", _K)).alias("kmer")).agg(
+        F.count_distinct("kmer").alias("n_unique")
+    )
+
+
+@query(
     "normalize_digital",
     oracle=_KMER_CTE + "SELECT DISTINCT rep_doc AS doc_id FROM grouped",
 )
