@@ -698,3 +698,65 @@ def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+_NEARDUP_COS = 0.35  # synthetic corpus has no true near-dups (max in-bucket
+# cosine ≈ 0.49 at sf0.01); threshold tuned so the operator is exercised
+# non-vacuously. Real corpora use ~0.95+.
+
+
+@query(
+    "embed_cosine_neardup",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    b AS (SELECT vec_id, q, {_bucket_sql('q')} AS bk
+          FROM q q),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_DOT_SQL} /
+                   ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')}),
+                   6) AS cosine
+      FROM b a JOIN b b
+        ON a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {_NEARDUP_COS}
+    """,
+)
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup family's vector
+    flavor (exact hash / MinHash / SimHash / n-gram Jaccard / THIS).
+    Candidates block on the same sign-bit LSH bucket as embed_knn_lsh,
+    then exact quantized cosine decides; emits (vec_a, vec_b, cosine)
+    pairs above threshold.
+
+    Scale: the bucket key is a plain equi-join key, so Catalyst shuffles
+    both sides by bucket — work is sum(bucket²), never corpus². More
+    sign bits shrink buckets geometrically; multi-probe (OR of several
+    bucket keyings, one union) recovers recall, all without changing the
+    plan shape."""
+    qdf = _quantized(spark, sf_dir)
+
+    def bucket(side: str) -> Column:
+        return F.concat(
+            *[
+                F.when(F.element_at(F.col(f"{side}.q"), d) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for d in _LSH_DIMS
+            ]
+        )
+
+    a = qdf.alias("a")
+    b = qdf.alias("b")
+    return (
+        a.join(
+            b,
+            (bucket("a") == bucket("b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_cosine("a", "b"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEARDUP_COS)
+    )
