@@ -92,6 +92,29 @@ class TestStreamBatchParity:
         assert len([k for k in per_user if k[0] == 1]) == 3
         assert len([k for k in per_user if k[0] == 2]) == 1
 
+    def test_stateful_user_totals(self, spark, events_dir, batch_events):
+        """applyInPandasWithState running totals == batch groupBy agg."""
+        stream = vs.read_event_stream(spark, events_dir)
+        got = vs.drain_available_now(
+            vs.stateful_user_totals(stream), "t_state", output_mode="update"
+        )
+        # update mode re-emits a user's latest row each batch it appears
+        # in; keep the final (max n_events) row per user
+        latest = {}
+        for r in got.collect():
+            if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]]["n_events"]:
+                latest[r["user_id"]] = r
+        want = {
+            r["user_id"]: r
+            for r in batch_events.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+            .collect()
+        }
+        assert set(latest) == set(want)
+        for uid, r in latest.items():
+            assert r["n_events"] == want[uid]["n_events"]
+            assert r["total"] == pytest.approx(want[uid]["total"])
+
     def test_watermark_present_on_stream_plan(self, spark, events_dir):
         stream = vs.read_event_stream(spark, events_dir)
         agg = vs.tumbling_counts(stream, window="1 day", watermark="3 hours")

@@ -393,3 +393,88 @@ def interleave_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.o_orderkey").alias("key_1"),
         F.col("r.o_orderkey").alias("key_2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAM flag + read-name filters (§2.3) — alignments/reads analog views
+# derived deterministically from documents so both engines see the same
+# typed rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sam_flag_filter",
+    oracle="""
+    SELECT doc_id AS readName,
+           (doc_id % 2048) AS flag,
+           ((doc_id % 2048) & 4) <> 0 AS readUnmapped,
+           ((doc_id % 2048) & 1024) <> 0 AS duplicateRead
+    FROM documents
+    WHERE ((doc_id % 2048) & 4) <> 0 AND ((doc_id % 2048) & 1024) = 0
+    """,
+)
+def sam_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapped/unmapped boolean-flag filter over a typed alignments view
+    (``WHERE readUnmapped = TRUE``, SQLQueryBAM.java:23;
+    AlignNFilter.java:157-184 keeps unmapped non-duplicate reads). The
+    flag word is derived as doc_id mod 2048 so both engines test the same
+    bitwise semantics the SAM reader applies (io.py:read_sam, 0x4 /
+    0x400).
+
+    Scale: pure codegen'd bitwise projection+filter in the scan stage —
+    no shuffle; on a real alignments parquet table the boolean columns
+    are stored and the predicate pushes into the scan."""
+    d = table(spark, sf_dir, "documents")
+    flag = F.col("doc_id") % 2048
+    return (
+        d.select(
+            F.col("doc_id").alias("readName"),
+            flag.alias("flag"),
+            (flag.bitwiseAND(F.lit(4)) != 0).alias("readUnmapped"),
+            (flag.bitwiseAND(F.lit(1024)) != 0).alias("duplicateRead"),
+        )
+        .filter(F.col("readUnmapped") & ~F.col("duplicateRead"))
+    )
+
+
+@query(
+    "reads_fwd_rev_split",
+    oracle="""
+    WITH named AS (
+      SELECT source || ':' || doc_id ||
+             (CASE WHEN doc_id % 2 = 0 THEN '/1' ELSE '/2' END) AS key
+      FROM documents
+    )
+    SELECT CASE WHEN key LIKE '%/1' THEN 'fwd' ELSE 'rev' END AS mate,
+           count(*) AS n
+    FROM named
+    WHERE key LIKE '%/1' OR key LIKE '%/2'
+    GROUP BY mate
+    """,
+)
+def reads_fwd_rev_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-name forward/reverse split (FastqFilter.java:80-87: ``/1`` /
+    ``" 1:N:"`` naming vs ``/2`` / ``" 2:N:"``), applied through the
+    engine's is_forward_read / is_reverse_read predicates over a derived
+    read-name column. Emits per-mate counts — the filter itself is the
+    predicate; counting makes the check order-free.
+
+    Scale: predicate is a codegen'd string suffix test in the scan
+    stage; the count aggregates to 2 groups map-side."""
+    d = table(spark, sf_dir, "documents")
+    key = F.concat(
+        F.col("source"),
+        F.lit(":"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/1")).otherwise(F.lit("/2")),
+    )
+    named = d.select(key.alias("key"))
+    return (
+        named.filter(vf.is_forward_read("key") | vf.is_reverse_read("key"))
+        .groupBy(
+            F.when(vf.is_forward_read("key"), F.lit("fwd"))
+            .otherwise(F.lit("rev"))
+            .alias("mate")
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -104,7 +104,58 @@ def session_aggregate(
     )
 
 
-def drain_available_now(sdf: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total held in explicit keyed state,
+    re-emitted (update mode) whenever a batch touches the user.
+
+    This is the plug-point for stateful logic the built-in windowed aggs
+    can't express (per-key custom accumulators, decaying counters,
+    cross-batch sequence detection). Streaming-only — the batch twin is
+    a plain ``groupBy(user_id).agg(...)``, asserted equal in
+    tests/test_streaming.py.
+
+    Scale: state lives in the executor state store partitioned by
+    user_id — size = live keys × state row, independent of stream
+    length. Arrow batches cross the Python boundary once per (partition,
+    trigger). Use timeouts (here NoTimeout; TTL via
+    ``GroupStateTimeout``) to evict dead keys on unbounded key spaces.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def drain_available_now(
+    sdf: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming DataFrame to completion on currently-available
     data (``trigger(availableNow=True)``) into an in-memory table and
     return it as a batch DataFrame. Test/dev harness only — production
@@ -112,7 +163,7 @@ def drain_available_now(sdf: DataFrame, name: str, timeout_sec: int = 120) -> Da
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
