@@ -16,6 +16,8 @@ Layout
 - :mod:`virapipe_spark.orf`       — six-frame ORF translation (the one pandas UDF)
 - :mod:`virapipe_spark.pipeline`  — Pipeline runner + ExternalTool plug-point
 - :mod:`virapipe_spark.streaming` — Structured Streaming over event tables
+- :mod:`virapipe_spark.multimodal` — binary media columns (decode/resize/
+  frame-sample/audio plumbing; codecs stubbed, Spark side real)
 - :mod:`virapipe_spark.catalog`   — named-query registry (driver correctness contract)
 - :mod:`virapipe_spark.queries`   — catalog entries: relational, genomics,
   dataflow, streaming, and the training-data extensions (dedup/ANN/text)

@@ -8,6 +8,7 @@ fixture tables.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,11 +22,18 @@ def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
 
-    @F.udf("binary")
-    def pack(text: str, n_chars: int) -> bytes:
-        return mm.pack_media(
-            "v", text.encode(), width=64, height=48,
-            duration_ms=int(n_chars) * 10,
+    # Arrow-batched (pandas_udf), never a row UDF: the payload packer is
+    # the only Python in this path and it crosses the boundary once per
+    # batch (asserted in tests/test_scale_plans.py — no BatchEvalPython).
+    @F.pandas_udf("binary")
+    def pack(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.pack_media(
+                    "v", t.encode(), width=64, height=48, duration_ms=int(n) * 10
+                )
+                for t, n in zip(text, n_chars)
+            ]
         )
 
     return d.select(
