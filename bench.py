@@ -47,6 +47,7 @@ HEADLINE = [
     "docs_minhash_lsh",
     "docs_text_stats",
     "embed_knn_lsh",
+    "embed_knn_ivf",
     "sessionize_events",
     "window_tumbling",
 ]

@@ -41,15 +41,18 @@ class TestPlanProperties:
 
     def test_no_cartesian_anywhere(self, spark):
         """No catalog query may form unblocked pairs — the single most
-        important 100 TB property. The one exemption is the brute-force
-        ANN baseline, whose all-pairs scan IS its semantics; it must at
-        least broadcast the (tiny, fixed-size) query side."""
+        important 100 TB property. Two exemptions, both deliberate
+        broadcasts of a tiny fixed-size side: the brute-force ANN
+        baseline (all-pairs scan IS its semantics — broadcast query
+        side) and the IVF coarse-assignment (corpus × C centroids —
+        broadcast centroid side)."""
+        allowed_nlj = {"embed_knn_bruteforce", "embed_knn_ivf"}
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)
             assert "CartesianProduct" not in p, name
-            if name == "embed_knn_bruteforce":
-                assert "BroadcastNestedLoopJoin BuildLeft" in p
+            if name in allowed_nlj:
+                assert "BroadcastNestedLoopJoin Build" in p, name
             else:
                 assert "BroadcastNestedLoopJoin" not in p, name
 

@@ -760,3 +760,95 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _NEARDUP_COS)
     )
+
+
+# IVF: coarse quantizer with _IVF_C deterministic centroids (the first C
+# corpus vectors — a fixed "training" both engines share), _IVF_PROBE
+# probed cells per query.
+_IVF_C = 8
+_IVF_PROBE = 2
+
+
+@query(
+    "embed_knn_ivf",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    cent AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < {_IVF_C}),
+    assign_scored AS (
+      SELECT v.vec_id, v.q, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_sum(list_transform(generate_series(1, len(v.q)),
+                                                i -> v.q[i] * c.cq[i])) DESC,
+                        c.cid
+             ) AS crn
+      FROM q v CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, q, cid FROM assign_scored WHERE crn = 1),
+    probes AS (SELECT vec_id, q, cid FROM assign_scored
+               WHERE vec_id < {_N_QUERIES} AND crn <= {_IVF_PROBE}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_SQL} /
+                   ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')}),
+                   6) AS cosine
+      FROM probes a JOIN assign b
+        ON a.cid = b.cid AND b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the cell-probed scale path beside
+    embed_knn_lsh. Coarse quantizer: {_IVF_C} centroids (deterministic:
+    the first {_IVF_C} corpus vectors, so DuckDB and Spark share the
+    same "training"); every vector joins its argmax-dot cell; queries
+    probe their {_IVF_PROBE} best cells and rank candidates by exact
+    quantized cosine.
+
+    Scale: assignment is a broadcast of C centroid rows against the
+    corpus — one narrow pass, no shuffle of the corpus (the canonical
+    IVF build). The candidate join keys on cell id — an equi-join the
+    planner shuffles by cell; probe count and C tune recall vs cost
+    (nprobe/nlist in FAISS terms). Real deployments train centroids
+    with k-means (MLlib) and store cell id as a partition column so
+    probes prune files; the plan shape is identical."""
+    qdf = _quantized(spark, sf_dir)
+    cent = qdf.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    dot_c = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("__dot").desc(), "cid")
+    assign_scored = (
+        qdf.crossJoin(F.broadcast(cent))
+        .withColumn("__dot", dot_c)
+        .withColumn("crn", F.row_number().over(wc))
+    )
+    assign = assign_scored.filter(F.col("crn") == 1).select("vec_id", "q", "cid")
+    probes = assign_scored.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("crn") <= _IVF_PROBE)
+    ).select("vec_id", "q", "cid")
+    a, b = probes.alias("a"), assign.alias("b")
+    scored = a.join(
+        b, (F.col("a.cid") == F.col("b.cid")) & (F.col("b.vec_id") != F.col("a.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(_cosine("a", "b"), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
