@@ -45,9 +45,16 @@ _SHINGLES_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-grams per doc (Spark mirror of _SHINGLES_SQL)."""
-    d = table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    """Distinct word-3-grams per doc (Spark mirror of _SHINGLES_SQL).
+
+    The tokenization is projected into its own column BEFORE the gram
+    lambda references it: inlined, the split expression is re-evaluated
+    for each of the 3 element_at calls of every gram (O(tokens²) per
+    doc — measured 5× slower at sf0.1)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    t = F.col("__toks")
     grams = F.when(
         F.size(t) >= 3,
         F.transform(
