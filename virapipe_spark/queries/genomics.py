@@ -96,10 +96,24 @@ _KMER_CTE = f"""
 """
 
 
-def _kmer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, kmer) rows: explode start POSITIONS, then substring —
+    skips materializing a per-row array of k-mer strings (the
+    array-valued :func:`vf.kmers` API form measures ~25% slower here;
+    position-explode is the 100 TB shape since peak memory per row is
+    one k-mer, not len-k of them)."""
     d = table(spark, sf_dir, "documents")
+    n = F.length("text") - F.lit(_K - 1)
     return (
-        d.select("doc_id", F.explode(vf.kmers("text", _K)).alias("kmer"))
+        d.filter(n > 0)
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("g"))
+        .select("doc_id", F.expr(f"substring(text, g, {_K})").alias("kmer"))
+    )
+
+
+def _kmer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _kmer_explode(spark, sf_dir)
         .groupBy("kmer")
         .agg(F.count("*").alias("c"), F.min("doc_id").alias("rep_doc"))
         .filter((F.col("c") > _MINC) & (F.col("c") < _MAXC))
@@ -134,8 +148,7 @@ def kmer_unique_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side — the reference's per-partition HashSet IS Spark's partial
     aggregate, expressed declaratively. For telemetry at 100 TB use
     approx_count_distinct (HLL, no exact-distinct shuffle) instead."""
-    d = table(spark, sf_dir, "documents")
-    return d.select(F.explode(vf.kmers("text", _K)).alias("kmer")).agg(
+    return _kmer_explode(spark, sf_dir).agg(
         F.count_distinct("kmer").alias("n_unique")
     )
 
