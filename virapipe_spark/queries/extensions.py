@@ -190,22 +190,9 @@ _MINHASH_ORACLE = (
 )
 
 
-@query("docs_minhash_lsh", oracle=_MINHASH_ORACLE)
-def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs — the scale path for deduplication.
-
-    Pipeline: distinct shingles -> {_H}-component MinHash signature (min
-    of md5(j|shingle) per j — lexicographic min of a uniform hash IS a
-    MinHash permutation) -> {_B} bands x {_R} rows -> band-bucket
-    self-join for candidates -> estimated Jaccard = matching signature
-    fraction, thresholded at {_EST_THRESHOLD}.
-
-    Scale: never forms unblocked pairs. Work = O(corpus) for signatures
-    (one groupBy over shingles) + O(sum of bucket-size²) for candidates;
-    band shape (B, R) tunes the candidate-probability curve
-    1-(1-j^R)^B, so recall/cost trades off without touching the
-    all-pairs cliff. Signature agg is {_H} min-aggregates in ONE shuffle
-    pass, not {_H} passes."""
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair
+    query and the cluster resolver."""
     sh = _shingles(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(
         *[
@@ -249,6 +236,106 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
         .filter(est >= _EST_THRESHOLD)
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+@query("docs_minhash_lsh", oracle=_MINHASH_ORACLE)
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the scale path for deduplication.
+
+    Pipeline: distinct shingles -> {_H}-component MinHash signature (min
+    of md5(j|shingle) per j — lexicographic min of a uniform hash IS a
+    MinHash permutation) -> {_B} bands x {_R} rows -> band-bucket
+    self-join for candidates -> estimated Jaccard = matching signature
+    fraction, thresholded at {_EST_THRESHOLD}.
+
+    Scale: never forms unblocked pairs. Work = O(corpus) for signatures
+    (one groupBy over shingles) + O(sum of bucket-size²) for candidates;
+    band shape (B, R) tunes the candidate-probability curve
+    1-(1-j^R)^B, so recall/cost trades off without touching the
+    all-pairs cliff. Signature agg is {_H} min-aggregates in ONE shuffle
+    pass, not {_H} passes."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS doc_id, min(node) AS cluster_id,
+           (src = min(node)) AS keeper
+    FROM reach GROUP BY src
+"""
+
+
+@query("docs_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — pairs alone don't dedup a corpus;
+    this turns the MinHash pair graph into connected components and
+    elects one keeper per component (min doc_id). Output: every doc with
+    its cluster id and keep/drop decision — the actual dedup verdict a
+    training-data pipeline applies.
+
+    Algorithm: min-label propagation to fixpoint. Each doc starts
+    labeled with itself; each round every doc takes the min label among
+    itself and its neighbors; converged when no label changes. The
+    DuckDB oracle computes the same fixpoint via a recursive CTE
+    (reachability closure -> min reachable id).
+
+    Scale: each round is one join (edges ⋈ labels, shuffle on doc id) +
+    one min-aggregate; rounds = graph diameter, and near-dup components
+    are shallow (dup clusters, not social graphs), so 3-5 rounds
+    suffice in practice. The driver loop is control flow only — data
+    never leaves the cluster; the per-round convergence check is a
+    count. For adversarial diameters use alternating large-star/
+    small-star (Kiveris et al.), same join shape."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+    # pairs derive from a long chain (shingles -> signatures -> bands);
+    # the loop re-reads them every round, so materialize the tiny edge
+    # list once (edge count ~ dup rate x corpus, ≪ corpus size)
+    edges = edges.persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):  # diameter guard; converges in <= 3 on dup graphs
+        neigh = (
+            edges.join(labels, edges["a"] == labels["doc_id"])
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nmin", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the (unpersisted) initial frame
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keeper")
     )
 
 
