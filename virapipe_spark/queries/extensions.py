@@ -946,3 +946,94 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+@query(
+    "docs_hash_split",
+    oracle="""
+    SELECT split, count(*) AS n, min(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
+                             THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+                             ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+                        END) < 13 THEN 'train'
+                  WHEN (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
+                             THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+                             ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+                        END) < 14 THEN 'val'
+                  ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash —
+    how a 100 TB pipeline splits (reproducible across runs and engines,
+    no sampling state, no shuffle): first md5 hex digit of the doc id
+    buckets into 16ths -> 13/1/2 ≈ 81/6/13%.
+
+    Scale: a pure projection the scan stage evaluates; each split
+    materializes via a pushed-down filter on the same expression —
+    partition-prunable if the split digit is stored as a column."""
+    d = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    nib = F.when(
+        F.ascii(digit) >= 97, F.ascii(digit) - 87
+    ).otherwise(F.ascii(digit) - 48)
+    split = (
+        F.when(nib < 13, F.lit("train"))
+        .when(nib < 14, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+_BENCH_DOCS = 10  # doc_id < 10 stand in for the benchmark/eval corpus
+
+
+@query(
+    "docs_decontaminate",
+    oracle=_SHINGLES_SQL
+    + f"""
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id >= {_BENCH_DOCS}
+      AND NOT EXISTS (
+        SELECT 1 FROM sh t
+        JOIN sh b ON t.s = b.s AND b.doc_id < {_BENCH_DOCS}
+        WHERE t.doc_id = d.doc_id
+      )
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training doc sharing at
+    least one 3-gram shingle with the benchmark set (here: doc_id <
+    {_BENCH_DOCS} stands in for the eval corpus). The dual of dedup —
+    overlap against a REFERENCE set, removing eval leakage from
+    training data.
+
+    Scale: benchmark shingles are a small set -> broadcast anti-join
+    (left_anti on the shared shingle), so the corpus streams through
+    one shuffle-free stage. A fixed benchmark's shingle set is
+    precomputed once and reused across every corpus snapshot."""
+    sh = _shingles(spark, sf_dir)
+    bench_shingles = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("s").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(F.broadcast(bench_shingles), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
