@@ -15,6 +15,9 @@ Layout
 - :mod:`virapipe_spark.functions` — sequence/quality/name scalar functions (Column builders)
 - :mod:`virapipe_spark.orf`       — six-frame ORF translation (the one pandas UDF)
 - :mod:`virapipe_spark.pipeline`  — Pipeline runner + ExternalTool plug-point
+- :mod:`virapipe_spark.tools`     — named tool stages (blastn/hmmsearch/
+  bwa_align/megahit_assemble factories over ExternalTool)
+- :mod:`virapipe_spark.scale`     — salted join, bucketed write, two-phase top-k
 - :mod:`virapipe_spark.streaming` — Structured Streaming over event tables
 - :mod:`virapipe_spark.multimodal` — binary media columns (decode/resize/
   frame-sample/audio plumbing; codecs stubbed, Spark side real)
