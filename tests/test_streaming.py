@@ -115,6 +115,24 @@ class TestStreamBatchParity:
             assert r["n_events"] == want[uid]["n_events"]
             assert r["total"] == pytest.approx(want[uid]["total"])
 
+    def test_stream_dedup(self, spark, tmp_path_factory):
+        """dropDuplicatesWithinWatermark drops re-sent events; parity
+        with the batch dropDuplicates twin."""
+        d = tmp_path_factory.mktemp("dup_events")
+        dup_rows = EVENT_ROWS + EVENT_ROWS[:3]  # first 3 events re-sent
+        df = spark.createDataFrame(dup_rows, vs.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / "events"))
+        stream = vs.read_event_stream(spark, str(d / "events"))
+        got = vs.drain_available_now(
+            vs.stream_dedup(stream), "t_dedup", output_mode="append"
+        )
+        batch = spark.read.schema(vs.EVENTS_SCHEMA).parquet(str(d / "events"))
+        want = vs.stream_dedup(batch)
+        assert got.count() == len(EVENT_ROWS)
+        assert sorted(r["event_id"] for r in got.collect()) == sorted(
+            r["event_id"] for r in want.collect()
+        )
+
     def test_watermark_present_on_stream_plan(self, spark, events_dir):
         stream = vs.read_event_stream(spark, events_dir)
         agg = vs.tumbling_counts(stream, window="1 day", watermark="3 hours")

@@ -153,6 +153,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time half of the dedup
+    family (the batch half is catalog ``docs_exact_dedup``): drop
+    repeated keys as records arrive, keeping the first occurrence.
+
+    On a stream this is ``dropDuplicatesWithinWatermark``: the state
+    store holds each key only until the watermark passes it, so state
+    is bounded by (arrival-rate × watermark horizon), not stream
+    lifetime — the property that makes ingest dedup viable forever. A
+    duplicate arriving later than the watermark horizon is NOT caught
+    (that is the contract); catch stragglers downstream with the batch
+    dedup over the sink.
+
+    On a batch frame the same call degrades to ``dropDuplicates`` —
+    parity asserted in tests/test_streaming.py."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
 def drain_available_now(
     sdf: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
 ) -> DataFrame:
