@@ -589,20 +589,22 @@ def docs_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, count the distinct selected fingerprints. Guarantees any
     shared substring of length >= {_FP_K + _FP_W - 1} shares a
     fingerprint. The window partitions by doc — parallelism = doc count,
-    no global sort."""
+    no global sort.
+
+    Gram rows come from position-explode (explode indices, then hash
+    the substring) — building a per-row array of (pos, hash) structs
+    first measures 2× slower and holds len-k structs per row in
+    flight."""
     d = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    grams = F.when(
-        F.length(t) >= _FP_K,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (_FP_K - 1)),
-            lambda g: F.struct(
-                g.alias("pos"), F.md5(t.substr(g, F.lit(_FP_K))).alias("h")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    gdf = d.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    n = F.length("text") - F.lit(_FP_K - 1)
+    gdf = (
+        d.filter(n > 0)
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.expr(f"substring(text, pos, {_FP_K})")).alias("h"),
+        )
     )
     w = (
         W.partitionBy("doc_id")

@@ -205,11 +205,18 @@ def revcomp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def codon_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codon-usage histogram (Codondict.scala:9-55): frame-0 triplet
     split -> explode -> hash aggregate. Same fused explode+partial-agg
-    shape as the k-mer count."""
-    d = table(spark, sf_dir, "documents")
-    s = F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    shape as the k-mer count. The normalized sequence is projected to a
+    column before the explode (a computed expression referenced inside
+    a per-element lambda re-evaluates per element), and positions
+    explode with step 3 — no per-row codon array."""
+    d = table(spark, sf_dir, "documents").select(
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("s")
+    )
+    n = F.length("s") - 2
     return (
-        d.select(F.explode(vf.codons(s, 0)).alias("codon"))
+        d.filter(n > 0)
+        .select("s", F.explode(F.expr("sequence(1, length(s) - 2, 3)")).alias("g"))
+        .select(F.expr("substring(s, g, 3)").alias("codon"))
         .groupBy("codon")
         .agg(F.count("*").alias("n"))
     )
