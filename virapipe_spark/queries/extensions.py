@@ -361,14 +361,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("docs_simhash", oracle=_simhash_oracle())
-def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document signature ({_SIMHASH_BITS} bits): per token, each
-    md5 hex digit's top bit votes +1/-1; the per-bit vote sign is the
-    signature bit. Near-dups then cluster by signature prefix or Hamming
-    distance on a banded join (same blocking idea as MinHash bands).
-    One explode + one {_SIMHASH_BITS}-column hash aggregate — a single
-    shuffle pass whose width is the bit count, independent of text size."""
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -390,6 +383,103 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return sums.select("doc_id", bits.alias("simhash"))
+
+
+@query("docs_simhash", oracle=_simhash_oracle())
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signature ({_SIMHASH_BITS} bits): per token, each
+    md5 hex digit's top bit votes +1/-1; the per-bit vote sign is the
+    signature bit. Near-dups then cluster by signature prefix or Hamming
+    distance on a banded join (same blocking idea as MinHash bands).
+    One explode + one {_SIMHASH_BITS}-column hash aggregate — a single
+    shuffle pass whose width is the bit count, independent of text size."""
+    return _simhash_signatures(spark, sf_dir)
+
+
+_SH_BANDS = 4  # 4 bands x 8 bits
+_SH_MAX_HAMMING = 3  # pigeonhole: <=3 differing bits -> >=1 identical band
+
+
+def _simhash_neardup_oracle() -> str:
+    band_w = _SIMHASH_BITS // _SH_BANDS
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {b * band_w + 1}, {band_w}) AS bk FROM sims"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+    WITH sims AS ({_simhash_oracle()}),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             len(list_filter(generate_series(1, {_SIMHASH_BITS}),
+                             g -> substr(sa.simhash, g, 1) <> substr(sb.simhash, g, 1)))
+               AS hamming
+      FROM cand
+      JOIN sims sa ON doc_a = sa.doc_id
+      JOIN sims sb ON doc_b = sb.doc_id
+    ) WHERE hamming <= {_SH_MAX_HAMMING}
+    """
+
+
+@query("docs_simhash_neardup", oracle=_simhash_neardup_oracle())
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + exact Hamming verify.
+    {_SH_BANDS} bands x {_SIMHASH_BITS // _SH_BANDS} bits: by pigeonhole
+    any pair within Hamming {_SH_MAX_HAMMING} shares at least one intact
+    band, so the band join has EXACT recall at the threshold (unlike
+    MinHash's probabilistic curve) — the classic Manku et al. simhash
+    dedup layout.
+
+    Scale: same blocked-join shape as the MinHash path — candidates
+    only form inside band buckets; Hamming verification is a fixed
+    {_SIMHASH_BITS}-char compare per candidate."""
+    sims = _simhash_signatures(spark, sf_dir)
+    band_w = _SIMHASH_BITS // _SH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * band_w + 1, band_w).alias("bk"),
+            )
+            for b in range(_SH_BANDS)
+        ]
+    )
+    bands = sims.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sims.alias("sa"), sims.alias("sb")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sa.simhash"), ""),
+                F.split(F.col("sb.simhash"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+    )
 
 
 # ---------------------------------------------------------------------------
