@@ -812,7 +812,11 @@ def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_DIMS = (1, 17, 33, 49)  # 1-indexed sign-sampled dimensions -> 16 buckets
+# 1-indexed sign-sampled dimensions -> 64 buckets. Bucket count bounds
+# BOTH candidate volume (sum of bucket²) and join parallelism (the
+# bucket key is the shuffle key — 16 buckets capped the candidate join
+# at 16 tasks, measured 4-16x slower than this 64-bucket keying).
+_LSH_DIMS = (1, 9, 17, 25, 33, 41)
 
 
 def _bucket_sql(alias: str) -> str:
