@@ -437,7 +437,15 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same blocked-join shape as the MinHash path — candidates
     only form inside band buckets; Hamming verification is a fixed
-    {_SIMHASH_BITS}-char compare per candidate."""
+    {_SIMHASH_BITS}-char compare per candidate.
+
+    Caveat (measured on the driver corpus): unweighted SimHash
+    converges on template-heavy corpora — the bit votes are dominated
+    by the shared vocabulary, so buckets bloat and low-Hamming pairs
+    are mostly shared-template artifacts (widening to 64 bits does not
+    help; probed). Production near-dup on such corpora should
+    IDF-weight the token votes or prefer the MinHash path, whose
+    shingle sets still discriminate."""
     sims = _simhash_signatures(spark, sf_dir)
     band_w = _SIMHASH_BITS // _SH_BANDS
     band_structs = F.array(
