@@ -442,10 +442,10 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Caveat (measured on the driver corpus): unweighted SimHash
     converges on template-heavy corpora — the bit votes are dominated
     by the shared vocabulary, so buckets bloat and low-Hamming pairs
-    are mostly shared-template artifacts (widening to 64 bits does not
-    help; probed). Production near-dup on such corpora should
-    IDF-weight the token votes or prefer the MinHash path, whose
-    shingle sets still discriminate."""
+    are mostly shared-template artifacts (probed: widening to 64 bits
+    does not help, and IDF-weighting the votes trims only ~7% of
+    pairs). Near-dup on such corpora should prefer the MinHash path,
+    whose shingle sets still discriminate (25 pairs vs 4.4k here)."""
     sims = _simhash_signatures(spark, sf_dir)
     band_w = _SIMHASH_BITS // _SH_BANDS
     band_structs = F.array(
