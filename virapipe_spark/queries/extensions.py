@@ -1148,3 +1148,110 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "n_chars")
     )
+
+
+def _probe_buckets_sql() -> str:
+    """Query-side probe set: exact bucket + each 1-bit-flip variant."""
+    def bucket_with_flip(flip: int) -> str:
+        parts = []
+        for i, d in enumerate(_LSH_DIMS):
+            bit = f"(CASE WHEN q.q[{d}] >= 0 THEN '1' ELSE '0' END)"
+            if i == flip:
+                bit = f"(CASE WHEN q.q[{d}] >= 0 THEN '0' ELSE '1' END)"
+            parts.append(bit)
+        return " || ".join(parts)
+
+    selects = [
+        f"SELECT vec_id, q, {bucket_with_flip(-1)} AS bk FROM q q WHERE vec_id < {_N_QUERIES}"
+    ]
+    for i in range(len(_LSH_DIMS)):
+        selects.append(
+            f"SELECT vec_id, q, {bucket_with_flip(i)} AS bk FROM q q WHERE vec_id < {_N_QUERIES}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "embed_knn_multiprobe",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    corpus AS (SELECT vec_id, q, {_bucket_sql('q')} AS bk FROM q q),
+    probes AS ({_probe_buckets_sql()}),
+    scored AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_SQL} /
+                   ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')}),
+                   6) AS cosine
+      FROM probes a JOIN corpus b
+        ON a.bk = b.bk AND b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def embed_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS the
+    {len(_LSH_DIMS)} Hamming-1 neighbor buckets (one sign bit flipped) —
+    the standard recall knob (Lv et al., multi-probe LSH): near-misses
+    that fell one hyperplane to the other side come back as candidates
+    WITHOUT rebucketing or duplicating the corpus.
+
+    Scale: the probe expansion multiplies only the (tiny, broadcast)
+    query side x(1+bits); the corpus keeps exactly one bucket row each.
+    Candidate volume ≈ (probes x avg bucket); recall approaches
+    brute-force as probes grow, plan shape unchanged."""
+    qdf = _quantized(spark, sf_dir)
+
+    def corpus_bucket() -> Column:
+        return F.concat(
+            *[
+                F.when(F.element_at(F.col("q"), d) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for d in _LSH_DIMS
+            ]
+        )
+
+    def probe_bucket(flip: int) -> Column:
+        bits = []
+        for i, d in enumerate(_LSH_DIMS):
+            pos = F.element_at(F.col("q"), d) >= 0
+            one = F.when(pos, F.lit("1")).otherwise(F.lit("0"))
+            flipped = F.when(pos, F.lit("0")).otherwise(F.lit("1"))
+            bits.append(flipped if i == flip else one)
+        return F.concat(*bits)
+
+    queries = qdf.filter(F.col("vec_id") < _N_QUERIES)
+    probe_set = F.array(
+        *[probe_bucket(i) for i in range(-1, len(_LSH_DIMS))]
+    )
+    probes = queries.select(
+        "vec_id", "q", "qnorm", F.explode(probe_set).alias("bk")
+    ).alias("a")
+    corpus = qdf.select(
+        "vec_id", "q", "qnorm", corpus_bucket().alias("bk")
+    ).alias("b")
+    scored = (
+        F.broadcast(probes)
+        .join(
+            corpus,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(_cosine("a", "b"), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
