@@ -1255,3 +1255,101 @@ def embed_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+# Per-language sampling fractions (16ths of the md5-nibble space): cap
+# the dominant language, keep the tail whole — the standard corpus
+# rebalancing move.
+_STRATA = {"en": 8, "zh": 16, "es": 16, "de": 16, "fr": 16}
+_STRATA_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {frac}" for lang, frac in _STRATA.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+    FROM (
+      SELECT lang, doc_id,
+             (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
+                   THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+                   ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+              END) AS nib
+      FROM documents
+    )
+    WHERE nib < ({_STRATA_SQL})
+    GROUP BY lang
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep fractions
+    (en downsampled to 1/2, tail languages kept whole) decided by the
+    same content-independent hash nibble as docs_hash_split — the
+    reproducible analog of ``df.sampleBy`` (whose RNG sampling can't be
+    mirrored across engines or runs).
+
+    Scale: a projection-stage filter — no shuffle, no sampling state,
+    identical keep-set on every run and engine; rebalancing a 100 TB
+    corpus is one scan."""
+    d = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    nib = F.when(F.ascii(digit) >= 97, F.ascii(digit) - 87).otherwise(
+        F.ascii(digit) - 48
+    )
+    frac = F.lit(0)
+    for lang, f_ in _STRATA.items():
+        frac = F.when(F.col("lang") == lang, F.lit(f_)).otherwise(frac)
+    return (
+        d.filter(nib < frac)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'click') AS first_click,
+             min(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_click) AS n_clicked,
+           count(*) FILTER (
+             first_click IS NOT NULL AND first_purchase IS NOT NULL
+             AND first_purchase > first_click
+             AND first_purchase <= first_click + INTERVAL 1 DAY
+           ) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users whose first purchase follows their first
+    click within 24h — the sequence-detection shape (Spark has no
+    MATCH_RECOGNIZE; first-event-per-stage conditional aggregation is
+    the scalable formulation: ONE shuffle on user_id, state = two
+    timestamps per user, never a per-user event sort)."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+        & (
+            F.col("first_purchase")
+            <= F.col("first_click") + F.expr("INTERVAL 1 DAY")
+        )
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+    )
