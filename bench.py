@@ -48,6 +48,8 @@ HEADLINE = [
     "docs_text_stats",
     "embed_knn_lsh",
     "embed_knn_ivf",
+    "embed_knn_multiprobe",
+    "docs_decontaminate",
     "sessionize_events",
     "window_tumbling",
 ]
