@@ -74,8 +74,9 @@ class TestPlanProperties:
         self-joined passes."""
         df = catalog.QUERIES["docs_minhash_lsh"](spark, SF_DIR)
         o = _optimized(df)
-        # one Aggregate node computes all h1..h16 columns
-        assert o.count("min(md5(") >= 16
+        # one Aggregate node computes all h1..h16 columns (each a 32-bit
+        # chunk of one of 4 md5s — see _minhash_cols_sql)
+        assert o.count("min(substring(md5(") >= 16
 
     def test_no_python_row_udfs(self, spark):
         """Catalog queries stay JVM-side: no BatchEvalPython (row UDF)

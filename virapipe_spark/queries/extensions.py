@@ -147,10 +147,15 @@ _H, _R, _B = 16, 2, 8
 _EST_THRESHOLD = 0.5
 
 
+# Each 128-bit md5 is split into four 32-bit (8-hex-char) MinHash
+# components: _H components cost _H/4 hash invocations per shingle, not
+# _H. Fixed-width hex chunks keep lexicographic min == numeric min.
 def _minhash_cols_sql() -> str:
-    return ",\n".join(
-        f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, _H + 1)
-    )
+    cols = []
+    for j in range(1, _H + 1):
+        i, k = (j - 1) // 4, (j - 1) % 4
+        cols.append(f"min(substr(md5('{i}|' || s), {k * 8 + 1}, 8)) AS h{j}")
+    return ",\n".join(cols)
 
 
 def _bands_sql() -> str:
@@ -194,12 +199,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair
     query and the cluster resolver."""
     sh = _shingles(spark, sf_dir)
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
-            for j in range(1, _H + 1)
-        ]
-    )
+
+    def h(j: int) -> Column:
+        i, k = (j - 1) // 4, (j - 1) % 4
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), k * 8 + 1, 8)
+        )
+
+    mh = sh.groupBy("doc_id").agg(*[h(j).alias(f"h{j}") for j in range(1, _H + 1)])
     band_structs = F.array(
         *[
             F.struct(
