@@ -250,9 +250,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs — the scale path for deduplication.
 
-    Pipeline: distinct shingles -> {_H}-component MinHash signature (min
-    of md5(j|shingle) per j — lexicographic min of a uniform hash IS a
-    MinHash permutation) -> {_B} bands x {_R} rows -> band-bucket
+    Pipeline: distinct shingles -> {_H}-component MinHash signature
+    (components are fixed-width 32-bit chunks of {_H // 4} md5
+    invocations — lexicographic min of a uniform hash IS a MinHash
+    permutation, and hash-splitting buys {_H} permutations for
+    {_H // 4} hash calls) -> {_B} bands x {_R} rows -> band-bucket
     self-join for candidates -> estimated Jaccard = matching signature
     fraction, thresholded at {_EST_THRESHOLD}.
 
