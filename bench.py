@@ -52,6 +52,8 @@ HEADLINE = [
     "docs_decontaminate",
     "sessionize_events",
     "window_tumbling",
+    "window_sliding",
+    "events_funnel",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -76,18 +78,28 @@ def main() -> None:
         except Exception:
             pass  # table absent at this sf — queries using it will fail loudly
     if names:
-        catalog.QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        try:
+            catalog.QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as e:  # noqa: BLE001
+            # Warm-up failure must not abort the whole bench before any
+            # timing is recorded — the timed loop reports the per-query
+            # failure with context instead.
+            print(f"warm-up of {names[0]} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:
         reps = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            df = catalog.QUERIES[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            reps.append(time.perf_counter() - t0)
+        try:
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                df = catalog.QUERIES[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                reps.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(f"query {name} failed: {e}", file=sys.stderr)
+            continue
         timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)

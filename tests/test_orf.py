@@ -38,10 +38,18 @@ class TestScanFrame:
         got = orf.scan_frame("ATGATGTAA", min_length=3)
         assert got == [(0, 9, "MM")]
 
-    def test_two_disjoint_orfs(self):
+    def test_adjacent_start_suppressed(self):
+        # an ORF starting exactly at the previous ORF's end is suppressed
+        # (reference ORF.scala:100 uses strict start > tmp_end)
         s = "ATGTAA" + "ATGTGA"
         got = orf.scan_frame(s, min_length=3)
-        assert got == [(0, 6, "M"), (6, 12, "M")]
+        assert got == [(0, 6, "M")]
+
+    def test_two_disjoint_orfs(self):
+        # a gap codon between the ORFs makes the second start > last_end
+        s = "ATGTAA" + "CCC" + "ATGTGA"
+        got = orf.scan_frame(s, min_length=3)
+        assert got == [(0, 6, "M"), (9, 15, "M")]
 
     def test_n_codon_breaks_translation(self):
         assert orf.scan_frame("ATGNNNTAA", min_length=3) == []

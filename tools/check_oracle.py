@@ -5,7 +5,13 @@ parquet tables, then compares row count, sorted column names, and an
 order-insensitive value hash (values normalized: doubles rounded to 9
 significant digits, timestamps to ISO strings, NaN/None unified).
 
-Usage: python tools/check_oracle.py [sf_dir] [name ...]
+Usage: python tools/check_oracle.py [--bare] [sf_dir] [name ...]
+
+``--bare`` builds a plain ``SparkSession.builder`` with none of
+session.py's DEFAULT_CONF — the same environment the driver runs queries
+in — so conf dependencies hidden by our tuned session get caught *before*
+the driver's round check (round-2 lesson: nanosAsLong lived only in
+session.py and five events queries crashed under the driver).
 """
 
 from __future__ import annotations
@@ -56,11 +62,22 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     catalog.load_all()
 
-    spark = session(app_name="check_oracle", shuffle_partitions=8)
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_bare")
+            .getOrCreate()
+        )
+    else:
+        spark = session(app_name="check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

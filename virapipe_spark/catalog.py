@@ -44,6 +44,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # The driver builds a bare SparkSession that never goes through
+        # session.py's DEFAULT_CONF, so set the nanos conf here too — it is
+        # runtime-settable and must be in place *before* the parquet read
+        # or Spark raises PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

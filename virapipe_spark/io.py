@@ -207,25 +207,36 @@ def read_sam(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def sam_to_fastq(alignments: DataFrame, mate_flags: DataFrame | None = None) -> DataFrame:
+def sam_to_fastq(alignments: DataFrame) -> DataFrame:
     """SAM/BAM records -> FASTQ-shaped rows (SamToFastq.java:47-68).
 
-    Returns (key, sequence, quality?) rows ready for :func:`write_fastq`.
+    Returns (key, sequence, quality) rows ready for :func:`write_fastq`.
     The reference suffixes ``/1``/``/2`` by the first-of-pair flag; the
     typed ``alignments`` table has no flag word, so mates are numbered by
     their order within each readName (deterministic window, not file
-    order — SURVEY §7.5 non-determinism note).
+    order — SURVEY §7.5 non-determinism note). Any 3rd+ alignment of a
+    read (supplementary/secondary) is dropped rather than mislabeled
+    ``/2`` — the reference's flag test would exclude those too.
+
+    ``MyAlignment`` carries no base qualities (MyAlignment.java:12-19),
+    so quality is a placeholder run of ``I`` (Phred 40) matching the
+    sequence length — valid FASTQ, clearly synthetic.
     """
     from pyspark.sql import Window as W
 
     w = W.partitionBy("readName").orderBy("start", "bases")
     rn = F.row_number().over(w)
-    return alignments.select(
-        F.concat(
-            F.col("readName"),
-            F.when(rn == 1, F.lit("/1")).otherwise(F.lit("/2")),
-        ).alias("key"),
-        F.col("bases").alias("sequence"),
+    return (
+        alignments.withColumn("__mate", rn)
+        .filter(F.col("__mate") <= 2)
+        .select(
+            F.concat(
+                F.col("readName"),
+                F.when(F.col("__mate") == 1, F.lit("/1")).otherwise(F.lit("/2")),
+            ).alias("key"),
+            F.col("bases").alias("sequence"),
+            F.repeat(F.lit("I"), F.length("bases")).alias("quality"),
+        )
     )
 
 

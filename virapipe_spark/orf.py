@@ -85,13 +85,19 @@ def scan_frame(seq: str, min_length: int) -> list[tuple[int, int, str]]:
     Returns ``(start, end, protein)`` spans: start at ATG/TTG/GTG/CTG,
     end exclusive after the first in-frame stop, ``end - start >=
     min_length``, overlapping later starts suppressed.
+
+    Boundary semantics match the reference exactly (ORF.scala:100
+    ``start > tmp_end`` — strict): a new ORF starting at the previous
+    ORF's exact end position is suppressed too, except that the first
+    emitted ORF of a frame has no such constraint (ORF.scala:95
+    ``nrorf == 0`` branch).
     """
     n = len(seq)
     orfs: list[tuple[int, int, str]] = []
     last_end = 0
     i = 0
     while i + 3 <= n:
-        if seq[i : i + 3] in START_CODONS and i >= last_end:
+        if seq[i : i + 3] in START_CODONS and (not orfs or i > last_end):
             protein = []
             j = i
             while j + 3 <= n:

@@ -252,7 +252,7 @@ def rename_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT string_split(text, ' ')[1] AS sample,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY sample
     """,
@@ -260,12 +260,19 @@ def rename_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-by-sample (FastqGroupper.java:63-69: sample id = first
     delimited field of the record name). The per-group *write* half is
-    io.write_grouped (partitionBy), golden-tested in tests/test_io.py."""
+    io.write_grouped (partitionBy), golden-tested in tests/test_io.py.
+
+    DuckDB sums integers into HUGEINT (int128); both sides cast the total
+    to BIGINT so the driver's value hash compares like with like.
+    """
     d = table(spark, sf_dir, "documents")
     return (
-        d.withColumn("sample", vf.sample_id(F.replace(F.col("text"), F.lit(" "), F.lit(":"))))
+        d.withColumn("sample", F.split(F.col("text"), " ")[0])
         .groupBy("sample")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )
 
 

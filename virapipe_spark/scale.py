@@ -34,10 +34,25 @@ def salted_join(
     this when dim ≪ fact (the usual skew shape: huge fact, modest dim,
     one hot key).
 
+    The salt is derived deterministically from the fact row's content
+    (``pmod(hash(all fact columns), n_salts)``), never ``rand()``: a
+    random salt is only stable per partition layout, so a stage retry or
+    non-deterministic upstream ordering could reassign salts mid-shuffle
+    and drop or duplicate rows. Content-hashing is retry-safe.
+
+    Only ``inner`` and ``left`` joins are supported: a right/full outer
+    join would emit each unmatched dim row ``n_salts`` times (the explode
+    replicates it under every salt and none of the copies match).
+
     Output columns = fact columns + dim columns minus the dim's join key
     (same shape as ``fact.join(dim, key, how)``).
     """
-    salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "right/full outer would duplicate unmatched dim rows ×n_salts"
+        )
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))

@@ -194,7 +194,14 @@ def drain_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout — a silently partial
+        # memory table would make parity tests flaky with misleading
+        # diffs, so fail loudly instead.
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"availableNow drain of {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
     finally:
         q.stop()
     return sdf.sparkSession.table(name)
