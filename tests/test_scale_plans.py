@@ -145,6 +145,41 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+class TestConnectedComponents:
+    def test_path_graph_converges_with_bounded_plan(self, spark):
+        """A 12-node path is the adversarial case: diameter 11 forces 11
+        propagation rounds. Correctness: every node must land in
+        component 0. Scale: localCheckpoint every 3 rounds must keep the
+        final plan's join count bounded by the checkpoint interval, not
+        the round count (uncheckpointed, 11 rounds chain ~22 joins)."""
+        from virapipe_spark.graph import connected_components
+
+        n = 12
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+        )
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        labels = connected_components(
+            edges, nodes, node_col="doc_id", checkpoint_every=3
+        )
+        rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert rows == {i: 0 for i in range(n)}
+        o = _optimized(labels)
+        # ≤ checkpoint_every rounds of lineage × 2 joins/round, + slack
+        assert o.count("Join") <= 8, f"lineage not truncated:\n{o}"
+
+    def test_isolated_nodes_self_label(self, spark):
+        from virapipe_spark.graph import connected_components
+
+        edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+        nodes = spark.range(4).select(F.col("id").alias("doc_id"))
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(edges, nodes, node_col="doc_id").collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1, 3: 3}
+
+
 class TestTwoPhaseTopK:
     def test_equals_single_window(self, spark):
         from pyspark.sql import Window as W

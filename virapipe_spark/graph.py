@@ -1,0 +1,92 @@
+"""Distributed connected components via min-label propagation.
+
+Backs the near-dup cluster-resolution operator (``docs_dedup_clusters``):
+near-duplicate *pairs* alone don't dedup a corpus — the pair graph must
+be resolved into components so one keeper per component can be elected.
+
+No reference counterpart (the reference's dedup is single-key
+``reduceByKey``, FastqFilter.java:88-94); this exists for the 100 TB
+training-data-pipeline bar.
+
+Scale properties:
+
+- Each round is one equi-join (edges ⋈ labels, shuffled on node id) plus
+  one min-aggregate — the same shape as one iteration of Pregel-style
+  label propagation. Rounds needed = graph diameter; near-dup components
+  are shallow (template clusters, not social graphs), so 3-5 rounds
+  suffice in practice.
+- Iterative DataFrame loops grow lineage linearly; on a high-diameter
+  (adversarial) graph the accumulated plan eventually overwhelms the
+  optimizer and task serialization. ``checkpoint_every`` truncates
+  lineage with ``localCheckpoint`` so plan size stays bounded by the
+  checkpoint interval, not the round count (asserted in
+  tests/test_scale_plans.py). ``localCheckpoint`` stores to executor
+  memory/disk — on a real cluster with preemptible executors, pass a
+  checkpoint dir and use reliable ``checkpoint()`` instead.
+- The driver loop is control flow only: data never leaves the cluster;
+  the per-round convergence check is a ``count()``.
+- For graphs where even per-round work is skewed (one giant component),
+  the alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") keeps the same
+  join+agg shape with provably fewer rounds; this simple propagation is
+  the right default for dedup-shaped graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc_id",
+    label_col: str = "cluster_id",
+    max_rounds: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``edges`` must have columns ``a`` and ``b`` (undirected; symmetrized
+    internally, so each pair need appear in one direction only).
+    ``nodes`` contributes ``node_col``; isolated nodes label themselves.
+
+    Returns ``(node_col, label_col)`` — one row per node.
+    """
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # edge lists derive from long upstream chains (shingles -> signatures
+    # -> bands); the loop re-reads them every round, so materialize once
+    # (edge count ~ dup rate x corpus, ≪ corpus size).
+    sym = sym.persist()
+    labels = nodes.select(node_col, F.col(node_col).alias(label_col))
+    for rnd in range(max_rounds):
+        neigh = (
+            sym.join(labels, sym["a"] == labels[node_col])
+            .groupBy(F.col("b").alias(node_col))
+            .agg(F.min(label_col).alias("__nmin"))
+        )
+        new_labels = labels.join(neigh, node_col, "left").select(
+            node_col,
+            F.least(label_col, F.coalesce("__nmin", label_col)).alias(label_col),
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            # truncate lineage: the next round's plan starts from the
+            # materialized labels, not the whole join chain so far
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), node_col)
+            .filter(F.col(f"n.{label_col}") != F.col(f"o.{label_col}"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the (unpersisted) initial frame
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

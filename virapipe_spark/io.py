@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from virapipe_spark import schemas
 from virapipe_spark.functions import fasta_record, fastq_record, sam_field
@@ -37,33 +36,53 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     """Read FASTQ (globs ok) into the ``reads`` schema (§1.1 row 1).
 
     The reference delegates stanza assembly to hadoop-bam's
-    ``FastqInputFormat`` (SQLQueryFastq.java:69). Pure-Spark equivalent:
+    ``FastqInputFormat`` (SQLQueryFastq.java:69). Pure-Spark equivalent,
+    fully DataFrame-native (no RDD hop — Catalyst/AQE stay engaged):
 
-    1. ``spark.read.text`` (splittable; codec-transparent),
-    2. a global contiguous line index (``zipWithIndex`` — the one place
-       the engine touches the RDD API, because 4-line stanza grouping
-       needs a *gap-free* index and ``monotonically_increasing_id`` jumps
-       at partition boundaries),
-    3. ``groupBy(line_idx div 4)`` pivoting the 4 stanza lines into one
-       row, then Illumina-header parsing with ``regexp_extract``.
+    1. ``spark.read.text`` (splittable; codec-transparent) plus the file
+       source's ``_metadata`` columns (file path, block start offset);
+    2. a gap-free per-file line index, built WITHOUT shuffling the data:
+       per-(file, block) line counts aggregate map-side into one tiny
+       row per ~128 MB scan block; a cumulative sum over each file's
+       block list yields every block's base line number; broadcast-joined
+       back, ``idx = block base + (monotonic id − block's min id)`` —
+       valid because a block's rows are contiguous and consecutively
+       numbered inside their scan partition, and deterministic because
+       the id derives from the scan partition layout, which is fixed by
+       the file listing (safe under task retry, unlike ids minted after
+       a shuffle);
+    3. ``groupBy(file, line_idx div 4)`` pivots the 4 stanza lines into
+       one row, then Illumina-header parsing with ``regexp_extract``.
 
-    Scale: the stanza shuffle moves each input byte once — the same cost
-    class as the reference's own repartition stages (RepartitionFastq).
-    With many input files (the reference's layout), prefer globbing them
-    into one call: file boundaries are stanza-aligned by the FASTQ spec,
-    so the global index stays stanza-consistent.
+    Scale: the only full-data shuffle is the stanza pivot itself — the
+    same cost class as the reference's own repartition stages
+    (RepartitionFastq). The block-stats pass ships one row per block.
+    Stanza grouping is per-file, so multi-file globs never interleave
+    records across files.
     """
-    lines = spark.read.text(path)
-    # zipWithIndex runs one lightweight count job, then tags rows without
-    # shuffling; keep everything else in DataFrame land.
-    idx_schema = T.StructType(
-        [
-            T.StructField("value", T.StringType()),
-            T.StructField("idx", T.LongType()),
-        ]
+    from pyspark.sql import Window as W
+
+    lines = (
+        spark.read.text(path)
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_block_start").alias("__block"),
+        )
+        .withColumn("__mono", F.monotonically_increasing_id())
     )
-    indexed = spark.createDataFrame(
-        lines.rdd.map(lambda r: r[0]).zipWithIndex(), idx_schema
+    blocks = lines.groupBy("__file", "__block").agg(
+        F.count("*").alias("__cnt"), F.min("__mono").alias("__mono0")
+    )
+    wf = W.partitionBy("__file").orderBy("__block")
+    bases = blocks.select(
+        "__file",
+        "__block",
+        "__mono0",
+        (F.sum("__cnt").over(wf) - F.col("__cnt")).alias("__base"),
+    )
+    indexed = lines.join(F.broadcast(bases), ["__file", "__block"]).withColumn(
+        "idx", F.col("__base") + (F.col("__mono") - F.col("__mono0"))
     )
     stanza = indexed.withColumn("stanza", F.col("idx") - (F.col("idx") % 4))
     line_of = F.col("idx") % 4
@@ -71,7 +90,7 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     def _line(n: int) -> Column:
         return F.max(F.when(line_of == n, F.col("value")))
 
-    raw = stanza.groupBy("stanza").agg(
+    raw = stanza.groupBy("__file", "stanza").agg(
         _line(0).alias("header"),
         _line(1).alias("sequence"),
         _line(3).alias("quality"),

@@ -299,50 +299,17 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes the same fixpoint via a recursive CTE
     (reachability closure -> min reachable id).
 
-    Scale: each round is one join (edges ⋈ labels, shuffle on doc id) +
-    one min-aggregate; rounds = graph diameter, and near-dup components
-    are shallow (dup clusters, not social graphs), so 3-5 rounds
-    suffice in practice. The driver loop is control flow only — data
-    never leaves the cluster; the per-round convergence check is a
-    count. For adversarial diameters use alternating large-star/
-    small-star (Kiveris et al.), same join shape."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    Scale: delegated to graph.connected_components — one join + one
+    min-aggregate per round, lineage checkpointed every 5 rounds so
+    adversarial (high-diameter) graphs can't grow the plan unboundedly;
+    full design notes in that module's docstring."""
+    from virapipe_spark.graph import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
-    # pairs derive from a long chain (shingles -> signatures -> bands);
-    # the loop re-reads them every round, so materialize the tiny edge
-    # list once (edge count ~ dup rate x corpus, ≪ corpus size)
-    edges = edges.persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(20):  # diameter guard; converges in <= 3 on dup graphs
-        neigh = (
-            edges.join(labels, edges["a"] == labels["doc_id"])
-            .groupBy(F.col("b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("nmin", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()  # no-op on the (unpersisted) initial frame
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels = connected_components(pairs, docs, node_col="doc_id")
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keeper")
     )
@@ -1042,10 +1009,18 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("__dot").desc(), "cid")
+    # Persist the ranked assignment: it feeds BOTH the cell-assignment
+    # branch (crn=1) and the query-probe branch (crn<=nprobe), and
+    # without materialization the centroid crossJoin + per-vector window
+    # runs once per consumer (plan showed 2 BNLJ). Filtered to
+    # crn<=nprobe first so the cache holds nprobe rows/vector, not C.
     assign_scored = (
         qdf.crossJoin(F.broadcast(cent))
         .withColumn("__dot", dot_c)
         .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= F.lit(max(_IVF_PROBE, 1)))
+        .select("vec_id", "q", "qnorm", "cid", "crn")
+        .persist()
     )
     assign = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", "q", "qnorm", "cid"

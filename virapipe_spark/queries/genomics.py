@@ -505,3 +505,113 @@ def reads_fwd_rev_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reader round-trips — oracle coverage for io.read_fastq / read_fasta
+# (SQLQueryFastq.java:69, SplitFasta.java:41), not just pytest goldens.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+_DNA16 = "ACGTACGTACGTACGT"
+_QUAL16 = "FGHIJKLMNOPQRSTU"
+
+
+@query(
+    "fastq_scan_roundtrip",
+    oracle=f"""
+    SELECT concat('M', doc_id % 4, ':7:FCX:2:11:', doc_id, ':', n_chars,
+                  ' 1:N:0:ACGT') AS key,
+           CAST(0 AS BIGINT) AS "start",
+           CAST(0 AS BIGINT) AS "end",
+           CAST(0 AS BIGINT) AS pos,
+           translate(substr(md5(text), 1, 16), '{_HEX}', '{_DNA16}')
+             AS sequence,
+           translate(substr(md5(concat(text, 'q')), 1, 16), '{_HEX}',
+                     '{_QUAL16}') AS quality,
+           concat('M', doc_id % 4) AS instrument,
+           CAST(7 AS INTEGER) AS "runNumber",
+           'FCX' AS "flowcellId",
+           CAST(2 AS INTEGER) AS lane,
+           CAST(11 AS INTEGER) AS tile,
+           CAST(doc_id AS INTEGER) AS xpos,
+           CAST(n_chars AS INTEGER) AS ypos,
+           CAST(1 AS INTEGER) AS "read",
+           TRUE AS "filterPassed",
+           CAST(0 AS INTEGER) AS "controlNumber",
+           'ACGT' AS "indexSequence"
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fastq_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked coverage for the FASTQ reader/writer pair — the
+    reference's front door (SQLQueryFastq.java:69 FastqInputFormat;
+    write path SQLQueryFastq.java:115-125).
+
+    Synthesizes deterministic Illumina-named records from ``documents``
+    (sequence/quality are md5-derived, so both engines can compute them),
+    writes REAL 4-line FASTQ text via io.write_fastq, reads it back
+    through io.read_fastq's full stanza assembly + header parse, and
+    hash-compares every parsed column against DuckDB computing the same
+    records purely relationally. A reader bug (stanza misalignment,
+    header regex drift, metadata typing) breaks the hash."""
+    import tempfile
+
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    recs = d.select(
+        F.format_string(
+            "M%d:7:FCX:2:11:%d:%d 1:N:0:ACGT",
+            F.col("doc_id") % 4,
+            F.col("doc_id"),
+            F.col("n_chars"),
+        ).alias("key"),
+        F.translate(F.substring(F.md5("text"), 1, 16), _HEX, _DNA16).alias(
+            "sequence"
+        ),
+        F.translate(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("q"))), 1, 16),
+            _HEX,
+            _QUAL16,
+        ).alias("quality"),
+    )
+    out = tempfile.mkdtemp(prefix="vp_fastq_rt_") + "/fq"
+    vio.write_fastq(recs, out)
+    return vio.read_fastq(spark, out)
+
+
+@query(
+    "fasta_scan_roundtrip",
+    oracle=f"""
+    SELECT concat('doc_', doc_id) AS id,
+           concat(translate(md5(text), '{_HEX}', '{_DNA16}'),
+                  translate(md5(concat(text, '2')), '{_HEX}', '{_DNA16}'))
+             AS sequence
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fasta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked coverage for the FASTA reader/writer pair
+    (SplitFasta.java:41 '>'-delimited records; BlastNFilter.java:163-170
+    multi-line sequence concat).
+
+    Each record is written with TWO sequence lines (embedded newline), so
+    the read side must split on '>' records and re-concatenate sequence
+    lines to match the oracle's lineless concat."""
+    import tempfile
+
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    recs = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("id"),
+        F.concat(
+            F.translate(F.md5("text"), _HEX, _DNA16),
+            F.lit("\n"),
+            F.translate(F.md5(F.concat(F.col("text"), F.lit("2"))), _HEX, _DNA16),
+        ).alias("sequence"),
+    )
+    out = tempfile.mkdtemp(prefix="vp_fasta_rt_") + "/fa"
+    vio.write_fasta(recs, out)
+    return vio.read_fasta(spark, out)
