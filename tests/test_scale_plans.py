@@ -82,7 +82,12 @@ class TestPlanProperties:
         """Catalog queries stay JVM-side: no BatchEvalPython (row UDF)
         nodes; Arrow-batched nodes are allowed only in the known
         pandas-boundary ops."""
-        allowed_pandas = {"orf_six_frame", "multimodal_frame_sample"}
+        allowed_pandas = {
+            "orf_six_frame",
+            "multimodal_frame_sample",
+            "multimodal_image_features",
+            "multimodal_audio_features",
+        }
         for name, fn in catalog.QUERIES.items():
             p = _plan(fn(spark, SF_DIR))
             assert "BatchEvalPython" not in p, name

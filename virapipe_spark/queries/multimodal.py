@@ -62,3 +62,136 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.countDistinct("frame_hash").alias("n_distinct_frames"),
     )
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 48) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 48)) AS i, p FROM s),
+    v AS (SELECT doc_id, ascii(substr(p, i, 1)) AS code FROM c)
+    SELECT doc_id AS media_id,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(48 AS INTEGER) AS n_bytes,
+           round(avg(code), 4) AS mean_intensity,
+           round(stddev_pop(code), 4) AS std_intensity
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED multimodal decode: deterministic 4x4 RGB BMPs are
+    built from md5-hex bytes of each document (pure ASCII, so DuckDB can
+    reproduce the pixel values), encoded as REAL 24-bit BMP files
+    (multimodal.encode_bmp), decoded back through the real BMP parser in
+    decode_image_features, and the per-image intensity stats compared
+    against DuckDB computing the same statistics relationally. A header,
+    stride-padding, or channel-order bug breaks the hash."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            48,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_bmp(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_bmp(
+                    np.frombuffer(s.encode(), dtype=np.uint8).reshape(4, 4, 3)
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        to_bmp("p").alias("data"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+    )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 48) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 48)) AS i, p FROM s),
+    v AS (SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS w,
+                 ascii(substr(p, i, 1)) AS code
+          FROM c),
+    r AS (SELECT doc_id, w, round(sqrt(avg(CAST(code AS DOUBLE) * code)), 4)
+                   AS rms
+          FROM v GROUP BY doc_id, w)
+    SELECT doc_id AS media_id,
+           CAST(22050 AS INTEGER) AS sample_rate,
+           CAST(3 AS INTEGER) AS n_windows,
+           list(rms ORDER BY w) AS rms_energy
+    FROM r GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED audio decode: md5-hex byte codes become int16 PCM
+    samples, encoded as REAL 16-bit WAV (multimodal.encode_wav), decoded
+    through the real RIFF parser in audio_features, per-window RMS
+    compared against DuckDB. The sample rate in the result comes from
+    the WAV fmt chunk — a chunk-walk bug breaks the hash."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            48,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_wav(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_wav(
+                    22050, np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int16)
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        to_wav("p").alias("data"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(22050).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return mm.audio_features(media, window=16)
