@@ -144,15 +144,12 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT doc_id, unnest(generate_series(1, 48)) AS i, p FROM s),
     v AS (SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS w,
                  ascii(substr(p, i, 1)) AS code
-          FROM c),
-    r AS (SELECT doc_id, w, round(sqrt(avg(CAST(code AS DOUBLE) * code)), 4)
-                   AS rms
-          FROM v GROUP BY doc_id, w)
+          FROM c)
     SELECT doc_id AS media_id,
            CAST(22050 AS INTEGER) AS sample_rate,
-           CAST(3 AS INTEGER) AS n_windows,
-           list(rms ORDER BY w) AS rms_energy
-    FROM r GROUP BY doc_id
+           CAST(w AS INTEGER) AS window_idx,
+           round(sqrt(avg(CAST(code AS DOUBLE) * code)), 4) AS rms
+    FROM v GROUP BY doc_id, w
     """,
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,7 +157,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples, encoded as REAL 16-bit WAV (multimodal.encode_wav), decoded
     through the real RIFF parser in audio_features, per-window RMS
     compared against DuckDB. The sample rate in the result comes from
-    the WAV fmt chunk — a chunk-walk bug breaks the hash."""
+    the WAV fmt chunk — a chunk-walk bug breaks the hash.
+
+    Output is one scalar row per (media, window) — posexploded from the
+    operator's array column, because the driver's value normalizer is
+    only known-good on scalar cells (round-2 HUGEINT lesson)."""
     import numpy as np
 
     from virapipe_spark import multimodal as mm
@@ -194,4 +195,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(22050).alias("sample_rate"),
         F.lit(0).alias("duration_ms"),
     )
-    return mm.audio_features(media, window=16)
+    feats = mm.audio_features(media, window=16)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.posexplode("rms_energy").alias("window_idx", "rms"),
+    )
