@@ -197,8 +197,44 @@ _MINHASH_ORACLE = (
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair
-    query and the cluster resolver."""
-    sh = _shingles(spark, sf_dir)
+    query and the cluster resolver.
+
+    Round-3 plan shape, built for minimum data movement:
+
+    - **One shuffle to signatures.** The gram explode feeds
+      groupBy(doc_id) directly with NO intermediate ``distinct``:
+      duplicate grams can't change a min, so the dedup shuffle the
+      Jaccard path needs (:func:`_shingles`) is pure overhead here.
+      (A fully shuffle-free ``array_min``-projection variant was
+      measured 5× SLOWER: higher-order array functions sit outside
+      whole-stage codegen and defeat common-subexpression elimination,
+      so the 16 minima each re-derived the md5 arrays. The codegen'd
+      explode→partial-min path wins decisively; measurement recorded in
+      SCALE.md.)
+    - **Candidates are scored inline.** The full 16-component signature
+      rides along each band row (~128 bytes), so pairs are scored right
+      after the band-bucket join — no join back to a signature table,
+      no recompute of the signature pipeline per consumer. The pair
+      dedup (a pair can collide in several bands) groups on the pair
+      key and keeps the first signature copy — signatures are
+      functionally dependent on doc_id, so ``first`` is deterministic.
+
+    Shuffles in the whole operator: signature agg, band self-join,
+    tiny pair dedup."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    t = F.col("__toks")
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda g: F.concat_ws(
+                " ", F.element_at(t, g), F.element_at(t, g + 1), F.element_at(t, g + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(grams).alias("s"))
 
     def h(j: int) -> Column:
         i, k = (j - 1) // 4, (j - 1) % 4
@@ -207,6 +243,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mh = sh.groupBy("doc_id").agg(*[h(j).alias(f"h{j}") for j in range(1, _H + 1)])
+    sig = F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)])
     band_structs = F.array(
         *[
             F.struct(
@@ -218,31 +255,34 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_B)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
-    )
+    bands = mh.select(
+        "doc_id", sig.alias("sig"), F.explode(band_structs).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
     )
-    ma, mb = mh.alias("ma"), mh.alias("mb")
-    matches = sum(
-        F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
-        for j in range(1, _H + 1)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     est = matches / F.lit(float(_H))
-    return (
-        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
-        .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
-        .filter(est >= _EST_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    return pairs.filter(est >= _EST_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
     )
 
 
