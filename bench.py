@@ -54,6 +54,9 @@ HEADLINE = [
     "window_tumbling",
     "window_sliding",
     "events_funnel",
+    # round-3 operators
+    "q3_shipping_priority",
+    "events_retention_cohort",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1377,3 +1377,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("first_click").alias("n_clicked"),
         F.count(F.when(converted, 1)).alias("n_converted"),
     )
+
+
+_KEEPERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    keepers AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(node)
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d JOIN keepers USING (doc_id)
+"""
+
+
+@query("docs_dedup_apply", oracle=_KEEPERS_ORACLE)
+def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup verdict APPLIED — the cleaned corpus a training
+    pipeline actually trains on: resolve near-dup clusters
+    (docs_dedup_clusters), keep one representative per cluster, semi-join
+    the corpus down to the keepers. Completes the dedup story
+    end-to-end: pairs -> clusters -> verdicts -> filtered corpus.
+
+    Scale: the keeper list is one row per doc id (ids only, no
+    payloads); the final semi-join shuffles on doc_id and prunes every
+    non-kept payload at the scan (semi-join pushes no payload columns
+    through the join). At 100 TB materialize the keeper list once and
+    reuse it across downstream jobs instead of re-deriving per query."""
+    from virapipe_spark.graph import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    docs = table(spark, sf_dir, "documents")
+    labels = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    keepers = labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(keepers, "doc_id", "left_semi").select("doc_id", "n_chars")

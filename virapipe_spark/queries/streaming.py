@@ -121,3 +121,74 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "events_retention_cohort",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / {_DAY_US}) AS BIGINT) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           a.day - f.cohort_day AS day_offset,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic training-telemetry rollup: users
+    bucketed by first-seen day, activity counted per (cohort, day
+    offset). ``count(*)`` over the distinct (user, day) activity set ==
+    count(DISTINCT user) per cell, without a second distinct aggregate.
+
+    Scale: both aggregates shuffle on user_id/day — high-cardinality
+    keys; the firsts table is one row per user (≪ events), so it
+    broadcasts into the activity join. No window function needed —
+    min-per-user is a plain partial-aggregated groupBy."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the ``props``
+    JSON column and aggregate on it — the pattern every telemetry
+    pipeline needs (Spark: get_json_object, JVM-side JSON path eval;
+    DuckDB: json_extract_string). Malformed JSON rows fall into the
+    null bucket on both engines rather than erroring.
+
+    Scale: extraction is a codegen'd projection in the scan stage;
+    the aggregate shuffles 10 buckets. At 100 TB prefer promoting hot
+    JSON fields to typed columns at ingest (schema-on-write), keeping
+    get_json_object for the long tail."""
+    ev = table(spark, sf_dir, "events")
+    k_bucket = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") % 10
+    ).alias("k_bucket")
+    return ev.groupBy(k_bucket).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
