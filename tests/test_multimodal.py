@@ -135,3 +135,49 @@ class TestRealCodecs:
         assert r["sample_rate"] == 22050
         assert r["n_windows"] == 2
         assert r["rms_energy"] == [1000.0, 1000.0]
+
+
+class TestCodecProperties:
+    """Hypothesis round-trips: any well-formed array survives
+    encode→decode bit-exactly, across shapes that exercise row padding
+    (BMP strides) and channel counts (WAV mono/stereo)."""
+
+    def test_bmp_any_shape(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(1, 24),
+            w=st.integers(1, 24),
+            seed=st.integers(0, 2**32 - 1),
+        )
+        def prop(h, w, seed):
+            img = np.random.default_rng(seed).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+
+        prop()
+
+    def test_wav_any_shape(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            n=st.integers(1, 2000),
+            ch=st.integers(1, 4),
+            rate=st.sampled_from([8000, 16000, 22050, 44100]),
+            seed=st.integers(0, 2**32 - 1),
+        )
+        def prop(n, ch, rate, seed):
+            rng = np.random.default_rng(seed)
+            samples = rng.integers(-(2**15), 2**15, (n, ch), dtype=np.int16)
+            if ch == 1:
+                samples = samples[:, 0]
+            got_rate, got = mm.decode_wav(mm.encode_wav(rate, samples))
+            assert got_rate == rate
+            assert got.shape == samples.shape and (got == samples).all()
+
+        prop()

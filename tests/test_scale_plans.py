@@ -203,3 +203,15 @@ class TestTwoPhaseTopK:
         assert sorted(map(tuple, two.collect())) == sorted(
             map(tuple, single.collect())
         )
+
+
+class TestStarProbe:
+    def test_q3_broadcasts_dim_and_pushes_dates(self, spark):
+        """The selective customer filter must broadcast (never shuffle a
+        dim against the fact-fact join) and both date predicates must
+        reach the parquet scans."""
+        df = catalog.QUERIES["q3_shipping_priority"](spark, SF_DIR)
+        p = _plan(df)
+        assert "BroadcastHashJoin" in p
+        assert "TakeOrderedAndProject" in p  # top-k, no global sort
+        assert p.count("PushedFilters: [IsNotNull") >= 2  # date pushdown
