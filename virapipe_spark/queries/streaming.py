@@ -192,3 +192,127 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(k_bucket).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS is_click,
+             value AS view_value, CAST(NULL AS DOUBLE) AS click_value
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1, CAST(NULL AS DOUBLE), value
+      FROM events WHERE event_type = 'click'
+    ),
+    filled AS (
+      SELECT *,
+             last_value(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_click, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_view_value
+      FROM tagged
+    )
+    SELECT user_id, event_id, ts,
+           click_value AS value, last_view_value
+    FROM filled WHERE is_click = 1
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark has no primitive for, composed
+    scalably: for every click, the value of the same user's most recent
+    view at-or-before it. Instead of an inequality join (quadratic per
+    user), the two streams are UNIONed with a tag and a single
+    last-non-null window carries each view's value forward to the
+    clicks after it — one shuffle on user_id, linear scan per user.
+
+    Ties: a view at the exact click timestamp counts (is_click orders
+    views first at equal ts); event_id makes the order total. Clicks
+    with no prior view keep a NULL (left-asof semantics).
+
+    Scale: this is the canonical time-series enrichment at 100 TB —
+    partition by entity, one ordered pass; no candidate pairs ever
+    materialize (contrast events_range_join, where pair formation is
+    the semantics)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_click"),
+        F.col("value").alias("view_value"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.col("value").alias("click_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = views.union(clicks).withColumn(
+        "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_click") == 1).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("click_value").alias("value"),
+        "last_view_value",
+    )
+
+
+_RANGE_US = 1_800_000_000  # ±30 minutes
+
+
+@query(
+    "events_range_join",
+    oracle=f"""
+    SELECT e.event_id AS e_id, count(*) AS n_nearby
+    FROM events e JOIN events o
+      ON e.user_id = o.user_id
+     AND o.event_id <> e.event_id
+     AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= {_RANGE_US}
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join (time-proximity) — the second operator Spark lacks a
+    primitive for: per error event, how many same-user events fall
+    within ±30 minutes. A naive theta-join is quadratic per user; the
+    scalable decomposition buckets time at the range width, explodes
+    each probe into its 3 covering buckets, equi-joins on
+    (user, bucket) — Catalyst shuffles on real keys — and applies the
+    exact |Δt| predicate on the narrowed candidates. Each true pair
+    matches in EXACTLY one bucket (the build side keeps its single home
+    bucket), so no dedup pass is needed.
+
+    Scale: candidate volume = sum over (user, bucket) of n_err × n_evt
+    — bounded by activity density, not corpus²; bucket width tunes the
+    false-candidate rate. The same shape handles genomic interval
+    overlap (contig ⋈ annotation) and any proximity predicate."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.floor(us / F.lit(_RANGE_US)).cast("long")
+    others = ev.select(
+        "user_id",
+        F.col("event_id").alias("o_id"),
+        us.alias("o_us"),
+        bucket.alias("b"),
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("e_id"), us.alias("e_us"), bucket.alias("eb"))
+        .withColumn("b", F.explode(F.array(F.col("eb") - 1, F.col("eb"), F.col("eb") + 1)))
+    )
+    pairs = errors.join(others, ["user_id", "b"]).filter(
+        (F.col("o_id") != F.col("e_id"))
+        & (F.abs(F.col("o_us") - F.col("e_us")) <= _RANGE_US)
+    )
+    return pairs.groupBy("e_id").agg(F.count("*").alias("n_nearby"))
