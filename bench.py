@@ -56,6 +56,7 @@ HEADLINE = [
     "events_funnel",
     # round-3 operators
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "events_retention_cohort",
 ]
 
