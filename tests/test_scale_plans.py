@@ -215,3 +215,34 @@ class TestStarProbe:
         assert "BroadcastHashJoin" in p
         assert "TakeOrderedAndProject" in p  # top-k, no global sort
         assert p.count("PushedFilters: [IsNotNull") >= 2  # date pushdown
+
+
+class TestSplitSizeControl:
+    def test_max_partition_bytes_drives_scan_parallelism(self, spark, tmp_path):
+        """SURVEY §2.7 split-size control: the engine's answer to the
+        reference's NLineInputFormat reads-per-split knob is
+        spark.sql.files.maxPartitionBytes — smaller splits must yield
+        more scan partitions on the same file."""
+        p = str(tmp_path / "big.txt")
+        with open(p, "w") as f:
+            for i in range(200_000):
+                f.write(f"line-{i:07d}-{'x' * 40}\n")
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+            coarse = spark.read.text(p).rdd.getNumPartitions()
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+            fine = spark.read.text(p).rdd.getNumPartitions()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        assert fine > coarse >= 1
+        # rows identical regardless of split size
+        assert spark.read.text(p).count() == 200_000
+
+    def test_salted_join_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        fact = spark.range(5).select(F.col("id").alias("k"))
+        dim = spark.range(5).select(F.col("id").alias("k"))
+        with _pytest.raises(ValueError, match="inner/left"):
+            scale.salted_join(fact, dim, "k", how="full_outer")
