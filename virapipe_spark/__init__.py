@@ -18,9 +18,11 @@ Layout
 - :mod:`virapipe_spark.tools`     — named tool stages (blastn/hmmsearch/
   bwa_align/megahit_assemble factories over ExternalTool)
 - :mod:`virapipe_spark.scale`     — salted join, bucketed write, two-phase top-k
+- :mod:`virapipe_spark.graph`     — connected components (min-label propagation,
+  lineage-checkpointed)
 - :mod:`virapipe_spark.streaming` — Structured Streaming over event tables
 - :mod:`virapipe_spark.multimodal` — binary media columns (decode/resize/
-  frame-sample/audio plumbing; codecs stubbed, Spark side real)
+  frame-sample/audio; real BMP/WAV codecs, compressed formats stubbed)
 - :mod:`virapipe_spark.catalog`   — named-query registry (driver correctness contract)
 - :mod:`virapipe_spark.queries`   — catalog entries: relational, genomics,
   dataflow, streaming, and the training-data extensions (dedup/ANN/text)
@@ -29,6 +31,6 @@ Layout
 from virapipe_spark.session import session
 from virapipe_spark import schemas
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = ["session", "schemas", "__version__"]
