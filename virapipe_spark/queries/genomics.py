@@ -615,3 +615,88 @@ def fasta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="vp_fasta_rt_") + "/fa"
     vio.write_fasta(recs, out)
     return vio.read_fasta(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# The reference's pipeline, composed (virapipe.sh:38-63 stage chain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "virapipe_chain",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text FROM documents
+      WHERE list_avg(list_transform(generate_series(1, len(text)),
+                                    g -> ascii(substr(text, g, 1)))) > 94.5
+    ),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    dq AS (SELECT q.doc_id, q.text FROM q JOIN dedup USING (doc_id)),
+    km AS (
+      SELECT doc_id, substr(text, g, {_K}) AS kmer
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {_K - 1})) AS g
+            FROM dq)
+    ),
+    band AS (
+      SELECT min(doc_id) AS rep_doc FROM km GROUP BY kmer
+      HAVING count(*) > {_MINC} AND count(*) < {_MAXC}
+    ),
+    surviving AS (SELECT DISTINCT rep_doc AS doc_id FROM band)
+    SELECT string_split(d.text, ' ')[1] AS sample,
+           count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN surviving USING (doc_id)
+    GROUP BY sample
+    """,
+)
+def virapipe_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pipeline COMPOSED, not just its stages in
+    isolation — quality filter (FastqFilter) -> exact dedup
+    (reduceByKey first-per-key) -> k-mer digital normalization
+    (NormalizeRDD coverage band) -> group-by-sample rollup
+    (FastqGroupper), the virapipe.sh:38-63 chain on the documents
+    analog, hash-checked end-to-end as ONE dataflow.
+
+    This is the single-SparkSession replacement for the reference's
+    9 spark-submit + HDFS-handoff orchestration (SURVEY §3.2): stages
+    hand DataFrames to each other, Catalyst plans across stage
+    boundaries (the quality filter pushes into the scan feeding the
+    k-mer explode), and nothing materializes between stages.
+
+    Scale: same shapes as the standalone entries — codegen'd quality
+    predicate, hash-agg dedup, fused explode->partial-agg band, two
+    semi-joins on doc_id; no stage adds a shuffle beyond its standalone
+    cost."""
+    d = table(spark, sf_dir, "documents")
+    q = d.filter(vf.avg_quality("text") > 94.5)
+    dedup_ids = (
+        q.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dq = q.join(dedup_ids, "doc_id", "left_semi")
+    n = F.length("text") - F.lit(_K - 1)
+    km = (
+        dq.filter(n > 0)
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("g"))
+        .select("doc_id", F.expr(f"substring(text, g, {_K})").alias("kmer"))
+    )
+    surviving = (
+        km.groupBy("kmer")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("rep_doc"))
+        .filter((F.col("c") > _MINC) & (F.col("c") < _MAXC))
+        .select(F.col("rep_doc").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(surviving, "doc_id", "left_semi")
+        .withColumn("sample", F.split(F.col("text"), " ")[0])
+        .groupBy("sample")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
