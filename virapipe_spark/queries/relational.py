@@ -691,3 +691,68 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (median + p95) — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, so the values hash-match exactly after rounding.
+
+    Scale: exact percentiles buffer each group's values on the reducer —
+    fine for bounded groups (3 return flags); at 100 TB with
+    high-cardinality groups switch to ``percentile_approx`` (t-digest,
+    mergeable map-side sketch, no full buffering) and accept the
+    approximation — the catalog keeps the exact form because the oracle
+    must agree bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "window_time_range_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 4) AS avg_1h
+    FROM events
+    WHERE user_id <= 20
+    """,
+)
+def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — per event, the user's average
+    value over the trailing hour. Unlike the ROWS frames elsewhere in
+    the catalog, the frame is defined by a TIME interval, so ties and
+    bursts widen it; both engines anchor the frame on the epoch-micros
+    ordering key (``rangeBetween`` needs a numeric key in Spark).
+
+    Scale: one shuffle on user_id, ordered scan per user with a sliding
+    frame — state bounded by the densest hour, not history. The
+    streaming twin is a watermarked sliding window."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
