@@ -246,3 +246,22 @@ class TestSplitSizeControl:
         dim = spark.range(5).select(F.col("id").alias("k"))
         with _pytest.raises(ValueError, match="inner/left"):
             scale.salted_join(fact, dim, "k", how="full_outer")
+
+
+class TestSketches:
+    def test_hll_kmer_estimate_within_bound(self, spark):
+        """The HLL entry must land within 5% of the exact distinct count
+        (rsd=2%, so 5% is a generous, non-flaky bound), and its plan
+        must show partial sketch aggregation map-side."""
+        approx = catalog.QUERIES["kmer_unique_approx"](spark, SF_DIR).first()[0]
+        exact = catalog.QUERIES["kmer_unique_set"](spark, SF_DIR).first()[0]
+        assert abs(approx - exact) / exact < 0.05, (approx, exact)
+        p = _plan(catalog.QUERIES["kmer_unique_approx"](spark, SF_DIR))
+        assert "partial_approx_count_distinct" in p
+
+    def test_q5_deep_join_broadcasts_all_dims(self, spark):
+        """Q5's 6-table tree: every dim side broadcasts; the only
+        sort-merge-eligible exchange is orders⋈lineitem."""
+        p = _plan(catalog.QUERIES["q5_local_supplier_volume"](spark, SF_DIR))
+        assert p.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in p

@@ -700,3 +700,18 @@ def virapipe_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query("kmer_unique_approx")  # rows-only: HLL register layouts are engine-specific
+def kmer_unique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate unique k-mer cardinality via HyperLogLog++
+    (``approx_count_distinct``, rsd=2%) — the 100 TB companion to
+    kmer_unique_set: the sketch is a fixed-size, mergeable map-side
+    state, so the shuffle carries one register block per partition
+    instead of every distinct k-mer. No DuckDB oracle (its HLL is a
+    different implementation — estimates differ by design);
+    tests/test_scale_plans.py pins the estimate within 5% of the exact
+    count instead."""
+    return _kmer_explode(spark, sf_dir).agg(
+        F.approx_count_distinct("kmer", rsd=0.02).alias("n_unique_approx")
+    )
