@@ -756,3 +756,130 @@ def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.avg("value").over(w), 4).alias("avg_1h"),
     )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(100.0 *
+             sum(CASE WHEN p_type = 'ECONOMY'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+             sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a fact⋈dim join:
+    the revenue share of one part type in a shipping quarter. The CASE
+    inside the sum is the conditional-agg idiom (no second scan, no
+    self-join); part broadcasts against the date-pruned lineitem scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, c.cnt
+    FROM nation n
+    FULL OUTER JOIN (
+      SELECT c_nationkey, count(*) AS cnt FROM customer
+      WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — completes the join family (inner, left-outer,
+    semi, anti, broadcast, zip). Nations with no rich customers keep a
+    null count; any orphan aggregate row keeps null nation columns.
+    Full outer cannot broadcast (both sides must see all keys) — Spark
+    plans a shuffle join on the key, correctly."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return nation.join(
+        agg, nation["n_nationkey"] == agg["c_nationkey"], "full_outer"
+    ).select("n_nationkey", "n_name", "cnt")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN nation ON o_orderkey % 25 = n_nationkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's skew-safe salted join (scale.salted_join) under the
+    driver's correctness gate: a synthetic low-cardinality join key
+    (orderkey mod 25 — the worst case a plain shuffle join can meet: 25
+    keys across every partition) joined salted, then aggregated. The
+    oracle is the PLAIN join — salting must be semantically invisible.
+
+    Scale: the fact side spreads each hot key over n_salts shuffle
+    partitions; the 25-row dim side replicates ×n_salts. Deterministic
+    content-derived salt keeps it retry-safe (see scale.py)."""
+    from virapipe_spark.scale import salted_join
+
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "k", (F.col("o_orderkey") % 25).cast("long")
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    joined = salted_join(orders, nation, "k", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "window_topk_salted",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, rn FROM (
+      SELECT l_returnflag, l_orderkey,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 5
+    """,
+)
+def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's two-phase salted top-k (scale.topk_per_group) under
+    the driver's gate, against the single-window oracle: with 3 groups,
+    a plain ranking window funnels the whole table through 3 tasks;
+    phase 1 ranks within (group, salt) buckets at n_salts× parallelism
+    and keeps each bucket's top-k, phase 2 ranks the tiny survivor set.
+    Results must be identical to the single window — the tie columns
+    make the ordering total."""
+    from virapipe_spark.scale import topk_per_group
+
+    li = table(spark, sf_dir, "lineitem")
+    order = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ]
+    return topk_per_group(
+        li, ["l_returnflag"], order, 5, ["l_orderkey", "l_linenumber"]
+    ).select("l_returnflag", "l_orderkey", "rn")
