@@ -265,3 +265,55 @@ class TestSketches:
         p = _plan(catalog.QUERIES["q5_local_supplier_volume"](spark, SF_DIR))
         assert p.count("BroadcastHashJoin") >= 3
         assert "CartesianProduct" not in p
+
+
+class TestConnectedComponentsProperty:
+    def test_random_graphs_match_union_find(self, spark):
+        """connected_components must agree with a pure-Python union-find
+        on random graphs (hypothesis-driven shapes: sparse, dense,
+        self-loops, duplicate edges)."""
+        from hypothesis import given, settings, strategies as st
+
+        from virapipe_spark.graph import connected_components
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            n=st.integers(2, 30),
+            edges=st.lists(
+                st.tuples(st.integers(0, 29), st.integers(0, 29)), max_size=40
+            ),
+        )
+        def prop(n, edges):
+            edges = [(a, b) for a, b in edges if a < n and b < n]
+            # union-find reference
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            expected = {i: find(i) for i in range(n)}
+            # min-label propagation gives min reachable id == union-find
+            # root when roots are always the min of their tree (ensured
+            # by the min-directed union above)
+            nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+            if edges:
+                edf = spark.createDataFrame(edges, ["a", "b"])
+            else:
+                edf = spark.createDataFrame([], "a long, b long")
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in connected_components(
+                    edf, nodes, node_col="doc_id", max_rounds=40,
+                    checkpoint_every=4,
+                ).collect()
+            }
+            assert got == expected
+
+        prop()

@@ -883,3 +883,25 @@ def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         li, ["l_returnflag"], order, 5, ["l_orderkey", "l_linenumber"]
     ).select("l_returnflag", "l_orderkey", "rn")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — the full grouping lattice (4 grouping
+    sets) in one pass, completing the rollup/pivot family. Spark
+    computes all sets with a single shuffle (each input row expands to
+    its grouping-set keys map-side, partial-aggregated before the
+    exchange); subtotal rows carry NULL dimension values on both
+    engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
