@@ -230,3 +230,35 @@ class TestGenericSinks:
         assert back.count() == 8
         # partition pruning works on the group column
         assert back.filter(F.col("sample") == "S2").count() == 2
+
+
+class TestFastqBlockIndexing:
+    """The DataFrame-native line index (per-block counts + block base
+    offsets) must survive the two layouts that break naive indexing:
+    multiple files in one glob, and a single file split into many scan
+    blocks whose boundaries land mid-stanza."""
+
+    def test_multifile_glob_and_small_blocks(self, spark, tmp_path):
+        for fi in range(2):
+            with open(tmp_path / f"s{fi}.fastq", "w") as f:
+                for i in range(5000):
+                    seq = "ACGT" * 6 + "A" * (i % 5)  # variable-length records
+                    f.write(f"@F{fi}R{i:05d}\n{seq}\n+\n{'I' * len(seq)}\n")
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        try:
+            df = vio.read_fastq(spark, str(tmp_path) + "/*.fastq")
+            # enough data to guarantee many blocks per file at 64 KB
+            rows = df.select("key", "sequence", "quality").collect()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        assert len(rows) == 10_000
+        seen = set()
+        for r in rows:
+            fi, i = int(r["key"][1]), int(r["key"][3:8])
+            expect = "ACGT" * 6 + "A" * (i % 5)
+            # any stanza misalignment scrambles sequence/quality pairing
+            assert r["sequence"] == expect, r["key"]
+            assert r["quality"] == "I" * len(expect), r["key"]
+            seen.add((fi, i))
+        assert len(seen) == 10_000  # no dropped or duplicated records
