@@ -905,3 +905,74 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
     )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (a customer with 5 orders, 2 of
+    them 'F', keeps 3 rows). Pairs with set_except (distinct semantics):
+    ``exceptAll`` preserves multiplicities, ``subtract`` does not; both
+    plan as an aggregate-counted anti-shape, no row-by-row matching."""
+    o = table(spark, sf_dir, "orders")
+    a = o.select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_acctbal > 9990
+    UNION ALL
+    SELECT o_custkey AS id, o_totalprice AS bal FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName — column-resolving union (position-independent), the
+    schema-evolution-safe form a long-lived 100 TB pipeline needs when
+    upstream column order drifts. The right side is built with its
+    columns deliberately reversed to prove resolution is by NAME."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9990)
+        .select(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_totalprice").alias("bal"), F.col("o_custkey").alias("id"))
+    )
+    return c.unionByName(o)
+
+
+@query(
+    "window_ntile_cume",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WHERE c_nationkey = 3
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking functions (ntile quartiles + cume_dist) —
+    the remaining window-function family the catalog's row_number /
+    rank / lag entries didn't cover. Single unpartitioned window kept
+    small by the nation filter; at scale, partition the window or use
+    approx percentiles (agg_percentiles' note applies)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
