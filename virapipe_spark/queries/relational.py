@@ -976,3 +976,48 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    b AS (
+      SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS nk,
+             n_name
+      FROM nation
+    )
+    SELECT count(*) AS n_pairs,
+           count(*) FILTER (a.nk IS NULL) AS n_null_pairs
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantic
+    corner every plain equi-join gets wrong when the key is nullable.
+    Every 5th nation key is nulled on both sides so the null-bucket is
+    exercised (its pair count is reported separately).
+
+    Scale caution, encoded here deliberately: the NULL bucket is one
+    giant join key — at 100 TB a null-heavy column turns a null-safe
+    join into a skew hotspot (all nulls meet on one partition). Spark
+    still plans a hash join (<=> is an equi-comparison); pair it with
+    salting (scale.salted_join) if the null fraction is material."""
+    nk_a = F.when(F.col("c_nationkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("c_nationkey")
+    )
+    nk_b = F.when(F.col("n_nationkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("n_nationkey")
+    )
+    a = table(spark, sf_dir, "customer").select("c_custkey", nk_a.alias("nk"))
+    b = table(spark, sf_dir, "nation").select(nk_b.alias("nk"), "n_name")
+    joined = a.join(b, a["nk"].eqNullSafe(b["nk"]))
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(a["nk"].isNull(), 1)).alias("n_null_pairs"),
+    )
