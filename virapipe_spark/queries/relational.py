@@ -1021,3 +1021,50 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.count(F.when(a["nk"].isNull(), 1)).alias("n_null_pairs"),
     )
+
+
+@query(
+    "filter_regexp",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-')
+      AND o_totalprice > 300000
+    """,
+)
+def filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate (rlike / regexp_matches) — the pattern-matching
+    filter surface (the reference greps read names and taxonomy strings;
+    catalog analogs use anchored literals, this one a real character
+    class). Regex predicates don't push into parquet scans (only the
+    companion comparison does) — anchor patterns and pair with a
+    pushable predicate, as here."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").rlike("^[12]-") & (F.col("o_totalprice") > 300000)
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (string_agg / collect_list+sort) —
+    the report-building aggregate. Spark's collect_list is
+    order-nondeterministic after a shuffle, so the engine sorts the
+    collected array before joining: deterministic on both engines, and
+    the ORDER BY in the DuckDB oracle pins the same order.
+
+    Scale: collect_list materializes each group in memory — bounded
+    here (nations per region); for unbounded groups cap with
+    slice(sort_array(...), 1, k) or aggregate counts instead."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
