@@ -30,8 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(catalog.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered never-driver-verified-first (catalog.ordered_queries) so the
+    driver's finite correctness window accumulates coverage across
+    rounds instead of rechecking the same green entries.
+    """
+    return catalog.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
