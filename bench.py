@@ -4,11 +4,14 @@ Runs each headline query end-to-end (noop sink — full execution, no
 driver collect) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Hygiene (per round-1 ADVICE):
+Hygiene (per round-1 and round-3 ADVICE):
 - every table referenced by a headline query is warmed (parquet footer,
   codegen, broadcast machinery) before timing starts;
-- each query is run REPS times and the reported figure is the median, so
-  one-off JIT/GC hiccups don't masquerade as plan cost.
+- each query is run REPS times and the reported figure is the median;
+- sub-second queries get extra reps (up to MAX_REPS): at 0.2-0.3 s a
+  single scheduler hiccup is a ±30% swing, and r02→r03 showed exactly
+  that noise drowning real regressions. More samples tighten the
+  median; queries ≥1 s are already stable at REPS.
 """
 
 from __future__ import annotations
@@ -59,9 +62,16 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "events_retention_cohort",
     "virapipe_chain",
+    # round-4: the two operators Spark lacks primitives for — as-of join
+    # (union + last-ignore-nulls window) and range join (time-bucket
+    # equi-join); benched like the rest of the events family.
+    "events_asof_join",
+    "events_range_join",
 ]
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+#: Sub-second queries get up to this many reps (see module docstring).
+MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "9"))
 
 
 def main() -> None:
@@ -97,7 +107,9 @@ def main() -> None:
     for name in names:
         reps = []
         try:
-            for _ in range(REPS):
+            while len(reps) < REPS or (
+                len(reps) < MAX_REPS and statistics.median(reps) < 1.0
+            ):
                 t0 = time.perf_counter()
                 df = catalog.QUERIES[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()

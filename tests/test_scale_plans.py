@@ -45,16 +45,37 @@ class TestPlanProperties:
         broadcasts of a tiny fixed-size side: the brute-force ANN
         baseline (all-pairs scan IS its semantics — broadcast query
         side) and the IVF coarse-assignment (corpus × C centroids —
-        broadcast centroid side)."""
-        allowed_nlj = {"embed_knn_bruteforce", "embed_knn_ivf"}
+        broadcast centroid side). IVF's BNLJ sits behind its
+        localCheckpoint boundary, so the returned plan starts at a Scan
+        ExistingRDD — the checkpointed assignment is asserted separately
+        in test_ivf_assignment_plan_is_broadcast_nlj."""
+        allowed_nlj = {"embed_knn_bruteforce"}
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)
             assert "CartesianProduct" not in p, name
             if name in allowed_nlj:
                 assert "BroadcastNestedLoopJoin Build" in p, name
+            elif name == "embed_knn_ivf":
+                assert "Scan ExistingRDD" in p, name
+                assert "BroadcastNestedLoopJoin" not in p, name
             else:
                 assert "BroadcastNestedLoopJoin" not in p, name
+
+    def test_ivf_assignment_plan_is_broadcast_nlj(self, spark):
+        """embed_knn_ivf's coarse assignment (corpus × C centroids) must
+        broadcast the tiny centroid side; its plan is hidden from the
+        returned DataFrame by the localCheckpoint, so rebuild the
+        assignment stage standalone and assert on that."""
+        from virapipe_spark.queries import extensions as ext
+
+        qdf = ext._quantized(spark, SF_DIR)
+        cent = qdf.filter(F.col("vec_id") < ext._IVF_C).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+        )
+        p = _plan(qdf.crossJoin(F.broadcast(cent)))
+        assert "BroadcastNestedLoopJoin Build" in p
+        assert "CartesianProduct" not in p
 
     def test_dim_join_broadcasts(self, spark):
         p = _plan(catalog.QUERIES["join_broadcast_dims"](spark, SF_DIR))
@@ -71,8 +92,12 @@ class TestPlanProperties:
 
     def test_minhash_signatures_single_pass(self, spark):
         """All 16 min-aggregates must compute in one aggregation, not 16
-        self-joined passes."""
-        df = catalog.QUERIES["docs_minhash_lsh"](spark, SF_DIR)
+        self-joined passes. materialize=False because the production
+        localCheckpoint truncates the visible plan at the signature
+        table — same pipeline, checkpoint boundary off."""
+        from virapipe_spark.queries.extensions import _minhash_pairs
+
+        df = _minhash_pairs(spark, SF_DIR, materialize=False)
         o = _optimized(df)
         # one Aggregate node computes all h1..h16 columns (each a 32-bit
         # chunk of one of 4 md5s — see _minhash_cols_sql)
@@ -149,6 +174,45 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS bkt_a")
             spark.sql("DROP TABLE IF EXISTS bkt_b")
 
+    def test_join_bucketed_entry_single_exchange(self, spark):
+        """The join_bucketed catalog entry's only Exchange must be the
+        final aggregation's — the orders⋈lineitem join itself reads
+        co-located buckets shuffle-free. Auto-broadcast is disabled so
+        the small sf0.01 side can't hide the property behind a BHJ."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = catalog.QUERIES["join_bucketed"](spark, SF_DIR)
+            p = _plan(df)
+            assert "SortMergeJoin" in p
+            assert p.count("Exchange hashpartitioning") == 1, p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestSplitSizeControl:
+    def test_max_partition_bytes_governs_scan_parallelism(self, spark, tmp_path):
+        """Split-size control (SURVEY §2.7; the reference fixes split
+        counts via mapreduce.input.fileinputformat.split.minsize,
+        Decompress.java:71-76). Spark's equivalent scan knob is
+        spark.sql.files.maxPartitionBytes: halving it must increase the
+        number of scan partitions for the same file, and a huge value
+        must collapse the scan to one partition per file."""
+        path = str(tmp_path / "lines.txt")
+        with open(path, "w") as f:
+            for i in range(20_000):
+                f.write(f"line-{i:08d}-{'x' * 64}\n")
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024 * 512))
+            one = spark.read.text(path).rdd.getNumPartitions()
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+            many = spark.read.text(path).rdd.getNumPartitions()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        assert one == 1
+        assert many > 8  # ~1.5 MB file / 64 KiB splits
+
 
 class TestConnectedComponents:
     def test_path_graph_converges_with_bounded_plan(self, spark):
@@ -183,6 +247,19 @@ class TestConnectedComponents:
             for r in connected_components(edges, nodes, node_col="doc_id").collect()
         }
         assert got == {0: 0, 1: 1, 2: 1, 3: 3}
+
+    def test_raises_instead_of_returning_partial_labels(self, spark):
+        """Exceeding max_rounds must raise, never return wrongly split
+        components — the caller has no way to detect partial labels."""
+        import pytest
+
+        from virapipe_spark.graph import connected_components
+
+        n = 6  # diameter 5 > max_rounds=2
+        edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, nodes, node_col="doc_id", max_rounds=2)
 
 
 class TestTwoPhaseTopK:

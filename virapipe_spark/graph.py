@@ -43,7 +43,7 @@ def connected_components(
     nodes: DataFrame,
     node_col: str = "doc_id",
     label_col: str = "cluster_id",
-    max_rounds: int = 20,
+    max_rounds: int = 50,
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
@@ -53,6 +53,12 @@ def connected_components(
     ``nodes`` contributes ``node_col``; isolated nodes label themselves.
 
     Returns ``(node_col, label_col)`` — one row per node.
+
+    Raises ``RuntimeError`` if propagation has not converged after
+    ``max_rounds`` rounds (rounds needed = graph diameter): returning
+    partial labels would silently split components, and the caller can't
+    detect it. ``max_rounds`` is a safety cap against adversarial
+    graphs, not a tuning knob — dedup-shaped graphs converge in 3-5.
     """
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -62,6 +68,7 @@ def connected_components(
     # (edge count ~ dup rate x corpus, ≪ corpus size).
     sym = sym.persist()
     labels = nodes.select(node_col, F.col(node_col).alias(label_col))
+    changed = -1
     for rnd in range(max_rounds):
         neigh = (
             sym.join(labels, sym["a"] == labels[node_col])
@@ -89,4 +96,11 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge after {max_rounds} "
+            f"rounds ({changed} labels still changing); the graph's "
+            "diameter exceeds max_rounds — raise it rather than use "
+            "partial (wrongly split) components"
+        )
     return labels

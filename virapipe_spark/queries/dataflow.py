@@ -84,6 +84,60 @@ def taxonomy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-amortized fact-fact join over co-bucketed tables
+    (scale.write_bucketed) — the 100 TB answer to a join both of whose
+    sides are reused across queries: pay the bucketing shuffle once at
+    write time, and every later join/agg on the key reads pre-sorted
+    co-located buckets with NO Exchange before the SortMergeJoin
+    (asserted in tests/test_scale_plans.py). No reference counterpart
+    (the reference re-shuffles per run); oracle = the plain join, since
+    bucketing must not change a single row.
+
+    Both sides are written to deterministic scratch tables per sf_dir
+    (overwrite mode — repeated invocations reuse the names), so the
+    entry is self-contained under the driver's bare session; the write
+    cost is part of the measured operator, which is honest: bucketing
+    only wins when the write is amortized over >1 downstream join."""
+    import hashlib
+
+    from virapipe_spark import scale
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"vp_bkt_orders_{tag}", f"vp_bkt_lineitem_{tag}"
+    scale.write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot,
+        "o_orderkey",
+        n_buckets=8,
+    )
+    scale.write_bucketed(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        lt,
+        "l_orderkey",
+        n_buckets=8,
+    )
+    o, li = spark.table(ot), spark.table(lt)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 @query("files_listing")  # rows-only: file paths are environment-dependent
 def files_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-listing scan (Decompress.java:79-98 et al. list an HDFS dir

@@ -195,11 +195,13 @@ _MINHASH_ORACLE = (
 )
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair
     query and the cluster resolver.
 
-    Round-3 plan shape, built for minimum data movement:
+    Round-4 plan shape (A/B-measured, tools/ab_minhash.py, SCALE.md):
 
     - **One shuffle to signatures.** The gram explode feeds
       groupBy(doc_id) directly with NO intermediate ``distinct``:
@@ -209,18 +211,21 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       measured 5× SLOWER: higher-order array functions sit outside
       whole-stage codegen and defeat common-subexpression elimination,
       so the 16 minima each re-derived the md5 arrays. The codegen'd
-      explode→partial-min path wins decisively; measurement recorded in
-      SCALE.md.)
-    - **Candidates are scored inline.** The full 16-component signature
-      rides along each band row (~128 bytes), so pairs are scored right
-      after the band-bucket join — no join back to a signature table,
-      no recompute of the signature pipeline per consumer. The pair
-      dedup (a pair can collide in several bands) groups on the pair
-      key and keeps the first signature copy — signatures are
-      functionally dependent on doc_id, so ``first`` is deterministic.
+      explode→partial-min path wins decisively.)
+    - **Narrow band rows, join back for scoring.** Band rows carry only
+      (doc_id, band, bk); distinct candidate pairs join back to the
+      signature table for the two signature arrays. Round 3 instead rode
+      the full 16-component signature (~128 B) on every band row ×2
+      join sides — measured 6% slower at sf0.1 (2.61 s vs 2.47 s
+      median-of-5): the band self-join + pair-dedup shuffles dominate,
+      and widening their rows costs more than the two narrow join-backs
+      save. The signature table is lazily ``localCheckpoint``-ed
+      (``materialize=True``) so the three consumers (bands, both
+      join-backs) share one computation; blocks free when the returned
+      frame is unreferenced — no session-lifetime cache pinning.
 
-    Shuffles in the whole operator: signature agg, band self-join,
-    tiny pair dedup."""
+    Shuffles: signature agg, band self-join, pair distinct, two
+    join-backs (pair-sized, broadcastable at any dup rate ≪ corpus)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("__toks")
     )
@@ -243,6 +248,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mh = sh.groupBy("doc_id").agg(*[h(j).alias(f"h{j}") for j in range(1, _H + 1)])
+    if materialize:
+        mh = mh.localCheckpoint(eager=False)
     sig = F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)])
     band_structs = F.array(
         *[
@@ -255,26 +262,23 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_B)
         ]
     )
-    bands = mh.select(
-        "doc_id", sig.alias("sig"), F.explode(band_structs).alias("bb")
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk"))
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    pairs = cand.join(
+        mh.select(F.col("doc_id").alias("doc_a"), sig.alias("sig_a")), "doc_a"
+    ).join(mh.select(F.col("doc_id").alias("doc_b"), sig.alias("sig_b")), "doc_b")
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -1049,18 +1053,23 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("__dot").desc(), "cid")
-    # Persist the ranked assignment: it feeds BOTH the cell-assignment
-    # branch (crn=1) and the query-probe branch (crn<=nprobe), and
-    # without materialization the centroid crossJoin + per-vector window
-    # runs once per consumer (plan showed 2 BNLJ). Filtered to
-    # crn<=nprobe first so the cache holds nprobe rows/vector, not C.
+    # Materialize the ranked assignment: it feeds BOTH the
+    # cell-assignment branch (crn=1) and the query-probe branch
+    # (crn<=nprobe), and without materialization the centroid crossJoin
+    # + per-vector window runs once per consumer (plan showed 2 BNLJ).
+    # Filtered to crn<=nprobe first so it holds nprobe rows/vector, not
+    # C. localCheckpoint rather than persist(): a catalog callable can't
+    # unpersist after its caller's action, so a persist here pins cache
+    # for the session per invocation (bench reps accumulated "already
+    # cached" warnings in r03); checkpoint blocks are instead freed by
+    # the ContextCleaner once the returned DataFrame is unreferenced.
     assign_scored = (
         qdf.crossJoin(F.broadcast(cent))
         .withColumn("__dot", dot_c)
         .withColumn("crn", F.row_number().over(wc))
         .filter(F.col("crn") <= F.lit(max(_IVF_PROBE, 1)))
         .select("vec_id", "q", "qnorm", "cid", "crn")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     assign = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", "q", "qnorm", "cid"

@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 from virapipe_spark import functions as vf
 from virapipe_spark.catalog import query, table
 
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Deterministic scratch path for round-trip fixtures.
+
+    Derived from ``sf_dir`` (not ``mkdtemp``) so repeated invocations —
+    bench reps, oracle checks, driver rounds — overwrite one directory
+    instead of leaking a fresh temp dir per call. Assumes a filesystem
+    shared between driver and executors (true in local mode, where these
+    fixture-writing entries run); on a real cluster the round-trip
+    queries would point at a DFS path instead.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"vp_roundtrip_{tag}", name)
+
 # ---------------------------------------------------------------------------
 # Quality filters (FastqFilter.java:109-196) — documents.text as the
 # quality string; char codes are the "phred bytes".
@@ -555,8 +573,6 @@ def fastq_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compares every parsed column against DuckDB computing the same
     records purely relationally. A reader bug (stanza misalignment,
     header regex drift, metadata typing) breaks the hash."""
-    import tempfile
-
     from virapipe_spark import io as vio
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -576,8 +592,8 @@ def fastq_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             _QUAL16,
         ).alias("quality"),
     )
-    out = tempfile.mkdtemp(prefix="vp_fastq_rt_") + "/fq"
-    vio.write_fastq(recs, out)
+    out = _scratch(sf_dir, "fq")
+    vio.write_fastq(recs, out, mode="overwrite")
     return vio.read_fastq(spark, out)
 
 
@@ -599,8 +615,6 @@ def fasta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each record is written with TWO sequence lines (embedded newline), so
     the read side must split on '>' records and re-concatenate sequence
     lines to match the oracle's lineless concat."""
-    import tempfile
-
     from virapipe_spark import io as vio
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -612,9 +626,60 @@ def fasta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.translate(F.md5(F.concat(F.col("text"), F.lit("2"))), _HEX, _DNA16),
         ).alias("sequence"),
     )
-    out = tempfile.mkdtemp(prefix="vp_fasta_rt_") + "/fa"
-    vio.write_fasta(recs, out)
+    out = _scratch(sf_dir, "fa")
+    vio.write_fasta(recs, out, mode="overwrite")
     return vio.read_fasta(spark, out)
+
+
+@query(
+    "sam_scan_roundtrip",
+    oracle=f"""
+    SELECT concat('r', doc_id) AS "readName",
+           CAST(n_chars AS INTEGER) AS "start",
+           concat('ref', doc_id % 5) AS "referenceName",
+           CAST(32 AS INTEGER) AS length,
+           translate(md5(text), '{_HEX}', '{_DNA16}') AS bases,
+           '32M' AS cigar,
+           (doc_id % 4 = 0) AS "readUnmapped",
+           (doc_id % 7 = 0) AS "duplicateRead"
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def sam_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked coverage for the SAM writer/reader pair — §2.10's
+    conversions were pytest-only until round 4 (write path
+    HDFSWriter.java:62-91 header injection; read path
+    HDFSWriter.java:109-149 field extraction).
+
+    Synthesizes typed alignments from ``documents`` (bases md5-derived
+    so both engines compute them), writes REAL tab-separated SAM text
+    via io.write_sam — including an injected 2-line header in every
+    partition file — and reads it back through io.read_sam's field
+    split, flag-word decode (0x4/0x400), and permissive casts. The
+    header lines must vanish on read; a flag-encode/decode asymmetry or
+    field-order drift breaks the hash."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    alignments = d.select(
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("readName"),
+        F.col("n_chars").cast("int").alias("start"),
+        F.concat(F.lit("ref"), (F.col("doc_id") % 5).cast("string")).alias(
+            "referenceName"
+        ),
+        F.translate(F.md5("text"), _HEX, _DNA16).alias("bases"),
+        F.lit("32M").alias("cigar"),
+        (F.col("doc_id") % 4 == 0).alias("readUnmapped"),
+        (F.col("doc_id") % 7 == 0).alias("duplicateRead"),
+    )
+    out = _scratch(sf_dir, "sam")
+    vio.write_sam(
+        alignments,
+        out,
+        header=["@HD\tVN:1.6\tSO:unsorted", "@SQ\tSN:ref0\tLN:100000"],
+        mode="overwrite",
+    )
+    return vio.read_sam(spark, out)
 
 
 # ---------------------------------------------------------------------------

@@ -660,13 +660,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the classic correlated predicate: revenue only counts when the
     supplier's nation matches the customer's (local fulfilment).
 
-    Scale: region→nation is a 2-hop dim chain that reduces to a tiny
-    nation-key set — broadcast; supplier and customer join the facts on
-    their keys, with the c_nationkey = s_nationkey correlation applied
-    as a post-join filter on two already-joined small columns (never a
-    join key — it would skew on nation). The only fact-fact exchange is
-    orders⋈lineitem on orderkey; everything else broadcasts. Catalyst +
-    AQE pick that plan from the declarative form unaided."""
+    Scale: region→nation is a 2-hop dim chain that reduces to a tiny,
+    scale-invariant nation-key set — the only joins worth *forcing* to
+    broadcast. supplier and customer grow linearly with scale factor, so
+    hinting them would override autoBroadcastJoinThreshold and OOM at
+    the 100 TB bar; they're left unhinted so AQE's runtime size
+    estimation picks broadcast at small SF and shuffled hash join at
+    large. The c_nationkey = s_nationkey correlation is applied as a
+    post-join filter on two already-joined small columns (never a join
+    key — it would skew on nation)."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -679,9 +681,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

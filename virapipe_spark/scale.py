@@ -14,6 +14,8 @@ this module exists for the 100 TB design bar.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the fact side, replicate the dim side.
 
@@ -35,10 +38,20 @@ def salted_join(
     one hot key).
 
     The salt is derived deterministically from the fact row's content
-    (``pmod(hash(all fact columns), n_salts)``), never ``rand()``: a
-    random salt is only stable per partition layout, so a stage retry or
-    non-deterministic upstream ordering could reassign salts mid-shuffle
-    and drop or duplicate rows. Content-hashing is retry-safe.
+    (``pmod(hash(salt_cols or all fact columns), n_salts)``), never
+    ``rand()``: a random salt is only stable per partition layout, so a
+    stage retry or non-deterministic upstream ordering could reassign
+    salts mid-shuffle and drop or duplicate rows. Content-hashing is
+    retry-safe.
+
+    Limitation: *identical* fact rows hash to the same salt, so a hot
+    key consisting of exact duplicate rows (a common real skew shape —
+    e.g. replayed events) still lands on one (key, salt) partition and
+    the mitigation degrades to an unsalted join. When the fact side can
+    carry duplicates, pass ``salt_cols`` naming a high-cardinality
+    per-row disambiguator (a stable row id, a file offset, a batch
+    sequence number) to restore spreading; absent any such column,
+    deduplicate upstream or aggregate the duplicates before joining.
 
     Only ``inner`` and ``left`` joins are supported: a right/full outer
     join would emit each unmatched dim row ``n_salts`` times (the explode
@@ -52,7 +65,8 @@ def salted_join(
             f"salted_join supports inner/left joins only, got how={how!r}: "
             "right/full outer would duplicate unmatched dim rows ×n_salts"
         )
-    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    salt_src = salt_cols if salt_cols else fact.columns
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(n_salts))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
@@ -77,6 +91,23 @@ def write_bucketed(
     are reused across queries: pay the shuffle once at write time,
     amortize it over every subsequent join/aggregation on the key.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    # A fresh in-memory metastore can leave an orphaned managed-table
+    # location on disk from a previous session, and saveAsTable refuses
+    # to create over it (LOCATION_ALREADY_EXISTS). Clear local-FS
+    # leftovers; on a cluster the persistent metastore never orphans a
+    # location, so the DROP above is the whole story.
+    if path is None:
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            import shutil
+
+            leftover = os.path.join(wh.path, table_name.lower())
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
     w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
     if path is not None:
         w = w.option("path", path)
