@@ -77,6 +77,26 @@ class TestPlanProperties:
         assert "BroadcastNestedLoopJoin Build" in p
         assert "CartesianProduct" not in p
 
+    def test_broadcast_if_small_is_size_gated(self, spark):
+        """q5's supplier/customer hints come from the MEASURED parquet
+        size (scale.broadcast_if_small), not a blanket F.broadcast —
+        below threshold the fact joins are all BroadcastHashJoin (no
+        fact-side shuffle before the agg); above (simulated with
+        threshold=0) and for unknown paths the hint must vanish."""
+        p = _plan(catalog.QUERIES["q5_local_supplier_volume"](spark, SF_DIR))
+        assert "SortMergeJoin" not in p
+        assert p.count("BroadcastHashJoin") >= 4
+        li = catalog.table(spark, SF_DIR, "lineitem")
+        o = catalog.table(spark, SF_DIR, "orders")
+        hinted = scale.broadcast_if_small(
+            o, f"{SF_DIR}/orders.parquet", threshold=0
+        )
+        assert hinted is o
+        assert scale.broadcast_if_small(o, "/nonexistent/path") is o
+        small = scale.broadcast_if_small(o, f"{SF_DIR}/orders.parquet")
+        pj = _plan(li.join(small, li["l_orderkey"] == small["o_orderkey"]))
+        assert "BroadcastHashJoin" in pj
+
     def test_dim_join_broadcasts(self, spark):
         p = _plan(catalog.QUERIES["join_broadcast_dims"](spark, SF_DIR))
         assert "BroadcastHashJoin" in p

@@ -138,6 +138,45 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouped_write_roundtrip",
+    oracle="""
+    SELECT doc_id, n_chars,
+           concat('s', doc_id % 7) AS sample
+    FROM documents
+    """,
+)
+def grouped_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked round-trip through the grouped multi-file sink
+    (io.write_grouped — the partitionBy replacement for the reference's
+    per-sample FSDataOutputStream loop, FastqGroupper.java:71-109) —
+    §2.2's one sink family that was pytest-only.
+
+    Derives a 7-way sample key, writes one parquet directory per sample
+    (fully distributed, no driver fan-out), and reads the partitioned
+    tree back: partition discovery must restore every row and the
+    partition column's value exactly — a dropped group directory,
+    Hive-escaping drift in the key, or a partition-column type coercion
+    breaks the hash. The string key is deliberate: numeric-looking
+    partition values get type-inferred on read; 's0'..'s6' round-trips
+    as written."""
+    import hashlib
+    import os
+    import tempfile
+
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("sample"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"vp_roundtrip_{tag}", "grouped")
+    vio.write_grouped(d, out, "sample", mode="overwrite")
+    return spark.read.parquet(out).select("doc_id", "n_chars", "sample")
+
+
 @query("files_listing")  # rows-only: file paths are environment-dependent
 def files_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-listing scan (Decompress.java:79-98 et al. list an HDFS dir

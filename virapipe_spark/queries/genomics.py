@@ -682,6 +682,54 @@ def sam_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vio.read_sam(spark, out)
 
 
+@query(
+    "sam_to_fastq_convert",
+    oracle=f"""
+    SELECT concat(readName, CASE WHEN rn = 1 THEN '/1' ELSE '/2' END) AS key,
+           bases AS sequence,
+           repeat('I', length(bases)) AS quality
+    FROM (
+        SELECT readName, bases,
+               row_number() OVER (PARTITION BY readName
+                                  ORDER BY "start", bases) AS rn
+        FROM (
+            SELECT concat('r', doc_id // 2) AS readName,
+                   CAST(n_chars + doc_id % 2 AS INTEGER) AS "start",
+                   translate(md5(text), '{_HEX}', '{_DNA16}') AS bases
+            FROM documents WHERE doc_id < 301
+        )
+    )
+    WHERE rn <= 2
+    """,
+)
+def sam_to_fastq_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked SAM→FASTQ conversion (SamToFastq.java:47-68) — the
+    last §2.10 conversion that was pytest-only.
+
+    Synthesizes mate-paired alignments from ``documents`` (two docs
+    share each readName via ``doc_id div 2``; ``doc_id < 301`` leaves
+    r150 a singleton so the /1-only path is exercised too), then runs
+    :func:`io.sam_to_fastq`: mates numbered by a deterministic
+    (start, bases) window — never file order — suffixed /1 and /2, with
+    the placeholder Phred-40 quality run sized to the sequence. The
+    oracle replicates the mate-numbering window relationally; a suffix
+    swap, a dropped singleton, or a quality-length drift breaks the
+    hash."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 301)
+    alignments = d.select(
+        F.concat(F.lit("r"), F.expr("doc_id div 2").cast("string")).alias("readName"),
+        (F.col("n_chars") + F.col("doc_id") % 2).cast("int").alias("start"),
+        F.lit("ref0").alias("referenceName"),
+        F.translate(F.md5("text"), _HEX, _DNA16).alias("bases"),
+        F.lit("32M").alias("cigar"),
+        F.lit(False).alias("readUnmapped"),
+        F.lit(False).alias("duplicateRead"),
+    )
+    return vio.sam_to_fastq(alignments)
+
+
 # ---------------------------------------------------------------------------
 # The reference's pipeline, composed (virapipe.sh:38-63 stage chain)
 # ---------------------------------------------------------------------------

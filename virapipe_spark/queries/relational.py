@@ -661,14 +661,22 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier's nation matches the customer's (local fulfilment).
 
     Scale: region→nation is a 2-hop dim chain that reduces to a tiny,
-    scale-invariant nation-key set — the only joins worth *forcing* to
+    scale-invariant nation-key set — the only joins *unconditionally*
     broadcast. supplier and customer grow linearly with scale factor, so
-    hinting them would override autoBroadcastJoinThreshold and OOM at
-    the 100 TB bar; they're left unhinted so AQE's runtime size
-    estimation picks broadcast at small SF and shuffled hash join at
-    large. The c_nationkey = s_nationkey correlation is applied as a
-    post-join filter on two already-joined small columns (never a join
-    key — it would skew on nation)."""
+    a blanket hint would override autoBroadcastJoinThreshold and OOM at
+    the 100 TB bar; but leaving them unhinted surrenders to Catalyst's
+    static join-size product, which inflates the tiny supplier⋈nation
+    chain past the threshold and shuffles all of lineitem⋈orders on
+    l_suppkey (measured 0.85 s → 2.8 s at sf0.1; AQE's runtime SMJ→BHJ
+    rewrite doesn't refund the map-side shuffle write). They get
+    scale.broadcast_if_small instead — hint from the MEASURED parquet
+    footprint, exactly what a CBO with table stats would plan: broadcast
+    below 32 MB on disk, shuffled join above. The c_nationkey =
+    s_nationkey correlation is applied as a post-join filter on two
+    already-joined small columns (never a join key — it would skew on
+    nation)."""
+    from virapipe_spark import scale
+
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -676,7 +684,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    customer = table(spark, sf_dir, "customer")
+    supplier = scale.broadcast_if_small(supplier, f"{sf_dir}/supplier.parquet")
+    customer = scale.broadcast_if_small(
+        table(spark, sf_dir, "customer"), f"{sf_dir}/customer.parquet"
+    )
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (

@@ -20,6 +20,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def broadcast_if_small(
+    df: DataFrame, *paths: str, threshold: int = 32 << 20
+) -> DataFrame:
+    """Size-aware broadcast hint: hint only when the relation's actual
+    on-disk footprint is under ``threshold`` bytes.
+
+    An unconditional ``F.broadcast`` on a table that grows with scale
+    factor overrides ``autoBroadcastJoinThreshold`` and OOMs at the
+    100 TB bar (round-3 ADVICE on q5); but *dropping* the hint entirely
+    surrenders to Catalyst's static estimator, whose join-output size
+    product inflates a tiny dim-chain (supplier⋈nation⋈region) past the
+    threshold and plans a full fact-side shuffle — measured 0.85 s →
+    2.8 s on q5 at sf0.1, and AQE's runtime SMJ→BHJ rewrite does not
+    recover the map-side shuffle write already paid. This helper does
+    what a cost-based optimizer with real table stats would: decide
+    from the MEASURED source size, so small-SF runs broadcast and
+    large-SF runs shuffle, with no cliff in between.
+
+    ``paths`` are the relation's source files/directories (driver-side
+    listing — local FS and DFS mounts; on an object store, substitute
+    catalog statistics). Unknown paths mean unknown size: no hint, let
+    Spark decide. The default threshold is 32 MB — comfortably within a
+    multi-GB executor while covering dims that static estimation
+    misjudges; the hint only ever *adds* broadcast, so the failure mode
+    of a stale size is a too-large broadcast bounded by the real file
+    size at plan time, not unbounded growth.
+    """
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+        else:
+            return df
+    return F.broadcast(df) if total < threshold else df
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
