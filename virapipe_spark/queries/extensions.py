@@ -605,6 +605,132 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_repetition_topgram",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_grams
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, top_cnt, n_grams,
+           round(top_cnt * 1.0 / n_grams, 4) AS top_2gram_ratio,
+           (top_cnt * 1.0 / n_grams <= 0.125) AS keep
+    FROM a
+    """,
+)
+def docs_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    2-grams claimed by its single most frequent 2-gram (Rae et al. 2021
+    §A1.1 use top-n-gram coverage to drop boilerplate/degenerate text;
+    keep = ratio ≤ 0.125, the order of their 2-gram cutoff).
+
+    Shape: gram explode → (doc, gram) count → per-doc max/sum. Both
+    aggregations are map-side-combinable hash aggs keyed by doc (never
+    by gram alone), so shuffle volume is bounded by distinct (doc,
+    gram) pairs and no hot gram concentrates a partition — the
+    per-array alternative (count each gram inside the token array with
+    higher-order functions) is zero-shuffle but O(n²) per row OUTSIDE
+    codegen, which measured 5× slower in the MinHash A/B (SCALE.md);
+    the explode stays fused with the scan."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_grams")
+    )
+    ratio = F.col("top_cnt") / F.col("n_grams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "top_cnt",
+        "n_grams",
+        F.round(ratio, 4).alias("top_2gram_ratio"),
+        (ratio <= 0.125).alias("keep"),
+    )
+
+
+#: Shared PII patterns — RE2-compatible (no lookaround/backrefs), so the
+#: Java-regex Spark side and the RE2 DuckDB side match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "docs_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             concat(text, ' reach user', doc_id, '@example.com or 555-',
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' now') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM injected
+    """,
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone numbers) — a standard
+    pretraining-corpus compliance step. The synthetic corpus carries no
+    PII, so each doc is first salted with a deterministic email+phone
+    derived from doc_id; the operator then counts matches and replaces
+    every occurrence with typed placeholder tags. Hash-checked on the
+    md5 of the scrubbed text (the md5-hex payload trick: both engines
+    hash the full string, the driver compares 32 hex chars), so a
+    missed match, a partial replacement, or an engine regex divergence
+    breaks the hash.
+
+    Patterns are deliberately RE2-compatible (no lookaround) so Java
+    regex (Spark) and RE2 (DuckDB) agree. Pure regexp projection inside
+    the scan stage — zero shuffles, zero Python; at 100 TB this runs at
+    scan speed like docs_text_stats."""
+    d = table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 #: (lang, marker words) profiles for the language-ID vote. Deterministic
 #: toy profiles — the *shape* (per-profile token votes, argmax with a
 #: stable tiebreak) is the real n-gram-profile algorithm's.
