@@ -83,34 +83,50 @@ def load_all() -> None:
     )
 
 
-#: Hash-verified by the driver in round 3 (CORRECTNESS_r03.json keys).
-_VERIFIED_R03 = frozenset(
-    """
-    agg_cube agg_percentiles agg_pivot agg_rollup agg_string_concat
-    codon_usage count_distinct dedup_distinct_rows dedup_first_per_key
-    fasta_format_lines filter_avg_quality filter_lowq_count
-    filter_predicate filter_regexp group_having_band join_broadcast_dims
-    join_full_outer join_inner_agg join_left_anti join_left_outer
-    join_left_semi join_null_safe join_salted_skew join_threshold_filter
-    kmer_count_band kmer_unique_set mate_pivot normalize_digital
-    orderby_limit orf_six_frame q14_promo_share q1_pricing_summary
-    q3_shipping_priority q5_local_supplier_volume rename_unique
-    revcomp_projection sample_group_count scan_project set_except
-    set_except_all set_intersect set_union set_union_by_name
-    sql_passthrough window_lag_gap window_ntile_cume window_running_sum
-    window_time_range_avg window_topk_per_group window_topk_salted
-    """.split()
-)
+def _verified_rounds() -> dict[str, int]:
+    """name -> latest round in which the driver proved the query, read
+    from the repo's ``CORRECTNESS_r*.json`` files at call time.
 
-#: Verified in rounds 1-2 but displaced out of round 3's 50-entry window.
-_VERIFIED_EARLIER = frozenset(
-    """
-    coalesce_merge docs_dedup_clusters docs_exact_dedup docs_minhash_lsh
-    docs_ngram_jaccard docs_quality_filter docs_simhash
-    docs_simhash_neardup docs_text_stats files_listing interleave_zip
-    reads_fwd_rev_split repartition_scan sam_flag_filter taxonomy_filter
-    """.split()
-)
+    "Proved" means the driver row exists and is clean: for oracle-backed
+    entries, rows/schema/hash all matched with no error; for rows-only
+    entries (``err == "no_oracle"``), the Spark side executed and
+    returned a row count. A hash-fail, schema-fail, or crash does NOT
+    count — the entry drops back to never-verified so the next window
+    re-checks it immediately. Self-maintaining: each round's driver
+    output rotates the next round's window with no hand-edited name
+    lists (rounds 1-3 kept frozensets here; round 4 derives them)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    not row.get("err")
+                    and bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and bool(row.get("hash_match"))
+                )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -118,20 +134,14 @@ def ordered_queries() -> dict[str, QueryFn]:
     on unproven entries first.
 
     The driver hash-checks only the first 50 entries of
-    ``__spark_entry__.queries()`` in iteration order. Tiering: (0) never
-    driver-verified in any round — including queries added this round —
-    then (1) verified in r01/r02 but displaced from r03's window, then
-    (2) green in r03. Registration order is preserved within a tier, so
-    the composition of each round's checked set is deterministic and the
-    union over rounds converges to full catalog coverage.
-    """
-
-    def tier(name: str) -> int:
-        if name in _VERIFIED_R03:
-            return 2
-        if name in _VERIFIED_EARLIER:
-            return 1
-        return 0
-
-    names = sorted(QUERIES, key=lambda n: tier(n))  # stable sort
+    ``__spark_entry__.queries()`` in iteration order. Sort key: the
+    latest round in which the driver proved the entry
+    (:func:`_verified_rounds`), ascending — never-proven entries
+    (including ones added this round, and any that ever hash-failed)
+    sort to 0 and are checked first, then the least-recently-proven.
+    Registration order breaks ties (stable sort), so each round's
+    checked set is deterministic and the union over rounds converges to
+    — then maintains — full catalog coverage."""
+    proven = _verified_rounds()
+    names = sorted(QUERIES, key=lambda n: proven.get(n, 0))
     return {n: QUERIES[n] for n in names}
