@@ -48,8 +48,11 @@ class TestPlanProperties:
         broadcast centroid side). IVF's BNLJ sits behind its
         localCheckpoint boundary, so the returned plan starts at a Scan
         ExistingRDD — the checkpointed assignment is asserted separately
-        in test_ivf_assignment_plan_is_broadcast_nlj."""
-        allowed_nlj = {"embed_knn_bruteforce"}
+        in test_ivf_assignment_plan_is_broadcast_nlj. embed_kmeans_lloyd
+        broadcasts a SINGLE centroid-array row per assignment (argmin is
+        a per-row array_min projection — zero-shuffle by design), so its
+        one BNLJ is a 1-row build side."""
+        allowed_nlj = {"embed_knn_bruteforce", "embed_kmeans_lloyd"}
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)

@@ -1218,6 +1218,164 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lloyd's k-means over the quantized embeddings: _KM_C clusters, 2
+# unrolled iterations. Integer-exact end to end — quantized inputs,
+# integer squared-L2 distances, and centroid means re-quantized to
+# integers via one exact-IEEE division + round — so Spark and DuckDB
+# agree bit-for-bit with no float-summation-order risk.
+_KM_C = 8
+
+_KM_ORACLE_HEAD = f"""
+    WITH e AS ({_Q_SQL}),
+    el AS (SELECT vec_id, u.i AS pos, e.q[u.i] AS v
+           FROM e, UNNEST(generate_series(1, len(e.q))) AS u(i)),
+    c0 AS (SELECT vec_id AS cid, pos, v AS cv FROM el WHERE vec_id < {_KM_C})
+"""
+
+
+def _km_oracle_round(src: str, cent: str, n: int) -> str:
+    """One Lloyd iteration in SQL: assign ``src`` against ``cent``,
+    then recompute integer centroids."""
+    return f"""
+    d{n} AS (SELECT el.vec_id, c.cid,
+                    sum((el.v - c.cv) * (el.v - c.cv)) AS dist
+             FROM {src} el JOIN {cent} c ON el.pos = c.pos
+             GROUP BY el.vec_id, c.cid),
+    a{n} AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+               FROM d{n}) WHERE rn = 1),
+    c{n} AS (SELECT a.cid, el.pos,
+                    CAST(round(CAST(sum(el.v) AS DOUBLE) / count(*)) AS BIGINT)
+                      AS cv
+             FROM a{n} a JOIN el ON a.vec_id = el.vec_id
+             GROUP BY a.cid, el.pos)
+    """
+
+
+@query(
+    "embed_kmeans_lloyd",
+    oracle=_KM_ORACLE_HEAD
+    + ","
+    + _km_oracle_round("el", "c0", 1)
+    + ","
+    + _km_oracle_round("el", "c1", 2)
+    + f""",
+    d3 AS (SELECT el.vec_id, c.cid,
+                  sum((el.v - c.cv) * (el.v - c.cv)) AS dist
+           FROM el JOIN c2 c ON el.pos = c.pos
+           GROUP BY el.vec_id, c.cid),
+    a3 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d3) WHERE rn = 1),
+    cn AS (SELECT cid, sum(cv * cv) AS norm2 FROM c2 GROUP BY cid)
+    SELECT a3.cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(a3.vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(max(cn.norm2) AS BIGINT) AS c_norm2
+    FROM a3 JOIN cn ON a3.cid = cn.cid
+    GROUP BY a3.cid
+    """,
+)
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (C={_KM_C}, 2 unrolled iterations + final
+    assignment) — the iterative-algorithm capability the IVF coarse
+    quantizer points at ("real deployments train centroids with
+    k-means"): seeds = the first C corpus vectors, then
+    assign→update→assign→update→assign, reporting per-cluster size,
+    member-id sum, and centroid norm.
+
+    Integer-exact cross-engine determinism: inputs are the quantized
+    long vectors the ANN family shares; squared-L2 distances are exact
+    integer sums (order-independent, no float eps); the only division —
+    the centroid mean — divides an EXACT integer sum by an exact count
+    in one IEEE op and re-quantizes with round(), so both engines
+    derive bit-identical centroids, and argmin ties (exact, integer)
+    break on min cid in both.
+
+    Scale shape: ASSIGNMENT IS A ZERO-SHUFFLE PROJECTION — the C
+    centroids collapse to ONE broadcast row of array<struct<cid,c>>,
+    and a per-row array_min over struct(dist, cid) does the argmin with
+    the tie-break built into lexicographic struct ordering; no N×C
+    row explosion, no per-vector window shuffle (the relational
+    alternative shuffles N×C rows per iteration — the oracle computes
+    that way precisely because DuckDB is single-node). The UPDATE
+    shuffles only (cid, pos) partial sums — C×dims rows regardless of
+    corpus size, map-side combined. Per-iteration centroid tables (C
+    rows) are lazily localCheckpoint-ed so each assignment reads a
+    materialized 8-row table instead of re-deriving the whole lineage
+    (blocks freed when the result is dereferenced — no session cache
+    pinning). The per-row distance transform is higher-order (outside
+    codegen; SCALE.md) — O(C·d) arithmetic per row beats an N×C
+    shuffle by construction at any C worth broadcasting."""
+    qdf = _quantized(spark, sf_dir).select("vec_id", "q")
+
+    def centroid_row(cm: DataFrame) -> DataFrame:
+        """(cid, c) rows -> one broadcastable row: cents array<struct>."""
+        return cm.groupBy().agg(
+            F.collect_list(F.struct("cid", "c")).alias("cents")
+        ).localCheckpoint(eager=False)
+
+    def assign(cents_row: DataFrame) -> DataFrame:
+        scored = F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with("q", s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        return qdf.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "q", F.array_min(scored)["cid"].alias("cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        lf = assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+        cm = lf.groupBy("cid", "pos").agg(
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+        return cm.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+
+    c0 = centroid_row(
+        qdf.filter(F.col("vec_id") < _KM_C).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("c")
+        )
+    )
+    c1 = centroid_row(update(assign(c0)))
+    c2_tbl = update(assign(c1)).localCheckpoint(eager=False)
+    final = assign(centroid_row(c2_tbl))
+    norms = c2_tbl.select(
+        "cid",
+        F.aggregate(
+            F.transform("c", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("c_norm2"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .join(norms, "cid")
+        .select("cid", "n_members", "sum_vec_id", "c_norm2")
+    )
+
+
 @query(
     "docs_hash_split",
     oracle="""
