@@ -67,6 +67,9 @@ HEADLINE = [
     # equi-join); benched like the rest of the events family.
     "events_asof_join",
     "events_range_join",
+    # round-4: the iterative-algorithm plan — 3 zero-shuffle broadcast
+    # assignments + 2 (cid,pos)-bounded update shuffles.
+    "embed_kmeans_lloyd",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
