@@ -35,6 +35,31 @@ class TestDriverWindow:
         missing = [n for n in unproven if n not in head]
         assert not missing, f"unproven entries sorted outside the window: {missing}"
 
+    def test_regression_demotes_to_never_verified(self, tmp_path):
+        """An entry whose MOST RECENT driver check failed must sort as
+        never-verified (rotate back into the window immediately), even
+        if older rounds proved it — the window_lag_gap r1-pass/r2-crash
+        precedent."""
+        import json
+
+        ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+              "spark_rows": 1, "oracle_rows": 1, "err": None}
+        fail = dict(ok, hash_match=False)
+        crash = dict(ok, rows_match=None, err="boom")
+        rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                     "spark_rows": 7, "oracle_rows": None, "err": "no_oracle"}
+        (tmp_path / "CORRECTNESS_r01.json").write_text(
+            json.dumps({"a": ok, "b": ok, "c": ok, "d": rows_only})
+        )
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({"a": ok, "b": fail, "c": crash})
+        )
+        proven = catalog._verified_rounds(str(tmp_path))
+        assert proven.get("a") == 2
+        assert "b" not in proven  # latest check failed -> demoted
+        assert "c" not in proven  # latest check crashed -> demoted
+        assert proven.get("d") == 1  # rows-only pass counts
+
     def test_ordering_is_a_permutation_of_the_registry(self):
         catalog.load_all()
         assert list(catalog.ordered_queries().keys()) != []

@@ -68,15 +68,12 @@ class TestPlanProperties:
     def test_ivf_assignment_plan_is_broadcast_nlj(self, spark):
         """embed_knn_ivf's coarse assignment (corpus × C centroids) must
         broadcast the tiny centroid side; its plan is hidden from the
-        returned DataFrame by the localCheckpoint, so rebuild the
-        assignment stage standalone and assert on that."""
+        returned DataFrame by the localCheckpoint, so assert on the
+        PRODUCTION pre-checkpoint stage (extensions._ivf_assign_scored —
+        the exact pipeline embed_knn_ivf checkpoints)."""
         from virapipe_spark.queries import extensions as ext
 
-        qdf = ext._quantized(spark, SF_DIR)
-        cent = qdf.filter(F.col("vec_id") < ext._IVF_C).select(
-            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-        )
-        p = _plan(qdf.crossJoin(F.broadcast(cent)))
+        p = _plan(ext._ivf_assign_scored(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin Build" in p
         assert "CartesianProduct" not in p
 

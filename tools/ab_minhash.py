@@ -112,52 +112,14 @@ def shape_a(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shape_b(spark: SparkSession, sf_dir: str, materialize: bool) -> DataFrame:
-    mh = _mh(spark, sf_dir)
-    if materialize:
-        mh = mh.localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(*[F.col(f"h{b * _R + r}") for r in range(1, _R + 1)])
-                ).alias("bk"),
-            )
-            for b in range(_B)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = mh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)]).alias("sig_a"),
-    )
-    sb = mh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)]).alias("sig_b"),
-    )
-    pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    est = matches / F.lit(float(_H))
-    return pairs.filter(est >= _EST_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
-    )
+    """Shapes B (materialize=True) and C (False) ARE the production
+    pipeline — call it rather than copy it, so a future re-run measures
+    whatever ships, not a frozen snapshot. Only shape A stays a frozen
+    copy (it exists purely as the rejected-round-3 historical
+    comparator)."""
+    from virapipe_spark.queries.extensions import _minhash_pairs
+
+    return _minhash_pairs(spark, sf_dir, materialize=materialize)
 
 
 def main() -> None:

@@ -83,7 +83,7 @@ def load_all() -> None:
     )
 
 
-def _verified_rounds() -> dict[str, int]:
+def _verified_rounds(root: str | None = None) -> dict[str, int]:
     """name -> latest round in which the driver proved the query, read
     from the repo's ``CORRECTNESS_r*.json`` files at call time.
 
@@ -91,17 +91,23 @@ def _verified_rounds() -> dict[str, int]:
     entries, rows/schema/hash all matched with no error; for rows-only
     entries (``err == "no_oracle"``), the Spark side executed and
     returned a row count. A hash-fail, schema-fail, or crash does NOT
-    count — the entry drops back to never-verified so the next window
-    re-checks it immediately. Self-maintaining: each round's driver
-    output rotates the next round's window with no hand-edited name
-    lists (rounds 1-3 kept frozensets here; round 4 derives them)."""
+    count — and if the MOST RECENT check of an entry failed, the entry
+    is demoted to never-verified (key absent → sorts first) regardless
+    of older green rounds, so a regression rotates straight back into
+    the window instead of hiding behind its past passes (precedent:
+    ``window_lag_gap`` passed r1 then crashed r2). Self-maintaining:
+    each round's driver output rotates the next round's window with no
+    hand-edited name lists (rounds 1-3 kept frozensets here; round 4
+    derives them)."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, int] = {}
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_pass: dict[str, int] = {}
+    latest_checked: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -125,8 +131,14 @@ def _verified_rounds() -> dict[str, int]:
                     and bool(row.get("hash_match"))
                 )
             if ok:
-                latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+                latest_pass[name] = max(latest_pass.get(name, 0), rnd)
+            if rnd >= latest_checked.get(name, (0, False))[0]:
+                latest_checked[name] = (rnd, ok)
+    return {
+        name: rnd
+        for name, rnd in latest_pass.items()
+        if latest_checked[name][1]  # most recent check passed
+    }
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -21,6 +21,40 @@ from pyspark.sql import functions as F
 from virapipe_spark import schemas
 from virapipe_spark.functions import fasta_record, fastq_record, sam_field
 
+
+def scratch_tag(spark: SparkSession, sf_dir: str) -> str:
+    """8-hex tag keyed on (sf_dir, Spark applicationId) — the shared
+    namespace for fixture scratch paths and scratch table names."""
+    import hashlib
+
+    appid = spark.sparkContext.applicationId
+    return hashlib.md5(f"{sf_dir}:{appid}".encode()).hexdigest()[:8]
+
+
+def scratch_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Deterministic per-application scratch path for round-trip
+    fixture writes (the catalog entries that exercise a writer+reader
+    pair under the correctness gate).
+
+    Keyed on (sf_dir, applicationId): repeated invocations within a
+    session — bench reps, oracle checks — overwrite ONE directory
+    instead of leaking a fresh mkdtemp per call (round-3 ADVICE), while
+    concurrent sessions (a driver round beside a local bench/pytest
+    run) get disjoint trees, so one session's ``mode="overwrite"``
+    delete can never race another session's still-lazy read of the same
+    files. The leak is bounded to one directory per application,
+    reclaimed by normal /tmp hygiene. Local-mode assumption: the path
+    must be visible to driver AND executors (true in local mode, where
+    these fixture-writing entries run; a cluster deployment would point
+    at a DFS scratch root instead)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"vp_scratch_{scratch_tag(spark, sf_dir)}", name
+    )
+
+
 # ---------------------------------------------------------------------------
 # FASTQ
 # ---------------------------------------------------------------------------

@@ -109,11 +109,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry is self-contained under the driver's bare session; the write
     cost is part of the measured operator, which is honest: bucketing
     only wins when the write is amortized over >1 downstream join."""
-    import hashlib
-
+    from virapipe_spark import io as vio
     from virapipe_spark import scale
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = vio.scratch_tag(spark, sf_dir)
     ot, lt = f"vp_bkt_orders_{tag}", f"vp_bkt_lineitem_{tag}"
     scale.write_bucketed(
         table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
@@ -160,10 +159,6 @@ def grouped_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash. The string key is deliberate: numeric-looking
     partition values get type-inferred on read; 's0'..'s6' round-trips
     as written."""
-    import hashlib
-    import os
-    import tempfile
-
     from virapipe_spark import io as vio
 
     d = table(spark, sf_dir, "documents").select(
@@ -171,8 +166,7 @@ def grouped_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("sample"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"vp_roundtrip_{tag}", "grouped")
+    out = vio.scratch_dir(spark, sf_dir, "grouped")
     vio.write_grouped(d, out, "sample", mode="overwrite")
     return spark.read.parquet(out).select("doc_id", "n_chars", "sample")
 

@@ -1118,6 +1118,31 @@ _IVF_C = 8
 _IVF_PROBE = 2
 
 
+def _ivf_assign_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse assignment, PRE-checkpoint: every vector ranked
+    against the _IVF_C broadcast centroids, kept to crn<=nprobe. Module
+    level so tests/test_scale_plans.py asserts the broadcast property on
+    the PRODUCTION pipeline (the checkpoint in embed_knn_ivf truncates
+    the visible plan at a Scan ExistingRDD, hiding the join strategy)."""
+    qdf = _quantized(spark, sf_dir)
+    cent = qdf.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    dot_c = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("__dot").desc(), "cid")
+    return (
+        qdf.crossJoin(F.broadcast(cent))
+        .withColumn("__dot", dot_c)
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= F.lit(max(_IVF_PROBE, 1)))
+        .select("vec_id", "q", "qnorm", "cid", "crn")
+    )
+
+
 @query(
     "embed_knn_ivf",
     oracle=f"""
@@ -1167,18 +1192,9 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF build). The candidate join keys on cell id — an equi-join the
     planner shuffles by cell; probe count and C tune recall vs cost
     (nprobe/nlist in FAISS terms). Real deployments train centroids
-    with k-means (MLlib) and store cell id as a partition column so
-    probes prune files; the plan shape is identical."""
-    qdf = _quantized(spark, sf_dir)
-    cent = qdf.filter(F.col("vec_id") < _IVF_C).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    dot_c = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wc = W.partitionBy("vec_id").orderBy(F.col("__dot").desc(), "cid")
+    with k-means (embed_kmeans_lloyd is the trainer here) and store
+    cell id as a partition column so probes prune files; the plan shape
+    is identical."""
     # Materialize the ranked assignment: it feeds BOTH the
     # cell-assignment branch (crn=1) and the query-probe branch
     # (crn<=nprobe), and without materialization the centroid crossJoin
@@ -1189,14 +1205,7 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the session per invocation (bench reps accumulated "already
     # cached" warnings in r03); checkpoint blocks are instead freed by
     # the ContextCleaner once the returned DataFrame is unreferenced.
-    assign_scored = (
-        qdf.crossJoin(F.broadcast(cent))
-        .withColumn("__dot", dot_c)
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= F.lit(max(_IVF_PROBE, 1)))
-        .select("vec_id", "q", "qnorm", "cid", "crn")
-        .localCheckpoint(eager=False)
-    )
+    assign_scored = _ivf_assign_scored(spark, sf_dir).localCheckpoint(eager=False)
     assign = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", "q", "qnorm", "cid"
     )

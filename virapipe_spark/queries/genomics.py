@@ -24,23 +24,6 @@ from virapipe_spark import functions as vf
 from virapipe_spark.catalog import query, table
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    """Deterministic scratch path for round-trip fixtures.
-
-    Derived from ``sf_dir`` (not ``mkdtemp``) so repeated invocations —
-    bench reps, oracle checks, driver rounds — overwrite one directory
-    instead of leaking a fresh temp dir per call. Assumes a filesystem
-    shared between driver and executors (true in local mode, where these
-    fixture-writing entries run); on a real cluster the round-trip
-    queries would point at a DFS path instead.
-    """
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"vp_roundtrip_{tag}", name)
-
 # ---------------------------------------------------------------------------
 # Quality filters (FastqFilter.java:109-196) — documents.text as the
 # quality string; char codes are the "phred bytes".
@@ -592,7 +575,7 @@ def fastq_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             _QUAL16,
         ).alias("quality"),
     )
-    out = _scratch(sf_dir, "fq")
+    out = vio.scratch_dir(spark, sf_dir, "fq")
     vio.write_fastq(recs, out, mode="overwrite")
     return vio.read_fastq(spark, out)
 
@@ -626,7 +609,7 @@ def fasta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.translate(F.md5(F.concat(F.col("text"), F.lit("2"))), _HEX, _DNA16),
         ).alias("sequence"),
     )
-    out = _scratch(sf_dir, "fa")
+    out = vio.scratch_dir(spark, sf_dir, "fa")
     vio.write_fasta(recs, out, mode="overwrite")
     return vio.read_fasta(spark, out)
 
@@ -672,7 +655,7 @@ def sam_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4 == 0).alias("readUnmapped"),
         (F.col("doc_id") % 7 == 0).alias("duplicateRead"),
     )
-    out = _scratch(sf_dir, "sam")
+    out = vio.scratch_dir(spark, sf_dir, "sam")
     vio.write_sam(
         alignments,
         out,

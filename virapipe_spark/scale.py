@@ -47,6 +47,8 @@ def broadcast_if_small(
     of a stale size is a too-large broadcast bounded by the real file
     size at plan time, not unbounded growth.
     """
+    if not paths:
+        return df  # no size evidence at all -> never hint
     total = 0
     for p in paths:
         if os.path.isdir(p):
