@@ -263,11 +263,19 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join + aggregate. The dimension side is broadcast —
     the Spark-native replacement for the reference's driver-side
-    collect-and-filter idiom (FastaFilter.java:54)."""
+    collect-and-filter idiom (FastaFilter.java:54). customer grows with
+    scale factor, so the hint is size-gated on the measured parquet
+    footprint (scale.broadcast_if_small): broadcast while it fits,
+    shuffled hash join beyond — never an unconditional hint on a
+    growing table (round-3 ADVICE on q5, applied catalog-wide)."""
+    from virapipe_spark import scale
+
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    c = scale.broadcast_if_small(
+        table(spark, sf_dir, "customer"), f"{sf_dir}/customer.parquet"
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == F.col("c_custkey"), "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("segment_total"),
@@ -615,10 +623,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-fact exchange); date predicates push into both parquet scans;
     the top-10 is TakeOrderedAndProject (no global sort
     materialization). l_orderkey tiebreak pins the LIMIT boundary."""
-    cust = (
+    from virapipe_spark import scale
+
+    cust = scale.broadcast_if_small(
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
+        .select("c_custkey"),
+        f"{sf_dir}/customer.parquet",
     )
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1995-03-15"
@@ -626,7 +637,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -791,11 +802,16 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
     )
-    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    from virapipe_spark import scale
+
+    part = scale.broadcast_if_small(
+        table(spark, sf_dir, "part").select("p_partkey", "p_type"),
+        f"{sf_dir}/part.parquet",
+    )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
             F.count("*").alias("n_lines"),
