@@ -281,6 +281,48 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, nodes, node_col="doc_id", max_rounds=2)
 
+    def test_doubling_converges_in_log_rounds(self, spark):
+        """Pointer doubling must solve a 64-node path (diameter 63) well
+        inside 10 rounds — plain propagation needs all 63. max_rounds=10
+        doubles as the assertion: exceeding it raises."""
+        from virapipe_spark.graph import connected_components_doubling
+
+        n = 64
+        edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        labels = connected_components_doubling(
+            edges, nodes, node_col="doc_id", max_rounds=10, checkpoint_every=3
+        )
+        rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert rows == {i: 0 for i in range(n)}
+
+    def test_doubling_matches_plain_on_mixed_graph(self, spark):
+        """Both algorithms must produce identical labelings (several
+        components, isolated nodes, a cycle, duplicate edges)."""
+        from virapipe_spark.graph import (
+            connected_components,
+            connected_components_doubling,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (4, 5), (5, 6), (6, 7), (4, 7), (9, 10),
+             (9, 10), (12, 11)],
+            ["a", "b"],
+        )
+        nodes = spark.range(14).select(F.col("id").alias("doc_id"))
+        plain = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(edges, nodes, node_col="doc_id").collect()
+        }
+        doubled = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_doubling(
+                edges, nodes, node_col="doc_id"
+            ).collect()
+        }
+        assert plain == doubled
+        assert doubled[3] == 3 and doubled[8] == 8  # isolated self-labels
+
 
 class TestTwoPhaseTopK:
     def test_equals_single_window(self, spark):
