@@ -149,3 +149,57 @@ class TestSam:
         df = spark.createDataFrame([(0,), (4,), (77,), (141,)], "flag int")
         got = [r[0] for r in df.select(vf.sam_unmapped("flag")).collect()]
         assert got == [False, True, True, True]  # 77 & 141 include 0x4
+
+
+class TestReadQC:
+    """Round-4 QC scalars: sliding-window trim point and DUST-style
+    low-complexity score (catalog-entry candidates for the next round's
+    correctness window)."""
+
+    def test_trim_point_keeps_clean_read(self, spark):
+        df = spark.createDataFrame([("IIIIIIII",)], "q string")
+        assert _one(df, vf.trim_point_sliding("q", window=4, min_avg=60)) == 8
+
+    def test_trim_point_cuts_at_first_failing_window(self, spark):
+        # 'IIII!!!!': window starts 1..5 average [73, 63, 53, 43, 33];
+        # first window below 60 starts at position 3 -> keep 2 bytes
+        df = spark.createDataFrame([("IIII!!!!",)], "q string")
+        assert _one(df, vf.trim_point_sliding("q", window=4, min_avg=60)) == 2
+
+    def test_trim_point_discards_all_bad(self, spark):
+        df = spark.createDataFrame([("!!!!",)], "q string")
+        assert _one(df, vf.trim_point_sliding("q", window=4, min_avg=60)) == 0
+
+    def test_trim_point_short_read_kept_whole(self, spark):
+        df = spark.createDataFrame([("!!",)], "q string")
+        assert _one(df, vf.trim_point_sliding("q", window=4, min_avg=60)) == 2
+
+    def test_dust_extremes(self, spark):
+        df = spark.createDataFrame([("AAAAAA", "ACGT", "AAA", "AA")],
+                                   "rep string, div string, one string, short string")
+        assert _one(df, vf.dust_score("rep")) == 1.0   # single repeated 3-mer
+        assert _one(df, vf.dust_score("div")) == 0.0   # all 3-mers distinct
+        assert _one(df, vf.dust_score("one")) == 0.0   # one k-mer: no pairs
+        assert _one(df, vf.dust_score("short")) is None  # shorter than k
+
+    def test_dust_matches_reference_formula(self, spark):
+        from collections import Counter
+
+        s = "ACGTACGTAAAACGT"
+        grams = [s[i:i + 3] for i in range(len(s) - 2)]
+        n = len(grams)
+        expected = sum(c * (c - 1) for c in Counter(grams).values()) / (n * (n - 1))
+        df = spark.createDataFrame([(s,)], "s string")
+        assert abs(_one(df, vf.dust_score("s")) - expected) < 1e-12
+
+    def test_dust_bounded_property(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.text(alphabet="ACGT", min_size=3, max_size=40))
+        def prop(s):
+            df = spark.createDataFrame([(s,)], "s string")
+            v = _one(df, vf.dust_score("s"))
+            assert 0.0 <= v <= 1.0
+
+        prop()

@@ -113,6 +113,84 @@ def kmers(sequence: Column | str, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def trim_point_sliding(
+    quality: Column | str, window: int = 4, min_avg: float = 60.0
+) -> Column:
+    """1-based cut position for sliding-window quality trimming (int):
+    keep ``quality[1..result]``; 0 means the whole read is discarded.
+
+    Trimmomatic ``SLIDINGWINDOW:<w>:<q>`` semantics, the standard read
+    QC step the reference's pipeline leaves to external tools: scan
+    windows of ``window`` bytes left to right; the read is cut at the
+    START of the first window whose mean byte value drops below
+    ``min_avg`` (reads shorter than one window are kept whole — too
+    short to judge). Same raw-byte convention as :func:`avg_quality`
+    (no phred-33 offset).
+
+    Pure codegen-side array expressions (one window-sum array via
+    transform over start positions, then the first failing index) — a
+    projection inside the scan stage, no shuffle, no Python. O(n·w) per
+    row; reads are short (~10²), so arithmetic stays trivially below
+    scan cost.
+    """
+    q = _col(quality)
+    w = int(window)
+    bytes_ = quality_bytes(q)
+    starts = F.sequence(F.lit(1), F.length(q) - F.lit(w - 1))
+    win_avg = F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(bytes_, i, w), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+        / F.lit(float(w)),
+    )
+    # index (1-based, over starts) of the first failing window
+    fail_pos = F.array_position(
+        F.transform(win_avg, lambda a: a < F.lit(float(min_avg))), F.lit(True)
+    )
+    return (
+        F.when(F.length(q) < w, F.length(q))  # too short to judge: keep
+        .when(fail_pos == 0, F.length(q))  # no window fails: keep all
+        .otherwise(fail_pos.cast("int") - 1)  # cut before failing window
+        .cast("int")
+    )
+
+
+def dust_score(sequence: Column | str, k: int = 3) -> Column:
+    """Low-complexity score in [0, 1]: 0 = maximally diverse k-mer
+    composition, 1 = a single repeated k-mer (double; null for
+    sequences shorter than ``k``).
+
+    The DUST-style statistic (Morgulis et al. 2006, as used by BLAST's
+    masker): ``sum over distinct k-mers of c*(c-1)/2``, normalized by
+    its maximum ``n*(n-1)/2`` where ``n = len-k+1`` is the k-mer count.
+    The reference pipes reads through external BLAST with DUST enabled;
+    this is the in-engine equivalent for pre-filtering.
+
+    Expression shape: the k-mer array is built once (:func:`kmers`),
+    and each DISTINCT k-mer counts its occurrences with a size(filter)
+    — O(d·n) per row with d = distinct k-mers. Stays a zero-shuffle
+    projection; for corpus-wide k-mer statistics use the explode+groupBy
+    entries instead (this is per-row).
+    """
+    s = F.upper(_col(sequence))
+    grams = kmers(s, k)
+    n = F.size(grams)
+    # accumulate 2*Σ c*(c-1)/2 = Σ c*(c-1) in exact integers; divide once
+    pairs2 = F.aggregate(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c * (c - F.lit(1)),
+    )
+    denom = n.cast("long") * (n - F.lit(1)).cast("long")
+    return F.when(n > 1, pairs2.cast("double") / denom.cast("double")).when(
+        n == 1, F.lit(0.0)
+    )
+
+
 def codons(sequence: Column | str, frame: int = 0) -> Column:
     """Non-overlapping 3-char codons of one reading frame (0, 1 or 2),
     truncated to whole codons (``Codondict.scala:9-55`` splits ORF strings
