@@ -262,3 +262,41 @@ class TestFastqBlockIndexing:
             assert r["quality"] == "I" * len(expect), r["key"]
             seen.add((fi, i))
         assert len(seen) == 10_000  # no dropped or duplicated records
+
+
+VCF_TEXT = """##fileformat=VCFv4.3
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2
+chr1\t100\trs1\tA\tG\t50.5\tPASS\tDP=14;AF=0.5\tGT:DP\t0/1:12\t1/1:16
+chr1\t200\t.\tC\tT,G\t.\tq10\tDP=7;DB\tGT\t0/0\t0/1
+chr2\t5\trs9\tGTC\tG\t9.0\t.\t.\tGT\t./.\t0/0
+"""
+
+
+class TestVcf:
+    def test_read_vcf_typed(self, spark, tmp_path):
+        p = tmp_path / "v.vcf"
+        p.write_text(VCF_TEXT)
+        df = vio.read_vcf(spark, str(p))
+        rows = {(r["chrom"], r["pos"]): r for r in df.collect()}
+        assert len(rows) == 3  # meta + header lines dropped
+        r1 = rows[("chr1", 100)]
+        assert r1["id"] == "rs1" and r1["qual"] == 50.5 and r1["filter"] == "PASS"
+        assert r1["info"] == {"DP": "14", "AF": "0.5"}
+        assert r1["samples"] == ["GT:DP", "0/1:12", "1/1:16"]
+        r2 = rows[("chr1", 200)]
+        assert r2["id"] is None and r2["qual"] is None
+        assert r2["alt"] == "T,G"  # multi-allelic stays joined
+        assert r2["info"] == {"DP": "7", "DB": "true"}  # flag key
+        r3 = rows[("chr2", 5)]
+        assert r3["filter"] is None and r3["info"] is None
+
+    def test_multiallelic_normalize_is_a_dataframe_op(self, spark, tmp_path):
+        p = tmp_path / "v.vcf"
+        p.write_text(VCF_TEXT)
+        df = vio.read_vcf(spark, str(p))
+        alts = (
+            df.select("chrom", "pos", F.explode(F.split("alt", ",")).alias("alt"))
+            .filter((F.col("chrom") == "chr1") & (F.col("pos") == 200))
+        )
+        assert sorted(r["alt"] for r in alts.collect()) == ["G", "T"]

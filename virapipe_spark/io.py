@@ -260,6 +260,60 @@ def read_sam(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+    """Read VCF (Variant Call Format v4.x) text into typed variant rows
+    — a standard genomics source BEYOND the reference's inventory
+    (VCFv4 spec is public; the reference stops at FASTQ/FASTA/SAM/BLAST).
+
+    Schema: ``chrom pos(int) id ref alt qual(double) filter
+    info(map<string,string>) samples(array<string>)``. ``##`` meta lines
+    and the ``#CHROM`` header are dropped; '.' placeholders go null in
+    id/qual/filter; multi-allelic ALT stays one comma-joined string (use
+    ``explode(split(alt, ','))`` to normalize — a DataFrame op, not a
+    reader concern); INFO parses to a map with flag-style keys (no '=')
+    mapped to ``"true"``; FORMAT+genotype columns ride as a raw string
+    array since their shape is header-dependent.
+
+    Same scale shape as every text reader here: splittable line scan,
+    all parsing is codegen'd string/map expressions, malformed fields
+    null out permissively (the SAM reader's convention)."""
+    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    f = F.split(F.col("value"), "\t")
+
+    def fld(i: int) -> Column:
+        return F.element_at(f, i)
+
+    def null_dot(c: Column) -> Column:
+        return F.when(c == ".", F.lit(None)).otherwise(c)
+
+    info = F.map_from_entries(
+        F.transform(
+            F.split(fld(8), ";"),
+            lambda kv: F.struct(
+                F.split(kv, "=")[0].alias("key"),
+                F.coalesce(
+                    F.element_at(F.split(kv, "="), 2), F.lit("true")
+                ).alias("value"),
+            ),
+        )
+    )
+    return lines.select(
+        fld(1).alias("chrom"),
+        fld(2).cast("int").alias("pos"),
+        null_dot(fld(3)).alias("id"),
+        fld(4).alias("ref"),
+        fld(5).alias("alt"),
+        null_dot(fld(6)).cast("double").alias("qual"),
+        null_dot(fld(7)).alias("filter"),
+        F.when(null_dot(fld(8)).isNotNull(), info)
+        .otherwise(F.lit(None))
+        .alias("info"),
+        F.when(
+            F.size(f) > 8, F.slice(f, 9, F.size(f) - 8)
+        ).otherwise(F.array().cast("array<string>")).alias("samples"),
+    )
+
+
 def sam_to_fastq(alignments: DataFrame) -> DataFrame:
     """SAM/BAM records -> FASTQ-shaped rows (SamToFastq.java:47-68).
 
