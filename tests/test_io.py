@@ -300,3 +300,44 @@ class TestVcf:
             .filter((F.col("chrom") == "chr1") & (F.col("pos") == 200))
         )
         assert sorted(r["alt"] for r in alts.collect()) == ["G", "T"]
+
+
+GFF_TEXT = """##gff-version 3
+# a comment line
+chr1\thavana\tgene\t1000\t5000\t.\t+\t.\tID=gene1;Name=TP53
+chr1\thavana\tmRNA\t1000\t5000\t.\t+\t.\tID=tx1;Parent=gene1
+chr1\t.\texon\t1000\t1200\t44.5\t-\t0\tID=ex1;Parent=tx1
+chr2\thavana\tregion\t1\t9\t.\t.\t.\t.
+"""
+
+
+class TestGff:
+    def test_read_gff_typed(self, spark, tmp_path):
+        p = tmp_path / "a.gff3"
+        p.write_text(GFF_TEXT)
+        df = vio.read_gff(spark, str(p))
+        rows = {r["attributes"]["ID"] if r["attributes"] else None: r
+                for r in df.collect()}
+        assert len(rows) == 4  # directives/comments dropped
+        g = rows["gene1"]
+        assert (g["seqid"], g["type"], g["start"], g["end"]) == ("chr1", "gene", 1000, 5000)
+        assert g["score"] is None and g["strand"] == "+" and g["phase"] is None
+        assert g["attributes"] == {"ID": "gene1", "Name": "TP53"}
+        ex = rows["ex1"]
+        assert ex["score"] == 44.5 and ex["strand"] == "-" and ex["phase"] == 0
+        r = rows[None]
+        assert r["source"] == "havana" and r["attributes"] is None
+
+    def test_parent_resolution_is_a_self_join(self, spark, tmp_path):
+        p = tmp_path / "a.gff3"
+        p.write_text(GFF_TEXT)
+        df = vio.read_gff(spark, str(p))
+        child = df.select(
+            F.col("attributes")["ID"].alias("cid"),
+            F.col("attributes")["Parent"].alias("pid"),
+        ).filter(F.col("pid").isNotNull())
+        parent = df.select(
+            F.col("attributes")["ID"].alias("pid"), F.col("type").alias("ptype")
+        )
+        got = {r["cid"]: r["ptype"] for r in child.join(parent, "pid").collect()}
+        assert got == {"tx1": "gene", "ex1": "mRNA"}

@@ -314,6 +314,57 @@ def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_gff(spark: SparkSession, path: str) -> DataFrame:
+    """Read GFF3 annotation text into typed feature rows — the second
+    beyond-the-reference genomics source beside :func:`read_vcf` (GFF3
+    spec is public).
+
+    Schema: ``seqid source type start(int) end(int) score(double)
+    strand phase(int) attributes(map<string,string>)``. ``#`` comment /
+    directive lines are dropped; '.' placeholders null out in
+    source/score/strand/phase; the column-9 ``key=value;...`` attribute
+    string parses to a map (standard keys: ID, Parent, Name). Parent
+    resolution (feature hierarchies) is a DataFrame self-join on
+    ``attributes['Parent'] == attributes['ID']`` — an equi-join, not a
+    reader concern. Splittable line scan, codegen-only parsing,
+    permissive nulls — the house reader convention."""
+    lines = spark.read.text(path).filter(
+        (~F.col("value").startswith("#")) & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    f = F.split(F.col("value"), "\t")
+
+    def fld(i: int) -> Column:
+        return F.element_at(f, i)
+
+    def null_dot(c: Column) -> Column:
+        return F.when(c == ".", F.lit(None)).otherwise(c)
+
+    attrs = F.map_from_entries(
+        F.transform(
+            F.filter(F.split(fld(9), ";"), lambda kv: F.length(kv) > 0),
+            lambda kv: F.struct(
+                F.split(kv, "=")[0].alias("key"),
+                F.coalesce(F.element_at(F.split(kv, "="), 2), F.lit("")).alias(
+                    "value"
+                ),
+            ),
+        )
+    )
+    return lines.select(
+        fld(1).alias("seqid"),
+        null_dot(fld(2)).alias("source"),
+        fld(3).alias("type"),
+        fld(4).cast("int").alias("start"),
+        fld(5).cast("int").alias("end"),
+        null_dot(fld(6)).cast("double").alias("score"),
+        null_dot(fld(7)).alias("strand"),
+        null_dot(fld(8)).cast("int").alias("phase"),
+        F.when(null_dot(fld(9)).isNotNull(), attrs)
+        .otherwise(F.lit(None))
+        .alias("attributes"),
+    )
+
+
 def sam_to_fastq(alignments: DataFrame) -> DataFrame:
     """SAM/BAM records -> FASTQ-shaped rows (SamToFastq.java:47-68).
 
