@@ -1,0 +1,91 @@
+"""Interval overlap join: golden semantics, bin-dedup property,
+random-data equivalence with the naive theta join, and the plan shape
+that makes it scale (equi-join, no cartesian)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from virapipe_spark.intervals import overlap_join
+
+
+def _pairs(df, ka="id_a", kb="id_b"):
+    return sorted((r[ka], r[kb]) for r in df.collect())
+
+
+class TestOverlapJoin:
+    def test_golden_inclusive_semantics(self, spark):
+        a = spark.createDataFrame(
+            [("g1", "chr1", 100, 200), ("g2", "chr1", 500, 600),
+             ("g3", "chr2", 100, 200)],
+            ["id", "seqid", "start", "end"],
+        )
+        b = spark.createDataFrame(
+            [("r1", "chr1", 150, 160),   # inside g1
+             ("r2", "chr1", 200, 300),   # touches g1 at base 200 (inclusive!)
+             ("r3", "chr1", 201, 300),   # adjacent, no overlap
+             ("r4", "chr1", 90, 700),    # spans g1 and g2
+             ("r5", "chr2", 150, 150),   # point interval inside g3
+             ("r6", "chr3", 100, 200)],  # wrong sequence
+            ["id", "seqid", "start", "end"],
+        )
+        got = _pairs(overlap_join(a, b, bin_size=50))
+        assert got == [
+            ("g1", "r1"), ("g1", "r2"), ("g1", "r4"),
+            ("g2", "r4"), ("g3", "r5"),
+        ]
+
+    def test_multi_bin_pair_appears_once(self, spark):
+        # overlap spans many bins at bin_size=10 -> still exactly 1 row
+        a = spark.createDataFrame([("g", "c", 1, 95)], ["id", "seqid", "start", "end"])
+        b = spark.createDataFrame([("r", "c", 5, 90)], ["id", "seqid", "start", "end"])
+        out = overlap_join(a, b, bin_size=10)
+        assert out.count() == 1
+
+    def test_malformed_interval_dropped(self, spark):
+        a = spark.createDataFrame([("g", "c", 50, 40)], ["id", "seqid", "start", "end"])
+        b = spark.createDataFrame([("r", "c", 1, 100)], ["id", "seqid", "start", "end"])
+        assert overlap_join(a, b, bin_size=10).count() == 0
+
+    def test_random_equivalence_with_theta_join(self, spark):
+        rng = random.Random(42)
+        mk = lambda n, tag: [
+            (f"{tag}{i}", rng.choice(["c1", "c2"]), s, s + rng.randint(0, 120))
+            for i in range(n)
+            for s in [rng.randint(1, 500)]
+        ]
+        a = spark.createDataFrame(mk(40, "a"), ["id", "seqid", "start", "end"])
+        b = spark.createDataFrame(mk(40, "b"), ["id", "seqid", "start", "end"])
+        fast = _pairs(overlap_join(a, b, bin_size=64))
+        aa, bb = a.alias("x"), b.alias("y")
+        naive = sorted(
+            (r["ia"], r["ib"])
+            for r in aa.join(
+                bb,
+                (F.col("x.seqid") == F.col("y.seqid"))
+                & (F.col("x.start") <= F.col("y.end"))
+                & (F.col("y.start") <= F.col("x.end")),
+            )
+            .select(F.col("x.id").alias("ia"), F.col("y.id").alias("ib"))
+            .collect()
+        )
+        assert fast == naive and len(naive) > 20
+
+    def test_plan_is_equi_join_not_cartesian(self, spark):
+        a = spark.createDataFrame(
+            [("g", "c", 1, 10)], ["id", "seqid", "start", "end"]
+        )
+        b = spark.createDataFrame(
+            [("r", "c", 5, 15)], ["id", "seqid", "start", "end"]
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = overlap_join(a, b)._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in p
+            assert "BroadcastNestedLoopJoin" not in p
+            assert "SortMergeJoin" in p  # keyed on (seqid, bin)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
