@@ -8,7 +8,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from virapipe_spark.intervals import overlap_join
+from virapipe_spark.intervals import coverage, merge_overlapping, overlap_join
 
 
 def _pairs(df, ka="id_a", kb="id_b"):
@@ -89,3 +89,70 @@ class TestOverlapJoin:
             assert "SortMergeJoin" in p  # keyed on (seqid, bin)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestMergeOverlapping:
+    def test_golden(self, spark):
+        df = spark.createDataFrame(
+            [("c1", 1, 10), ("c1", 5, 20), ("c1", 20, 30),   # one span 1-30
+             ("c1", 32, 40),                                  # gap of 1 -> separate
+             ("c2", 1, 5)],
+            ["seqid", "start", "end"],
+        )
+        got = sorted(
+            (r["seqid"], r["start"], r["end"], r["n_merged"])
+            for r in merge_overlapping(df).collect()
+        )
+        assert got == [("c1", 1, 30, 3), ("c1", 32, 40, 1), ("c2", 1, 5, 1)]
+
+    def test_gap_merges_bookended(self, spark):
+        df = spark.createDataFrame(
+            [("c1", 1, 10), ("c1", 11, 20)], ["seqid", "start", "end"]
+        )
+        assert merge_overlapping(df).count() == 2
+        assert merge_overlapping(df, gap=1).count() == 1
+
+    def test_contained_interval(self, spark):
+        # second interval entirely inside the first; running-max (not
+        # lag) semantics must still bridge to the third
+        df = spark.createDataFrame(
+            [("c1", 1, 100), ("c1", 10, 20), ("c1", 90, 150)],
+            ["seqid", "start", "end"],
+        )
+        got = merge_overlapping(df).collect()
+        assert len(got) == 1 and got[0]["end"] == 150
+
+    def test_random_equivalence(self, spark):
+        rng = random.Random(7)
+        rows = [
+            ("c", s, s + rng.randint(0, 30))
+            for _ in range(60)
+            for s in [rng.randint(1, 300)]
+        ]
+        df = spark.createDataFrame(rows, ["seqid", "start", "end"])
+        got = sorted(
+            (r["start"], r["end"]) for r in merge_overlapping(df).collect()
+        )
+        # python reference
+        exp = []
+        for s, e in sorted((s, e) for _, s, e in rows):
+            if exp and s <= exp[-1][1]:
+                exp[-1][1] = max(exp[-1][1], e)
+            else:
+                exp.append([s, e])
+        assert got == [tuple(x) for x in exp]
+
+
+class TestCoverage:
+    def test_golden_bins(self, spark):
+        df = spark.createDataFrame(
+            [("c1", 0, 999), ("c1", 500, 2500), ("c2", 1000, 1001)],
+            ["seqid", "start", "end"],
+        )
+        got = {
+            (r["seqid"], r["bin_start"]): r["n_intervals"]
+            for r in coverage(df, bin_size=1000).collect()
+        }
+        assert got == {
+            ("c1", 0): 2, ("c1", 1000): 1, ("c1", 2000): 1, ("c2", 1000): 1,
+        }

@@ -31,7 +31,7 @@ interval explodes into len/W bin rows; for pathological inputs raise
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,3 +94,88 @@ def overlap_join(
         & (left["__bin"] == overlap_start_bin),
     )
     return joined.drop("__bin")
+
+
+def merge_overlapping(
+    df: DataFrame,
+    seq_col: str = "seqid",
+    start_col: str = "start",
+    end_col: str = "end",
+    gap: int = 0,
+) -> DataFrame:
+    """Collapse overlapping intervals into maximal merged spans per
+    sequence (bedtools ``merge``): returns ``(seq, start, end,
+    n_merged)`` with one row per span.
+
+    ``gap`` is the maximum separation (in bases) still merged: 0 merges
+    only overlapping-or-touching intervals (``start <= running_end``,
+    inclusive coordinates); ``gap=1`` also merges book-ended neighbors.
+
+    Gaps-and-islands in one ranking window: sort by start within each
+    sequence, carry the running max of ``end`` over preceding rows, open
+    a new island when the current start clears it by more than ``gap``,
+    and number islands with a running sum of the open-flags. Two window
+    passes + one grouped agg, all map-side-combinable.
+
+    Scale: the window partitions by ``seq_col`` — per-chromosome
+    parallelism (~10² partitions on a genome). A single monster
+    sequence serializes its own partition; for that shape pre-chunk the
+    sequence into ranges, merge per chunk, and stitch the chunk
+    boundaries with one extra pass (same trick as scale.topk_per_group's
+    two-phase split)."""
+    w = Window.partitionBy(seq_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max + F.lit(int(gap))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    island = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__island", island)
+        .groupBy(seq_col, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def coverage(
+    df: DataFrame,
+    seq_col: str = "seqid",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_size: int = 1_000,
+) -> DataFrame:
+    """Per-bin interval coverage (bedtools ``genomecov`` at bin
+    resolution): ``(seq, bin_start, bin_end, n_intervals)`` — how many
+    input intervals touch each ``bin_size``-wide genome window.
+
+    The same bin explode as :func:`overlap_join` feeding a plain
+    count aggregate: explode is fused with the scan, the shuffle
+    carries one partial count per touched (seq, bin) — bounded by
+    genome-size/bin_size, independent of read count. The 100 TB shape
+    for depth-of-coverage rollups."""
+    binned = _binned(
+        df.filter(F.col(end_col) >= F.col(start_col)),
+        seq_col,
+        start_col,
+        end_col,
+        bin_size,
+    )
+    return (
+        binned.groupBy(seq_col, "__bin")
+        .agg(F.count("*").alias("n_intervals"))
+        .select(
+            seq_col,
+            (F.col("__bin") * bin_size).alias("bin_start"),
+            (F.col("__bin") * bin_size + bin_size - 1).alias("bin_end"),
+            "n_intervals",
+        )
+    )
