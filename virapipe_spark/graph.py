@@ -148,10 +148,14 @@ def connected_components_doubling(
             .groupBy(F.col("b").alias(node_col))
             .agg(F.min(label_col).alias("__nmin"))
         )
+        # persist: `stepped` feeds BOTH sides of the shortcut self-join
+        # below; unpersisted, the neighbor join+aggregate subtree would
+        # execute twice per round, doubling the per-round shuffle work
+        # this O(log d) variant exists to bound
         stepped = labels.join(neigh, node_col, "left").select(
             node_col,
             F.least(label_col, F.coalesce("__nmin", label_col)).alias(label_col),
-        )
+        ).persist()
         # shortcut: follow the label pointer one hop (labels are node
         # ids, and every node has a label row, so the inner join below
         # is total — expressed as a left join defensively with coalesce)
@@ -176,6 +180,7 @@ def connected_components_doubling(
             .filter(F.col(f"n.{label_col}") != F.col(f"o.{label_col}"))
             .count()
         )
+        stepped.unpersist()  # new_labels materialized by the count above
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -277,7 +277,9 @@ def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     Same scale shape as every text reader here: splittable line scan,
     all parsing is codegen'd string/map expressions, malformed fields
     null out permissively (the SAM reader's convention)."""
-    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    lines = spark.read.text(path).filter(
+        (~F.col("value").startswith("#")) & (F.length(F.trim(F.col("value"))) > 0)
+    )
     f = F.split(F.col("value"), "\t")
 
     def fld(i: int) -> Column:

@@ -104,11 +104,15 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference re-shuffles per run); oracle = the plain join, since
     bucketing must not change a single row.
 
-    Both sides are written to deterministic scratch tables per sf_dir
-    (overwrite mode — repeated invocations reuse the names), so the
-    entry is self-contained under the driver's bare session; the write
-    cost is part of the measured operator, which is honest: bucketing
-    only wins when the write is amortized over >1 downstream join."""
+    Both sides are written as EXTERNAL bucketed tables whose data lives
+    under io.scratch_dir (per-application /tmp tree): repeated
+    invocations within a session overwrite in place, concurrent
+    sessions are isolated, the in-memory metastore entry dies with the
+    application, and the data directory is bounded to one per app and
+    reclaimed by normal /tmp hygiene — NOT accumulated in the cwd
+    spark-warehouse. The write cost is part of the measured operator,
+    which is honest: bucketing only wins when the write is amortized
+    over >1 downstream join."""
     from virapipe_spark import io as vio
     from virapipe_spark import scale
 
@@ -119,12 +123,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ot,
         "o_orderkey",
         n_buckets=8,
+        path=vio.scratch_dir(spark, sf_dir, "bkt_orders"),
     )
     scale.write_bucketed(
         table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         lt,
         "l_orderkey",
         n_buckets=8,
+        path=vio.scratch_dir(spark, sf_dir, "bkt_lineitem"),
     )
     o, li = spark.table(ot), spark.table(lt)
     return (
