@@ -16,49 +16,19 @@ session.py and five events queries crashed under the driver).
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from virapipe_spark import catalog
+from virapipe_spark.oracle_compare import compare_frames
 from virapipe_spark.session import session
 
 TABLES = catalog.TABLES
-
-
-def _norm_cell(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "∅"
-        if v == 0:
-            return "0"
-        return f"{v:.9g}"
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
-        seq = v.tolist() if hasattr(v, "tolist") else v
-        return "[" + ",".join(_norm_cell(x) for x in seq) + "]"
-    if isinstance(v, bool):
-        return str(bool(v))
-    return str(v)
-
-
-def value_hash(df: pd.DataFrame) -> str:
-    import hashlib
-
-    df = df[sorted(df.columns)]
-    rows = sorted(
-        "|".join(_norm_cell(v) for v in row) for row in df.itertuples(index=False)
-    )
-    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
 def main() -> int:
@@ -103,23 +73,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        problems = []
-        if len(sdf) != len(ddf):
-            problems.append(f"rows {len(sdf)} != {len(ddf)}")
-        if sorted(sdf.columns) != sorted(ddf.columns):
-            problems.append(f"cols {sorted(sdf.columns)} != {sorted(ddf.columns)}")
-        elif value_hash(sdf) != value_hash(ddf):
-            problems.append("value hash mismatch")
-            sk = sdf[sorted(sdf.columns)].copy()
-            dk = ddf[sorted(ddf.columns)].copy()
-            sk_rows = sorted("|".join(_norm_cell(v) for v in r) for r in sk.itertuples(index=False))
-            dk_rows = sorted("|".join(_norm_cell(v) for v in r) for r in dk.itertuples(index=False))
-            s_only = [r for r in sk_rows if r not in set(dk_rows)][:3]
-            d_only = [r for r in dk_rows if r not in set(sk_rows)][:3]
-            if s_only:
-                problems.append(f"spark-only: {s_only}")
-            if d_only:
-                problems.append(f"duckdb-only: {d_only}")
+        problems = compare_frames(sdf, ddf)
         dt = time.time() - t0
         if problems:
             failures.append(name)

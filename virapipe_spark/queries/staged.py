@@ -1,0 +1,428 @@
+"""Round-5 catalog entries, STAGED: written and oracle-verified now,
+registered into the driver-facing catalog next round.
+
+Why staged: the driver hash-checks only the first 50 entries of
+``queries()``, and round 4's window is exactly full with never-proven
+and least-recently-proven entries — registering these now would
+displace a query that needs its correctness row this round. The entries
+therefore live in their own registry (``STAGED``), NOT imported by
+``catalog.load_all``; ``tests/test_staged.py`` runs the driver's exact
+compare (virapipe_spark.oracle_compare) against DuckDB on every one of
+them TODAY, so flipping them live next round is a one-line change with
+pre-verified correctness:
+
+    # in catalog.load_all():  from virapipe_spark.queries import staged
+    # in staged:              promote()
+
+Entries cover the round-4 library additions: VCF/GFF reader
+round-trips, the interval algebra (overlap join / merge / coverage),
+the read-QC scalars (sliding-window trim, DUST), GC content, and
+assembly N50.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from virapipe_spark import catalog
+from virapipe_spark.catalog import table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, DuckDB oracle SQL)
+STAGED: dict[str, tuple[QueryFn, str]] = {}
+
+
+def staged(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED or name in catalog.QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote() -> None:
+    """Register every staged entry into the live catalog (round-5
+    flip). Idempotent per name only via the duplicate guard in
+    catalog.query — call once from load_all."""
+    for name, (fn, oracle) in STAGED.items():
+        catalog.query(name, oracle)(fn)
+
+
+# ---------------------------------------------------------------------------
+# VCF / GFF reader round-trips (io.read_vcf / io.read_gff)
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "vcf_scan_roundtrip",
+    oracle="""
+    SELECT concat('chr', doc_id % 3) AS chrom,
+           CAST(n_chars AS INTEGER) AS pos,
+           concat('rs', doc_id) AS id,
+           'A' AS ref, 'G' AS alt,
+           CAST(doc_id % 100 AS DOUBLE) + 0.5 AS qual,
+           'PASS' AS filter,
+           CAST(doc_id % 90 + 1 AS VARCHAR) AS dp,
+           CAST(2 AS INTEGER) AS n_samples
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def vcf_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked VCF writer→reader round-trip: variant lines are
+    synthesized from ``documents`` (deterministic in both engines),
+    written as real tab-separated VCF text with a meta header, and read
+    back through io.read_vcf's field split, '.'-nulling, INFO-map parse
+    and sample passthrough. Map/array outputs are projected to scalars
+    (info['DP'], size(samples)) because the driver's normalizer is
+    proven on scalar cells only."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("chr"), (F.col("doc_id") % 3).cast("string")),
+        F.col("n_chars").cast("string"),
+        F.concat(F.lit("rs"), F.col("doc_id").cast("string")),
+        F.lit("A"),
+        F.lit("G"),
+        F.concat((F.col("doc_id") % 100).cast("string"), F.lit(".5")),
+        F.lit("PASS"),
+        F.concat(F.lit("DP="), (F.col("doc_id") % 90 + 1).cast("string")),
+        F.lit("GT"),
+        F.lit("0/1"),
+    )
+    header = spark.range(1).select(F.lit("##fileformat=VCFv4.3").alias("value"))
+    out = vio.scratch_dir(spark, sf_dir, "vcf")
+    vio.write_text(header.union(d.select(line.alias("value"))), out, mode="overwrite")
+    v = vio.read_vcf(spark, out)
+    return v.select(
+        "chrom",
+        "pos",
+        "id",
+        "ref",
+        "alt",
+        "qual",
+        "filter",
+        F.col("info")["DP"].alias("dp"),
+        F.size("samples").alias("n_samples"),
+    )
+
+
+@staged(
+    "gff_scan_roundtrip",
+    oracle="""
+    SELECT concat('chr', doc_id % 3) AS seqid,
+           'synth' AS source,
+           'gene' AS type,
+           CAST(n_chars AS INTEGER) AS start,
+           CAST(n_chars + 500 AS INTEGER) AS "end",
+           CASE WHEN doc_id % 2 = 0 THEN '+' ELSE '-' END AS strand,
+           concat('g', doc_id) AS feature_id
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def gff_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked GFF3 writer→reader round-trip through io.read_gff
+    (attributes map projected to the scalar ID)."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("chr"), (F.col("doc_id") % 3).cast("string")),
+        F.lit("synth"),
+        F.lit("gene"),
+        F.col("n_chars").cast("string"),
+        (F.col("n_chars") + 500).cast("string"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("+")).otherwise(F.lit("-")),
+        F.lit("."),
+        F.concat(F.lit("ID=g"), F.col("doc_id").cast("string")),
+    )
+    header = spark.range(1).select(F.lit("##gff-version 3").alias("value"))
+    out = vio.scratch_dir(spark, sf_dir, "gff")
+    vio.write_text(header.union(d.select(line.alias("value"))), out, mode="overwrite")
+    g = vio.read_gff(spark, out)
+    return g.select(
+        "seqid",
+        "source",
+        "type",
+        "start",
+        "end",
+        "strand",
+        F.col("attributes")["ID"].alias("feature_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval algebra (intervals.py) over TPC-H-derived synthetic intervals
+# ---------------------------------------------------------------------------
+
+_GENES_SQL = """
+    SELECT concat('g', p_partkey) AS id,
+           concat('c', p_partkey % 3) AS seqid,
+           CAST((p_partkey * 37) % 9000 AS BIGINT) AS start,
+           CAST((p_partkey * 37) % 9000 + 400 AS BIGINT) AS "end"
+    FROM part
+"""
+_READS_SQL = """
+    SELECT concat('r', o_orderkey) AS id,
+           concat('c', o_orderkey % 3) AS seqid,
+           CAST((o_orderkey * 91) % 9400 AS BIGINT) AS start,
+           CAST((o_orderkey * 91) % 9400 + 80 AS BIGINT) AS "end"
+    FROM orders WHERE o_orderkey < 3000
+"""
+
+
+def _genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    start = (F.col("p_partkey") * 37) % 9000
+    return p.select(
+        F.concat(F.lit("g"), F.col("p_partkey").cast("string")).alias("id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 3).cast("string")).alias("seqid"),
+        start.cast("long").alias("start"),
+        (start + 400).cast("long").alias("end"),
+    )
+
+
+def _reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    start = (F.col("o_orderkey") * 91) % 9400
+    return o.select(
+        F.concat(F.lit("r"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 3).cast("string")).alias("seqid"),
+        start.cast("long").alias("start"),
+        (start + 80).cast("long").alias("end"),
+    )
+
+
+@staged(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH genes AS ({_GENES_SQL}), reads AS ({_READS_SQL})
+    SELECT g.id AS id_a, r.id AS id_b, g.seqid AS seqid_a,
+           g.start AS start_a, g."end" AS end_a,
+           r.start AS start_b, r."end" AS end_b
+    FROM genes g JOIN reads r
+      ON g.seqid = r.seqid AND g.start <= r."end" AND r.start <= g."end"
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals.overlap_join under the correctness gate: the
+    bin-decomposed equi-join (scale path) against the oracle's naive
+    theta join (exact semantics, fine at sf0.01). Exactly-once pair
+    emission is what the hash proves — a bin-dedup bug duplicates
+    rows."""
+    from virapipe_spark.intervals import overlap_join
+
+    out = overlap_join(
+        _genes(spark, sf_dir), _reads(spark, sf_dir), bin_size=512
+    )
+    return out.select(
+        "id_a", "id_b", "seqid_a", "start_a", "end_a", "start_b", "end_b"
+    )
+
+
+@staged(
+    "interval_merge_spans",
+    oracle=f"""
+    WITH iv AS ({_GENES_SQL}),
+    flagged AS (
+      SELECT seqid, start, "end",
+             CASE WHEN max("end") OVER (
+                      PARTITION BY seqid ORDER BY start, "end"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR start > max("end") OVER (
+                      PARTITION BY seqid ORDER BY start, "end"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS opens
+      FROM iv
+    ),
+    islands AS (
+      SELECT seqid, start, "end",
+             sum(opens) OVER (PARTITION BY seqid ORDER BY start, "end"
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT seqid, min(start) AS start, max("end") AS "end",
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY seqid, island
+    """,
+)
+def interval_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals.merge_overlapping under the gate — gaps-and-islands
+    window vs the identical formulation in DuckDB SQL."""
+    from virapipe_spark.intervals import merge_overlapping
+
+    return merge_overlapping(_genes(spark, sf_dir).drop("id"))
+
+
+@staged(
+    "interval_bin_coverage",
+    oracle=f"""
+    WITH iv AS ({_READS_SQL}),
+    binned AS (
+      SELECT seqid, unnest(generate_series(start // 1000, "end" // 1000))
+               AS bin
+      FROM iv
+    )
+    SELECT seqid,
+           bin * 1000 AS bin_start,
+           bin * 1000 + 999 AS bin_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM binned GROUP BY seqid, bin
+    """,
+)
+def interval_bin_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals.coverage under the gate — per-bin interval counts."""
+    from virapipe_spark.intervals import coverage
+
+    return coverage(_reads(spark, sf_dir), bin_size=1000)
+
+
+# ---------------------------------------------------------------------------
+# Read-QC scalars / metrics (functions.py, metrics.py)
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "docs_trim_quality",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, len(text) AS n,
+             list_transform(generate_series(1, len(text)),
+                            g -> ascii(substr(text, g, 1))) AS bytes
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n,
+             list_position(
+               list_transform(
+                 generate_series(1, n - 3),
+                 i -> list_avg(bytes[i:i+3]) < 95.0),
+               true) AS fail_pos
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n < 4 THEN n
+                     WHEN fail_pos IS NULL THEN n
+                     ELSE fail_pos - 1 END AS INTEGER) AS trim_at
+    FROM w
+    """,
+)
+def docs_trim_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions.trim_point_sliding under the gate: documents.text as
+    the quality string (space bytes = 32 crater the window average, so
+    reads trim at their first space-containing window — a
+    deterministic, non-trivial cut both engines must agree on)."""
+    from virapipe_spark import functions as vf
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        vf.trim_point_sliding("text", window=4, min_avg=95.0).alias("trim_at"),
+    )
+
+
+@staged(
+    "docs_dust_complexity",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             translate(md5(text), '{"0123456789abcdef"}',
+                       '{"ACGTACGTACGTACGT"}') AS dna
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(dna) - 2),
+                            i -> substr(dna, i, 3)) AS grams
+      FROM s
+    ),
+    sc AS (
+      SELECT doc_id, len(grams) AS n,
+             list_sum(list_transform(
+               list_distinct(grams),
+               x -> len(list_filter(grams, y -> y = x))
+                    * (len(list_filter(grams, y -> y = x)) - 1))) AS pairs2
+      FROM g
+    )
+    SELECT doc_id,
+           round(CAST(pairs2 AS DOUBLE) / (n * (n - 1)), 6) AS dust
+    FROM sc
+    """,
+)
+def docs_dust_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions.dust_score under the gate, over md5-derived DNA (the
+    shared md5-hex trick) — 30 trinucleotides per doc, exact integer
+    pair counts, one rounded division."""
+    from virapipe_spark import functions as vf
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dna = F.translate(F.md5("text"), "0123456789abcdef", "ACGTACGTACGTACGT")
+    return d.select(
+        "doc_id", F.round(vf.dust_score(dna, k=3), 6).alias("dust")
+    )
+
+
+@staged(
+    "docs_gc_content",
+    oracle=f"""
+    SELECT doc_id,
+           round(CAST(len(dna) - len(translate(dna, 'GC', '')) AS DOUBLE)
+                 / len(dna), 4) AS gc
+    FROM (SELECT doc_id,
+                 translate(md5(text), '{"0123456789abcdef"}',
+                           '{"ACGTACGTACGTACGT"}') AS dna
+          FROM documents)
+    """,
+)
+def docs_gc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics.gc_content under the gate (translate-delete fraction)."""
+    from virapipe_spark.metrics import gc_content
+
+    d = table(spark, sf_dir, "documents")
+    dna = F.translate(F.md5("text"), "0123456789abcdef", "ACGTACGTACGTACGT")
+    return d.select("doc_id", F.round(gc_content(dna), 4).alias("gc"))
+
+
+@staged(
+    "assembly_n50_stats",
+    oracle="""
+    WITH l AS (SELECT CAST(n_chars AS BIGINT) AS len FROM documents),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_contigs,
+             CAST(sum(len) AS BIGINT) AS total_bp,
+             max(len) AS max_len,
+             round(avg(len), 2) AS mean_len
+      FROM l
+    ),
+    ranked AS (
+      SELECT len, sum(len) OVER (ORDER BY len DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM l
+    )
+    SELECT t.n_contigs, t.total_bp, t.max_len, t.mean_len,
+           (SELECT max(len) FROM ranked, t WHERE cum * 2 >= t.total_bp)
+             AS n50
+    FROM t
+    """,
+)
+def assembly_n50_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics.assembly_stats under the gate — documents.n_chars as the
+    contig-length column (the textbook N50 running-sum definition on
+    both sides)."""
+    from virapipe_spark.metrics import assembly_stats
+
+    d = table(spark, sf_dir, "documents")
+    return assembly_stats(d, length_col=F.col("n_chars"))
