@@ -341,3 +341,50 @@ class TestGff:
         )
         got = {r["cid"]: r["ptype"] for r in child.join(parent, "pid").collect()}
         assert got == {"tx1": "gene", "ex1": "mRNA"}
+
+
+class TestDriverTableContract:
+    """catalog.table() must be the single place that absorbs driver
+    testdata drift (VERDICT r04: events.ts arrived re-typed and five
+    queries died as scattered AnalysisExceptions)."""
+
+    def test_retyped_column_fails_loudly(self, spark, tmp_path):
+        from virapipe_spark import catalog
+
+        # documents with n_chars re-typed to string — not a legal drift
+        src = catalog.table(spark, "/root/testdata/sf0.001", "documents")
+        bad = src.withColumn("n_chars", F.col("n_chars").cast("string"))
+        bad.write.parquet(str(tmp_path / "documents.parquet"))
+        with pytest.raises(TypeError, match="testdata drift.*n_chars.*string"):
+            catalog.table(spark, str(tmp_path), "documents")
+
+    def test_missing_column_fails_loudly(self, spark, tmp_path):
+        from virapipe_spark import catalog
+
+        src = catalog.table(spark, "/root/testdata/sf0.001", "region")
+        src.drop("r_name").write.parquet(str(tmp_path / "region.parquet"))
+        with pytest.raises(TypeError, match="testdata drift.*r_name.*MISSING"):
+            catalog.table(spark, str(tmp_path), "region")
+
+    def test_events_ts_flavors_normalize_to_timestamp(self, spark, tmp_path):
+        """Both historical encodings of events.ts (nanos-as-bigint and
+        plain timestamp[us]/NTZ) must read back as a session-zoned
+        TIMESTAMP with identical values."""
+        from virapipe_spark import catalog
+
+        ntz_dir = tmp_path / "ntz"
+        src = catalog.table(spark, "/root/testdata/sf0.001", "events").limit(50)
+        # current driver shape: TIMESTAMP_NTZ
+        src.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+            str(ntz_dir / "events.parquet")
+        )
+        got = catalog.table(spark, str(ntz_dir), "events")
+        assert dict(got.dtypes)["ts"] == "timestamp"
+        want = {(r["event_id"], r["ts"]) for r in src.select("event_id", "ts").collect()}
+        assert {(r["event_id"], r["ts"]) for r in got.select("event_id", "ts").collect()} == want
+
+    def test_all_driver_tables_pass_contract(self, spark, sf_dir):
+        from virapipe_spark import catalog
+
+        for t in catalog.TABLES:
+            catalog.table(spark, sf_dir, t)  # raises on contract violation

@@ -41,36 +41,31 @@ class TestPlanProperties:
 
     def test_no_cartesian_anywhere(self, spark):
         """No catalog query may form unblocked pairs — the single most
-        important 100 TB property. Two exemptions, both deliberate
+        important 100 TB property. Three exemptions, all deliberate
         broadcasts of a tiny fixed-size side: the brute-force ANN
         baseline (all-pairs scan IS its semantics — broadcast query
-        side) and the IVF coarse-assignment (corpus × C centroids —
-        broadcast centroid side). IVF's BNLJ sits behind its
-        localCheckpoint boundary, so the returned plan starts at a Scan
-        ExistingRDD — the checkpointed assignment is asserted separately
-        in test_ivf_assignment_plan_is_broadcast_nlj. embed_kmeans_lloyd
-        broadcasts a SINGLE centroid-array row per assignment (argmin is
-        a per-row array_min projection — zero-shuffle by design), so its
-        one BNLJ is a 1-row build side."""
-        allowed_nlj = {"embed_knn_bruteforce", "embed_kmeans_lloyd"}
+        side), the IVF coarse-assignment (corpus × C centroids —
+        broadcast centroid side; since the r05 A/B dropped the
+        localCheckpoint, the two consumers each recompute it, so the
+        BNLJ is visible in the returned plan), and embed_kmeans_lloyd,
+        which broadcasts a SINGLE centroid-array row per assignment
+        (argmin is a per-row array_min projection — zero-shuffle by
+        design), so its one BNLJ is a 1-row build side."""
+        allowed_nlj = {"embed_knn_bruteforce", "embed_kmeans_lloyd", "embed_knn_ivf"}
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)
             assert "CartesianProduct" not in p, name
             if name in allowed_nlj:
                 assert "BroadcastNestedLoopJoin Build" in p, name
-            elif name == "embed_knn_ivf":
-                assert "Scan ExistingRDD" in p, name
-                assert "BroadcastNestedLoopJoin" not in p, name
             else:
                 assert "BroadcastNestedLoopJoin" not in p, name
 
     def test_ivf_assignment_plan_is_broadcast_nlj(self, spark):
         """embed_knn_ivf's coarse assignment (corpus × C centroids) must
-        broadcast the tiny centroid side; its plan is hidden from the
-        returned DataFrame by the localCheckpoint, so assert on the
-        PRODUCTION pre-checkpoint stage (extensions._ivf_assign_scored —
-        the exact pipeline embed_knn_ivf checkpoints)."""
+        broadcast the tiny centroid side; assert it directly on the
+        assignment stage (extensions._ivf_assign_scored — the exact
+        pipeline both embed_knn_ivf consumers recompute)."""
         from virapipe_spark.queries import extensions as ext
 
         p = _plan(ext._ivf_assign_scored(spark, SF_DIR))
@@ -356,7 +351,7 @@ class TestStarProbe:
         assert p.count("PushedFilters: [IsNotNull") >= 2  # date pushdown
 
 
-class TestSplitSizeControl:
+class TestSplitSizeControlParallelism:
     def test_max_partition_bytes_drives_scan_parallelism(self, spark, tmp_path):
         """SURVEY §2.7 split-size control: the engine's answer to the
         reference's NLineInputFormat reads-per-split knob is

@@ -1,7 +1,6 @@
-"""Run the driver's exact Spark-vs-DuckDB compare over every STAGED
-round-5 entry (virapipe_spark/queries/staged.py) — the entries are
-correctness-verified NOW, so promoting them into the live catalog next
-round is a pre-validated one-line flip."""
+"""Run the driver's exact Spark-vs-DuckDB compare over every staged.py
+entry. Since the round-5 flip these are LIVE (catalog.load_all promotes
+them); the per-entry compare stays as the local correctness gate."""
 
 from __future__ import annotations
 
@@ -28,9 +27,12 @@ def con():
     c.close()
 
 
-def test_staged_registry_disjoint_from_live_catalog():
+def test_staged_entries_promoted_into_live_catalog():
     catalog.load_all()
-    assert STAGED and not (set(STAGED) & set(catalog.QUERIES))
+    assert STAGED and set(STAGED) <= set(catalog.QUERIES)
+    # every promoted entry carries its oracle (full hash check, not
+    # rows-only) under the same name
+    assert set(STAGED) <= set(catalog.ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))

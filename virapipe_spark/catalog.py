@@ -33,13 +33,130 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+#: The schema contract between the driver's testdata and every catalog
+#: query: column -> acceptable Spark dtypes, post-normalization. The
+#: driver regenerates the parquet between rounds and its physical types
+#: have drifted before (events.ts: TIMESTAMP(NANOS) -> plain
+#: timestamp[us]/NTZ in round 4, which broke five queries at analysis
+#: time); :func:`table` validates against this contract at read so the
+#: NEXT drift fails in one place with a clear message instead of as
+#: scattered AnalysisExceptions. Timestamp columns accept both session-
+#: zoned and NTZ flavors — every query except the events family is
+#: flavor-agnostic, and events.ts is coerced to "timestamp" before
+#: validation. Extra columns are allowed (queries select what they
+#: need); a MISSING column or an unlisted dtype is a hard error.
+EXPECTED_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {"r_regionkey": ("int", "bigint"), "r_name": ("string",)},
+    "nation": {
+        "n_nationkey": ("int", "bigint"),
+        "n_name": ("string",),
+        "n_regionkey": ("int", "bigint"),
+    },
+    "customer": {
+        "c_custkey": ("int", "bigint"),
+        "c_name": ("string",),
+        "c_nationkey": ("int", "bigint"),
+        "c_acctbal": ("double",),
+        "c_mktsegment": ("string",),
+    },
+    "supplier": {
+        "s_suppkey": ("int", "bigint"),
+        "s_name": ("string",),
+        "s_nationkey": ("int", "bigint"),
+        "s_acctbal": ("double",),
+    },
+    "part": {
+        "p_partkey": ("int", "bigint"),
+        "p_name": ("string",),
+        "p_brand": ("string",),
+        "p_type": ("string",),
+        "p_size": ("int", "bigint"),
+        "p_retailprice": ("double",),
+    },
+    "orders": {
+        "o_orderkey": ("int", "bigint"),
+        "o_custkey": ("int", "bigint"),
+        "o_orderstatus": ("string",),
+        "o_totalprice": ("double",),
+        "o_orderdate": ("timestamp", "timestamp_ntz", "date"),
+        "o_orderpriority": ("string",),
+    },
+    "lineitem": {
+        "l_orderkey": ("int", "bigint"),
+        "l_partkey": ("int", "bigint"),
+        "l_suppkey": ("int", "bigint"),
+        "l_linenumber": ("int", "bigint"),
+        "l_quantity": ("double",),
+        "l_extendedprice": ("double",),
+        "l_discount": ("double",),
+        "l_tax": ("double",),
+        "l_returnflag": ("string",),
+        "l_linestatus": ("string",),
+        "l_shipdate": ("timestamp", "timestamp_ntz", "date"),
+    },
+    "events": {
+        "event_id": ("int", "bigint"),
+        "ts": ("timestamp",),  # post-coercion; see table()
+        "user_id": ("int", "bigint"),
+        "event_type": ("string",),
+        "value": ("double",),
+        "props": ("string",),
+    },
+    "documents": {
+        "doc_id": ("int", "bigint"),
+        "text": ("string",),
+        "lang": ("string",),
+        "source": ("string",),
+        "n_chars": ("int", "bigint"),
+    },
+    "embeddings": {
+        "vec_id": ("int", "bigint"),
+        "embedding": ("array<float>", "array<double>"),
+        "label": ("int", "bigint"),
+    },
+}
+
+
+def _validate_contract(df: DataFrame, name: str) -> None:
+    """Raise one clear error listing every way ``df`` departs from the
+    :data:`EXPECTED_TYPES` contract for table ``name``."""
+    expected = EXPECTED_TYPES.get(name)
+    if expected is None:
+        return
+    actual = dict(df.dtypes)
+    problems = [
+        f"column {col!r}: "
+        + (
+            f"got {actual[col]!r}, expected one of {list(oks)}"
+            if col in actual
+            else f"MISSING (expected one of {list(oks)})"
+        )
+        for col, oks in expected.items()
+        if actual.get(col) not in oks
+    ]
+    if problems:
+        raise TypeError(
+            f"testdata drift: driver table {name!r} no longer matches the "
+            f"engine's schema contract (catalog.EXPECTED_TYPES) — "
+            + "; ".join(problems)
+            + ". If the new shape is legitimate, add a normalization in "
+            "catalog.table() (precedent: events.ts nanos/NTZ) or widen the "
+            "contract."
+        )
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; read it as a long (nanos) and truncate to a
-    proper microsecond timestamp — the same truncation DuckDB applies.
+    The driver regenerates the testdata between rounds and the physical
+    encoding of ``events.ts`` has drifted twice already — parquet
+    TIMESTAMP(NANOS) (rounds ≤3), then plain ``timestamp[us]`` with no
+    UTC flag, which Spark ≥3.4 surfaces as TIMESTAMP_NTZ (round 4).
+    Normalize every flavor to a session-zoned TIMESTAMP so downstream
+    `F.unix_micros` / window logic never sees the drift. The session
+    timezone is pinned UTC (session.py) and DuckDB treats the same
+    parquet values as wall-clock, so each conversion is lossless and
+    oracle-neutral.
     """
     if name == "events":
         from pyspark.sql import functions as F
@@ -50,10 +167,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # or Spark raises PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # legacy nanos-as-long encoding
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # parquet timestamp[us], no UTC flag
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        _validate_contract(df, name)
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _validate_contract(df, name)
+    return df
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -80,7 +203,13 @@ def load_all() -> None:
         extensions,
         streaming,
         multimodal,
+        staged,
     )
+
+    # Round-5 flip: the 9 pre-verified round-4 entries go live (they were
+    # staged because round 4's 50-entry correctness window was full).
+    if not staged.PROMOTED:
+        staged.promote()
 
 
 def _verified_rounds(root: str | None = None) -> dict[str, int]:

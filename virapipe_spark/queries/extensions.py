@@ -1195,17 +1195,44 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with k-means (embed_kmeans_lloyd is the trainer here) and store
     cell id as a partition column so probes prune files; the plan shape
     is identical."""
-    # Materialize the ranked assignment: it feeds BOTH the
-    # cell-assignment branch (crn=1) and the query-probe branch
-    # (crn<=nprobe), and without materialization the centroid crossJoin
-    # + per-vector window runs once per consumer (plan showed 2 BNLJ).
-    # Filtered to crn<=nprobe first so it holds nprobe rows/vector, not
-    # C. localCheckpoint rather than persist(): a catalog callable can't
-    # unpersist after its caller's action, so a persist here pins cache
-    # for the session per invocation (bench reps accumulated "already
-    # cached" warnings in r03); checkpoint blocks are instead freed by
-    # the ContextCleaner once the returned DataFrame is unreferenced.
-    assign_scored = _ivf_assign_scored(spark, sf_dir).localCheckpoint(eager=False)
+    return _ivf_topk(spark, sf_dir, mode=_IVF_MAT)
+
+
+#: How embed_knn_ivf materializes the shared coarse assignment — set by
+#: measurement (tools/ab_ivf.py, SCALE.md §IVF): "checkpoint"
+#: (localCheckpoint(eager=False)), "persist" (StorageLevel default), or
+#: "none" (recompute per consumer). r05 interleaved A/B at sf0.1:
+#: none 0.770 s < checkpoint 0.897 s < persist 0.921 s — and "none" is
+#: also the fault-tolerant choice on a real cluster (localCheckpoint is
+#: non-reliable: a lost executor makes the RDD unrecoverable), while
+#: the recomputed assignment is a deterministic zero-shuffle broadcast
+#: projection, so the duplicate work is two parallel pruned scans.
+_IVF_MAT = "none"
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, mode: str = "checkpoint") -> DataFrame:
+    """embed_knn_ivf's body with a pluggable materialization strategy for
+    the shared assignment, so tools/ab_ivf.py A/Bs the PRODUCTION
+    pipeline (precedent: _minhash_pairs(materialize=...)).
+
+    Why materialize at all: the ranked assignment feeds BOTH the
+    cell-assignment branch (crn=1) and the query-probe branch
+    (crn<=nprobe); unmaterialized, the centroid crossJoin + per-vector
+    window runs once per consumer (plan showed 2 BNLJ). Filtered to
+    crn<=nprobe first so it holds nprobe rows/vector, not C. Checkpoint
+    vs persist trade-off: a catalog callable can't unpersist after its
+    caller's action, so persist pins cache for the session per
+    invocation (bench reps accumulated "already cached" warnings in
+    r03); checkpoint blocks are freed by the ContextCleaner once the
+    returned DataFrame is unreferenced, but pay a partition
+    serialization on first materialization."""
+    assign_scored = _ivf_assign_scored(spark, sf_dir)
+    if mode == "checkpoint":
+        assign_scored = assign_scored.localCheckpoint(eager=False)
+    elif mode == "persist":
+        assign_scored = assign_scored.persist()
+    elif mode != "none":
+        raise ValueError(f"unknown IVF materialization mode: {mode!r}")
     assign = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", "q", "qnorm", "cid"
     )
