@@ -70,6 +70,11 @@ HEADLINE = [
     # round-4: the iterative-algorithm plan — 3 zero-shuffle broadcast
     # assignments + 2 (cid,pos)-bounded update shuffles.
     "embed_kmeans_lloyd",
+    # round-5: the cross-document boilerplate signal (gram equi-join +
+    # position dedup — the heaviest new text op) and the stream-stream
+    # attribution join's batch twin.
+    "docs_boilerplate_coverage",
+    "events_stream_interval_join",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))

@@ -50,8 +50,16 @@ class TestPlanProperties:
         BNLJ is visible in the returned plan), and embed_kmeans_lloyd,
         which broadcasts a SINGLE centroid-array row per assignment
         (argmin is a per-row array_min projection — zero-shuffle by
-        design), so its one BNLJ is a 1-row build side."""
-        allowed_nlj = {"embed_knn_bruteforce", "embed_kmeans_lloyd", "embed_knn_ivf"}
+        design), so its one BNLJ is a 1-row build side. assembly_n50_stats
+        (live since the r05 promotion) joins two ONE-ROW aggregates back
+        to the length table (metrics.assembly_stats: the totals row and
+        the n50 row) — constant-size build sides by construction."""
+        allowed_nlj = {
+            "embed_knn_bruteforce",
+            "embed_kmeans_lloyd",
+            "embed_knn_ivf",
+            "assembly_n50_stats",
+        }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)

@@ -115,6 +115,23 @@ class TestStreamBatchParity:
             assert r["n_events"] == want[uid]["n_events"]
             assert r["total"] == pytest.approx(want[uid]["total"])
 
+    def test_stream_interval_join(self, spark, events_dir, batch_events):
+        """Stream-stream inner join with watermarks on BOTH sides and an
+        event-time range condition; parity with the batch twin. With a
+        6h interval the two u1 views (9:30, 9:45) each match the 14:00
+        click; u2 has clicks but no views."""
+        stream = vs.read_event_stream(spark, events_dir)
+        assert stream.isStreaming
+        got = vs.drain_available_now(
+            vs.interval_join(stream, interval="6 hours"),
+            "t_sjoin",
+            output_mode="append",
+        )
+        want = vs.interval_join(batch_events, interval="6 hours")
+        cols = ["user_id", "view_id", "click_id", "gap_us"]
+        assert _rows(got, *cols) == _rows(want, *cols)
+        assert got.count() == 2
+
     def test_stream_dedup(self, spark, tmp_path_factory):
         """dropDuplicatesWithinWatermark drops re-sent events; parity
         with the batch dropDuplicates twin."""

@@ -36,11 +36,19 @@ def assembly_stats(
     standard definition: sort lengths descending, take the first length
     at which the running sum reaches half the total.
 
-    Scale shape: one global sort of the per-contig LENGTHS only (a long
-    per contig — the sort payload is 8 bytes/row regardless of contig
-    size), one running-sum window over that order, one filter + limit.
-    Assemblies are ~10^5..10^7 contigs — trivial for a range-partitioned
-    sort; the expensive thing (contig text) never moves."""
+    Scale shape: the running sum is a TWO-LEVEL prefix sum, not one
+    global-ordered window (that plan carries a "No Partition Defined"
+    WindowExec — every row on one executor). Lengths aggregate into
+    fixed-width buckets (``__len div _N50_BUCKET``); the bucket summary
+    (≤ max_len/_N50_BUCKET rows — thousands, not millions) takes the
+    only unpartitioned window to derive each bucket's base offset (sum
+    of all longer buckets); the base broadcast-joins back and the
+    per-row cumulative sum runs in a window PARTITIONED by bucket. Same
+    pattern as io.read_fastq's block index: global order reconstructed
+    from a tiny summary + partition-local windows, nothing ever funnels
+    to a single task. Ties within a bucket don't affect the answer —
+    equal lengths yield the same candidate length wherever the
+    half-total threshold lands inside the tie run."""
     length = (
         F.length(F.col(sequence_col)) if length_col is None else _col(length_col)
     ).cast("long")
@@ -51,10 +59,26 @@ def assembly_stats(
         F.max("__len").alias("max_len"),
         F.round(F.avg("__len"), 2).alias("mean_len"),
     )
-    w = Window.orderBy(F.col("__len").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    lens_b = lens.withColumn("__b", F.expr(f"__len div {_N50_BUCKET}"))
+    wb = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    ranked = lens.select("__len", F.sum("__len").over(w).alias("__cum"))
+    bases = (
+        lens_b.groupBy("__b")
+        .agg(F.sum("__len").alias("__bsum"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__base"),
+        )
+    )
+    wr = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__len").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = lens_b.join(F.broadcast(bases), "__b").select(
+        "__len", (F.col("__base") + F.sum("__len").over(wr)).alias("__cum")
+    )
     n50 = (
         ranked.crossJoin(total.select(F.col("total_bp").alias("__t")))
         .filter(F.col("__cum") * 2 >= F.col("__t"))
@@ -63,6 +87,13 @@ def assembly_stats(
         .limit(1)
     )
     return total.crossJoin(n50)
+
+
+#: Bucket width for the N50 two-level prefix sum: the bucket summary
+#: holds at most max_contig_len/_N50_BUCKET rows (a 100 Mbp scaffold ->
+#: ~100k summary rows, still a trivial single window), while per-row
+#: cumulative sums stay partitioned.
+_N50_BUCKET = 1024
 
 
 def _col(c: Column | str) -> Column:

@@ -1750,3 +1750,400 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
     keepers = labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return docs.join(keepers, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: boilerplate coverage, length distribution, LM-style
+# char-gram commonness
+# ---------------------------------------------------------------------------
+
+#: A word 3-gram is "boilerplate" when it appears in at least this many
+#: distinct documents (CCNet / RefinedWeb drop lines shared across
+#: documents; with no line structure in the corpus the shared-span
+#: analog is the cross-document n-gram).
+_BOILER_MIN_DOCS = 5
+
+
+@query(
+    "docs_boilerplate_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, g AS pos,
+             concat_ws(' ', t[g], t[g+1], t[g+2]) AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(g)
+      WHERE len(t) >= 3
+    ),
+    boiler AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, p.tp
+      FROM grams g JOIN boiler b USING (gram),
+           UNNEST(generate_series(g.pos, g.pos + 2)) AS p(tp)
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_boiler FROM cov GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(n.n_boiler, 0) AS BIGINT) AS n_boiler_tokens,
+           round(coalesce(n.n_boiler, 0) / CAST(t.n_tokens AS DOUBLE), 4)
+             AS boiler_ratio,
+           (coalesce(n.n_boiler, 0) <= 0.3 * t.n_tokens) AS keep
+    FROM tot t LEFT JOIN ncov n USING (doc_id)
+    """,
+)
+def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate coverage — the line-dedup signal of
+    CCNet (Wenzek et al. 2020) / RefinedWeb (Penedo et al. 2023)
+    re-expressed for unstructured text: a word 3-gram appearing in
+    >= _BOILER_MIN_DOCS distinct documents is boilerplate; each
+    document reports how many of its token positions are covered by at
+    least one boilerplate gram and keeps iff coverage <= 30%.
+
+    Shape: gram explode (fused with the scan) -> distinct-doc count per
+    gram (map-side combinable, keyed by gram) -> equi-join back on gram
+    -> position explode -> distinct (doc, pos) -> per-doc count. Every
+    pairing blocks on the gram equi-join; shuffle volume is bounded by
+    distinct (doc, gram) pairs, never doc-pairs. The keep verdict is an
+    integer comparison (n_boiler <= 0.3 * n_tokens) so no float
+    boundary can flip it cross-engine."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    covered = (
+        grams.join(boiler, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("tp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler_tokens"))
+    )
+    tot = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    nb = F.coalesce(F.col("n_boiler_tokens"), F.lit(0)).cast("long")
+    return tot.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        nb.alias("n_boiler_tokens"),
+        F.round(nb / F.col("n_tokens").cast("double"), 4).alias("boiler_ratio"),
+        (nb * 10 <= F.col("n_tokens") * 3).alias("keep"),
+    )
+
+
+@query(
+    "docs_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.50), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.95), 4) AS p95
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution — the corpus-profiling
+    aggregate behind every length-cutoff decision in a data pipeline
+    (Gopher drops docs outside [50, 100k] tokens; choosing those bounds
+    starts from exactly this query).
+
+    Exact linear-interpolated percentiles (Spark `percentile`, DuckDB
+    `quantile_cont` — the same definition), grouped by the
+    low-cardinality lang key: one map-side-combinable shuffle keyed by
+    lang. Spark's exact percentile buffers per-group values — fine for
+    a bounded profile dimension like language (the full corpus profile
+    at 100 TB would swap in approx_percentile, whose t-digest merge is
+    the scale path; the exact form is kept here because the oracle gate
+    hash-compares values)."""
+    d = table(spark, sf_dir, "documents")
+    pcts = F.percentile(F.col("n_chars"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), pcts.alias("__p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+            F.round(F.col("__p")[3], 4).alias("p95"),
+        )
+    )
+
+
+@query(
+    "docs_chargram_commonness",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, substr(text, p, 3) AS gram
+      FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS u(p)
+      WHERE length(text) >= 3
+    ),
+    lm AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+    scored AS (
+      SELECT g.doc_id, lm.cnt
+      FROM g JOIN lm USING (gram)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(min(cnt) AS BIGINT) AS rarest_cnt,
+           round(sum(cnt) / CAST(count(*) AS DOUBLE), 4) AS avg_cnt
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_chargram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model commonness score — the
+    frequency-based stand-in for the KenLM perplexity filter used by
+    CCNet: train the char-3-gram table on the corpus itself (one
+    count aggregation), then score each document by the average and
+    minimum corpus frequency of its grams. Low avg_cnt / rarest_cnt =
+    improbable character sequences = the doc a perplexity filter would
+    drop. (The classic score is avg log-prob; corpus frequency is the
+    same signal monotonically, and integer counts keep both engines
+    bit-identical — the repo's integer-exact rule — where cross-engine
+    libm log() could differ in the last ulp.)
+
+    Shape: two passes over the exploded grams — (1) count per gram
+    (map-side combinable; distinct char-3-grams are bounded by
+    charset³, a tiny table), (2) equi-join scores back on gram and
+    re-aggregate per doc. Both shuffles key on bounded-cardinality
+    gram or on doc_id; the join side is small enough to broadcast at
+    any corpus size (charset³ rows), which AQE does from its measured
+    size. The single division is exact-IEEE on both engines."""
+    d = table(spark, sf_dir, "documents")
+    g = d.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " p -> substring(text, p, 3))"
+            )
+        ).alias("gram"),
+    )
+    lm = g.groupBy("gram").agg(F.count("*").alias("cnt"))
+    return (
+        g.join(lm, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.min("cnt").alias("rarest_cnt"),
+            F.round(
+                F.sum("cnt") / F.count("*").cast("double"), 4
+            ).alias("avg_cnt"),
+        )
+    )
+
+
+@query(
+    "docs_novelty_fraction",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[g], t[g+1], t[g+2]) AS s
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(g)
+      WHERE len(t) >= 3
+    ),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM sh JOIN first f USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def docs_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty — the curation-ordering signal: for each
+    document (in doc_id ingest order), the fraction of its distinct
+    word-3-gram shingles never seen in any earlier document. Streaming
+    data curation ranks candidate shards by exactly this statistic
+    (near-1 = fresh content, near-0 = already-covered); it is the
+    order-aware complement of the pairwise dedup family.
+
+    Shape: distinct (doc, shingle) explode -> min(doc_id) per shingle
+    (map-side combinable, keyed by shingle) -> equi-join back on
+    shingle -> per-doc count. First-occurrence blocks on the shingle
+    key; no doc-pair is ever formed, so candidate volume is linear in
+    corpus shingles, not quadratic in documents. The novelty verdict
+    joins cleanly onto docs_dedup_apply's keeper semantics (min doc_id
+    is the same representative rule)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    t = F.col("toks")
+    sh = (
+        d.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 2),
+                    lambda g: F.concat_ws(
+                        " ",
+                        F.element_at(t, g),
+                        F.element_at(t, g + 1),
+                        F.element_at(t, g + 2),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*").cast("double"), 4).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@query(
+    "docs_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS type_token_ratio,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS hapax_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def docs_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary richness: type-token ratio and hapax
+    (once-only token) fraction — the degenerate-text signals
+    complementing docs_repetition_topgram (low TTR = repeated filler;
+    high hapax on long docs = gibberish/OCR noise; both are standard
+    corpus-linguistics filters).
+
+    Shape: token explode fused with the scan -> (doc, token) count ->
+    per-doc re-aggregate. Both aggregations are map-side combinable
+    and keyed by doc(+token) — shuffle bounded by distinct (doc,
+    token) pairs, skew-free. Ratios are single divisions of exact
+    integers."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk")
+    )
+    cnt = d.groupBy("doc_id", "tk").agg(F.count("*").alias("c"))
+    hapax = (F.col("c") == 1).cast("long")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(hapax).alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c").cast("double"), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.sum(hapax) / F.count("*").cast("double"), 4).alias(
+            "hapax_ratio"
+        ),
+    )
+
+
+@query(
+    "embed_norm_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS norm2
+      FROM q
+    ),
+    q8 AS (
+      SELECT vec_id, norm2,
+             list_transform(qv,
+                            x -> CAST(round(x * 127 / sqrt(norm2)) AS BIGINT))
+               AS v8
+      FROM n WHERE norm2 > 0
+    )
+    SELECT vec_id,
+           round(sqrt(norm2) / 10000, 6) AS l2_norm,
+           CAST(len(v8) AS INTEGER) AS n_dims,
+           CAST(list_max(v8) AS BIGINT) AS q8_max,
+           CAST(list_min(v8) AS BIGINT) AS q8_min,
+           CAST(list_sum(list_transform(v8, x -> abs(x))) AS BIGINT) AS q8_l1
+    FROM q8
+    """,
+)
+def embed_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene before indexing: L2 norm + int8 scalar
+    quantization (the FAISS SQ8 preprocessing step) — per vector, the
+    norm and the profile of the normalized int8 code (dims, max, min,
+    L1 mass). Zero-division-safe (zero vectors are dropped, as an
+    index build drops them).
+
+    Integer-exact cross-engine: quantize floats to ints first
+    (round(x*10000), the repo's embedding convention), so norm² is an
+    exact integer sum; the single sqrt and the per-element
+    round(q*127/sqrt(norm²)) are bit-identical IEEE on both engines —
+    no float-reduction-order risk. Zero-shuffle: one narrow projection
+    per vector inside codegen; at 100 TB this runs at scan speed and
+    the int8 codes (16x smaller) are what the ANN index ingests."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 10000).cast("long"),
+    )
+    n = e.select(
+        "vec_id",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("norm2"),
+    ).filter(F.col("norm2") > 0)
+    v8 = F.transform(
+        F.col("qv"),
+        lambda x: F.round(x * 127 / F.sqrt(F.col("norm2"))).cast("long"),
+    )
+    w8 = n.select("vec_id", "norm2", v8.alias("v8"))
+    return w8.select(
+        "vec_id",
+        F.round(F.sqrt("norm2") / 10000, 6).alias("l2_norm"),
+        F.size("v8").cast("int").alias("n_dims"),
+        F.array_max("v8").alias("q8_max"),
+        F.array_min("v8").alias("q8_min"),
+        F.aggregate(
+            F.transform(F.col("v8"), lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q8_l1"),
+    )

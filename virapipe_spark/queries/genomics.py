@@ -713,6 +713,71 @@ def sam_to_fastq_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vio.sam_to_fastq(alignments)
 
 
+@query(
+    "blast_scan_roundtrip",
+    oracle="""
+    SELECT concat('q', doc_id) AS qseqid,
+           concat('subj', doc_id % 10) AS sseqid,
+           CAST(doc_id % 1000 AS DOUBLE) / 10.0 AS pident,
+           CAST(32 + doc_id % 100 AS INTEGER) AS length,
+           CAST(doc_id % 5 AS INTEGER) AS mismatch,
+           CAST(doc_id % 3 AS INTEGER) AS gapopen,
+           CAST(doc_id AS BIGINT) AS qstart,
+           CAST(doc_id + 32 + doc_id % 100 AS BIGINT) AS qend,
+           CAST(doc_id * 3 AS BIGINT) AS sstart,
+           CAST(doc_id * 3 + 32 AS BIGINT) AS send,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE CAST(doc_id % 7 AS DOUBLE) * 0.00001 END AS evalue,
+           100.0 + CAST(doc_id % 50 AS DOUBLE) / 4.0 AS bitscore
+    FROM documents WHERE doc_id < 250
+    """,
+)
+def blast_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked coverage for the BLAST outfmt-6 writer/reader pair —
+    the last §2.1/§2.2 format pair that was pytest-only (read path
+    SQLQueryBlast.java:74-97 per-field null-tolerant casts; write path
+    SQLQueryBlast.java:113-121 explicit column-ordered lines).
+
+    Synthesizes 12-column hits from ``documents`` (every value derived
+    from doc_id so both engines compute them), writes REAL
+    tab-separated outfmt-6 text via io.write_blast_tab, and reads it
+    back through io.read_blast's PERMISSIVE schema cast. Every ~11th
+    evalue is NULL — written as an empty field and re-read as NULL, the
+    exact per-field tolerance the reference hand-codes. A column-order
+    drift, a double-formatting asymmetry, or a null round-trip failure
+    breaks the hash."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    hits = d.select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("qseqid"),
+        F.concat(F.lit("subj"), (F.col("doc_id") % 10).cast("string")).alias(
+            "sseqid"
+        ),
+        ((F.col("doc_id") % 1000).cast("double") / 10.0).alias("pident"),
+        (F.lit(32) + F.col("doc_id") % 100).cast("int").alias("length"),
+        (F.col("doc_id") % 5).cast("int").alias("mismatch"),
+        (F.col("doc_id") % 3).cast("int").alias("gapopen"),
+        F.col("doc_id").cast("long").alias("qstart"),
+        (F.col("doc_id") + 32 + F.col("doc_id") % 100)
+        .cast("long")
+        .alias("qend"),
+        (F.col("doc_id") * 3).cast("long").alias("sstart"),
+        (F.col("doc_id") * 3 + 32).cast("long").alias("send"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(None).cast("double")
+        )
+        .otherwise((F.col("doc_id") % 7).cast("double") * 0.00001)
+        .alias("evalue"),
+        (F.lit(100.0) + (F.col("doc_id") % 50).cast("double") / 4.0).alias(
+            "bitscore"
+        ),
+    )
+    out = vio.scratch_dir(spark, sf_dir, "blast")
+    vio.write_blast_tab(hits, out, mode="overwrite")
+    return vio.read_blast(spark, out)
+
+
 # ---------------------------------------------------------------------------
 # The reference's pipeline, composed (virapipe.sh:38-63 stage chain)
 # ---------------------------------------------------------------------------

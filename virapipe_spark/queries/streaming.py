@@ -323,3 +323,28 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("o_us") - F.col("e_us")) <= _RANGE_US)
     )
     return pairs.groupBy("e_id").agg(F.count("*").alias("n_nearby"))
+
+
+@query(
+    "events_stream_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM events v JOIN events c ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts >= v.ts
+      AND epoch_us(c.ts) - epoch_us(v.ts) <= 4::BIGINT * 3600 * 1000000
+    """,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (streaming.interval_join): clicks matched to the same user's views
+    within the preceding 4 hours. The streaming half — two watermarked
+    streams joining each other with state bounded by the interval — is
+    parity-tested in tests/test_streaming.py; this half is the
+    hash-checked plan."""
+    return vstream.interval_join(
+        table(spark, sf_dir, "events"), interval="4 hours"
+    )

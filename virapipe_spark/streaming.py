@@ -104,6 +104,59 @@ def session_aggregate(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    interval: str = "4 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition —
+    the canonical attribution join (every ``right_type`` event matched
+    to the same user's earlier ``left_type`` events within
+    ``interval``). The one §2.11 stateful operator family previously
+    uncovered: two *streams* joining each other, not a stream against a
+    static side.
+
+    On streams, BOTH sides carry watermarks and the time-range
+    predicate lets Spark bound join state: a buffered view row can be
+    dropped once the watermark passes ``view_ts + interval`` (stock
+    stream-stream join semantics). On batch frames the identical plan
+    is an equi-join on user_id with the range as a join-time filter —
+    candidate volume is per-user views x clicks, bounded by activity
+    density; if one user's activity explodes, the bucketed
+    decomposition (queries/streaming.py:events_range_join) is the batch
+    escape hatch. gap_us is an integer micros difference — exact on
+    both engines."""
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        left = left.withWatermark("view_ts", watermark)
+        right = right.withWatermark("click_ts", watermark)
+    cond = (
+        (left["user_id"] == right["r_user_id"])
+        & (right["click_ts"] >= left["view_ts"])
+        & (
+            right["click_ts"]
+            <= left["view_ts"] + F.expr(f"INTERVAL {interval}")
+        )
+    )
+    return left.join(right, cond).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total held in explicit keyed state,
