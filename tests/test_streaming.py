@@ -115,6 +115,28 @@ class TestStreamBatchParity:
             assert r["n_events"] == want[uid]["n_events"]
             assert r["total"] == pytest.approx(want[uid]["total"])
 
+    def test_stream_static_enrich(self, spark, events_dir, batch_events):
+        """Stream-static inner join is stateless (no watermark needed);
+        the static dim broadcasts and parity with the batch twin is
+        exact."""
+        dim = spark.createDataFrame(
+            [(1, "gold"), (2, "basic")], ["dim_user", "tier"]
+        )
+        stream = vs.read_event_stream(spark, events_dir)
+        got = vs.drain_available_now(
+            vs.enrich_with_dim(
+                stream, dim, F.col("user_id") == F.col("dim_user")
+            ),
+            "t_enrich",
+            output_mode="append",
+        )
+        want = vs.enrich_with_dim(
+            batch_events, dim, F.col("user_id") == F.col("dim_user")
+        )
+        cols = ["event_id", "tier"]
+        assert _rows(got, *cols) == _rows(want, *cols)
+        assert got.count() == len(EVENT_ROWS)  # every fixture user is 1 or 2
+
     def test_stream_interval_join(self, spark, events_dir, batch_events):
         """Stream-stream inner join with watermarks on BOTH sides and an
         event-time range condition; parity with the batch twin. With a

@@ -348,3 +348,125 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vstream.interval_join(
         table(spark, sf_dir, "events"), interval="4 hours"
     )
+
+
+@query(
+    "events_rollup",
+    oracle=f"""
+    SELECT event_type,
+           make_timestamp(CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT)
+                          * {_DAY_US}) AS day,
+           CAST(grouping(event_type) * 2
+                + grouping(make_timestamp(CAST(floor(epoch_us(ts) / {_DAY_US})
+                                          AS BIGINT) * {_DAY_US}))
+                AS BIGINT) AS gid,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type,
+                     make_timestamp(CAST(floor(epoch_us(ts) / {_DAY_US})
+                                    AS BIGINT) * {_DAY_US}))
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (event_type -> day -> grand
+    total) — the GROUPING SETS surface, previously uncovered: one pass
+    produces per-(type, day) cells, per-type subtotals, and the grand
+    total, with grouping_id disambiguating genuine NULL keys from
+    subtotal markers.
+
+    Scale: Spark plans rollup as a single Expand + hash aggregate —
+    each input row fans out once per grouping set (3x here) with
+    map-side partial aggregation, so shuffle volume is bounded by
+    distinct (set, keys) combos, not by the 3x row fan-out. The
+    Catalyst-native answer to what would otherwise be three separate
+    aggregations unioned."""
+    ev = table(spark, sf_dir, "events")
+    day = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / F.lit(_DAY_US)) * _DAY_US).cast("long")
+    )
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select("event_type", "day", "gid", "n", "total")
+    )
+
+
+@query(
+    "events_pivot_daily",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT)
+                          * {_DAY_US}) AS day,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'error') AS n_error
+    FROM events GROUP BY day
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily event matrix via ``pivot`` — the
+    long-to-wide reshape every reporting layer runs. The pivot value
+    list is EXPLICIT (the five known event types): without it Spark
+    must run an extra distinct-values job just to learn the output
+    schema, and the schema becomes data-dependent — both wrong at
+    100 TB (and the oracle gate needs a stable schema).
+
+    Scale: explicit-list pivot compiles to one hash aggregate with a
+    conditional-count expression per listed type (exactly the FILTER
+    form the oracle spells) — one shuffle keyed by day, no extra
+    pass."""
+    ev = table(spark, sf_dir, "events")
+    day = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / F.lit(_DAY_US)) * _DAY_US).cast("long")
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@query(
+    "events_enrich_static",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming.enrich_with_dim): every event decorated with its user's
+    dimension row (nation here, via the deterministic user_id%25 key),
+    then rolled up per dimension value. On a stream the dim side is a
+    static broadcast re-read per micro-batch — the standard streaming
+    enrichment; parity in tests/test_streaming.py.
+
+    Scale: the dim is a 25-row broadcast — the fact side never
+    shuffles for the join, only for the tiny per-name rollup."""
+    ev = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "nation")
+    return vstream.enrich_with_dim(
+        ev, dim, ev["user_id"] % 25 == dim["n_nationkey"]
+    ).groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

@@ -157,6 +157,17 @@ def interval_join(
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, cond) -> DataFrame:
+    """Stream-static enrichment join: each event row decorated with its
+    matching row from a STATIC dimension table. On a stream Spark
+    re-evaluates the static side per micro-batch (picking up dim
+    updates between batches) and needs no watermark — stream-static
+    inner joins are stateless. The dim is broadcast (dimension tables
+    are small by definition here; for a large dim, pre-bucket both
+    sides instead). Batch frames take the identical plan."""
+    return events.join(F.broadcast(dim), cond)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total held in explicit keyed state,
