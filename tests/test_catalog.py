@@ -117,3 +117,18 @@ class TestTextOperators:
         n_vecs = catalog.table(spark, sf_dir, "embeddings").count()
         assert sum(r["n_members"] for r in out) == n_vecs
         assert 0 < len(out) <= _KM_C
+
+    def test_stale_suspect_entries_sort_first_until_reproven(self):
+        """The two entries whose r03 proofs predate the r04 TIMESTAMP_NTZ
+        testdata drift must sort inside the window as if unproven — and
+        stop doing so once a post-drift round proves them."""
+        catalog.load_all()
+        ordered = list(catalog.ordered_queries())
+        proven = catalog._verified_rounds()
+        for name in catalog.STALE_SUSPECT:
+            assert name in catalog.QUERIES
+            if proven.get(name, 0) <= catalog._DRIFT_ROUND:
+                assert ordered.index(name) < DRIVER_WINDOW, (
+                    f"{name} has only a pre-drift proof but sorts outside "
+                    "the driver window"
+                )

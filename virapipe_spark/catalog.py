@@ -270,6 +270,18 @@ def _verified_rounds(root: str | None = None) -> dict[str, int]:
     }
 
 
+#: Entries whose latest driver proof predates a change known to have
+#: invalidated their input path, so the proof is stale even though the
+#: most recent check passed: the r04 TIMESTAMP_NTZ testdata drift broke
+#: every `F.unix_micros(ts)` consumer, but these two were last checked
+#: in r03 (against the OLD nanos encoding) and never re-checked in r04
+#: — their r03 green says nothing about the current data. Treated as
+#: unproven by :func:`ordered_queries` until a post-drift (round > 4)
+#: driver row exists — self-healing, no manual cleanup needed.
+STALE_SUSPECT = frozenset({"window_lag_gap", "window_time_range_avg"})
+_DRIFT_ROUND = 4
+
+
 def ordered_queries() -> dict[str, QueryFn]:
     """``QUERIES`` reordered so the driver's correctness window is spent
     on unproven entries first.
@@ -284,5 +296,11 @@ def ordered_queries() -> dict[str, QueryFn]:
     checked set is deterministic and the union over rounds converges to
     — then maintains — full catalog coverage."""
     proven = _verified_rounds()
-    names = sorted(QUERIES, key=lambda n: proven.get(n, 0))
+    def rank(n: str) -> int:
+        r = proven.get(n, 0)
+        if n in STALE_SUSPECT and r <= _DRIFT_ROUND:
+            return 0
+        return r
+
+    names = sorted(QUERIES, key=rank)
     return {n: QUERIES[n] for n in names}

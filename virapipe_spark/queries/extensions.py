@@ -571,16 +571,16 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT doc_id, n_chars,
              len(toks) AS n_tokens,
-             len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)
-               AS stop_ratio,
-             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+             len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stops,
+             len(list_distinct(toks)) AS n_types
       FROM t
     )
     SELECT doc_id,
-           round(ttr * (1 - stop_ratio), 4) AS quality_score
+           CAST(n_types * (n_tokens - n_stops) * 10000
+                // (n_tokens * n_tokens) AS BIGINT) AS quality_score_bp
     FROM scored
     WHERE n_tokens BETWEEN 20 AND 90
-      AND stop_ratio < 0.4
+      AND n_stops * 10 < n_tokens * 4
       AND n_chars >= 100
     """,
 )
@@ -590,17 +590,26 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass). Same zero-shuffle projection shape as docs_text_stats."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) / n.cast(
-        "double"
-    )
-    ttr = F.size(F.array_distinct(toks)) / n.cast("double")
+    n = F.size(toks).cast("long")
+    stops = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    types = F.size(F.array_distinct(toks)).cast("long")
+    # Integer-exact score in basis points: ttr * (1 - stop_ratio) =
+    # types*(n-stops)/n**2, scaled by 10000 and floor-divided — the
+    # float formulation landed EXACTLY on a 4dp rounding tie at sf0.1
+    # (798/1600 = 0.49875) where Spark's decimal-string HALF_UP and
+    # DuckDB's binary multiply-round disagreed. Same change to the
+    # stopword gate (n_stops/n < 0.4 -> n_stops*10 < n*4).
     return (
         d.filter(
-            n.between(20, 90) & (stop_ratio < 0.4) & (F.col("n_chars") >= 100)
+            n.between(20, 90)
+            & (stops * 10 < n * 4)
+            & (F.col("n_chars") >= 100)
         )
         .select(
-            "doc_id", F.round(ttr * (1 - stop_ratio), 4).alias("quality_score")
+            "doc_id",
+            F.floor((types * (n - stops) * 10000) / (n * n))
+            .cast("long")
+            .alias("quality_score_bp"),
         )
     )
 
@@ -871,10 +880,15 @@ _TOP_K = 5
 _QUANT = 10000  # int quantization: round(x * _QUANT)
 
 #: Quantized-integer cosine (exact integer dot/norms; one final sqrt).
+#: The CAST(x AS DOUBLE) before the multiply is load-bearing: DuckDB
+#: otherwise multiplies in FLOAT32, where e.g. 0.10405 * 10000 lands
+#: exactly on 1040.5 and rounds to 1041 while the double product
+#: (1040.4999…) rounds to 1040 — the Spark side always computes in
+#: double (caught by the r5 sf0.1 gate on embed_norm_quantize).
 _Q_SQL = f"""
       SELECT vec_id, label,
              list_transform(embedding,
-                            x -> CAST(round(x * {_QUANT}) AS BIGINT)) AS q
+                            x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT)) AS q
       FROM embeddings
 """
 _DOT_SQL = (
@@ -2078,7 +2092,7 @@ def docs_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
-                            x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       FROM embeddings
     ),
     n AS (

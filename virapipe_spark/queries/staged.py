@@ -236,13 +236,13 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH iv AS ({_GENES_SQL}),
     flagged AS (
-      SELECT seqid, start, "end",
+      SELECT seqid, start, "end", id,
              CASE WHEN max("end") OVER (
-                      PARTITION BY seqid ORDER BY start, "end"
+                      PARTITION BY seqid ORDER BY start, "end", id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                   ) IS NULL
                   OR start > max("end") OVER (
-                      PARTITION BY seqid ORDER BY start, "end"
+                      PARTITION BY seqid ORDER BY start, "end", id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                   )
              THEN 1 ELSE 0 END AS opens
@@ -250,7 +250,7 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
       SELECT seqid, start, "end",
-             sum(opens) OVER (PARTITION BY seqid ORDER BY start, "end"
+             sum(opens) OVER (PARTITION BY seqid ORDER BY start, "end", id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS island
       FROM flagged
@@ -262,7 +262,17 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interval_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intervals.merge_overlapping under the gate — gaps-and-islands
-    window vs the identical formulation in DuckDB SQL."""
+    window vs the identical formulation in DuckDB SQL.
+
+    The oracle's two window CTEs MUST share a TOTAL order (start, end,
+    id): DuckDB sorts each windowed CTE independently, and duplicate
+    (start, end) rows — present at sf0.1, absent at sf0.01 — can be
+    permuted differently between the opens pass and the running-sum
+    pass, mis-numbering islands (caught by the r5 sf0.1 gate run;
+    Spark is immune because both functions share one Window sort).
+    The engine side needs no tiebreak: fully-tied rows are
+    interchangeable for min/max/count under a single consistent
+    sort."""
     from virapipe_spark.intervals import merge_overlapping
 
     return merge_overlapping(_genes(spark, sf_dir).drop("id"))

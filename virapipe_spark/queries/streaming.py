@@ -470,3 +470,67 @@ def events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "events_scd2_history",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events WHERE event_type = 'signup'
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, k,
+             lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_k
+      FROM src
+    ),
+    versions AS (
+      SELECT user_id, ts AS valid_from, event_id, k
+      FROM changes WHERE prev_k IS NULL OR k <> prev_k
+    )
+    SELECT user_id, k, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM versions
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 derivation — the warehouse
+    operator that turns an event log into a versioned history table:
+    per user, each CHANGE of the tracked attribute (props.k on signup
+    events) opens a new version row with [valid_from, valid_to) bounds;
+    consecutive duplicates collapse; the live version has NULL
+    valid_to. Point-in-time joins (events_asof_join) read exactly this
+    shape.
+
+    Scale: two windows, both PARTITIONED by user_id (high cardinality,
+    no global window), shuffling once on user; the change filter runs
+    between them without re-shuffling (same partitioning, Catalyst
+    reuses the Exchange). JSON extraction happens once at the scan
+    behind the event_type pushdown."""
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = src.withColumn("prev_k", F.lag("k").over(wo))
+    versions = changes.filter(
+        F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k"))
+    ).select("user_id", F.col("ts").alias("valid_from"), "event_id", "k")
+    # total order (event_id tiebreak): two same-ts changes of one user
+    # would otherwise make lead() engine-arbitrary
+    wv = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return versions.select(
+        "user_id",
+        "k",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
