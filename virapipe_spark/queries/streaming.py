@@ -534,3 +534,118 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
     )
+
+
+@query(
+    "events_upsert_merge",
+    oracle="""
+    WITH base AS (
+      SELECT event_id // 2 AS k, value, ts FROM events
+      WHERE event_id % 2 = 0
+    ),
+    updates AS (
+      SELECT event_id // 2 AS k, value, ts FROM events
+      WHERE event_id % 2 = 1
+    )
+    SELECT coalesce(u.k, b.k) AS k,
+           coalesce(u.value, b.value) AS value,
+           coalesce(u.ts, b.ts) AS ts,
+           CASE WHEN u.k IS NULL THEN 'kept'
+                WHEN b.k IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM base b FULL OUTER JOIN updates u ON b.k = u.k
+    """,
+)
+def events_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch upsert (MERGE INTO semantics without a transactional
+    table format): an updates batch merged onto a base snapshot —
+    updates overwrite matching keys, unmatched updates insert,
+    unmatched base rows carry over, and every output row is labeled
+    with its merge action. The incremental-ingest primitive every
+    lakehouse pipeline runs; derived here from the event log (even
+    event_ids = base, odd = updates, colliding on event_id div 2 so
+    all three actions occur).
+
+    Scale: one full-outer equi-join on the merge key — both sides
+    shuffle by k exactly once. On a real lake, bucket base and updates
+    on k (scale.write_bucketed) and the merge becomes shuffle-free;
+    with a transactional format the same plan runs under MERGE INTO.
+    Action labeling is null-flag arithmetic, no extra pass."""
+    ev = table(spark, sf_dir, "events")
+    k = (F.col("event_id") / 2).cast("long")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        k.alias("k"), F.col("value").alias("b_value"), F.col("ts").alias("b_ts")
+    )
+    updates = ev.filter(F.col("event_id") % 2 == 1).select(
+        k.alias("uk"), F.col("value").alias("u_value"), F.col("ts").alias("u_ts")
+    )
+    m = base.join(updates, base["k"] == updates["uk"], "full_outer")
+    return m.select(
+        F.coalesce("uk", "k").alias("k"),
+        F.coalesce("u_value", "b_value").alias("value"),
+        F.coalesce("u_ts", "b_ts").alias("ts"),
+        F.when(F.col("uk").isNull(), F.lit("kept"))
+        .when(F.col("k").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+
+
+#: 8-bit-per-dimension Morton (Z-order) interleave, spelled identically
+#: in Spark SQL and DuckDB SQL: bit i of dim a lands at position 2i,
+#: bit i of dim b at 2i+1.
+_Z_EXPR = "(((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1) + (((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3) + (((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5) + (((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7) + (((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9) + (((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11) + (((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13) + (((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15)"
+
+
+@query(
+    "events_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT event_id,
+             user_id % 256 AS a,
+             (epoch_us(ts) // 3600000000) % 256 AS b
+      FROM events
+    ),
+    z AS (SELECT event_id, a, b, {_Z_EXPR} AS zval FROM dims)
+    SELECT zval // 1024 AS zbucket,
+           count(*) AS n,
+           min(a) AS a_min, max(a) AS a_max,
+           min(b) AS b_min, max(b) AS b_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys — the multi-dimensional data-
+    clustering primitive behind Delta/Iceberg OPTIMIZE ZORDER, computed
+    with plain integer arithmetic: interleave the low 8 bits of two
+    dimensions (user bucket, hour bucket) so range-partitioning by the
+    resulting key co-locates rows that are close in BOTH dimensions.
+    The entry reports per-1024-key-range file buckets with their
+    min/max on each dimension — exactly the footer statistics a scan
+    would prune on; tight boxes = effective skipping on either
+    predicate.
+
+    Scale: the z-value is a zero-shuffle codegen projection; the only
+    shuffle is the per-bucket stats rollup (bounded by bucket count).
+    The production write is `df.repartitionByRange(N, "zval")
+    .write.parquet(...)` — same keys, and every parquet file then
+    carries bounded (user, hour) ranges, so predicates on either
+    column skip most files. Bit-twiddling stays in both engines'
+    integer SQL — no UDF."""
+    ev = table(spark, sf_dir, "events")
+    dims = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        ((F.unix_micros("ts") / 3_600_000_000).cast("long") % 256).alias("b"),
+    )
+    z = dims.select("event_id", "a", "b", F.expr(_Z_EXPR).alias("zval"))
+    return (
+        z.groupBy((F.col("zval") / 1024).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+        )
+    )
