@@ -572,7 +572,9 @@ def events_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a transactional format the same plan runs under MERGE INTO.
     Action labeling is null-flag arithmetic, no extra pass."""
     ev = table(spark, sf_dir, "events")
-    k = (F.col("event_id") / 2).cast("long")
+    # integer div, not /-then-cast: float division loses exactness past
+    # 2^53 and the merge key must never drift at scale
+    k = F.expr("event_id div 2")
     base = ev.filter(F.col("event_id") % 2 == 0).select(
         k.alias("k"), F.col("value").alias("b_value"), F.col("ts").alias("b_ts")
     )
@@ -636,11 +638,11 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = ev.select(
         "event_id",
         (F.col("user_id") % 256).alias("a"),
-        ((F.unix_micros("ts") / 3_600_000_000).cast("long") % 256).alias("b"),
+        (F.expr("unix_micros(ts) div 3600000000") % 256).alias("b"),
     )
     z = dims.select("event_id", "a", "b", F.expr(_Z_EXPR).alias("zval"))
     return (
-        z.groupBy((F.col("zval") / 1024).cast("long").alias("zbucket"))
+        z.groupBy(F.expr("zval div 1024").alias("zbucket"))
         .agg(
             F.count("*").alias("n"),
             F.min("a").alias("a_min"),
