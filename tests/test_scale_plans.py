@@ -59,6 +59,9 @@ class TestPlanProperties:
             "embed_kmeans_lloyd",
             "embed_knn_ivf",
             "assembly_n50_stats",
+            # reuses _ivf_assign_scored: the same 8-row centroid
+            # broadcast as embed_knn_ivf; the pair stage blocks on cid
+            "embed_semdedup_verdicts",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)

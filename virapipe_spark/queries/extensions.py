@@ -2166,3 +2166,71 @@ def embed_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("q8_l1"),
     )
+
+
+_SEMDEDUP_COS = 0.35  # same bar as embed_cosine_neardup (synthetic
+# corpus has no true near-dups; this keeps the verdict set non-trivial)
+
+
+@query(
+    "embed_semdedup_verdicts",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    cent AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < {_IVF_C}),
+    assign_scored AS (
+      SELECT v.vec_id, v.q, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_sum(list_transform(generate_series(1, len(v.q)),
+                                                i -> v.q[i] * c.cq[i])) DESC,
+                        c.cid
+             ) AS crn
+      FROM q v CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, q, cid FROM assign_scored WHERE crn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_DOT_SQL} /
+            ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')})
+            >= {_SEMDEDUP_COS}
+    )
+    SELECT s.vec_id, s.cid, (d.vec_id IS NULL) AS keep
+    FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
+    """,
+)
+def embed_semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-threshold — assign every embedding to its nearest
+    coarse centroid, compare pairs ONLY within a cluster, and drop any
+    vector with a lower-id near-duplicate (cosine >= threshold) in its
+    cell. The modern embedding-space answer to MinHash: it removes
+    semantically redundant training examples, not just textual copies.
+    Emits one verdict row per vector (vec_id, cluster, keep).
+
+    Scale: reuses the IVF coarse assignment (broadcast centroids,
+    zero-shuffle scoring); the pairwise stage blocks on the cluster id
+    equi-join, so candidate volume is sum(cluster size²) — the cluster
+    count (here the deterministic {_IVF_C}-centroid quantizer; in
+    production the k-means trainer with C ~ sqrt(N)) tunes it, exactly
+    the SemDeDup recipe. The verdict join-back is one left join on
+    vec_id. No all-pairs stage exists at any corpus size."""
+    assign = _ivf_assign_scored(spark, sf_dir).filter(F.col("crn") == 1).select(
+        "vec_id", "q", "qnorm", "cid"
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cosine("a", "b") >= _SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return assign.join(drops, "vec_id", "left").select(
+        "vec_id", "cid", F.col("__drop").isNull().alias("keep")
+    )
