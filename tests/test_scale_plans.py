@@ -62,6 +62,9 @@ class TestPlanProperties:
             # reuses _ivf_assign_scored: the same 8-row centroid
             # broadcast as embed_knn_ivf; the pair stage blocks on cid
             "embed_semdedup_verdicts",
+            # r6 invariant column: per-file counts crossJoin a ONE-ROW
+            # independently-aggregated total (rows_complete self-check)
+            "files_listing",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
@@ -398,9 +401,12 @@ class TestSketches:
         """The HLL entry must land within 5% of the exact distinct count
         (rsd=2%, so 5% is a generous, non-flaky bound), and its plan
         must show partial sketch aggregation map-side."""
-        approx = catalog.QUERIES["kmer_unique_approx"](spark, SF_DIR).first()[0]
-        exact = catalog.QUERIES["kmer_unique_set"](spark, SF_DIR).first()[0]
+        row = catalog.QUERIES["kmer_unique_approx"](spark, SF_DIR).first()
+        approx, exact = row["n_unique_approx"], row["n_unique_exact"]
         assert abs(approx - exact) / exact < 0.05, (approx, exact)
+        assert row["within_5pct"] is True  # the entry's own verdict column
+        ext_exact = catalog.QUERIES["kmer_unique_set"](spark, SF_DIR).first()[0]
+        assert exact == ext_exact  # ride-along exact == standalone exact
         p = _plan(catalog.QUERIES["kmer_unique_approx"](spark, SF_DIR))
         assert "partial_approx_count_distinct" in p
 

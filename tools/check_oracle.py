@@ -5,13 +5,18 @@ parquet tables, then compares row count, sorted column names, and an
 order-insensitive value hash (values normalized: doubles rounded to 9
 significant digits, timestamps to ISO strings, NaN/None unified).
 
-Usage: python tools/check_oracle.py [--bare] [sf_dir] [name ...]
+Usage: python tools/check_oracle.py [--bare] [--strict] [sf_dir] [name ...]
 
 ``--bare`` builds a plain ``SparkSession.builder`` with none of
 session.py's DEFAULT_CONF — the same environment the driver runs queries
 in — so conf dependencies hidden by our tuned session get caught *before*
 the driver's round check (round-2 lesson: nanosAsLong lived only in
 session.py and five events queries crashed under the driver).
+
+``--strict`` adds the dtype-faithful check (oracle_compare.strict_problems)
+on top of the normalized hash, so int-vs-float / HUGEINT / DECIMAL
+divergences that the driver's exact hash would catch fail locally too
+(round-5 lesson: sessionize_events).
 """
 
 from __future__ import annotations
@@ -32,8 +37,9 @@ TABLES = catalog.TABLES
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    argv = [a for a in sys.argv[1:] if a not in ("--bare", "--strict")]
     bare = "--bare" in sys.argv[1:]
+    strict = "--strict" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     catalog.load_all()
@@ -73,7 +79,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        problems = compare_frames(sdf, ddf)
+        problems = compare_frames(sdf, ddf, strict=strict)
         dt = time.time() - t0
         if problems:
             failures.append(name)

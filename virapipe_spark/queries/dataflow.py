@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from virapipe_spark.catalog import query, table
 
@@ -184,9 +185,22 @@ def files_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags provenance; one row per (file, row-count). The fan-out itself is
     the one-row-per-file grouping — no driver loop, no collect."""
     li = table(spark, sf_dir, "lineitem")
-    return (
+    per_file = (
         li.withColumn("file", F.input_file_name())
         .groupBy("file")
         .agg(F.count("*").alias("n_rows"))
         .select(F.regexp_extract("file", r"([^/]+)$", 1).alias("filename"), "n_rows")
+    )
+    # Self-validating invariant (rows-only entry): the per-file counts
+    # must sum to an INDEPENDENTLY aggregated table count — two scan
+    # paths agreeing. The crossJoin side is a provably-1-row aggregate
+    # broadcast (precedent: metrics.py constant sides).
+    total = li.agg(F.count("*").alias("total_rows"))
+    w_all = W.partitionBy()  # file-count rows only — trivially bounded
+    return (
+        per_file.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rows_complete", F.sum("n_rows").over(w_all) == F.col("total_rows")
+        )
+        .drop("total_rows")
     )

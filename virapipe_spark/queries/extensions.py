@@ -1215,12 +1215,15 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: How embed_knn_ivf materializes the shared coarse assignment — set by
 #: measurement (tools/ab_ivf.py, SCALE.md §IVF): "checkpoint"
 #: (localCheckpoint(eager=False)), "persist" (StorageLevel default), or
-#: "none" (recompute per consumer). r05 interleaved A/B at sf0.1:
-#: none 0.770 s < checkpoint 0.897 s < persist 0.921 s — and "none" is
-#: also the fault-tolerant choice on a real cluster (localCheckpoint is
-#: non-reliable: a lost executor makes the RDD unrecoverable), while
-#: the recomputed assignment is a deterministic zero-shuffle broadcast
-#: projection, so the duplicate work is two parallel pruned scans.
+#: "none" (recompute per consumer). Deciding rationale is FAULT
+#: TOLERANCE: localCheckpoint is non-reliable (a lost executor makes
+#: the RDD unrecoverable on a real cluster) while the recomputed
+#: assignment is a deterministic zero-shuffle broadcast projection, so
+#: the duplicate work is two parallel pruned scans. The r05 interleaved
+#: A/B at sf0.1 (none 0.770 s, checkpoint 0.897 s, persist 0.921 s)
+#: showed recompute is at least not slower — the deltas sit inside this
+#: VM's documented noise band (SCALE.md), so they corroborate rather
+#: than decide.
 _IVF_MAT = "none"
 
 

@@ -308,7 +308,14 @@ def orf_six_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     DNA derived from documents (md5 hex -> ACGT, 3x32 = 96 bases), via
     the engine's one pandas UDF (orf.orf_expand). The length filter sits
     BEFORE the UDF — Catalyst can't push predicates through mapInPandas
-    (SURVEY §4.3)."""
+    (SURVEY §4.3).
+
+    Output is the per-(strand, frame) invariant summary rather than the
+    raw ORF explosion: the driver's rows-only check can't hash a
+    no-oracle result, so the entry carries self-validating columns
+    instead — ORF count, total amino acids, and a crc32 checksum over
+    the proteins, all deterministic functions of the testdata and
+    pinned stable in tests/test_orf.py."""
     from virapipe_spark.orf import orf_expand
 
     d = table(spark, sf_dir, "documents")
@@ -324,7 +331,12 @@ def orf_six_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = d.filter(F.col("n_chars") >= 50).select(
         F.col("doc_id").cast("string").alias("id"), dna.alias("sequence")
     )
-    return orf_expand(seqs, "id", "sequence", min_length=15)
+    orfs = orf_expand(seqs, "id", "sequence", min_length=15)
+    return orfs.groupBy("strand", "frame").agg(
+        F.count("*").alias("n_orfs"),
+        F.sum(F.length("protein")).cast("long").alias("total_aa"),
+        F.sum(F.crc32(F.col("protein"))).cast("long").alias("protein_crc"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -872,7 +884,19 @@ def kmer_unique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of every distinct k-mer. No DuckDB oracle (its HLL is a
     different implementation — estimates differ by design);
     tests/test_scale_plans.py pins the estimate within 5% of the exact
-    count instead."""
-    return _kmer_explode(spark, sf_dir).agg(
-        F.approx_count_distinct("kmer", rsd=0.02).alias("n_unique_approx")
+    count instead.
+
+    The exact distinct count rides along in the SAME aggregation so the
+    one-row output is self-validating: ``within_5pct`` certifies the
+    sketch against ground truth computed in the same job (the driver's
+    rows-only check can't hash this entry, so the entry carries its own
+    verdict). At 100 TB you'd drop the exact branch — it is the
+    self-check, not the operator."""
+    df = _kmer_explode(spark, sf_dir).agg(
+        F.approx_count_distinct("kmer", rsd=0.02).alias("n_unique_approx"),
+        F.count_distinct("kmer").alias("n_unique_exact"),
     )
+    rel_err = F.abs(F.col("n_unique_approx") - F.col("n_unique_exact")) / F.col(
+        "n_unique_exact"
+    )
+    return df.withColumn("within_5pct", rel_err <= 0.05)

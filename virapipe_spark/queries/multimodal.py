@@ -53,14 +53,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     second of fake video, then aggregate (explode is immediately
     re-aggregated — the §4.3 rule). Exercises the full multimodal
     path: binary column -> metadata filter -> mapInPandas decode ->
-    explode -> aggregate."""
+    explode -> aggregate.
+
+    Self-validating output (the driver's rows-only check can't hash a
+    no-oracle entry): ``frames_ok`` certifies the sampled frame count
+    against the container's declared duration via an independent
+    broadcast join back to the metadata, and ``frame_crc`` checksums
+    the deterministic frame hashes; both pinned in
+    tests/test_multimodal.py."""
     from virapipe_spark import multimodal as mm
 
     media = _synthetic_media(spark, sf_dir)
     frames = mm.sample_frames(media, every_ms=1000)
-    return frames.groupBy("media_id").agg(
+    agg = frames.groupBy("media_id").agg(
         F.count("*").alias("n_frames"),
         F.countDistinct("frame_hash").alias("n_distinct_frames"),
+        F.sum(F.crc32(F.col("frame_hash"))).cast("long").alias("frame_crc"),
+    )
+    durations = media.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms"
+    )
+    return (
+        durations.join(F.broadcast(agg), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.coalesce("n_distinct_frames", F.lit(0)).alias("n_distinct_frames"),
+            F.coalesce("frame_crc", F.lit(0)).alias("frame_crc"),
+            (
+                F.coalesce("n_frames", F.lit(0))
+                == F.greatest(F.floor(F.col("duration_ms") / 1000), F.lit(0))
+            ).alias("frames_ok"),
+        )
     )
 
 

@@ -81,8 +81,8 @@ _GAP_US = 12 * 3_600_000_000  # 12 hours
     ),
     sess AS (
       SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS sid
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       FROM flagged
     )
     SELECT user_id, sid,
