@@ -75,6 +75,9 @@ HEADLINE = [
     # attribution join's batch twin.
     "docs_boilerplate_coverage",
     "events_stream_interval_join",
+    # round-6: IVF-PQ with ADC shortlist + exact rerank — the compressed-
+    # candidate ANN path (codes instead of raw vectors on the scan side).
+    "embed_knn_pq",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))

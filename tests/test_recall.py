@@ -55,6 +55,16 @@ def test_ann_recall_and_multiprobe_dominance(spark):
         return hits / total
 
     r_lsh, r_multi = recall(lsh), recall(multi)
+    pq = neighbor_sets("embed_knn_pq")
+    # IVF-PQ reranks an ADC shortlist drawn from the same probed cells
+    # as embed_knn_ivf; with the deterministic 16-codeword codebook it
+    # measured 0.54 at sf0.01 (vs IVF's 0.80 — ADC shortlist misses are
+    # the expected PQ loss). Pin well below the measurement so data
+    # regeneration noise can't flake it, but far above the ~8% random
+    # floor; and every query must return a full result.
+    r_pq = recall(pq)
+    assert r_pq >= 0.3, f"IVF-PQ recall collapsed: {r_pq:.2f}"
+    assert set(pq) == set(exact) and all(len(v) > 0 for v in pq.values())
     # single-bucket LSH on 64 buckets sees ~1/64 of the corpus: any
     # overlap with the true top-5 is signal; assert it beats the ~8%
     # random-candidate floor and that multiprobe does not regress it

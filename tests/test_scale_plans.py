@@ -65,6 +65,10 @@ class TestPlanProperties:
             # r6 invariant column: per-file counts crossJoin a ONE-ROW
             # independently-aggregated total (rows_complete self-check)
             "files_listing",
+            # r6: same 8-row centroid broadcast via _ivf_assign_scored,
+            # plus a ONE-ROW codebook crossJoin (the kmeans precedent);
+            # the ADC pair stage blocks on the IVF cell id
+            "embed_knn_pq",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
