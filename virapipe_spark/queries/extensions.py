@@ -2468,3 +2468,187 @@ def embed_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch construction + cross-corpus redundancy + term salience
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS tok_before
+      FROM toks
+    )
+    SELECT source, tok_before // {_PACK_BUDGET} AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-then-chunk batch construction LLM
+    training uses: documents stream in deterministic doc_id order per
+    source, a running token count assigns each document to the
+    {_PACK_BUDGET}-token bin its first token lands in, and the entry
+    reports per-bin occupancy. Integer ``div`` (not float-then-floor)
+    keys the bins — the r5 merge/Z-order lesson.
+
+    Scale: one window per source (parallelism = source count; at 100 TB
+    partition the stream by (source, shard) so no single partition
+    holds a whole source) and one groupBy on (source, bin) with
+    map-side partial aggregation. No data movement beyond the token
+    counts — the text column never leaves the scan."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w).cast("long") - F.col("n_tokens")).alias(
+            "tok_before"
+        ),
+    )
+    return (
+        packed.withColumn("bin_id", F.expr(f"tok_before div {_PACK_BUDGET}"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "docs_sentence_dedup",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id, md5(t[g]) AS h
+      FROM (SELECT doc_id, string_split(text, '. ') AS t,
+                   unnest(generate_series(1, len(string_split(text, '. '))))
+                     AS g
+            FROM documents)
+      WHERE t[g] <> ''
+    ),
+    owners AS (SELECT h, min(doc_id) AS owner FROM sent GROUP BY h)
+    SELECT s.doc_id,
+           count(*) AS n_sents,
+           CAST(sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS dup_frac
+    FROM sent s JOIN owners o ON s.h = o.h
+    GROUP BY s.doc_id
+    """,
+)
+def docs_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (sentence-level) cross-corpus dedup — the
+    finer-grained companion to docs_exact_dedup: a sentence is
+    redundant when a lower-id document already contains it, and each
+    document reports how much of it is corpus-repeated boilerplate
+    (the C4/RefinedWeb "repeated spans" hygiene signal, at sentence
+    granularity).
+
+    Scale: explode sentences, hash with md5 (the cross-engine hash
+    rule), groupBy hash for the min-owner table — shuffle bounded by
+    DISTINCT sentences — then one equi-join back on the hash and a
+    per-doc aggregate. No pairwise stage at any corpus size: ownership
+    blocks on the hash key exactly like exact dedup."""
+    d = table(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\\. ")).alias("s")
+        )
+        .filter(F.col("s") != "")
+        .select("doc_id", F.md5("s").alias("h"))
+    )
+    owners = sent.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    dup = F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        sent.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "docs_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t[g] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS g
+            FROM documents)
+      WHERE t[g] <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(CAST(tf.tf AS DOUBLE) / df.df, 6) AS score
+      FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by rarity-weighted term
+    frequency (tf/df — monotone in tf-idf for any fixed idf shape, but
+    free of transcendental log whose last-ulp could diverge between
+    engines; the ranking both engines produce is bit-identical because
+    a single IEEE division of two small ints is exactly rounded).
+
+    Scale: token explode feeds two partial-aggregated groupBys (tf on
+    (doc, term); df on term — bounded by vocabulary), an equi-join on
+    term (AQE broadcasts df when the vocab is small), and a per-doc
+    top-k window. The classic inverted-index build shape; at 100 TB
+    the df table is the only global state and it's vocabulary-, not
+    corpus-, sized."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.round(F.col("tf").cast("double") / F.col("df"), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )

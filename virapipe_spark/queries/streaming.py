@@ -651,3 +651,122 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("b_max"),
         )
     )
+
+
+@query(
+    "events_active_users_7d",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day
+      FROM events
+    ),
+    cover AS (
+      SELECT DISTINCT user_id, day + o AS wday
+      FROM act, (SELECT unnest(generate_series(0, 6)) AS o) offs
+    )
+    SELECT wday, count(*) AS n_active
+    FROM cover GROUP BY wday
+    """,
+)
+def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day — the windowed COUNT
+    DISTINCT no engine supports directly in a window frame. The
+    scalable formulation: reduce to distinct (user, day) first, then
+    replicate each activity day into the 7 window-end days it covers
+    (the sliding-window cover trick window_sliding uses) and distinct-
+    count per window day.
+
+    Scale: the replication factor is the window length (7), applied
+    AFTER the per-day distinct — so it amplifies user×day rows, not
+    raw events. Both distincts and the final count shuffle on
+    high-cardinality keys with partial aggregation; no global state
+    beyond user×day. The streaming twin would be a sliding
+    window + approx_count_distinct with a watermark."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    cover = act.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+    ).distinct()
+    return cover.groupBy("wday").agg(F.count("*").alias("n_active"))
+
+
+@query(
+    "events_cdc_diff",
+    oracle="""
+    WITH old_s AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_id % 10 < 7 GROUP BY user_id
+    ),
+    new_s AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_id % 10 <> 3 GROUP BY user_id
+    )
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.n AS old_n, n.n AS new_n,
+           o.cents AS old_cents, n.cents AS new_cents
+    FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.n <> n.n OR o.cents <> n.cents
+    """,
+)
+def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC derivation): compare two per-user aggregate
+    snapshots — deterministic event_id-modulus subsets standing in for
+    "yesterday's" and "today's" table states — and emit one change row
+    per user whose state differs, tagged insert/update/delete. The
+    batch primitive behind every incremental-materialization pipeline
+    (upsert-merge applies changes; this derives them).
+
+    Values are compared in integer cents (round(value*100) summed as
+    BIGINT) so the diff predicate is exact — a float sum's reduction
+    order could otherwise invent or hide a change at the compare
+    boundary (the embeddings quantization rule applied to money-like
+    aggregates).
+
+    Scale: two filtered partial-aggregated groupBys on user_id and one
+    full-outer equi-join on the same key — Catalyst plans a single
+    shuffle exchange per side, and AQE handles the skewed-user case.
+    The change set (output) is bounded by changed users, not events."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def snap(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).cast("long").alias("cents"),
+            )
+        )
+
+    o = snap(F.col("event_id") % 10 < 7).alias("o")
+    n = snap(F.col("event_id") % 10 != 3).alias("n")
+    return (
+        o.join(n, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
+        .filter(
+            F.col("o.user_id").isNull()
+            | F.col("n.user_id").isNull()
+            | (F.col("o.n") != F.col("n.n"))
+            | (F.col("o.cents") != F.col("n.cents"))
+        )
+        .select(
+            F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+            F.when(F.col("o.user_id").isNull(), "insert")
+            .when(F.col("n.user_id").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("o.n").alias("old_n"),
+            F.col("n.n").alias("new_n"),
+            F.col("o.cents").alias("old_cents"),
+            F.col("n.cents").alias("new_cents"),
+        )
+    )
