@@ -201,3 +201,20 @@ class TestBatchSessionizeMatchesSessionWindow:
         assert _rows(lagged, "user_id", "session_start", "n_events") == _rows(
             sw, "user_id", "session_start", "n_events"
         )
+
+
+class TestHllDailyMerge:
+    def test_merged_sketch_estimate_within_bound(self, spark):
+        """The weekly merged-HLL estimate must certify itself against
+        the ride-along exact count (within_5pct true for every week),
+        and the estimate must be deterministic across runs."""
+        from virapipe_spark import catalog
+
+        catalog.load_all()
+        sf = "/root/testdata/sf0.001"
+        out = catalog.QUERIES["events_hll_daily_merge"](spark, sf).collect()
+        assert out and all(r["within_5pct"] for r in out)
+        assert all(r["exact_users"] > 0 for r in out)
+        est = {r["week"]: r["est_users"] for r in out}
+        out2 = catalog.QUERIES["events_hll_daily_merge"](spark, sf).collect()
+        assert {r["week"]: r["est_users"] for r in out2} == est

@@ -770,3 +770,156 @@ def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.cents").alias("new_cents"),
         )
     )
+
+
+@query(
+    "events_user_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, day
+    ),
+    sums AS (
+      SELECT user_id, count(*) AS n_days,
+             CAST(sum(day) AS BIGINT) AS sx,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(day * day) AS BIGINT) AS sxx,
+             CAST(sum(day * cents) AS BIGINT) AS sxy
+      FROM daily GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n_days,
+           round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / (n_days * sxx - sx * sx), 6) AS slope_cents_per_day
+    FROM sums
+    """,
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (slope of daily spend vs day) as a pure
+    aggregate — regression pushed into the groupBy instead of a
+    per-group Python fit. All moment sums (Σx, Σy, Σx², Σxy) are exact
+    integers (days and cents), so the closed-form slope
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one exactly-rounded double
+    division — bit-identical across engines (the integer-moments
+    answer to float covar/var reduction-order drift).
+
+    Scale: two partial-aggregated shuffles (user×day, then user); the
+    moment vector is 5 longs per group — the same mergeable-state
+    shape as a sketch, so it composes with incremental maintenance.
+    HAVING n>=2 guards the degenerate single-day denominator on both
+    engines identically."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    sums = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("day").cast("long").alias("sx"),
+            F.sum("cents").cast("long").alias("sy"),
+            F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
+            F.sum(F.col("day") * F.col("cents")).cast("long").alias("sxy"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "user_id",
+        "n_days",
+        F.round(num.cast("double") / den, 6).alias("slope_cents_per_day"),
+    )
+
+
+@query(
+    "events_late_arrivals",
+    oracle=f"""
+    WITH wm AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(max(ts) OVER (
+                          PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                       - epoch_us(ts) > {_DAY_US}
+                  THEN 1 ELSE 0 END AS late
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late
+    FROM wm GROUP BY user_id
+    """,
+)
+def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics replayed in batch: an event is LATE when it
+    arrives (arrival order = the monotone ingest id event_id) with an
+    event time more than 1 day behind the per-key high-water mark seen
+    so far — exactly the rows ``withWatermark("ts", "1 day")`` would
+    drop from a keyed stream. Auditing the would-be-dropped volume per
+    key is how you size a production watermark before deploying it.
+
+    Scale: the running max partitions by user_id (parallelism = key
+    count, the same state partitioning the streaming engine uses) —
+    never a global ORDER BY; the first row's empty frame yields NULL
+    -> not late on both engines identically."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wm_us = F.unix_micros(F.max("ts").over(w))
+    late = F.when(wm_us - F.unix_micros(F.col("ts")) > _DAY_US, 1).otherwise(0)
+    return (
+        ev.select("user_id", late.alias("late"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("late").cast("long").alias("n_late"),
+        )
+    )
+
+
+@query("events_hll_daily_merge")  # rows-only: HLL register layout is engine-specific
+def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern:
+    build one HyperLogLog sketch per (day) partition of the stream,
+    then answer the weekly distinct-users question by MERGING sketches
+    (``hll_union_agg``) instead of re-scanning events. Production keeps
+    the daily sketch table (bytes per day) and serves any date-range
+    cardinality from it.
+
+    Self-validating output (no oracle — DuckDB's HLL is a different
+    register layout by design): the exact weekly distinct count rides
+    along from a parallel distinct aggregation, and ``within_5pct``
+    certifies the merged estimate against it; pinned in
+    tests/test_streaming.py. At 100 TB you'd drop the exact branch —
+    it is the self-check, not the operator."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    weekly_exact = (
+        ev.select(F.expr(
+            f"floor(unix_micros(ts) / {_DAY_US}) div 7"
+        ).cast("long").alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("exact_users"))
+    )
+    rel_err = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return weekly_est.join(weekly_exact, "week").select(
+        "week",
+        "est_users",
+        "exact_users",
+        (rel_err <= 0.05).alias("within_5pct"),
+    )
