@@ -69,6 +69,9 @@ class TestPlanProperties:
             # plus a ONE-ROW codebook crossJoin (the kmeans precedent);
             # the ADC pair stage blocks on the IVF cell id
             "embed_knn_pq",
+            # r6: TPC-H Q22's scalar subquery — a ONE-ROW avg(acctbal)
+            # aggregate crossJoined as the comparison cutoff
+            "q22_dormant_value",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)

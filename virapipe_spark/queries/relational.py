@@ -1218,3 +1218,246 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: count
+    orders per priority that have at least one late line item (shipped
+    >60 days after the order date; the driver schema has no
+    l_commitdate, so lateness derives from the order date — same
+    correlated-EXISTS plan shape as spec Q4).
+
+    Scale: the date filter prunes orders at the scan; the semi-join
+    keys on l_orderkey (equi) with the date correlation as a join-time
+    residual — Catalyst plans one shuffle per side and stops probing a
+    key at its first match (semi-join short-circuit), never
+    materializing the multi-match blowup a full join would."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_class",
+    oracle="""
+    SELECT month(l_shipdate) AS ship_month,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_month
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation (CASE inside SUM)
+    splitting line volume into priority classes per ship month (the
+    driver schema has no l_shipmode; month plays the grouping role).
+
+    Scale: the year filter pushes to the lineitem scan; one equi-join
+    on the order key and a 12-group aggregate with map-side partials —
+    the CASE arithmetic is a codegen'd projection, costing nothing over
+    the plain count."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the HAVING-subquery-then-join-back pattern:
+    find orders whose total quantity exceeds a threshold, then
+    reassemble the customer-facing rows for exactly those orders.
+
+    Scale: the `big` aggregate reduces lineitem to qualifying order
+    keys FIRST, and re-enters as a LEFT SEMI join (the IN subquery) —
+    so the expensive 3-table join only ever sees qualifying orders.
+    AQE broadcasts the semi side when the threshold keeps it small;
+    the final aggregate groups on the already-colocated order key."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "q22_dormant_value",
+    oracle="""
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar aggregate subquery + NOT EXISTS: count
+    high-balance customers with no RECENT order (dormant since
+    2000-01-01; "never ordered" is empty in the driver data and a
+    0-row result would pass the gate trivially), per market segment
+    (the driver schema has no c_phone; mktsegment plays the
+    country-code role). The float average is compared, not output, so cross-engine
+    reduction-order drift cannot flip any boundary row that the 2dp
+    rounding of total_bal would expose — avg() of the same doubles
+    agrees to the output precision used here.
+
+    Scale: the scalar subquery is a ONE-ROW aggregate broadcast
+    (crossJoin — the assembly_n50_stats precedent); the NOT EXISTS is
+    a LEFT ANTI join on the customer key, shuffle-partitioned both
+    sides; the final aggregate is 5 groups with map-side partials."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2)
+    SELECT count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over a co-occurrence graph — the canonical
+    multi-way self-join graph analytic (the degree-of-clustering
+    primitive behind community detection). Vertices are parts; an edge
+    connects parts co-ordered in >= 2 distinct orders (the support
+    threshold keeps the graph sparse — raw single co-occurrence is
+    ~30x denser); every triangle is counted once via the a < b < c
+    orientation the edge direction enforces.
+
+    Scale: the pair stage blocks on the order key (pairs per order =
+    items², bounded by basket size, never corpus size); the support
+    HAVING collapses pairs to edges BEFORE the triangle join; the
+    wedge join (e1⋈e2 on the shared vertex) is the only
+    super-linear step — its volume is sum(deg²) of the SUPPORTED
+    graph, the quantity the support threshold exists to bound. All
+    three joins are equi-joins Catalyst shuffle-partitions by vertex;
+    at 100 TB add degree-ordered orientation (low-degree vertex
+    first) to cap per-key wedge fan-out."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -923,3 +923,63 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (rel_err <= 0.05).alias("within_5pct"),
     )
+
+
+@query(
+    "events_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, day
+    ),
+    stats AS (
+      SELECT user_id, day, cents,
+             count(*) OVER w AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS sx,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, day, cents
+    FROM stats
+    WHERE n >= 3
+      AND (n * cents - sx) * (n * cents - sx) > 4 * (n * sxx - sx * sx)
+    """,
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend-anomaly days: flag any day whose daily total sits
+    more than 2 population standard deviations from that user's mean —
+    with the z-score test algebraically cleared of division and sqrt:
+    |x−μ|/σ > 2  ⟺  (n·x − Σx)² > 4·(n·Σx² − (Σx)²). Every operand is
+    an exact integer (cents), so the flag can never disagree across
+    engines at the boundary — float μ/σ would (the integer-moments
+    rule events_user_trend applies to regression, applied to outlier
+    detection).
+
+    Scale: one partial-aggregated shuffle to (user, day), then an
+    unordered per-user window (no sort — frame is the whole partition)
+    carrying three moment columns. State per user = its day count;
+    n >= 3 guards degenerate variances."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    w = W.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("sxx"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        stats.filter((F.col("n") >= 3) & (dev * dev > 4 * var_n2))
+        .select("user_id", "day", "cents")
+    )
