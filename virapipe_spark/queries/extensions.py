@@ -2652,3 +2652,54 @@ def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rn")
     )
+
+
+@query(
+    "docs_containment_pairs",
+    oracle=_SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / sa.n, 4) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE common * 1.0 / sa.n >= 0.8
+    """,
+)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(A→B) = |A∩B| / |A| at threshold
+    0.8 — the ASYMMETRIC near-dup relation Jaccard misses: a short
+    document quoted wholesale inside a long one has high containment
+    but low Jaccard (|A∪B| is dominated by B). The measure behind
+    quote/subset detection in corpus cleaning (Broder's original
+    resemblance/containment pairing).
+
+    Scale: identical blocking to docs_ngram_jaccard — pairs only form
+    on a shared shingle, one size join-back on the DIRECTED source
+    side only. Same frequent-shingle caveat, same LSH escape hatch."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    cont = F.col("common") / F.col("sa.n")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

@@ -1461,3 +1461,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+@query(
+    "parts_pareto_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    s AS (
+      SELECT *, max(p_size) OVER (ORDER BY price_cents
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper
+      FROM p
+    )
+    SELECT p_partkey, p_size, price_cents
+    FROM s WHERE best_cheaper IS NULL OR p_size > best_cheaper
+    """,
+)
+def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (maximize size, minimize price): a part
+    survives iff no strictly cheaper part is at least as large —
+    computed without the naive O(n²) dominance self-join, as a single
+    running max over a RANGE frame on integer price cents (strictly
+    cheaper = RANGE ... 1 PRECEDING; cents make the integer frame
+    bound exact where a double RANGE offset couldn't be).
+
+    Scale: the window is a global sort today (one dimension, no
+    partition key) — at 100 TB pre-aggregate the per-price-bucket max
+    size (shuffle bounded by buckets), take the bucket-level running
+    max broadcast, and only sort residual candidate rows; same output,
+    sort reduced to survivors. Ties on price keep both rows (frame
+    excludes equal prices), so duplicated optima all surface."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    w = (
+        W.orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    s = p.withColumn("best_cheaper", F.max("p_size").over(w))
+    return s.filter(
+        F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper"))
+    ).select("p_partkey", "p_size", "price_cents")

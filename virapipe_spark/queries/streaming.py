@@ -983,3 +983,39 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n") >= 3) & (dev * dev > 4 * var_n2))
         .select("user_id", "day", "cents")
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    )
+    SELECT cents // 2000 AS bucket,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM c GROUP BY bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20-unit bins, half-open) — the profiling
+    primitive behind every value-distribution dashboard. Bin assignment
+    is integer division of cent-quantized values, so a boundary row can
+    never land in different bins across engines (width_bucket's
+    double-arithmetic edges could differ by an ulp at exact bin
+    boundaries; cents div 2000 cannot — the merge/Z-order integer-div
+    rule).
+
+    Scale: bucketing is a codegen'd projection in the scan stage; the
+    aggregate shuffles ~30 groups with map-side partials — the same
+    shape however many events exist."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(cents.alias("cents"))
+        .groupBy(F.expr("cents div 2000").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
