@@ -388,3 +388,44 @@ class TestDriverTableContract:
 
         for t in catalog.TABLES:
             catalog.table(spark, sf_dir, t)  # raises on contract violation
+
+
+BED_TEXT = """browser position chr1:1-1000
+track name="demo"
+# comment
+chr1\t100\t200\tiv1\t960\t+
+chr1\t150\t250\tiv2\t.\t-
+chr2\t0\t50
+chr2\t10\t20\tiv3\t5\t.
+"""
+
+
+class TestBed:
+    def test_read_bed_typed(self, spark, tmp_path):
+        p = tmp_path / "a.bed"
+        p.write_text(BED_TEXT)
+        df = vio.read_bed(spark, str(p))
+        rows = sorted(map(tuple, df.collect()))
+        assert rows == [
+            ("chr1", 100, 200, "iv1", 960, "+"),
+            ("chr1", 150, 250, "iv2", None, "-"),
+            ("chr2", 0, 50, None, None, None),  # BED3: optional cols null
+            ("chr2", 10, 20, "iv3", 5, None),  # '.' strand nulls
+        ]
+        assert dict(df.dtypes) == {
+            "chrom": "string", "start": "bigint", "end": "bigint",
+            "name": "string", "score": "int", "strand": "string",
+        }
+
+    def test_bed_feeds_interval_ops(self, spark, tmp_path):
+        """The typed output plugs straight into intervals.py."""
+        from virapipe_spark import intervals
+
+        p = tmp_path / "a.bed"
+        p.write_text(BED_TEXT)
+        bed = vio.read_bed(spark, str(p)).select("chrom", "start", "end")
+        merged = intervals.merge_overlapping(bed, "chrom", "start", "end")
+        got = sorted(
+            (r["chrom"], r["start"], r["end"]) for r in merged.collect()
+        )
+        assert got == [("chr1", 100, 250), ("chr2", 0, 50)]

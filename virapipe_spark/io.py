@@ -367,6 +367,46 @@ def read_gff(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_bed(spark: SparkSession, path: str) -> DataFrame:
+    """Read BED interval text (UCSC BED spec, public) into typed rows —
+    the third beyond-the-reference genomics source beside
+    :func:`read_vcf` / :func:`read_gff`, feeding the intervals.py
+    operators directly.
+
+    Schema: ``chrom start(long,0-based) end(long,exclusive) name
+    score(int) strand``; columns beyond the first three are optional
+    per the spec, so missing trailing fields and '.' placeholders null
+    out (BED3 files yield null name/score/strand). ``track``/
+    ``browser``/``#`` header lines are dropped. Splittable line scan,
+    codegen-only parsing, permissive nulls — the house reader
+    convention."""
+    lines = spark.read.text(path).filter(
+        (~F.col("value").startswith("#"))
+        & (~F.col("value").startswith("track"))
+        & (~F.col("value").startswith("browser"))
+        & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    f = F.split(F.col("value"), "\t")
+
+    def fld(i: int) -> Column:
+        # F.get is 0-based and yields NULL past the last field, ANSI-safe
+        # for the spec's optional trailing columns (element_at would
+        # raise INVALID_ARRAY_INDEX on a BED3 line under ANSI mode)
+        return F.get(f, i - 1)
+
+    def null_dot(c: Column) -> Column:
+        return F.when(c == ".", F.lit(None)).otherwise(c)
+
+    return lines.select(
+        fld(1).alias("chrom"),
+        fld(2).cast("long").alias("start"),
+        fld(3).cast("long").alias("end"),
+        null_dot(fld(4)).alias("name"),
+        null_dot(fld(5)).cast("int").alias("score"),
+        null_dot(fld(6)).alias("strand"),
+    )
+
+
 def sam_to_fastq(alignments: DataFrame) -> DataFrame:
     """SAM/BAM records -> FASTQ-shaped rows (SamToFastq.java:47-68).
 

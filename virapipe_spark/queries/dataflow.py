@@ -204,3 +204,96 @@ def files_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total_rows")
     )
+
+
+@query(
+    "bed_scan_roundtrip",
+    oracle="""
+    SELECT concat('chr', doc_id % 5) AS chrom,
+           CAST(n_chars AS BIGINT) AS start,
+           CAST(n_chars + doc_id % 50 + 1 AS BIGINT) AS "end",
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE concat('iv', doc_id) END AS name,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE CAST(doc_id % 1000 AS INTEGER) END AS score,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN '+' ELSE '-' END AS strand
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def bed_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked BED writer→reader round-trip (io.read_bed): interval
+    lines are synthesized from ``documents`` — every 4th row as minimal
+    BED3 (optional columns absent) and the rest as BED6 with '.' strand
+    semantics exercised via real nulls — written as tab-separated text
+    behind a ``track`` header line, and read back through the typed
+    splittable scan. Proves the optional-trailing-column nulling that
+    distinguishes BED from the fixed-arity VCF/GFF readers."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    bed3 = F.col("doc_id") % 4 == 0
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("chr"), (F.col("doc_id") % 5).cast("string")),
+        F.col("n_chars").cast("string"),
+        (F.col("n_chars") + F.col("doc_id") % 50 + 1).cast("string"),
+    )
+    line6 = F.concat_ws(
+        "\t",
+        line,
+        F.concat(F.lit("iv"), F.col("doc_id").cast("string")),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "+").otherwise("-"),
+    )
+    header = spark.range(1).select(
+        F.lit('track name="rt" description="roundtrip"').alias("value")
+    )
+    out = vio.scratch_dir(spark, sf_dir, "bed")
+    vio.write_text(
+        header.union(d.select(F.when(bed3, line).otherwise(line6).alias("value"))),
+        out,
+        mode="overwrite",
+    )
+    return vio.read_bed(spark, out)
+
+
+@query(
+    "jsonl_scan_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked JSON-lines writer→reader round-trip — the
+    semi-structured interchange format every ingestion pipeline meets.
+    Rows (including the full free-text column, exercising quote/
+    backslash/control-character escaping) are written with Spark's JSON
+    sink and read back with an EXPLICIT schema: schema-on-read
+    inference is non-deterministic under column pruning and never
+    scale-safe (a schema drift mid-corpus silently widens types), so
+    the reader pins types exactly as a production contract would.
+
+    Scale: JSONL is splittable by line — the scan parallelizes like
+    text; the JSON parse is JVM codegen (no Python boundary)."""
+    from pyspark.sql import types as T
+
+    from virapipe_spark import io as vio
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "text")
+    )
+    out = vio.scratch_dir(spark, sf_dir, "jsonl")
+    d.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
