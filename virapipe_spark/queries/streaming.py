@@ -1019,3 +1019,121 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    cnt AS (
+      SELECT src, dst, count(*) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY src) AS BIGINT), 6) AS p
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream — the clickstream/journey primitive: count each (state →
+    next state) bigram (lead() within user, event_id tiebreak) and
+    normalize rows to probabilities. The probability is one division of
+    two exact integers — exactly rounded, so both engines emit the same
+    6dp value (the docs_tfidf_topterms rule).
+
+    Scale: the sequence window partitions by user (state = one user's
+    ordered events); the transition aggregate shuffles |types|² groups
+    with map-side partials; the normalizing sum is a window over those
+    same few groups. Nothing grows with event count except the first
+    shuffle's input."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = W.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wsrc).cast("long"), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "events_gap_fill_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, day
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM spans
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING) AS cents,
+           (d.cents IS NULL) AS filled
+    FROM grid g
+    LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill — densify each user's
+    daily series over [first, last] activity day and carry the last
+    observation forward across the generated gaps (the resample+ffill
+    every metrics pipeline needs before joining series pointwise).
+    ``filled`` marks synthesized rows.
+
+    Scale: the grid explodes span length per user (bounded by the date
+    range, not event count); the value join is an equi-join on
+    (user, day); the fill is a per-user ordered window with
+    IGNORE NULLS last-value — the same state shape as sessionization.
+    The first grid day always has a real observation (span starts at
+    min(day)), so the fill never emits NULL."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("cents", ignorenulls=True).over(w).alias("cents"),
+            F.col("cents").isNull().alias("filled"),
+        )
+    )
