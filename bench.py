@@ -78,6 +78,10 @@ HEADLINE = [
     # round-6: IVF-PQ with ADC shortlist + exact rerank — the compressed-
     # candidate ANN path (codes instead of raw vectors on the scan side).
     "embed_knn_pq",
+    # round-6: the composed LLM-corpus build (quality gate -> exact dedup
+    # -> decontaminate -> sequence packing) — the extension surface's
+    # virapipe_chain counterpart.
+    "llm_corpus_chain",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))

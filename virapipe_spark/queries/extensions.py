@@ -2703,3 +2703,118 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.8)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
+
+
+@query(
+    "llm_corpus_chain",
+    oracle=_SHINGLES_SQL
+    + f"""
+    , tt AS (
+      SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, n_chars, text,
+             len(tk) AS n_tokens,
+             len(list_filter(tk, x -> x IN {_STOP_SQL})) AS n_stops
+      FROM tt
+    ),
+    q AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 90
+        AND n_stops * 10 < n_tokens * 4
+        AND n_chars >= 100
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    clean AS (
+      SELECT q.doc_id, q.source, q.n_tokens
+      FROM q JOIN keepers USING (doc_id)
+      WHERE q.doc_id >= {_BENCH_DOCS}
+        AND NOT EXISTS (
+          SELECT 1 FROM sh t2
+          JOIN sh b ON t2.s = b.s AND b.doc_id < {_BENCH_DOCS}
+          WHERE t2.doc_id = q.doc_id
+        )
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS tok_before
+      FROM clean
+    )
+    SELECT source, tok_before // {_PACK_BUDGET} AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def llm_corpus_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-corpus build — the extension surface's answer
+    to virapipe_chain: quality gate → exact dedup → benchmark
+    decontamination → sequence packing, as ONE dataflow in one session
+    (each stage reuses the standalone entry's exact predicate — the
+    stages are the operators, composition is just plan chaining):
+
+    1. docs_quality_filter's gate (length band, stopword ceiling);
+    2. docs_exact_dedup's keeper rule (min doc_id per content hash),
+       re-entering as a semi-join;
+    3. docs_decontaminate's shingle rule (no 3-gram shared with the
+       benchmark set), re-entering as an anti-join;
+    4. docs_pack_sequences' token-budget binning over the survivors.
+
+    Scale: Catalyst fuses the quality projection into the scan; the
+    dedup and contamination stages are the same hash-bounded shuffles
+    as their standalone entries; packing windows per source over the
+    CLEANED corpus only. One SparkSession, no intermediate
+    materialization — the single-session thesis applied to the
+    training-data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk).cast("long")
+    stops = F.size(F.filter(tk, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    q = d.filter(
+        n.between(20, 90) & (stops * 10 < n * 4) & (F.col("n_chars") >= 100)
+    ).select("doc_id", "source", "text", n.alias("n_tokens"))
+    keepers = (
+        q.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sh = _shingles(spark, sf_dir)
+    contaminated = (
+        sh.alias("t2")
+        .join(
+            sh.filter(F.col("doc_id") < _BENCH_DOCS).alias("b"),
+            F.col("t2.s") == F.col("b.s"),
+        )
+        .select(F.col("t2.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = (
+        q.join(keepers, "doc_id", "left_semi")
+        .filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = clean.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w).cast("long") - F.col("n_tokens")).alias(
+            "tok_before"
+        ),
+    )
+    return (
+        packed.withColumn("bin_id", F.expr(f"tok_before div {_PACK_BUDGET}"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
