@@ -1508,3 +1508,88 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(
         F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper"))
     ).select("p_partkey", "p_size", "price_cents")
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the pure scan-rate benchmark: four conjunctive
+    predicates and one global sum, no join, no group key. The query
+    every columnar engine is fastest at; here it proves the engine's
+    floor: all four predicates push into the parquet scan
+    (PushedFilters), the projection reads 4 columns, and the aggregate
+    is a map-side partial into a single final row."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the disjunctive (OR-of-ANDs) join predicate
+    that stress-tests predicate decomposition: the optimizer must
+    extract the common conjuncts it CAN push (the union of brand/size
+    ranges prunes part; the union of quantity ranges prunes lineitem)
+    while the full disjunction evaluates post-join (adapted to the
+    driver schema: no l_shipmode/l_shipinstruct legs).
+
+    Scale: part is the broadcast side (dim-sized); the residual OR is
+    a codegen'd filter on already-joined columns — never a join-key
+    explosion. Catalyst's CNF conversion derives the pushable
+    brand IN (...) / size / quantity envelopes automatically."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    leg = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        joined.filter(
+            leg("Brand#1", 15, 1, 11)
+            | leg("Brand#2", 30, 10, 20)
+            | leg("Brand#3", 45, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
