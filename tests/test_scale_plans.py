@@ -475,3 +475,66 @@ class TestConnectedComponentsProperty:
             assert got == expected
 
         prop()
+
+
+class TestRound6Plans:
+    """Plan properties of the round-6 operators — the shapes their
+    docstrings promise."""
+
+    def test_q6_pushes_all_predicates_into_scan(self, spark):
+        p = _plan(catalog.QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+        import re
+
+        scan = [l for l in p.splitlines() if "PushedFilters" in l]
+        assert scan, "no FileScan with PushedFilters in q6 plan"
+        # all four predicate columns reach the scan's pushed-filter list
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in scan[0], (col, scan[0])
+        m = re.search(r"ReadSchema: [^\n]*", p)
+        assert m and m.group(0).count(",") <= 3  # 4-column projection
+
+    def test_exists_shapes_plan_semi_joins(self, spark):
+        for name in ("q4_order_priority", "q18_large_orders"):
+            p = _plan(catalog.QUERIES[name](spark, SF_DIR))
+            assert "LeftSemi" in p, name
+        # NOT EXISTS decorrelates to an anti join
+        p = _plan(catalog.QUERIES["q22_dormant_value"](spark, SF_DIR))
+        assert "LeftAnti" in p
+
+    def test_triangle_count_all_equi_joins(self, spark):
+        """The wedge/closure joins must be hash/merge equi-joins — never
+        a cartesian (the support-thresholded edge set meets only on
+        vertex keys)."""
+        p = _plan(catalog.QUERIES["graph_triangle_count"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_pack_and_chain_window_partitions_by_source(self, spark):
+        """Sequence packing must never plan a global (unpartitioned)
+        window — parallelism is the source count."""
+        for name in ("docs_pack_sequences", "llm_corpus_chain"):
+            p = _plan(catalog.QUERIES[name](spark, SF_DIR))
+            assert "partial_sum" in p or "partial_count" in p, name
+            import re
+
+            for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+                assert "source" in m.group(1), (name, m.group(0)[:120])
+
+    def test_markov_probability_rows_sum_to_one(self, spark):
+        """Each src row of the transition matrix is a distribution."""
+        rows = catalog.QUERIES["events_markov_transitions"](spark, SF_DIR).collect()
+        by_src: dict[str, float] = {}
+        for r in rows:
+            by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p"]
+        assert by_src and all(abs(s - 1.0) < 1e-4 for s in by_src.values())
+
+    def test_gap_fill_is_dense_and_never_null(self, spark):
+        """Every user's series must cover [min, max] day contiguously
+        with no NULL cents after the fill."""
+        out = catalog.QUERIES["events_gap_fill_ffill"](spark, SF_DIR)
+        assert out.filter(F.col("cents").isNull()).count() == 0
+        spans = out.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            (F.max("day") - F.min("day") + 1).alias("span"),
+        )
+        assert spans.filter(F.col("n") != F.col("span")).count() == 0
