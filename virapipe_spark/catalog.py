@@ -204,6 +204,7 @@ def load_all() -> None:
         streaming,
         multimodal,
         staged,
+        tpch,
     )
 
     # Round-5 flip: the 9 pre-verified round-4 entries go live (they were
