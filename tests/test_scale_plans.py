@@ -602,3 +602,61 @@ class TestTpchSweepPlans:
         EXISTS/NOT-EXISTS rewrite)."""
         rows = catalog.QUERIES["q21_waiting_orders"](spark, SF_DIR).collect()
         assert rows and all(r["numwait"] >= 1 for r in rows)
+
+
+class TestPagerank:
+    """Semantic invariants of graph.pagerank's integer-exact rounds."""
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_symmetric_cycle_is_rank_uniform(self, spark):
+        """On a regular graph (directed 4-cycle, all degrees 1) every
+        node receives exactly what it emits, so ranks stay identical
+        across nodes at every iteration."""
+        from virapipe_spark.graph import pagerank
+
+        edges = self._edges(
+            spark, [(1, 2), (2, 3), (3, 4), (4, 1)]
+        )
+        rows = pagerank(edges, iterations=3).collect()
+        ranks = {r["rank"] for r in rows}
+        assert len(rows) == 4 and len(ranks) == 1
+
+    def test_star_center_outranks_leaves(self, spark):
+        """On a symmetrized star the hub aggregates every leaf's
+        contribution and must outrank all leaves."""
+        from virapipe_spark.graph import pagerank
+
+        und = [(0, i) for i in range(1, 6)]
+        edges = self._edges(spark, und + [(b, a) for a, b in und])
+        rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+        assert all(rows[0] > rows[i] for i in range(1, 6))
+
+    def test_matches_float_pagerank_within_ppm(self, spark):
+        """The integer truncation must stay within a few ppm of the
+        float recursion computed in plain Python on the same graph."""
+        from virapipe_spark.graph import pagerank
+
+        und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        pairs = und + [(b, a) for a, b in und]
+        edges = self._edges(spark, pairs)
+        got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+
+        out: dict[int, list[int]] = {}
+        for a, b in pairs:
+            out.setdefault(a, []).append(b)
+        ranks = {n: 1_000_000.0 for n in out}
+        for _ in range(2):
+            nxt = {n: 150_000.0 for n in out}
+            for src, dsts in out.items():
+                for dst in dsts:
+                    nxt[dst] += 0.85 * ranks[src] / len(dsts)
+            ranks = nxt
+        for n, expect in ranks.items():
+            assert abs(got[n] - expect) <= 16, (n, got[n], expect)
+
+    def test_plan_is_equi_join_only(self, spark):
+        p = _plan(catalog.QUERIES["graph_pagerank"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

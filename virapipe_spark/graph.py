@@ -192,3 +192,77 @@ def connected_components_doubling(
             f"{max_rounds} rounds ({changed} labels still changing)"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list
+    ``(src, dst)`` — the third member of the iterative-algorithm family
+    (with Lloyd k-means and connected components).
+
+    All arithmetic is integer: ranks live in parts-per-``scale``,
+    contributions are ``rank div out_degree`` (integer division), and
+    the damping update is ``(100-d)%*scale + (d% * sum) div 100`` — so
+    two engines computing the same graph produce bitwise-identical
+    ranks (no float-sum reduce-order drift), which is what lets the
+    catalog entry hash-match a SQL oracle. The cost is bounded,
+    well-understood truncation (< out_degree parts per node per round —
+    ppm-scale), the same trade the repo's OLS-trend and z-score
+    operators make.
+
+    Per round: one equi-join (ranks ⋈ edges on src, shuffled on the
+    vertex key) + one sum-aggregate on dst + one left join back to the
+    degree table — the Pregel message-passing shape, identical to
+    :func:`connected_components`' round structure, so the same scale
+    properties hold (shuffle keyed on vertex ids, volume = edge count;
+    lineage truncated every ``checkpoint_every`` rounds; see that
+    docstring for the reliable-checkpoint caveat on preemptible
+    clusters).
+
+    Nodes are the distinct ``src`` set. Callers must pass a SYMMETRIZED
+    edge list (or otherwise ensure every node has an out-edge): rank
+    mass at a dangling node has no ``div out_degree`` meaning in
+    integer arithmetic, so dangling redistribution is deliberately out
+    of scope. Ranks are NOT normalized to sum to ``scale`` (standard
+    practice for ranking use — only the order matters).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    base = (100 - damping_pct) * scale // 100
+    # ranks carries the node's out-degree along (node, rank, d) so each
+    # round is exactly one join with edges — no per-round deg re-join.
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(scale).cast("long").alias("rank"),
+        "d",
+    )
+    for rnd in range(iterations):
+        # alias both sides: deg and ranks share edges in their lineage,
+        # so unqualified column refs trip the ambiguous-self-join check
+        contrib = (
+            ranks.alias("r")
+            .join(edges.alias("e"), F.col("r.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("to"), F.expr("rank div d").alias("c"))
+        )
+        insum = contrib.groupBy("to").agg(F.sum("c").cast("long").alias("s"))
+        ranks = (
+            deg.alias("g")
+            .join(insum.alias("i"), F.col("g.src") == F.col("i.to"), "left")
+            .select(
+                F.col("g.src").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+                "d",
+            )
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")

@@ -2818,3 +2818,59 @@ def llm_corpus_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "docs_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c
+      FROM words WHERE length(w) >= 2
+      GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2)))
+               AS pair,
+             c
+      FROM wc
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+    FROM pairs
+    GROUP BY pair
+    """,
+)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, inner-loop step: corpus-wide frequency
+    of every adjacent symbol pair at the character stage — the count a
+    byte-pair-encoding trainer maximizes over to pick its next merge
+    (Sennrich et al. 2016, the standard subword recipe; the full
+    trainer repeats this after applying each merge).
+
+    Shape — the vocabulary trick that makes BPE training feasible at
+    corpus scale: aggregate words to the VOCABULARY first (shuffle
+    bounded by distinct words, map-side combinable), then explode
+    adjacent pairs over vocab entries weighted by word count — so the
+    quadratic-ish pair explosion runs over ~10^5 vocab rows, not 10^11
+    corpus tokens. Both aggregations are plain hash-aggs; the pair
+    alphabet (<=26^2 + boundary chars) keeps the final shuffle tiny.
+    All counts are exact integers — hash-stable cross-engine."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z]+")
+        ).alias("w")
+    )
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("freq"))

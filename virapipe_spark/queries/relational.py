@@ -1593,3 +1593,85 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    in1 AS (
+      SELECT e.dst, CAST(sum(1000000 // g.d) AS BIGINT) AS s
+      FROM edges e JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT g.src AS node,
+             CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS rank,
+             g.d
+      FROM deg g LEFT JOIN in1 i ON g.src = i.dst
+    ),
+    in2 AS (
+      SELECT e.dst, CAST(sum(r.rank // r.d) AS BIGINT) AS s
+      FROM edges e JOIN r1 r ON e.src = r.node
+      GROUP BY e.dst
+    )
+    SELECT g.src AS node,
+           CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS rank
+    FROM deg g LEFT JOIN in2 i ON g.src = i.dst
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled rounds, integer-exact — graph.pagerank)
+    over the part co-purchase graph: vertices are parts, an edge links
+    parts co-ordered in >= 2 distinct orders (the triangle-count
+    graph, symmetrized). Completes the iterative-algorithm family:
+    k-means (centroid update), connected components (label
+    propagation), PageRank (rank diffusion) — each with a
+    cross-engine-exact arithmetic story.
+
+    Scale: edge construction blocks on the order key (pairs per order
+    bounded by basket size²) and the support threshold sparsifies
+    before any iteration; each round is one vertex-keyed equi-join +
+    sum-aggregate + degree join-back (the Pregel shape — shuffle
+    volume = edge count per round, lineage checkpoint-truncated for
+    deep iteration counts). Integer ranks (ppm) make the oracle
+    comparison bitwise, per the graph.pagerank docstring."""
+    from virapipe_spark.graph import pagerank
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return pagerank(edges, iterations=2)
