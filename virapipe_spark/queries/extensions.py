@@ -2874,3 +2874,126 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
     )
     return pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("freq"))
+
+
+@query(
+    "docs_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             least(n_chars, 2000) * 5 AS keep_bp,
+             ((doc_id * 2654435761) % 4294967296) // 429497 AS u
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN u < keep_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN u < keep_bp THEN keep_bp ELSE 0 END) AS BIGINT)
+             AS kept_weight_bp
+    FROM scored
+    GROUP BY source
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling — the training-mix
+    primitive that keeps each document with probability proportional
+    to a quality weight (here: capped length, as a stand-in for a
+    quality-classifier score), reproducibly across runs, engines, and
+    partitionings (no RNG state: the coin is a Knuth multiplicative
+    hash of the doc id, u = high bits of doc_id * 2654435761 mod 2^32,
+    scaled to basis points).
+
+    Scale: a pure projection + one per-source aggregate — evaluated in
+    the scan stage, shuffle bounded by source count. All arithmetic is
+    integer (basis points), so the oracle hash is exact. The 64-bit
+    product overflows beyond ~3.4e9 docs; a production run swaps in
+    xxhash64 (same determinism contract, no overflow) — the catalog
+    keeps the portable arithmetic form DuckDB can mirror."""
+    d = table(spark, sf_dir, "documents")
+    keep_bp = F.least(F.col("n_chars"), F.lit(2000)) * 5
+    u = F.expr("((doc_id * 2654435761) % 4294967296) div 429497")
+    kept = (u < keep_bp).cast("long")
+    return (
+        d.select("source", keep_bp.alias("keep_bp"), kept.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum(F.col("k") * F.col("keep_bp")).cast("long").alias(
+                "kept_weight_bp"
+            ),
+        )
+    )
+
+
+_MIX_BUDGET = 100_000  # target token budget for the mixture allocation
+
+
+@query(
+    "docs_mixture_allocation",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(toks) AS BIGINT) AS t, count(*) AS n_src FROM src
+    ), alloc AS (
+      SELECT source, toks,
+             ({_MIX_BUDGET} * toks) // t AS base_quota,
+             ({_MIX_BUDGET} * toks) % t AS rem,
+             row_number() OVER (ORDER BY ({_MIX_BUDGET} * toks) % t DESC,
+                                source) AS rem_rank,
+             {_MIX_BUDGET} - CAST(sum(({_MIX_BUDGET} * toks) // t)
+                                  OVER () AS BIGINT) AS leftover
+      FROM src, tot
+    )
+    SELECT source, toks, CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(base_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM alloc
+    """,
+)
+def docs_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture apportionment by the largest-remainder
+    (Hamilton) method: split a fixed token budget across sources
+    proportionally to their token mass, in integers, with the
+    fractional leftovers awarded to the largest remainders — quotas
+    sum EXACTLY to the budget, the property float rounding can't give
+    (and the reason data-mixture tooling uses apportionment, not
+    round()).
+
+    Scale: per-source token mass is one map-side-combinable aggregate;
+    everything after runs on the ~#sources-row result (1-row total via
+    crossJoin broadcast; the remainder ranking is a window over that
+    same tiny frame — fine at any corpus size since sources, not
+    documents, drive it). Integer-exact throughout; budget * toks
+    needs headroom below 2^63 (budget 1e5 x 1e13 tokens fits)."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("toks")
+    )
+    tot = src.agg(F.sum("toks").cast("long").alias("t"))
+    alloc = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("base_quota", F.expr(f"({_MIX_BUDGET} * toks) div t"))
+        .withColumn("rem", F.expr(f"({_MIX_BUDGET} * toks) % t"))
+    )
+    w_rank = W.orderBy(F.col("rem").desc(), "source")
+    w_all = W.partitionBy()
+    return (
+        alloc.withColumn("rem_rank", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover",
+            F.lit(_MIX_BUDGET) - F.sum("base_quota").over(w_all).cast("long"),
+        )
+        .select(
+            "source",
+            "toks",
+            F.col("base_quota").cast("long").alias("base_quota"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
