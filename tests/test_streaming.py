@@ -218,3 +218,42 @@ class TestHllDailyMerge:
         est = {r["week"]: r["est_users"] for r in out}
         out2 = catalog.QUERIES["events_hll_daily_merge"](spark, sf).collect()
         assert {r["week"]: r["est_users"] for r in out2} == est
+
+
+class TestForeachBatchSink:
+    def test_effectively_once_across_restart_and_replay(
+        self, spark, events_dir, batch_events, tmp_path_factory
+    ):
+        """Three contracts of the idempotent epoch sink: (1) the sink's
+        union equals the source exactly; (2) re-running against the
+        same checkpoint (restart with no new data) adds nothing; (3) a
+        replayed epoch (the crash-between-write-and-commit case)
+        overwrites rather than duplicates."""
+        from virapipe_spark.streaming import foreach_batch_idempotent_sink
+
+        out = str(tmp_path_factory.mktemp("fbsink") / "out")
+        ckpt = str(tmp_path_factory.mktemp("fbsink") / "ckpt")
+        stream = spark.readStream.schema(vs.EVENTS_SCHEMA).parquet(events_dir)
+
+        foreach_batch_idempotent_sink(stream, out, ckpt)
+        got = spark.read.parquet(out).drop("epoch")
+        assert _rows(got, "event_id") == _rows(batch_events, "event_id")
+
+        # (2) restart with the same checkpoint: offsets are committed,
+        # so no epoch re-fires and the output is unchanged
+        stream2 = spark.readStream.schema(vs.EVENTS_SCHEMA).parquet(events_dir)
+        foreach_batch_idempotent_sink(stream2, out, ckpt)
+        again = spark.read.parquet(out).drop("epoch")
+        assert _rows(again, "event_id") == _rows(batch_events, "event_id")
+
+        # (3) simulate epoch replay: rewriting epoch 0's data directly
+        # must leave the union identical (overwrite, not append).
+        # Materialize first — Spark cannot lazily read the path it is
+        # overwriting.
+        epoch0_df = spark.read.parquet(f"{out}/epoch=0")
+        replay = spark.createDataFrame(
+            epoch0_df.collect(), epoch0_df.schema
+        )
+        replay.write.mode("overwrite").parquet(f"{out}/epoch=0")
+        replayed = spark.read.parquet(out).drop("epoch")
+        assert _rows(replayed, "event_id") == _rows(batch_events, "event_id")

@@ -269,3 +269,43 @@ def drain_available_now(
     finally:
         q.stop()
     return sdf.sparkSession.table(name)
+
+
+def foreach_batch_idempotent_sink(
+    sdf: DataFrame, path: str, checkpoint_dir: str, timeout_sec: int = 120
+) -> None:
+    """Effectively-once micro-batch sink over plain parquet — the
+    production write path for streams when no transactional table
+    format is available: ``foreachBatch`` hands each micro-batch to a
+    batch writer that overwrites an EPOCH-KEYED subdirectory
+    (``path/epoch=<id>``), so a replayed epoch (driver restart between
+    write and offset commit) overwrites its own partial output instead
+    of appending duplicates. Idempotent writes + checkpointed source
+    offsets = effectively-once end to end; readers see the union via
+    partition discovery over ``epoch=*``.
+
+    Scale: the writer inside foreachBatch is a normal distributed
+    batch write (one file per partition, no driver data path);
+    checkpoint state is offsets only. Epoch directories accrete — at
+    100 TB compact them periodically with the same idempotent pattern
+    (rewrite N epochs into one, then atomically swap), or use a
+    transactional format where available.
+    """
+
+    def _write_epoch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(_write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"availableNow foreachBatch sink to {path!r} did not "
+                f"finish within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
