@@ -72,12 +72,18 @@ class TestPlanProperties:
             # r6: TPC-H Q22's scalar subquery — a ONE-ROW avg(acctbal)
             # aggregate crossJoined as the comparison cutoff
             "q22_dormant_value",
-            # r6 (sweep completion): Q11's HAVING threshold and Q15's
-            # max-revenue scalar — each a ONE-ROW re-reduction of an
-            # already-aggregated relation, crossJoined back (the
-            # decorrelated scalar-subquery plan, q22 precedent)
+            # r6 (sweep completion): Q11's HAVING threshold — a ONE-ROW
+            # re-reduction of an already-aggregated relation,
+            # crossJoined back (the decorrelated scalar-subquery plan,
+            # q22 precedent). Q15's scalar-max crossJoin needs no
+            # exemption: its equality filter lets Catalyst extract an
+            # equi-condition and plan a BroadcastHashJoin.
             "q11_important_stock",
-            "q15_top_supplier",
+            # r6: the same ONE-ROW scalar-aggregate crossJoin — the
+            # global token total (mixture apportionment) and the
+            # distinct-order count (association-rule lift denominator)
+            "docs_mixture_allocation",
+            "parts_association_rules",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)

@@ -1675,3 +1675,85 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     return pagerank(edges, iterations=2)
+
+
+@query(
+    "parts_association_rules",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (SELECT l_partkey AS pk, count(*) AS s FROM li GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS s_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT pa, pb, CAST(s_ab AS BIGINT) AS s_ab,
+           CAST((s_ab * 10000) // ia.s AS BIGINT) AS conf_ab_bp,
+           CAST((s_ab * 10000) // ib.s AS BIGINT) AS conf_ba_bp,
+           CAST((n_orders * s_ab * 10000) // (ia.s * ib.s) AS BIGINT)
+             AS lift_bp
+    FROM pair
+    JOIN item ia ON pa = ia.pk
+    JOIN item ib ON pb = ib.pk
+    CROSS JOIN n
+    """,
+)
+def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts: support,
+    both directed confidences, and lift for every part pair co-ordered
+    in >= 2 distinct orders — the classic frequent-itemset analytic
+    (the k=2 slice of Apriori/FP-growth, which is where real
+    recommender pipelines stop at catalog scale).
+
+    All ratios are integer basis points via div (confidence =
+    s_ab*10000 div s_a; lift = N*s_ab*10000 div (s_a*s_b)) — exact
+    cross-engine, the repo's integer-exact convention.
+
+    Scale: the pair stage blocks on the order key (basket-size²
+    bounded, never corpus-bounded) and the support HAVING prunes
+    before the two item-support joins (equi-joins on partkey; the
+    item-support table is partkey-sized, AQE-broadcastable). The order
+    count attaches via a 1-row broadcast crossJoin (the scalar-
+    aggregate pattern shared with q11/q15/q22)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("s")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("s").alias("s_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("s").alias("s_b"))
+    return (
+        pair.join(ia, F.col("pa") == F.col("pk_a"))
+        .join(ib, F.col("pb") == F.col("pk_b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("s_ab").cast("long").alias("s_ab"),
+            F.expr("(s_ab * 10000) div s_a").cast("long").alias("conf_ab_bp"),
+            F.expr("(s_ab * 10000) div s_b").cast("long").alias("conf_ba_bp"),
+            F.expr("(n_orders * s_ab * 10000) div (s_a * s_b)")
+            .cast("long")
+            .alias("lift_bp"),
+        )
+    )
