@@ -226,6 +226,42 @@ def _minhash_pairs(
 
     Shuffles: signature agg, band self-join, pair distinct, two
     join-backs (pair-sized, broadcastable at any dup rate ≪ corpus)."""
+    mh, bands = _minhash_sig_bands(spark, sf_dir, materialize)
+    sig = F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        mh.select(F.col("doc_id").alias("doc_a"), sig.alias("sig_a")), "doc_a"
+    ).join(mh.select(F.col("doc_id").alias("doc_b"), sig.alias("sig_b")), "doc_b")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = matches / F.lit(float(_H))
+    return pairs.filter(est >= _EST_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+def _minhash_sig_bands(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature/band construction for the MinHash family —
+    ``(mh, bands)`` where ``mh`` is the per-doc {_H}-component
+    signature table and ``bands`` its narrow (doc_id, band, bk) band
+    rows. Pure factoring of the round-4 A/B-measured shape documented
+    in :func:`_minhash_pairs` (one-shuffle signature agg, narrow band
+    rows, lazily checkpointed signature table)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("__toks")
     )
@@ -250,7 +286,6 @@ def _minhash_pairs(
     mh = sh.groupBy("doc_id").agg(*[h(j).alias(f"h{j}") for j in range(1, _H + 1)])
     if materialize:
         mh = mh.localCheckpoint(eager=False)
-    sig = F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)])
     band_structs = F.array(
         *[
             F.struct(
@@ -265,29 +300,7 @@ def _minhash_pairs(
     bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    pairs = cand.join(
-        mh.select(F.col("doc_id").alias("doc_a"), sig.alias("sig_a")), "doc_a"
-    ).join(mh.select(F.col("doc_id").alias("doc_b"), sig.alias("sig_b")), "doc_b")
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    est = matches / F.lit(float(_H))
-    return pairs.filter(est >= _EST_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
-    )
+    return mh, bands
 
 
 @query("docs_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -2995,5 +3008,101 @@ def docs_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("base_quota")
                 + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
             ).cast("long").alias("quota"),
+        )
+    )
+
+
+@query(
+    "docs_incremental_dedup",
+    oracle=_SHINGLES_SQL
+    + f"""
+    , mh AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS idx_doc
+      FROM bands n JOIN bands i ON n.band = i.band AND n.bk = i.bk
+      WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+    ),
+    scored AS (
+      SELECT new_doc, idx_doc,
+             CASE WHEN ({_MATCHES_SQL}) / {_H}.0 >= {_EST_THRESHOLD}
+                  THEN 1 ELSE 0 END AS dup
+      FROM cand
+      JOIN mh a ON new_doc = a.doc_id
+      JOIN mh b ON idx_doc = b.doc_id
+    )
+    SELECT d.doc_id AS new_doc,
+           count(s.idx_doc) AS n_candidates,
+           CAST(coalesce(sum(s.dup), 0) AS BIGINT) AS n_dup_partners,
+           coalesce(sum(s.dup), 0) > 0 AS is_dup
+    FROM documents d
+    LEFT JOIN scored s ON d.doc_id = s.new_doc
+    WHERE d.doc_id % 5 = 0
+    GROUP BY d.doc_id
+    """,
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dedup: an incoming batch (here docs with
+    ``doc_id % 5 = 0``, standing in for today's crawl) is checked
+    against the already-indexed corpus (the rest) via MinHash band
+    collision + signature verification — every new doc gets a verdict
+    row (candidate count, confirmed near-dup partners, is_dup), the
+    shape an ingest gate consumes.
+
+    This is the asymmetric complement of ``docs_minhash_lsh``: instead
+    of the corpus band SELF-join (O(Σ bucket²) over everything), the
+    candidate join is batch-bands ⋈ index-bands — cost scales with the
+    BATCH's collision volume, which is what makes continuous dedup
+    against a 100 TB corpus affordable (the index side mh/bands would
+    be a precomputed signature table in production, appended per
+    ingest, exactly what ``_minhash_sig_bands`` emits; here both sides
+    derive from one read because the driver provides one table).
+    LEFT JOIN from the batch keeps zero-collision docs in the output —
+    an ingest gate must say "clean", not stay silent."""
+    mh, bands = _minhash_sig_bands(spark, sf_dir)
+    sig = F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)])
+    new_b = bands.filter(F.col("doc_id") % 5 == 0).alias("n")
+    idx_b = bands.filter(F.col("doc_id") % 5 != 0).alias("i")
+    cand = (
+        new_b.join(
+            idx_b,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bk") == F.col("i.bk")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"), F.col("i.doc_id").alias("idx_doc")
+        )
+        .distinct()
+    )
+    scored = cand.join(
+        mh.select(F.col("doc_id").alias("new_doc"), sig.alias("sig_a")), "new_doc"
+    ).join(mh.select(F.col("doc_id").alias("idx_doc"), sig.alias("sig_b")), "idx_doc")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = scored.select(
+        "new_doc",
+        "idx_doc",
+        (matches / F.lit(float(_H)) >= _EST_THRESHOLD).cast("int").alias("dup"),
+    )
+    batch = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("new_doc"))
+    )
+    return (
+        batch.join(scored, "new_doc", "left")
+        .groupBy("new_doc")
+        .agg(
+            F.count("idx_doc").alias("n_candidates"),
+            F.coalesce(F.sum("dup"), F.lit(0)).cast("long").alias(
+                "n_dup_partners"
+            ),
+            (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
         )
     )
