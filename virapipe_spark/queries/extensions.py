@@ -3106,3 +3106,79 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+@query(
+    "docs_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+    ), p1 AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2)))
+               AS pair,
+             c
+      FROM wc
+    ), freq1 AS (
+      SELECT pair, CAST(sum(c) AS BIGINT) AS f FROM p1 GROUP BY pair
+    ), top AS (
+      SELECT pair AS top_pair FROM freq1
+      ORDER BY f DESC, pair LIMIT 1
+    ), merged AS (
+      SELECT replace(w, top_pair, 'A') AS w, c FROM wc, top
+    ), p2 AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2)))
+               AS pair,
+             c
+      FROM merged WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+    FROM p2
+    GROUP BY pair
+    """,
+)
+def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE-trainer iteration on top of the pair-count step:
+    pick the globally most frequent adjacent pair (deterministic
+    tie-break: lexicographic), APPLY the merge across the vocabulary
+    (the merged pair becomes one symbol — surrogate 'A', outside the
+    corpus alphabet), and recount pairs — the exact loop body a BPE
+    tokenizer trainer runs per merge (Sennrich et al. 2016).
+
+    Scale: everything after the word-count aggregate operates on the
+    VOCABULARY (docs_bpe_pair_counts' trick), so one merge round costs
+    two vocab-sized explodes + a 1-row argmax broadcast — at 100 TB
+    the trainer loop (thousands of merges) would checkpoint the
+    evolving vocab every k rounds exactly like graph.pagerank's rank
+    frame. replace() is leftmost-non-overlapping in both engines, so
+    the merged vocab is string-identical cross-engine."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    )
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pair_expr = F.explode(
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    ).alias("pair")
+    freq1 = wc.select(pair_expr, "c").groupBy("pair").agg(
+        F.sum("c").alias("f")
+    )
+    top = freq1.orderBy(F.col("f").desc(), "pair").limit(1).select(
+        F.col("pair").alias("top_pair")
+    )
+    merged = wc.crossJoin(F.broadcast(top)).select(
+        F.expr("replace(w, top_pair, 'A')").alias("w"), "c"
+    )
+    return (
+        merged.filter(F.length("w") >= 2)
+        .select(pair_expr, "c")
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("freq"))
+    )
