@@ -692,3 +692,38 @@ class TestMixtureAllocation:
         n_total = sum(r["n_total"] for r in rows)
         n_kept = sum(r["n_kept"] for r in rows)
         assert 0 < n_kept < n_total
+
+
+class TestHamiltonProperty:
+    def test_quota_is_floor_or_ceil_of_exact_share(self, spark):
+        """Hamilton's defining property on adversarial weight sets:
+        every quota is floor or ceil of the exact proportional share,
+        and quotas sum exactly to the budget."""
+        from virapipe_spark.scale import hamilton_allocate
+
+        cases = [
+            [1, 1, 1],                      # uniform, budget not divisible
+            [999999, 1],                    # extreme skew
+            [7],                            # single source
+            [3, 3, 3, 3, 3, 3, 7],          # remainder-heavy ties
+            [17, 29, 41, 53, 61, 5, 2, 1],  # coprime mix
+        ]
+        for budget in (10, 1000, 99991):
+            for weights in cases:
+                src = spark.createDataFrame(
+                    [(f"s{i}", w) for i, w in enumerate(weights)],
+                    "source string, toks long",
+                )
+                rows = hamilton_allocate(src, budget).collect()
+                total = sum(w for w in weights)
+                assert sum(r["quota"] for r in rows) == budget, (budget, weights)
+                for r in rows:
+                    exact = budget * dict(
+                        (f"s{i}", w) for i, w in enumerate(weights)
+                    )[r["source"]] / total
+                    assert exact // 1 <= r["quota"] <= -(-exact // 1) + 0, (
+                        budget,
+                        weights,
+                        r,
+                        exact,
+                    )

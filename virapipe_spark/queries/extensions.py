@@ -2982,34 +2982,13 @@ def docs_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     same tiny frame — fine at any corpus size since sources, not
     documents, drive it). Integer-exact throughout; budget * toks
     needs headroom below 2^63 (budget 1e5 x 1e13 tokens fits)."""
+    from virapipe_spark.scale import hamilton_allocate
+
     d = table(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("toks")
     )
-    tot = src.agg(F.sum("toks").cast("long").alias("t"))
-    alloc = (
-        src.crossJoin(F.broadcast(tot))
-        .withColumn("base_quota", F.expr(f"({_MIX_BUDGET} * toks) div t"))
-        .withColumn("rem", F.expr(f"({_MIX_BUDGET} * toks) % t"))
-    )
-    w_rank = W.orderBy(F.col("rem").desc(), "source")
-    w_all = W.partitionBy()
-    return (
-        alloc.withColumn("rem_rank", F.row_number().over(w_rank))
-        .withColumn(
-            "leftover",
-            F.lit(_MIX_BUDGET) - F.sum("base_quota").over(w_all).cast("long"),
-        )
-        .select(
-            "source",
-            "toks",
-            F.col("base_quota").cast("long").alias("base_quota"),
-            (
-                F.col("base_quota")
-                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
-            ).cast("long").alias("quota"),
-        )
-    )
+    return hamilton_allocate(src, _MIX_BUDGET)
 
 
 @query(

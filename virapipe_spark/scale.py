@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -193,3 +193,39 @@ def topk_per_group(
     )
     w2 = W.partitionBy(*group_cols).orderBy(*order_cols)
     return cand.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+
+
+def hamilton_allocate(
+    src: DataFrame, budget: int, key_col: str = "source", weight_col: str = "toks"
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    ``budget`` across the rows of ``src`` proportionally to
+    ``weight_col``, in integers, awarding the rounding leftovers to the
+    largest remainders (ties broken by ``key_col``) — quotas sum
+    EXACTLY to the budget. Backs catalog ``docs_mixture_allocation``;
+    see its docstring for the scale rationale (everything here runs on
+    the already-aggregated per-key frame)."""
+    tot = src.agg(F.sum(weight_col).cast("long").alias("__t"))
+    alloc = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("base_quota", F.expr(f"({budget} * {weight_col}) div __t"))
+        .withColumn("rem", F.expr(f"({budget} * {weight_col}) % __t"))
+    )
+    w_rank = W.orderBy(F.col("rem").desc(), key_col)
+    w_all = W.partitionBy()
+    return (
+        alloc.withColumn("rem_rank", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover",
+            F.lit(budget) - F.sum("base_quota").over(w_all).cast("long"),
+        )
+        .select(
+            key_col,
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.col("base_quota").cast("long").alias("base_quota"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
