@@ -181,3 +181,107 @@ class TestCodecProperties:
             assert got.shape == samples.shape and (got == samples).all()
 
         prop()
+
+
+class TestPngCodec:
+    """8-bit PNG decodes actual bytes: zlib inflate + all five scanline
+    filters; gray / RGB / RGBA / palette color types."""
+
+    def test_roundtrip_all_color_types(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        for shape in [(9, 5), (13, 7, 3), (6, 4, 4)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            blob = mm.encode_png(img)
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+            back = mm.decode_png(blob)
+            assert back.shape == img.shape and (back == img).all()
+
+    def test_decodes_every_filter_type(self):
+        """Hand-build an IDAT where each row uses a different filter
+        (None/Sub/Up/Average/Paeth) by applying the spec's forward
+        filter; decode must reconstruct the original image."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8)
+        h, w, bpp = 5, 8, 3
+        stride = w * bpp
+        flat = img.reshape(h, stride).astype(np.int32)
+        out = bytearray()
+        prev = np.zeros(stride, np.int32)
+        for y, f in enumerate([0, 1, 2, 3, 4]):
+            cur = flat[y]
+            if f == 0:
+                enc = cur
+            elif f == 1:  # Sub
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                enc = (cur - left) & 255
+            elif f == 2:  # Up
+                enc = (cur - prev) & 255
+            elif f == 3:  # Average
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                enc = (cur - ((left + prev) >> 1)) & 255
+            else:  # Paeth
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+                pred = np.array(
+                    [mm._paeth(int(a), int(b), int(c))
+                     for a, b, c in zip(left, prev, ul)],
+                    np.int32,
+                )
+                enc = (cur - pred) & 255
+            out.append(f)
+            out.extend(enc.astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        back = mm.decode_png(blob)
+        assert back.shape == (5, 8, 3) and (back == img).all()
+
+    def test_palette_resolves_to_rgb(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128]], np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+        h, w = idx.shape
+        scan = np.zeros((h, 1 + w), np.uint8)
+        scan[:, 1:] = idx
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"PLTE", pal.tobytes())
+            + mm._png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        back = mm.decode_png(blob)
+        assert back.shape == (2, 3, 3) and (back == pal[idx]).all()
+
+    def test_image_features_from_real_png(self, spark):
+        import numpy as np
+
+        img = np.full((4, 6, 3), 100, dtype=np.uint8)
+        img[1, 1] = 255
+        rows = [(12, "image", mm.encode_png(img), 6, 4, 0, 0)]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        r = mm.decode_image_features(media).first()
+        assert (r["width"], r["height"]) == (6, 4)
+        assert r["n_bytes"] == 4 * 6 * 3
+        assert r["mean_intensity"] == pytest.approx((100 * 69 + 255 * 3) / 72)
+
+    def test_rejects_unsupported(self):
+        with pytest.raises(ValueError):
+            mm.decode_png(b"BM not a png")

@@ -160,6 +160,7 @@ class TestPlanProperties:
             "multimodal_frame_sample",
             "multimodal_image_features",
             "multimodal_audio_features",
+            "multimodal_png_features",
         }
         for name, fn in catalog.QUERIES.items():
             p = _plan(fn(spark, SF_DIR))

@@ -8,11 +8,13 @@ Python boundary once per batch, never per row.
 
 Codec status (honest accounting):
 
-- **REAL, pure numpy/struct** — 24-bit uncompressed BMP
-  (:func:`decode_bmp`/:func:`encode_bmp`) and 16-bit PCM WAV
+- **REAL, pure numpy/struct/zlib** — 24-bit uncompressed BMP
+  (:func:`decode_bmp`/:func:`encode_bmp`), 8-bit PNG
+  (:func:`decode_png`/:func:`encode_png` — zlib inflate + all five
+  scanline filters; gray/RGB/palette/alpha), and 16-bit PCM WAV
   (:func:`decode_wav`/:func:`encode_wav`). The feature operators sniff
   these by magic bytes and decode actual pixels/samples.
-- **STUBBED** — JPEG/PNG/MP3/H.264 need PIL/libsndfile/ffmpeg, which
+- **STUBBED** — JPEG/MP3/H.264 need PIL/libsndfile/ffmpeg, which
   are NOT in this environment; a deterministic fake container
   (:func:`pack_media` / :func:`_unpack`) stands in, and
   :func:`require_codecs` raises ``NotImplementedError`` showing where
@@ -33,6 +35,7 @@ filter immediately after, same rule as the k-mer explode (SURVEY §4.3).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -79,12 +82,13 @@ def _unpack(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
 def require_codecs() -> None:
     """Where compressed-format decoders would load. The container image
-    has no PIL/libsndfile/ffmpeg — JPEG/PNG/MP3/H.264 paths raise until
-    they exist. Uncompressed BMP and 16-bit PCM WAV decode natively
-    (:func:`decode_bmp` / :func:`decode_wav`, pure numpy)."""
+    has no PIL/libsndfile/ffmpeg — JPEG/MP3/H.264 paths raise until
+    they exist. Uncompressed BMP, 8-bit PNG, and 16-bit PCM WAV decode
+    natively (:func:`decode_bmp` / :func:`decode_png` /
+    :func:`decode_wav`, pure numpy + stdlib zlib)."""
     raise NotImplementedError(
         "compressed media codecs (PIL / soundfile / ffmpeg) are not available "
-        "in this environment; BMP and PCM WAV decode natively, everything "
+        "in this environment; BMP, PNG, and PCM WAV decode natively, everything "
         "else uses the deterministic VPMM container"
     )
 
@@ -135,6 +139,136 @@ def encode_bmp(img: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
     )
     return file_hdr + info_hdr + pix
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth, non-interlaced PNG (RFC 2083 critical
+    path) to a uint8 array — (h, w) gray, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB (palette images resolve through PLTE to RGB), or
+    (h, w, 4) RGBA.
+
+    Pure stdlib+numpy: DEFLATE is ``zlib`` (stdlib), the rest is chunk
+    walking and scanline unfiltering — all five filter types (None/
+    Sub/Up/Average/Paeth). Up and None unfilter vectorized; Sub/
+    Average/Paeth are sequential by spec (each pixel depends on the
+    reconstructed left neighbor), done in a per-row loop — fine for
+    feature extraction on thumbnail-scale payloads; a production build
+    swaps in PIL for large assets, same output contract. Bit depth 16,
+    interlacing, and ancillary transforms (tRNS, gAMA) raise."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+    if channels is None:
+        raise ValueError(f"bad color type {ct}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline size mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    bpp = channels
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        cur = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
+        rpos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) & 255
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(a, int(prev[i]), c)) & 255
+        else:
+            raise ValueError(f"bad filter byte {f} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[out.reshape(h, w)]
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a uint8 array — (h, w) gray, (h, w, 3) RGB, or (h, w, 4)
+    RGBA — as an 8-bit non-interlaced PNG (filter 0 rows, one zlib
+    stream; maximally simple, universally readable)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ct, channels = 0, 1
+        flat = img
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        channels = img.shape[2]
+        ct = 2 if channels == 3 else 6
+        flat = img.reshape(img.shape[0], -1)
+    else:
+        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = img.shape[0], img.shape[1]
+    scan = np.zeros((h, 1 + w * channels), np.uint8)
+    scan[:, 1:] = flat
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
@@ -205,11 +339,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image_features(media: DataFrame) -> DataFrame:
     """Decode images and emit per-image intensity features.
 
-    BMP payloads (sniffed by the ``BM`` magic) decode for REAL —
-    dimensions come from the bitmap header, intensities from actual
-    pixels. VPMM containers use the flat-buffer stub (a real build adds
-    PIL here for JPEG/PNG). Metadata filter first: non-image rows never
-    reach Python."""
+    BMP and PNG payloads (sniffed by magic) decode for REAL —
+    dimensions come from the format headers, intensities from actual
+    decoded pixels (PNG through zlib inflate + scanline unfiltering).
+    VPMM containers use the flat-buffer stub (a real build adds PIL
+    here for JPEG). Metadata filter first: non-image rows never reach
+    Python."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,6 +353,11 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 data = bytes(data)
                 if data[:2] == b"BM":
                     img = decode_bmp(data)
+                    h, w = img.shape[:2]
+                    arr = img.reshape(-1)
+                    n = arr.size
+                elif data[:8] == _PNG_SIG:
+                    img = decode_png(data)
                     h, w = img.shape[:2]
                     arr = img.reshape(-1)
                     n = arr.size
