@@ -429,3 +429,111 @@ class TestBed:
             (r["chrom"], r["start"], r["end"]) for r in merged.collect()
         )
         assert got == [("chr1", 100, 250), ("chr2", 0, 50)]
+
+
+class TestBam:
+    """Binary BAM reader (bam.py): BGZF + record layout, cross-checked
+    against the SAM text path on identical logical alignments."""
+
+    def _records(self):
+        import hashlib
+
+        hexd = "0123456789abcdef"
+        dna = "ACGTACGTACGTACGT"
+        recs = []
+        for i in range(30):
+            seq = "".join(
+                dna[hexd.index(c)]
+                for c in hashlib.md5(str(i).encode()).hexdigest()
+            )
+            recs.append(
+                {
+                    "read_name": f"r{i}",
+                    "ref_id": i % 3,
+                    "pos": i * 11,
+                    "flag": (0x4 if i % 4 == 0 else 0)
+                    | (0x400 if i % 6 == 0 else 0),
+                    "cigar": "32M",
+                    "seq": seq,
+                }
+            )
+        return recs
+
+    def test_matches_sam_text_reader(self, spark, tmp_path):
+        """The same alignments through (a) binary BAM and (b) SAM text
+        must produce identical typed rows — the two sources must
+        interchange."""
+        from virapipe_spark import bam as vbam
+        from virapipe_spark import io as vio
+
+        refs = [(f"ref{i}", 5000) for i in range(3)]
+        recs = self._records()
+        bam_dir = tmp_path / "bam"
+        bam_dir.mkdir()
+        (bam_dir / "a.bam").write_bytes(
+            vbam.encode_bam("@HD\tVN:1.6\n", refs, recs, block_size=512)
+        )
+        sam_lines = [
+            "\t".join(
+                [
+                    r["read_name"],
+                    str(r["flag"]),
+                    f"ref{r['ref_id']}",
+                    str(r["pos"] + 1),
+                    "60",
+                    r["cigar"],
+                    "*",
+                    "0",
+                    "0",
+                    r["seq"],
+                    "*",
+                ]
+            )
+            for r in recs
+        ]
+        sam_dir = tmp_path / "sam"
+        sam_dir.mkdir()
+        (sam_dir / "a.sam").write_text("@HD\tVN:1.6\n" + "\n".join(sam_lines) + "\n")
+
+        cols = ["readName", "start", "referenceName", "length", "bases",
+                "cigar", "readUnmapped", "duplicateRead"]
+        got_bam = sorted(
+            tuple(r) for r in vbam.read_bam(spark, str(bam_dir)).select(*cols).collect()
+        )
+        got_sam = sorted(
+            tuple(r) for r in vio.read_sam(spark, str(sam_dir)).select(*cols).collect()
+        )
+        assert got_bam == got_sam and len(got_bam) == 30
+
+    def test_multiblock_bgzf_and_eof_marker(self, tmp_path):
+        from virapipe_spark import bam as vbam
+
+        refs = [("chr1", 1000)]
+        recs = self._records() * 20  # force several 512-byte BGZF members
+        blob = vbam.encode_bam("@HD\n", refs, [
+            {**r, "ref_id": 0} for r in recs
+        ], block_size=512)
+        assert blob.endswith(vbam._BGZF_EOF)
+        assert blob.count(b"\x1f\x8b\x08\x04") > 2
+        _t, _r, back = vbam.decode_bam(blob)
+        assert len(back) == len(recs)
+
+    def test_unmapped_record_gets_null_reference(self, spark, tmp_path):
+        from virapipe_spark import bam as vbam
+
+        recs = [
+            {
+                "read_name": "u0",
+                "ref_id": -1,
+                "pos": -1,
+                "flag": 0x4,
+                "cigar": "",
+                "seq": "ACGT",
+            }
+        ]
+        d = tmp_path / "b"
+        d.mkdir()
+        (d / "u.bam").write_bytes(vbam.encode_bam("@HD\n", [("chr1", 9)], recs))
+        row = vbam.read_bam(spark, str(d)).first()
+        assert row["referenceName"] is None
+        assert row["readUnmapped"] is True and row["length"] == 4

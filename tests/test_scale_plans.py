@@ -161,6 +161,9 @@ class TestPlanProperties:
             "multimodal_image_features",
             "multimodal_audio_features",
             "multimodal_png_features",
+            # r6: binary BAM decode (BGZF+record layout) is inherently
+            # a bytes->rows Python boundary, Arrow-batched per file
+            "bam_scan_roundtrip",
         }
         for name, fn in catalog.QUERIES.items():
             p = _plan(fn(spark, SF_DIR))

@@ -900,3 +900,65 @@ def kmer_unique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique_exact"
     )
     return df.withColumn("within_5pct", rel_err <= 0.05)
+
+
+@query(
+    "bam_scan_roundtrip",
+    oracle=f"""
+    SELECT concat('r', doc_id) AS "readName",
+           CAST((doc_id * 37) % 1000 + 1 AS INTEGER) AS "start",
+           concat('ref', doc_id % 5) AS "referenceName",
+           CAST(32 AS INTEGER) AS length,
+           translate(md5(CAST(doc_id AS VARCHAR)), '{_HEX}', '{_DNA16}') AS bases,
+           '32M' AS cigar,
+           (doc_id % 4 = 0) AS "readUnmapped",
+           (doc_id % 7 = 0) AS "duplicateRead"
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def bam_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked BINARY BAM scan (round 6 — until now only SAM text
+    was covered; bam.py implements the BGZF + BAM record layers over
+    stdlib zlib/struct): four .bam shard files are built from pure
+    doc_id arithmetic (md5-of-id bases — the DuckDB oracle recomputes
+    every field relationally, NO Spark data crosses to the driver; the
+    fixture write is control-plane only, the files_listing precedent),
+    with a deliberately small BGZF block size so each file carries
+    MULTIPLE gzip members. bam.read_bam then scans them distributed
+    (binaryFile, one task per shard) and decodes: BGZF inflate, header/
+    reference-dictionary walk, 4-bit sequence unpack, CIGAR decode,
+    flag-word booleans, 0->1-based position shift. Any byte-layout,
+    nibble-order, or block-boundary bug breaks the hash."""
+    import hashlib
+    import os
+
+    from virapipe_spark import bam as vbam
+    from virapipe_spark import io as vio
+
+    out = vio.scratch_dir(spark, sf_dir, "bam")
+    os.makedirs(out, exist_ok=True)
+    refs = [(f"ref{i}", 100000) for i in range(5)]
+    for shard in range(4):
+        recs = []
+        for i in range(shard * 50, (shard + 1) * 50):
+            seq = "".join(
+                _DNA16[_HEX.index(c)]
+                for c in hashlib.md5(str(i).encode()).hexdigest()
+            )
+            recs.append(
+                {
+                    "read_name": f"r{i}",
+                    "ref_id": i % 5,
+                    "pos": (i * 37) % 1000,
+                    "flag": (0x4 if i % 4 == 0 else 0)
+                    | (0x400 if i % 7 == 0 else 0),
+                    "cigar": "32M",
+                    "seq": seq,
+                }
+            )
+        blob = vbam.encode_bam(
+            "@HD\tVN:1.6\tSO:unsorted\n", refs, recs, block_size=1024
+        )
+        with open(os.path.join(out, f"shard-{shard}.bam"), "wb") as fh:
+            fh.write(blob)
+    return vbam.read_bam(spark, out)
