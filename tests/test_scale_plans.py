@@ -84,6 +84,10 @@ class TestPlanProperties:
             # distinct-order count (association-rule lift denominator)
             "docs_mixture_allocation",
             "parts_association_rules",
+            # r6: the BPE trainer's argmax merge — a ONE-ROW top-pair
+            # frame broadcast across the vocabulary (limit-1 of an
+            # aggregate, the scalar-subquery pattern again)
+            "docs_bpe_merge_step",
         }
         for name, fn in catalog.QUERIES.items():
             df = fn(spark, SF_DIR)
