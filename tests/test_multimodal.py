@@ -285,3 +285,73 @@ class TestPngCodec:
     def test_rejects_unsupported(self):
         with pytest.raises(ValueError):
             mm.decode_png(b"BM not a png")
+
+
+class TestGifCodec:
+    """GIF87a/89a decodes actual bytes: full LZW (variable code width,
+    dictionary growth + reset), sub-blocks, palette, interlace."""
+
+    def test_roundtrip_including_dictionary_growth(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        # 128x100 random bytes push the LZW dictionary past the 9->10
+        # bit width boundary; tiny images exercise the short path
+        for shape in [(4, 4), (31, 17), (128, 100)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            blob = mm.encode_gif(img)
+            assert blob[:6] == b"GIF89a"
+            back = mm.decode_gif(blob)
+            assert back.shape == (*shape, 3)
+            assert (back == np.repeat(img[..., None], 3, axis=2)).all()
+
+    def test_lzw_adversarial_streams(self):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        for mcs in (2, 4, 8):
+            for kind in range(3):
+                n = int(rng.integers(1, 7000))
+                if kind == 0:
+                    seq = [int(v) for v in rng.integers(0, 1 << mcs, n)]
+                elif kind == 1:
+                    seq = [int(v) for v in
+                           np.repeat(rng.integers(0, 1 << mcs, max(1, n // 13)), 13)][:n]
+                else:
+                    seq = [i % (1 << mcs) for i in range(n)]
+                assert mm._lzw_decode(mcs, mm._lzw_encode(mcs, seq)) == seq
+
+    def test_interlaced_and_extension_blocks(self):
+        """A hand-built interlaced GIF with a leading extension block:
+        the extension must be skipped structurally and the 4-pass row
+        order undone."""
+        import numpy as np
+        import struct
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (10, 6), dtype=np.uint8)
+        order = (
+            list(range(0, 10, 8)) + list(range(4, 10, 8))
+            + list(range(2, 10, 4)) + list(range(1, 10, 2))
+        )
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        lzw = mm._lzw_encode(8, [int(v) for v in img[order].reshape(-1)])
+        blocks = bytearray()
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        blob = (
+            b"GIF89a" + struct.pack("<HHBBB", 6, 10, 0x80 | 7, 0, 0)
+            + pal.tobytes()
+            + b"\x21\xfe" + bytes([7]) + b"comment" + b"\x00"  # comment ext
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 10, 0x40)  # interlaced
+            + bytes([8]) + bytes(blocks) + b"\x3b"
+        )
+        back = mm.decode_gif(blob)
+        assert (back[..., 0] == img).all()
+
+    def test_rejects_non_gif(self):
+        with pytest.raises(ValueError):
+            mm.decode_gif(b"\x89PNG\r\n\x1a\nnope")

@@ -165,6 +165,7 @@ class TestPlanProperties:
             "multimodal_image_features",
             "multimodal_audio_features",
             "multimodal_png_features",
+            "multimodal_gif_features",
             # r6: binary BAM decode (BGZF+record layout) is inherently
             # a bytes->rows Python boundary, Arrow-batched per file
             "bam_scan_roundtrip",

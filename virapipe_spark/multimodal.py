@@ -11,7 +11,9 @@ Codec status (honest accounting):
 - **REAL, pure numpy/struct/zlib** — 24-bit uncompressed BMP
   (:func:`decode_bmp`/:func:`encode_bmp`), 8-bit PNG
   (:func:`decode_png`/:func:`encode_png` — zlib inflate + all five
-  scanline filters; gray/RGB/palette/alpha), and 16-bit PCM WAV
+  scanline filters; gray/RGB/palette/alpha), GIF87a/89a
+  (:func:`decode_gif`/:func:`encode_gif` — full LZW with variable code
+  width, 4096-entry dictionary and interlace), and 16-bit PCM WAV
   (:func:`decode_wav`/:func:`encode_wav`). The feature operators sniff
   these by magic bytes and decode actual pixels/samples.
 - **STUBBED** — JPEG/MP3/H.264 need PIL/libsndfile/ffmpeg, which
@@ -83,12 +85,13 @@ def _unpack(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 def require_codecs() -> None:
     """Where compressed-format decoders would load. The container image
     has no PIL/libsndfile/ffmpeg — JPEG/MP3/H.264 paths raise until
-    they exist. Uncompressed BMP, 8-bit PNG, and 16-bit PCM WAV decode
-    natively (:func:`decode_bmp` / :func:`decode_png` /
-    :func:`decode_wav`, pure numpy + stdlib zlib)."""
+    they exist. Uncompressed BMP, 8-bit PNG, GIF, and 16-bit PCM WAV
+    decode natively (:func:`decode_bmp` / :func:`decode_png` /
+    :func:`decode_gif` / :func:`decode_wav`, pure numpy + stdlib
+    zlib/LZW)."""
     raise NotImplementedError(
         "compressed media codecs (PIL / soundfile / ffmpeg) are not available "
-        "in this environment; BMP, PNG, and PCM WAV decode natively, everything "
+        "in this environment; BMP, PNG, GIF, and PCM WAV decode natively, everything "
         "else uses the deterministic VPMM container"
     )
 
@@ -271,6 +274,214 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+_GIF_MAGIC = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/END
+    control codes, dictionary growth to 4096 with the standard deferred
+    width increase (width++ when the next free slot reaches 2^width)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    bitpos = 0
+    total_bits = len(data) * 8
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    prev: list[int] | None = None
+    while bitpos + width <= total_bits:
+        byte, bit = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> bit) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"bad LZW code {code} (next={next_code})")
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Real LZW compressor, kept in lockstep with :func:`_lzw_decode`
+    by SIMULATING the decoder's dictionary/width state: after each
+    emitted data code (except the first since a clear), the decoder
+    adds one entry and possibly widens — the encoder applies the
+    identical transition before choosing the next code's width, so the
+    two sides can never disagree at a boundary."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bits: list[tuple[int, int]] = []
+    acc_table: dict[tuple[int, ...], int] = {}
+
+    def reset():
+        nonlocal acc_table, next_code, width, first
+        acc_table = {(i,): i for i in range(clear)}
+        next_code, width = end + 1, min_code_size + 1
+        first = True
+
+    next_code = width = 0
+    first = True
+    reset()
+    bits.append((clear, width))
+
+    def emit(code: int, is_data: bool) -> None:
+        nonlocal next_code, width, first
+        bits.append((code, width))
+        if not is_data:
+            return
+        if first:
+            first = False
+            return
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in acc_table:
+            buf = cand
+            continue
+        emit(acc_table[buf], True)
+        # mirror the decoder's numbering: after emit()'s transition,
+        # next_code IS the slot the decoder will assign this entry to
+        # (it learns it one code later, with one fewer transition)
+        if next_code < 4095:
+            acc_table[cand] = next_code
+        else:  # table nearly full: reset both sides
+            emit(clear, False)
+            reset()
+        buf = (px,)
+    if buf:
+        emit(acc_table[buf], True)
+    bits.append((end, width))
+    acc = bitlen = 0
+    raw = bytearray()
+    for code, wdt in bits:
+        acc |= code << bitlen
+        bitlen += wdt
+        while bitlen >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        raw.append(acc & 0xFF)
+    return bytes(raw)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to an (h, w, 3) uint8
+    RGB array — pure stdlib/numpy: logical screen + color tables, full
+    LZW (:func:`_lzw_decode`), sub-block reassembly, and the 4-pass
+    interlace reorder. Extension blocks are skipped structurally;
+    animation frames beyond the first and transparency are out of
+    scope for feature extraction."""
+    if data[:6] not in _GIF_MAGIC:
+        raise ValueError("not a GIF (bad magic)")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(min_code, bytes(lzw))
+            if len(idx) < w * h:
+                raise ValueError("LZW stream shorter than image")
+            grid = np.array(idx[: w * h], np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out = np.empty_like(grid)
+                out[order] = grid
+                grid = out
+            return pal[grid]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index array over a 256-entry grayscale
+    palette — or an (h, w, 3) array of grayscale triples — as GIF89a
+    with real LZW compression (:func:`_lzw_encode`)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        if not (img[..., 0] == img[..., 1]).all() or not (
+            img[..., 1] == img[..., 2]
+        ).all():
+            raise NotImplementedError("encode_gif palette is grayscale-only")
+        img = img[..., 0]
+    h, w = img.shape
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    lzw = _lzw_encode(8, [int(v) for v in img.reshape(-1)])
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """Decode a 16-bit PCM RIFF/WAVE file.
 
@@ -339,7 +550,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image_features(media: DataFrame) -> DataFrame:
     """Decode images and emit per-image intensity features.
 
-    BMP and PNG payloads (sniffed by magic) decode for REAL —
+    BMP, PNG, and GIF payloads (sniffed by magic) decode for REAL —
     dimensions come from the format headers, intensities from actual
     decoded pixels (PNG through zlib inflate + scanline unfiltering).
     VPMM containers use the flat-buffer stub (a real build adds PIL
@@ -358,6 +569,11 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                     n = arr.size
                 elif data[:8] == _PNG_SIG:
                     img = decode_png(data)
+                    h, w = img.shape[:2]
+                    arr = img.reshape(-1)
+                    n = arr.size
+                elif data[:6] in _GIF_MAGIC:
+                    img = decode_gif(data)
                     h, w = img.shape[:2]
                     arr = img.reshape(-1)
                     n = arr.size

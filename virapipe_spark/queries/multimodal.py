@@ -298,3 +298,71 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"),
         F.round("std_intensity", 4).alias("std_intensity"),
     )
+
+
+@query(
+    "multimodal_gif_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text), 1, 16) AS p FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 16)) AS i, p FROM s),
+    v AS (SELECT doc_id, ascii(substr(p, i, 1)) AS code FROM c)
+    SELECT doc_id AS media_id,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(48 AS INTEGER) AS n_bytes,
+           round(avg(code), 4) AS mean_intensity,
+           round(stddev_pop(code), 4) AS std_intensity
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED GIF decode (round 6 — real LZW, pure stdlib):
+    deterministic 4x4 grayscale index grids (md5-hex byte codes) are
+    encoded as actual GIF89a files (multimodal.encode_gif — 256-entry
+    palette, real LZW compression) and decoded back through the full
+    parser (decode_image_features sniffs the GIF magic -> decode_gif:
+    sub-block reassembly, variable-width LZW, palette resolution).
+    Each index resolves to a grayscale RGB triple, so the intensity
+    stats equal the stats of the 16 codes — which the DuckDB oracle
+    computes relationally. A bit-packing, dictionary-growth, or
+    palette bug breaks the hash."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.md5("text"), 1, 16).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_gif(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_gif(
+                    np.frombuffer(s.encode(), dtype=np.uint8).reshape(4, 4)
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        to_gif("p").alias("data"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+    )
