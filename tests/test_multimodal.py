@@ -355,3 +355,46 @@ class TestGifCodec:
     def test_rejects_non_gif(self):
         with pytest.raises(ValueError):
             mm.decode_gif(b"\x89PNG\r\n\x1a\nnope")
+
+
+class TestAuCodec:
+    """Sun AU + G.711 mu-law: a second real audio format including a
+    genuinely lossy sample codec with value-level idempotence."""
+
+    def test_pcm16_roundtrip_exact(self):
+        import numpy as np
+
+        sig = (np.sin(np.linspace(0, 50, 4000)) * 18000).astype(np.int16)
+        rate, back = mm.decode_au(mm.encode_au(8000, sig))
+        assert rate == 8000 and (back == sig).all()
+
+    def test_ulaw_quantization_bounded_and_idempotent(self):
+        import numpy as np
+
+        sig = (np.sin(np.linspace(0, 50, 4000)) * 18000).astype(np.int16)
+        _, once = mm.decode_au(mm.encode_au(8000, sig, ulaw=True))
+        err = np.abs(once.astype(int) - sig.astype(int))
+        assert err.max() < 1024  # G.711's largest step at max amplitude
+        # value-level idempotence: a second pass is exact
+        _, twice = mm.decode_au(mm.encode_au(8000, once, ulaw=True))
+        assert (twice == once).all()
+
+    def test_ulaw_expand_covers_full_dynamic_range(self):
+        import numpy as np
+
+        vals = mm._ulaw_expand(np.arange(256, dtype=np.uint8))
+        assert vals.min() < -30000 and vals.max() > 30000
+        assert (vals[:128] <= 0).all() or (vals[128:] <= 0).all()
+
+    def test_audio_features_from_real_au(self, spark):
+        import numpy as np
+
+        samples = np.full(512, -1000, dtype=np.int16)
+        # land on the codec codomain so RMS is exact
+        samples = mm._ulaw_expand(mm._ulaw_compress(samples))
+        rows = [(13, "audio", mm.encode_au(11025, samples, ulaw=True),
+                 0, 0, 11025, 0)]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        r = mm.audio_features(media, window=256).first()
+        assert r["sample_rate"] == 11025 and r["n_windows"] == 2
+        assert r["rms_energy"][0] == abs(float(samples[0]))

@@ -166,6 +166,7 @@ class TestPlanProperties:
             "multimodal_audio_features",
             "multimodal_png_features",
             "multimodal_gif_features",
+            "multimodal_ulaw_features",
             # r6: binary BAM decode (BGZF+record layout) is inherently
             # a bytes->rows Python boundary, Arrow-batched per file
             "bam_scan_roundtrip",

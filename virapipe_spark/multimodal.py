@@ -13,9 +13,11 @@ Codec status (honest accounting):
   (:func:`decode_png`/:func:`encode_png` — zlib inflate + all five
   scanline filters; gray/RGB/palette/alpha), GIF87a/89a
   (:func:`decode_gif`/:func:`encode_gif` — full LZW with variable code
-  width, 4096-entry dictionary and interlace), and 16-bit PCM WAV
-  (:func:`decode_wav`/:func:`encode_wav`). The feature operators sniff
-  these by magic bytes and decode actual pixels/samples.
+  width, 4096-entry dictionary and interlace), 16-bit PCM WAV
+  (:func:`decode_wav`/:func:`encode_wav`), and Sun AU with G.711
+  mu-law (:func:`decode_au`/:func:`encode_au` — a genuinely LOSSY
+  sample codec expanded by the ITU formula). The feature operators
+  sniff these by magic bytes and decode actual pixels/samples.
 - **STUBBED** — JPEG/MP3/H.264 need PIL/libsndfile/ffmpeg, which
   are NOT in this environment; a deterministic fake container
   (:func:`pack_media` / :func:`_unpack`) stands in, and
@@ -685,9 +687,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
-    """Per-window RMS energy. WAV payloads (``RIFF`` magic) decode for
-    REAL — 16-bit PCM samples, rate from the fmt chunk, stereo averaged
-    to mono. VPMM containers use the int8-buffer stub (a real build adds
+    """Per-window RMS energy. WAV (``RIFF`` magic) and Sun AU
+    (``.snd`` magic, incl. G.711 mu-law payloads) decode for REAL —
+    samples and rate from the actual headers, stereo averaged to mono.
+    VPMM containers use the int8-buffer stub (a real build adds
     soundfile/librosa for MP3/FLAC). Output is a bounded array column
     (n_windows entries), ready for the embedding/ANN operators
     downstream."""
@@ -699,6 +702,11 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
                 data = bytes(data)
                 if data[:4] == b"RIFF":
                     rate, samples = decode_wav(data)
+                    arr = samples.astype(np.float64)
+                    if arr.ndim > 1:
+                        arr = arr.mean(axis=1)
+                elif data[:4] == _AU_MAGIC:
+                    rate, samples = decode_au(data)
                     arr = samples.astype(np.float64)
                     if arr.ndim > 1:
                         arr = arr.mean(axis=1)
@@ -719,3 +727,71 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
     return media.filter(F.col("kind") == "audio").select(
         "media_id", "data"
     ).mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sun AU audio (+ G.711 mu-law expansion) — second real audio format,
+# including a genuinely COMPRESSED sample encoding decoded by formula.
+# ---------------------------------------------------------------------------
+
+_AU_MAGIC = b".snd"
+#: AU encoding ids (public Sun spec): 1 = G.711 mu-law, 3 = 16-bit PCM.
+_AU_ULAW, _AU_PCM16 = 1, 3
+
+
+def _ulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear int16, the ITU expansion formula
+    (bias 0x84, 3-bit exponent, 4-bit mantissa, complemented on wire)."""
+    u = (~u.astype(np.uint8)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _ulaw_compress(x: np.ndarray) -> np.ndarray:
+    """Linear int16 -> G.711 mu-law byte (inverse of _ulaw_expand)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def decode_au(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a Sun AU (.snd) file: big-endian 6-word header, then
+    samples. Returns (sample_rate, int16 samples) — mu-law payloads
+    (encoding 1) expand through the G.711 formula, 16-bit PCM
+    (encoding 3) reads directly; anything else raises."""
+    if data[:4] != _AU_MAGIC:
+        raise ValueError("not an AU file (missing .snd magic)")
+    off, size, enc, rate, n_ch = struct.unpack_from(">IIIII", data, 4)
+    if size == 0xFFFFFFFF:
+        size = len(data) - off
+    raw = data[off : off + size]
+    if enc == _AU_ULAW:
+        samples = _ulaw_expand(np.frombuffer(raw, np.uint8))
+    elif enc == _AU_PCM16:
+        samples = np.frombuffer(raw, ">i2").astype(np.int16)
+    else:
+        raise NotImplementedError(f"AU encoding {enc} (only mu-law/PCM16)")
+    if n_ch > 1:
+        samples = samples[: (samples.size // n_ch) * n_ch].reshape(-1, n_ch)
+    return rate, samples
+
+
+def encode_au(sample_rate: int, samples: np.ndarray, ulaw: bool = False) -> bytes:
+    """Encode int16 samples as Sun AU — 16-bit big-endian PCM, or
+    G.711 mu-law when ``ulaw=True`` (lossy by design: 8 bits/sample)."""
+    samples = np.asarray(samples, dtype=np.int16)
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    if ulaw:
+        raw = _ulaw_compress(samples.reshape(-1)).tobytes()
+        enc = _AU_ULAW
+    else:
+        raw = samples.reshape(-1).astype(">i2").tobytes()
+        enc = _AU_PCM16
+    hdr = _AU_MAGIC + struct.pack(">IIIII", 24, len(raw), enc, sample_rate, n_ch)
+    return hdr + raw

@@ -366,3 +366,80 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"),
         F.round("std_intensity", 4).alias("std_intensity"),
     )
+
+
+@query(
+    "multimodal_ulaw_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 32) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 32)) AS i, p FROM s),
+    u AS (SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS w,
+                 255 - ascii(substr(p, i, 1)) AS ub
+          FROM c),
+    v AS (SELECT doc_id, w,
+                 CASE WHEN ub >= 128 THEN -1 ELSE 1 END
+                 * (((ub % 16) * 8 + 132) * power(2, (ub // 16) % 8) - 132)
+                   AS val
+          FROM u)
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(w AS INTEGER) AS window_idx,
+           round(sqrt(avg(val * val)), 4) AS rms
+    FROM v GROUP BY doc_id, w
+    """,
+)
+def multimodal_ulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED lossy-codec decode (round 6): G.711 mu-law through
+    the Sun AU container (multimodal.encode_au(ulaw=True) ->
+    audio_features -> decode_au -> _ulaw_expand). The fixture samples
+    are chosen ON THE CODEC'S CODOMAIN — each is the mu-law expansion
+    of an md5-derived byte — so the lossy compress->expand round-trip
+    is value-exact and the DuckDB oracle can reproduce every sample
+    with the ITU expansion formula in integer SQL (complement, 3-bit
+    exponent, 4-bit mantissa, bias 132). A bias, sign, or big-endian
+    header bug breaks the hash; the sample rate comes from the AU
+    header, not metadata."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            32,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_au(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_au(
+                    8000,
+                    mm._ulaw_expand(np.frombuffer(s.encode(), dtype=np.uint8)),
+                    ulaw=True,
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        to_au("p").alias("data"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(8000).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.audio_features(media, window=16)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.posexplode("rms_energy").alias("window_idx", "rms"),
+    )
