@@ -87,20 +87,22 @@ def _unpack(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 def require_codecs() -> None:
     """Where compressed-format decoders would load. The container image
     has no PIL/libsndfile/ffmpeg — JPEG/MP3/H.264 paths raise until
-    they exist. Uncompressed BMP, 8-bit PNG, GIF, and 16-bit PCM WAV
-    decode natively (:func:`decode_bmp` / :func:`decode_png` /
-    :func:`decode_gif` / :func:`decode_wav`, pure numpy + stdlib
-    zlib/LZW)."""
+    they exist. Uncompressed BMP, 8-bit PNG, GIF, 16-bit PCM WAV, and
+    Sun AU (incl. G.711 mu-law) decode natively (:func:`decode_bmp` /
+    :func:`decode_png` / :func:`decode_gif` / :func:`decode_wav` /
+    :func:`decode_au`, pure numpy + stdlib zlib/LZW)."""
     raise NotImplementedError(
         "compressed media codecs (PIL / soundfile / ffmpeg) are not available "
-        "in this environment; BMP, PNG, GIF, and PCM WAV decode natively, everything "
+        "in this environment; BMP, PNG, GIF, PCM WAV, and AU/mu-law decode "
+        "natively, everything "
         "else uses the deterministic VPMM container"
     )
 
 
 # ---------------------------------------------------------------------------
-# Real codecs: 24-bit BMP and 16-bit PCM WAV, pure numpy/struct.
-# Public formats, public layouts (BITMAPINFOHEADER / RIFF-WAVE chunking).
+# Real codecs — BMP, PNG, GIF, WAV, AU/mu-law — pure numpy/struct/zlib.
+# Public formats, public layouts (BITMAPINFOHEADER / RFC 2083 / GIF89a /
+# RIFF-WAVE chunking / Sun AU + G.711).
 # ---------------------------------------------------------------------------
 
 
