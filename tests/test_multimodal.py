@@ -398,3 +398,39 @@ class TestAuCodec:
         r = mm.audio_features(media, window=256).first()
         assert r["sample_rate"] == 11025 and r["n_windows"] == 2
         assert r["rms_energy"][0] == abs(float(samples[0]))
+
+
+class TestRealResize:
+    """resize_images decodes real payloads and resamples true 2-D
+    nearest-neighbor, re-encoding as BMP."""
+
+    def test_downsample_png_selects_expected_pixels(self, spark):
+        import numpy as np
+
+        # 8x8 with a distinct value per cell: nearest selection is exact
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        rgb = np.repeat(img[..., None], 3, axis=2)
+        rows = [(1, "image", mm.encode_png(rgb), 8, 8, 0, 0)]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        r = mm.resize_images(media, 4, 4).first()
+        out = mm.decode_bmp(bytes(r["data"]))
+        assert out.shape == (4, 4, 3)
+        expect = img[::2][:, ::2]
+        assert (out[..., 0] == expect).all()
+
+    def test_upsample_gif_repeats_pixels(self, spark):
+        import numpy as np
+
+        img = np.array([[10, 200], [60, 90]], np.uint8)
+        rows = [(2, "image", mm.encode_gif(img), 2, 2, 0, 0)]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        r = mm.resize_images(media, 4, 4).first()
+        out = mm.decode_bmp(bytes(r["data"]))[..., 0]
+        assert (out == np.repeat(np.repeat(img, 2, 0), 2, 1)).all()
+
+    def test_vpmm_stub_path_still_sized(self, spark):
+        rows = [(3, "image", mm.pack_media("i", b"\x01\x02\x03\x04" * 16,
+                                           width=8, height=8), 8, 8, 0, 0)]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        r = mm.resize_images(media, 4, 4).first()
+        assert len(bytes(r["data"])) == 16

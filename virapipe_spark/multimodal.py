@@ -615,25 +615,61 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """2-D nearest-neighbor resample of an (h, w[, c]) array — the
+    standard index-mapping formula (same pixel selection as
+    PIL's NEAREST): out[y, x] = in[y*h_in//h_out, x*w_in//w_out]."""
+    h_in, w_in = img.shape[:2]
+    ys = (np.arange(height) * h_in // height).clip(0, h_in - 1)
+    xs = (np.arange(width) * w_in // width).clip(0, w_in - 1)
+    return img[ys][:, xs]
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: nearest-neighbor subsample of the flat intensity
-    buffer to width*height bytes (real build: PIL ``Image.resize``).
-    Output payload size is exactly width*height — the property training
-    pipelines rely on for fixed-shape batching."""
+    """Resize to a fixed (width, height) — the fixed-shape-batching
+    prerequisite of every vision training pipeline.
+
+    REAL for the real codecs (round 6): BMP/PNG/GIF payloads decode to
+    pixels, resample through true 2-D nearest-neighbor index mapping
+    (:func:`_resize_nearest` — PIL-NEAREST pixel selection), and
+    re-encode as BMP (the canonical uncompressed interchange here).
+    VPMM containers keep the flat-buffer subsample stub (JPEG would
+    slot in via PIL). Output payloads decode to exactly
+    (height, width, 3) — asserted in tests."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                _, w, h, _, _, payload = _unpack(bytes(data))
+                data = bytes(data)
+                img = None
+                if data[:2] == b"BM":
+                    img = decode_bmp(data)
+                elif data[:8] == _PNG_SIG:
+                    img = decode_png(data)
+                elif data[:6] in _GIF_MAGIC:
+                    img = decode_gif(data)
+                if img is not None:
+                    if img.ndim == 2:
+                        img = np.repeat(img[..., None], 3, axis=2)
+                    elif img.shape[2] == 2:  # gray+alpha -> gray triples
+                        img = np.repeat(img[..., :1], 3, axis=2)
+                    elif img.shape[2] == 4:  # drop alpha
+                        img = img[..., :3]
+                    out = encode_bmp(
+                        np.ascontiguousarray(_resize_nearest(img, width, height))
+                    )
+                    rows.append((mid, width, height, out))
+                    continue
+                _, w, h, _, _, payload = _unpack(data)
                 src = np.frombuffer(payload, dtype=np.uint8)
                 n = width * height
                 if src.size == 0:
-                    out = np.zeros(n, dtype=np.uint8)
+                    flat = np.zeros(n, dtype=np.uint8)
                 else:
                     idx = (np.arange(n) * src.size // n).clip(0, src.size - 1)
-                    out = src[idx]
-                rows.append((mid, width, height, out.tobytes()))
+                    flat = src[idx]
+                rows.append((mid, width, height, flat.tobytes()))
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return media.filter(F.col("kind") == "image").select(
