@@ -88,6 +88,10 @@ HEADLINE = [
     # per-order aggregate + join-back).
     "q9_product_profit",
     "q21_waiting_orders",
+    # round-6: the iterative Pregel shape (2 integer-exact rank rounds
+    # over the co-purchase graph) and the vocabulary-first BPE counter.
+    "graph_pagerank",
+    "docs_bpe_pair_counts",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
