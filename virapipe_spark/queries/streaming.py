@@ -1137,3 +1137,50 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").isNull().alias("filled"),
         )
     )
+
+
+@query(
+    "events_decay_score",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                  AS BIGINT) AS age_days
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(cents // CAST(power(2, age_days // 7) AS BIGINT))
+                AS BIGINT) AS decayed_cents,
+           CAST(sum(cents) AS BIGINT) AS raw_cents
+    FROM d GROUP BY user_id
+    """,
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: each event's cents are halved per
+    7-day age bucket relative to a pinned as-of date (2024-02-01) —
+    the recency-weighted ranking signal feature stores serve, in the
+    repo's integer-exact idiom: decay is ``cents div 2^(age div 7)``
+    (integer shifts, no float pow), so the per-user sums hash bitwise
+    cross-engine. The as-of date is a parameter in production; pinned
+    here so the oracle is closed-form.
+
+    Scale: one projection (the decay arithmetic is codegen'd scan-side)
+    + one map-side-combinable aggregate keyed on user_id — the same
+    cost as a plain sum; no window, no self-join."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    decayed = F.expr(
+        "CAST(round(value * 100) AS BIGINT) div "
+        "CAST(pow(2, CAST(datediff(DATE'2024-02-01', CAST(ts AS DATE)) AS BIGINT) div 7) AS BIGINT)"
+    )
+    return (
+        e.select("user_id", cents.alias("cents"), decayed.alias("dc"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("dc").cast("long").alias("decayed_cents"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+        )
+    )
