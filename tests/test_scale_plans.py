@@ -167,6 +167,8 @@ class TestPlanProperties:
             "multimodal_png_features",
             "multimodal_gif_features",
             "multimodal_ulaw_features",
+            # r6: zlib ratio — the DEFLATE call is the one Python step
+            "docs_compression_ratio",
             # r6: binary BAM decode (BGZF+record layout) is inherently
             # a bytes->rows Python boundary, Arrow-batched per file
             "bam_scan_roundtrip",
@@ -737,3 +739,20 @@ class TestHamiltonProperty:
                         r,
                         exact,
                     )
+
+
+class TestCompressionRatio:
+    def test_repetitive_text_scores_below_corpus_and_is_deterministic(
+        self, spark
+    ):
+        import zlib
+
+        rows = catalog.QUERIES["docs_compression_ratio"](spark, SF_DIR).collect()
+        assert rows and all(r["bounds_ok"] for r in rows)
+        corpus_min = min(r["ratio_bp"] for r in rows)
+        # a pathological repetitive doc compresses far below the corpus
+        rep = "spam " * 2000
+        rep_bp = len(zlib.compress(rep.encode(), 6)) * 10000 // len(rep)
+        assert rep_bp < corpus_min
+        again = catalog.QUERIES["docs_compression_ratio"](spark, SF_DIR).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -24,6 +24,7 @@ Design rules used throughout:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -3160,4 +3161,49 @@ def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(pair_expr, "c")
         .groupBy("pair")
         .agg(F.sum("c").cast("long").alias("freq"))
+    )
+
+
+@query("docs_compression_ratio")  # rows-only: no zlib in DuckDB SQL
+def docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic
+    repetitiveness/quality signal (highly compressible text is
+    boilerplate or degenerate filler; used by Gopher-class quality
+    batteries alongside docs_repetition_topgram). No SQL oracle exists
+    (DuckDB has no DEFLATE), so the entry is rows-only with
+    SELF-VALIDATING columns: the ratio in integer basis points (exact,
+    deterministic — zlib level pinned), and a ``bounds_ok`` flag the
+    driver hashes as part of each row (n_comp must exceed 0 and stay
+    within n_raw + 64: DEFLATE's worst case is 5 bytes per 16 KB block
+    plus a fixed header, which dominates only on tiny documents —
+    hence the absolute, not relative, slack). Semantics pinned in pytest: constructed repetitive text
+    compresses far below the corpus noise floor, and a repeat run is
+    byte-identical.
+
+    Scale: one Arrow-batched pandas_udf (the zlib call is the only
+    Python; ~GB/s per core) feeding a scan-side projection — no
+    shuffle at all; the output is doc-wise, ready to join into
+    docs_quality_filter's gate."""
+    import zlib
+
+    @F.pandas_udf("long")
+    def comp_len(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: len(zlib.compress(t.encode(), 6)))
+
+    d = table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_raw"),
+        comp_len("text").alias("n_comp"),
+    ).select(
+        "doc_id",
+        "n_raw",
+        "n_comp",
+        F.expr("(n_comp * 10000) div n_raw").alias("ratio_bp"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_comp") > 0) & (F.col("n_comp") <= F.col("n_raw") + 64)).alias(
+            "bounds_ok"
+        ),
     )
