@@ -1184,3 +1184,98 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("raw_cents"),
         )
     )
+
+
+_KMV_K = 16
+
+
+@query(
+    "events_kmv_mergeable",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(epoch_us(ts) / 86400000000 / 7) AS BIGINT) AS week,
+             md5(CAST(user_id AS VARCHAR)) AS uh
+      FROM events
+    ),
+    day_sketch AS (
+      SELECT day, week, uh,
+             row_number() OVER (PARTITION BY day ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT day, week, uh FROM h)
+    ),
+    merged AS (
+      SELECT week, uh,
+             row_number() OVER (PARTITION BY week ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT week, uh
+            FROM day_sketch WHERE rn <= {_KMV_K})
+    ),
+    direct AS (
+      SELECT week, uh,
+             row_number() OVER (PARTITION BY week ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT week, uh FROM h)
+    )
+    SELECT m.week,
+           max(m.uh) AS merged_kth,
+           max(d.uh) AS direct_kth,
+           max(m.uh) = max(d.uh) AS merge_ok
+    FROM (SELECT week, uh FROM merged WHERE rn <= {_KMV_K}) m
+    JOIN (SELECT week, uh FROM direct WHERE rn <= {_KMV_K}) d
+      ON m.week = d.week
+    GROUP BY m.week
+    """,
+)
+def events_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with its mergeability
+    property verified EXACTLY — the second mergeable-sketch operator
+    (the HLL rollup is rows-only; KMV is hash-checkable because a
+    sketch IS just the k smallest hashes, which SQL can compute): per
+    day keep the {_KMV_K} smallest md5(user_id) values; weekly sketch =
+    {_KMV_K} smallest of the UNION of the week's day-sketches. The
+    catalog row proves merge(day sketches) == sketch(whole week) by
+    emitting both weekly k-th minima and their equality — the algebra
+    that lets a 100 TB pipeline pre-sketch per partition and combine
+    at read ((k-1)/kth_value is then the distinct estimate).
+
+    Scale: distinct-then-top-k per day (shuffles keyed by day, then
+    week — both map-side combinable after the distinct), never a
+    global sort; sketches are k-row objects regardless of input
+    size."""
+    e = table(spark, sf_dir, "events")
+    h = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.expr(
+            "CAST(floor(unix_micros(ts) / 86400000000 / 7) AS BIGINT)"
+        ).alias("week"),
+        F.md5(F.col("user_id").cast("string")).alias("uh"),
+    ).distinct()
+    w_day = W.partitionBy("day").orderBy("uh")
+    day_sketch = (
+        h.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("week", "uh")
+        .distinct()
+    )
+    w_week = W.partitionBy("week").orderBy("uh")
+    merged = (
+        day_sketch.withColumn("rn", F.row_number().over(w_week))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("week")
+        .agg(F.max("uh").alias("merged_kth"))
+    )
+    direct = (
+        h.select("week", "uh")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_week))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("week")
+        .agg(F.max("uh").alias("direct_kth"))
+    )
+    return (
+        merged.join(direct, "week")
+        .select(
+            "week",
+            "merged_kth",
+            "direct_kth",
+            (F.col("merged_kth") == F.col("direct_kth")).alias("merge_ok"),
+        )
+    )
