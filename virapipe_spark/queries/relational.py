@@ -1402,6 +1402,28 @@ def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_pair_counts(li: DataFrame) -> DataFrame:
+    """(pa, pb, support) for every ordered part pair co-occurring in an
+    order — the shared pair stage of the co-purchase graph family
+    (triangle count, PageRank, association rules). Blocks on the order
+    key (pairs per order bounded by basket size², never corpus size);
+    callers choose the input grain (raw lineitem = line-pair support,
+    ``.distinct()`` rows = distinct-order support) and the support
+    threshold."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -1437,17 +1459,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB add degree-ordered orientation (low-degree vertex
     first) to cap per-key wedge fan-out."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-    )
     edges = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
+        _order_pair_counts(li)
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
@@ -1657,17 +1670,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("support"))
+        _order_pair_counts(li)
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
@@ -1727,17 +1731,9 @@ def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count("*").alias("s")
     )
-    a, b = li.alias("a"), li.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("s_ab"))
+        _order_pair_counts(li)
+        .withColumnRenamed("support", "s_ab")
         .filter(F.col("s_ab") >= 2)
     )
     ia = item.select(F.col("pk").alias("pk_a"), F.col("s").alias("s_a"))
