@@ -1678,6 +1678,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # The edge subtree (pair self-join + support agg) is consumed 3x
+    # (degree table + each iteration's contrib join); it is a SHUFFLE
+    # aggregate, so unlike the IVF broadcast projection (recompute won
+    # there, extensions._IVF_MAT) materializing pays off: interleaved
+    # A/B x7 at sf0.1 (tools/ab_pagerank.py) measured checkpoint 2.33 s
+    # vs recompute 2.70 s median with every order statistic lower.
+    # Lazy localCheckpoint per the minhash-signature precedent (blocks
+    # free when the frame is unreferenced; on preemptible clusters use
+    # reliable checkpoint — graph.py caveat).
+    edges = edges.localCheckpoint(eager=False)
     return pagerank(edges, iterations=2)
 
 
