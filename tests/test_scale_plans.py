@@ -756,3 +756,23 @@ class TestCompressionRatio:
         assert rep_bp < corpus_min
         again = catalog.QUERIES["docs_compression_ratio"](spark, SF_DIR).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestTpchSweepPlansMore:
+    def test_q8_dims_broadcast_no_cartesian(self, spark):
+        """The widest join tree in the suite: part, supplier, region,
+        and both nation roles must all arrive by broadcast."""
+        p = _plan(catalog.QUERIES["q8_market_share"](spark, SF_DIR))
+        assert p.count("BroadcastHashJoin") >= 5
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    def test_q20_dates_push_into_lineitem_scan(self, spark):
+        p = _plan(catalog.QUERIES["q20_part_promotion"](spark, SF_DIR))
+        scans = [l for l in p.splitlines() if "PushedFilters" in l]
+        assert any("l_shipdate" in s for s in scans), scans
+
+    def test_q13_preserves_outer_join(self, spark):
+        """The join-time residual must NOT collapse the outer join to
+        inner (zero-order customers are the point of Q13)."""
+        p = _plan(catalog.QUERIES["q13_customer_distribution"](spark, SF_DIR))
+        assert "LeftOuter" in p
