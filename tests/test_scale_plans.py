@@ -41,8 +41,10 @@ class TestPlanProperties:
 
     def test_no_cartesian_anywhere(self, spark):
         """No catalog query may form unblocked pairs — the single most
-        important 100 TB property. Three exemptions, all deliberate
-        broadcasts of a tiny fixed-size side: the brute-force ANN
+        important 100 TB property. Every exemption below is a deliberate
+        broadcast of a tiny fixed-size side (a ONE-ROW scalar aggregate
+        or a constant-cardinality centroid/codebook table), never a
+        data-sized build. The founding three: the brute-force ANN
         baseline (all-pairs scan IS its semantics — broadcast query
         side), the IVF coarse-assignment (corpus × C centroids —
         broadcast centroid side; since the r05 A/B dropped the
