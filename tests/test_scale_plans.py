@@ -171,6 +171,8 @@ class TestPlanProperties:
             "multimodal_ulaw_features",
             # r6: zlib ratio — the DEFLATE call is the one Python step
             "docs_compression_ratio",
+            # r6: two chained Arrow stages (resize -> feature extract)
+            "multimodal_resize_features",
             # r6: binary BAM decode (BGZF+record layout) is inherently
             # a bytes->rows Python boundary, Arrow-batched per file
             "bam_scan_roundtrip",

@@ -443,3 +443,80 @@ def multimodal_ulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         F.posexplode("rms_energy").alias("window_idx", "rms"),
     )
+
+
+@query(
+    "multimodal_resize_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text), 1, 16) AS p FROM documents
+    ),
+    c AS (SELECT doc_id, unnest([1, 3, 9, 11]) AS i, p FROM s),
+    v AS (SELECT doc_id, ascii(substr(p, i, 1)) AS code FROM c)
+    SELECT doc_id AS media_id,
+           CAST(2 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           round(avg(code), 4) AS mean_intensity,
+           round(stddev_pop(code), 4) AS std_intensity
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED image resize (round 6): 4x4 grayscale PNGs run
+    through the REAL pipeline — decode_png -> 2-D nearest-neighbor
+    resample to 2x2 (multimodal.resize_images) -> encode_bmp -> decode
+    through decode_image_features — and the per-image stats compare
+    against DuckDB selecting exactly the pixels nearest-neighbor keeps:
+    out[y][x] = in[2y][2x], i.e. row-major positions {1, 3, 9, 11} of
+    the md5 grid. An index-mapping, stride, or re-encode bug moves the
+    selected pixel set and breaks the hash. Two chained Arrow stages
+    (resize, then feature extraction), each one batch-level boundary —
+    the composed multimodal dataflow."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.md5("text"), 1, 16).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_png(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_png(
+                    np.repeat(
+                        np.frombuffer(s.encode(), dtype=np.uint8).reshape(
+                            4, 4, 1
+                        ),
+                        3,
+                        axis=2,
+                    )
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        to_png("p").alias("data"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    small = mm.resize_images(media, 2, 2).select(
+        "media_id", F.lit("image").alias("kind"), "data",
+        "width", "height",
+        F.lit(0).alias("sample_rate"), F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.decode_image_features(small)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+    )
