@@ -751,14 +751,17 @@ class TestCompressionRatio:
     ):
         import zlib
 
-        rows = catalog.QUERIES["docs_compression_ratio"](spark, SF_DIR).collect()
+        from virapipe_spark.queries.staged import STAGED_R7
+
+        fn = STAGED_R7["docs_compression_ratio"][0]
+        rows = fn(spark, SF_DIR).collect()
         assert rows and all(r["bounds_ok"] for r in rows)
         corpus_min = min(r["ratio_bp"] for r in rows)
         # a pathological repetitive doc compresses far below the corpus
         rep = "spam " * 2000
         rep_bp = len(zlib.compress(rep.encode(), 6)) * 10000 // len(rep)
         assert rep_bp < corpus_min
-        again = catalog.QUERIES["docs_compression_ratio"](spark, SF_DIR).collect()
+        again = fn(spark, SF_DIR).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 

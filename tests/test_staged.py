@@ -43,3 +43,52 @@ def test_staged_entry_matches_oracle(spark, con, name):
     assert len(sdf) > 0, f"{name}: empty result passes trivially"
     problems = compare_frames(sdf, ddf)
     assert not problems, f"{name}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# Round-6 overflow generation (promote in round 7)
+# ---------------------------------------------------------------------------
+
+# registration of the r7 overflow happens when the query modules
+# import — load before the parametrize below collects
+catalog.load_all()
+
+from virapipe_spark.queries.staged import STAGED_R7  # noqa: E402
+
+
+def test_r7_staged_entries_not_yet_live():
+    """The overflow entries stay out of queries() until the round-7
+    flip, so the driver's 50-entry window is exactly consumed by the
+    never-proven live entries."""
+    catalog.load_all()
+    assert set(STAGED_R7) == {"agg_grouping_sets", "docs_compression_ratio"}
+    assert not set(STAGED_R7) & set(catalog.QUERIES)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, o) in sorted(STAGED_R7.items()) if o is not None]
+)
+def test_r7_staged_entry_matches_oracle(spark, con, name):
+    fn, oracle = STAGED_R7[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = con.execute(oracle).df()
+    assert len(sdf) > 0, f"{name}: empty result passes trivially"
+    problems = compare_frames(sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_r7_promote_flips_them_live():
+    """promote_r7 registers both entries (idempotent) — the round-7
+    flip is one call in catalog.load_all."""
+    from virapipe_spark.queries import staged as st
+
+    st.promote_r7()
+    try:
+        assert set(STAGED_R7) <= set(catalog.QUERIES)
+        assert "agg_grouping_sets" in catalog.ORACLES
+        st.promote_r7()  # idempotent
+    finally:
+        for n in STAGED_R7:
+            catalog.QUERIES.pop(n, None)
+            catalog.ORACLES.pop(n, None)
+        st.R7_PROMOTED = False

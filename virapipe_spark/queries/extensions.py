@@ -3164,7 +3164,10 @@ def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_compression_ratio")  # rows-only: no zlib in DuckDB SQL
+from virapipe_spark.queries.staged import staged_r7
+
+
+@staged_r7("docs_compression_ratio")  # rows-only: no zlib in DuckDB SQL
 def docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression ratio per document — the classic
     repetitiveness/quality signal (highly compressible text is

@@ -1765,7 +1765,10 @@ def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+from virapipe_spark.queries.staged import staged_r7
+
+
+@staged_r7(
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,

@@ -438,3 +438,41 @@ def assembly_n50_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return assembly_stats(d, length_col=F.col("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 overflow, staged for the round-7 window
+# ---------------------------------------------------------------------------
+
+#: Round 6 registered 51 never-driver-proven entries against the
+#: driver's 50-entry correctness window (plus the demoted
+#: sessionize_events re-check) — one generation of staging absorbs the
+#: overflow, exactly like round 4 -> 5. Both entries here are
+#: strict-verified locally at sf0.01 AND sf0.1 (tests/test_staged.py
+#: re-proves the oracle-backed one each run); only driver confirmation
+#: is deferred. Round 7: flip by calling promote_r7() from
+#: catalog.load_all next to the round-5 promote() call.
+STAGED_R7: dict[str, tuple[QueryFn, str | None]] = {}
+
+R7_PROMOTED = False
+
+
+def staged_r7(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED_R7 or name in catalog.QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        STAGED_R7[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote_r7() -> None:
+    """Register the round-6 overflow into the live catalog (call from
+    catalog.load_all in round 7)."""
+    global R7_PROMOTED
+    if R7_PROMOTED:
+        return
+    for name, (fn, oracle) in STAGED_R7.items():
+        catalog.query(name, oracle)(fn)
+    R7_PROMOTED = True
