@@ -434,3 +434,71 @@ class TestRealResize:
         media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
         r = mm.resize_images(media, 4, 4).first()
         assert len(bytes(r["data"])) == 16
+
+
+class TestNewCodecProperties:
+    """Hypothesis round-trips for the round-6 codecs, mirroring
+    TestCodecProperties' BMP/WAV coverage."""
+
+    def test_png_any_shape_and_channels(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(1, 20),
+            w=st.integers(1, 20),
+            ch=st.sampled_from([0, 3, 4]),  # gray, RGB, RGBA
+            seed=st.integers(0, 2**32 - 1),
+        )
+        def prop(h, w, ch, seed):
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if ch == 0 else (h, w, ch)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            back = mm.decode_png(mm.encode_png(img))
+            assert back.shape == img.shape and (back == img).all()
+
+        prop()
+
+    def test_gif_any_shape(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            h=st.integers(1, 24),
+            w=st.integers(1, 24),
+            seed=st.integers(0, 2**32 - 1),
+        )
+        def prop(h, w, seed):
+            img = np.random.default_rng(seed).integers(
+                0, 256, (h, w), dtype=np.uint8
+            )
+            back = mm.decode_gif(mm.encode_gif(img))
+            assert (back[..., 0] == img).all()
+
+        prop()
+
+    def test_au_pcm_any_shape_ulaw_idempotent(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            n=st.integers(1, 1500),
+            ch=st.integers(1, 3),
+            seed=st.integers(0, 2**32 - 1),
+        )
+        def prop(n, ch, seed):
+            rng = np.random.default_rng(seed)
+            samples = rng.integers(-(2**15), 2**15, (n, ch), dtype=np.int16)
+            if ch == 1:
+                samples = samples[:, 0]
+            rate, back = mm.decode_au(mm.encode_au(16000, samples))
+            assert rate == 16000 and (back == samples).all()
+            # mu-law: one lossy pass, then exactly stable forever
+            _, once = mm.decode_au(mm.encode_au(16000, samples, ulaw=True))
+            _, twice = mm.decode_au(mm.encode_au(16000, once, ulaw=True))
+            assert (twice == once).all()
+
+        prop()
