@@ -56,13 +56,24 @@ catalog.load_all()
 from virapipe_spark.queries.staged import STAGED_R7  # noqa: E402
 
 
-def test_r7_staged_entries_not_yet_live():
-    """The overflow entries stay out of queries() until the round-7
-    flip, so the driver's 50-entry window is exactly consumed by the
-    never-proven live entries."""
+def test_r7_staging_state_matches_round():
+    """Round 6: the overflow entries stay out of queries() so the
+    driver's 50-entry window is exactly consumed by the never-proven
+    live set. Round 7+ (a CORRECTNESS_r06+ artifact exists): load_all
+    self-promotes them — no hand edit."""
+    import glob
+    import os
+
     catalog.load_all()
     assert set(STAGED_R7) == {"agg_grouping_sets", "docs_compression_ratio"}
-    assert not set(STAGED_R7) & set(catalog.QUERIES)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(
+        os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+    )
+    if armed:
+        assert set(STAGED_R7) <= set(catalog.QUERIES)
+    else:
+        assert not set(STAGED_R7) & set(catalog.QUERIES)
 
 
 @pytest.mark.parametrize(
@@ -78,8 +89,8 @@ def test_r7_staged_entry_matches_oracle(spark, con, name):
 
 
 def test_r7_promote_flips_them_live():
-    """promote_r7 registers both entries (idempotent) — the round-7
-    flip is one call in catalog.load_all."""
+    """promote_r7 registers both entries (idempotent) — load_all arms
+    it automatically once round-6 driver artifacts exist."""
     from virapipe_spark.queries import staged as st
 
     st.promote_r7()

@@ -211,6 +211,20 @@ def load_all() -> None:
     # staged because round 4's 50-entry correctness window was full).
     if not staged.PROMOTED:
         staged.promote()
+    # Round-7 flip, SELF-ARMING: the round-6 window overflow
+    # (staged.STAGED_R7) goes live as soon as the round-6 driver
+    # artifacts exist — i.e. from round 7 onward — with no hand edit.
+    # During round 6 itself the entries stay staged so the 50-entry
+    # window is exactly consumed by the live never-proven set.
+    if not staged.R7_PROMOTED:
+        import glob
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(
+            os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+        ):
+            staged.promote_r7()
 
 
 def _verified_rounds(root: str | None = None) -> dict[str, int]:
