@@ -297,3 +297,49 @@ def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(out)
+
+
+@query(
+    "orc_scan_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, CAST(p_size AS INTEGER) AS p_size,
+           p_retailprice
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked ORC writer→reader round-trip — Spark's second
+    first-class columnar format (native vectorized reader, predicate
+    pushdown, stripe-level column statistics), the interchange format
+    for Hive-lineage warehouses the way Parquet is for lakehouses.
+
+    The read pins an explicit schema (same production contract as
+    `jsonl_scan_roundtrip`) and the DOUBLE column proves the format
+    preserves float bits exactly — ORC stores IEEE754 doubles verbatim,
+    so the round-trip is bitwise, not approximate.
+
+    Scale: ORC stripes are splittable like parquet row-groups; the
+    filter lands on the source parquet scan before the write, and a
+    re-read with a key predicate would prune stripes via the embedded
+    min/max statistics (same pushdown class the parquet path gets)."""
+    from pyspark.sql import types as T
+
+    from virapipe_spark import io as vio
+
+    d = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    )
+    out = vio.scratch_dir(spark, sf_dir, "orc")
+    d.write.mode("overwrite").orc(out)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(out)
