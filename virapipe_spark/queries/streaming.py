@@ -1279,3 +1279,89 @@ def events_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("merged_kth") == F.col("direct_kth")).alias("merge_ok"),
         )
     )
+
+
+_CM_D = 4  # hash rows
+_CM_W = 64  # buckets per row
+_CM_NIB = (
+    "(CASE WHEN ascii(substr(h, {p}, 1)) >= 97"
+    " THEN ascii(substr(h, {p}, 1)) - 87"
+    " ELSE ascii(substr(h, {p}, 1)) - 48 END)"
+)
+_CM_BUCKET = (
+    f"({_CM_NIB.format(p=1)} * 16 + {_CM_NIB.format(p=2)}) % {_CM_W}"
+)
+
+
+@query(
+    "events_count_min",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    hashed AS (
+      SELECT user_id, n, j, {_CM_BUCKET} AS bucket
+      FROM (SELECT user_id, n, j, md5(concat(j, ':', user_id)) AS h
+            FROM per_user,
+                 (SELECT unnest(generate_series(0, {_CM_D - 1})) AS j))
+    ),
+    counters AS (
+      SELECT j, bucket, CAST(sum(n) AS BIGINT) AS c
+      FROM hashed GROUP BY j, bucket
+    )
+    SELECT h.user_id, CAST(max(h.n) AS BIGINT) AS n_events,
+           CAST(min(c.c) AS BIGINT) AS cm_estimate,
+           CAST(min(c.c) AS BIGINT) >= CAST(max(h.n) AS BIGINT)
+             AS no_underestimate
+    FROM hashed h JOIN counters c ON h.j = c.j AND h.bucket = c.bucket
+    GROUP BY h.user_id
+    """,
+)
+def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the third mergeable sketch beside HLL
+    (cardinality) and KMV (distinct minima): a {_CM_D}×{_CM_W} counter
+    grid estimating per-key frequency under a fixed memory budget,
+    with the CM guarantee (estimate never BELOW the true count)
+    emitted as a checked boolean per key. The sketch is deterministic
+    given its hash family — md5 nibbles, the repo's cross-engine hash
+    idiom (`docs_hash_split`, `events_kmv_mergeable`) — so the whole
+    construction hash-checks exactly against the oracle building the
+    identical grid in SQL; no tolerance needed.
+
+    Counts are pre-aggregated per key BEFORE the {_CM_D}-way hash-row
+    explode, so the amplification touches distinct keys, not raw rows;
+    the counter grid is {_CM_D * _CM_W} cells regardless of input size
+    (broadcast back to the probe side), and per-row grids OR together
+    by cell-wise addition — the mergeability that lets 1000 executors
+    sketch partitions independently and combine on the reduce side.
+
+    Scale: one map-side-combinable count shuffle (user_id), a
+    constant-size counter aggregate, and a broadcast join back; the
+    explode factor is the sketch depth ({_CM_D}), not data volume."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    hashed = (
+        per_user.select(
+            "user_id",
+            "n",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_CM_D)])
+            ).alias("j"),
+        )
+        .withColumn(
+            "h", F.md5(F.concat(F.col("j"), F.lit(":"), F.col("user_id")))
+        )
+        .withColumn("bucket", F.expr(_CM_BUCKET))
+    )
+    counters = hashed.groupBy("j", "bucket").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    return (
+        hashed.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.min("c").cast("long").alias("cm_estimate"),
+            (F.min("c") >= F.max("n")).alias("no_underestimate"),
+        )
+    )
