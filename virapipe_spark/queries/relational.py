@@ -1806,3 +1806,132 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "o_orderstatus", "gid", "n", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pre-filtering (§2.4 scale extension)
+# ---------------------------------------------------------------------------
+
+_BF_M = 16384  # bits
+_BF_K = 3  # hash functions
+
+
+def _bf_nib(p: int) -> str:
+    return (
+        f"(CASE WHEN ascii(substr(h, {p}, 1)) >= 97"
+        f" THEN ascii(substr(h, {p}, 1)) - 87"
+        f" ELSE ascii(substr(h, {p}, 1)) - 48 END)"
+    )
+
+
+_BF_POS = (
+    f"({_bf_nib(1)} * 4096 + {_bf_nib(2)} * 256"
+    f" + {_bf_nib(3)} * 16 + {_bf_nib(4)}) % {_BF_M}"
+)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    bits AS (
+      SELECT DISTINCT {_BF_POS} AS pos
+      FROM (SELECT md5(concat(j, ':', k)) AS h
+            FROM build,
+                 (SELECT unnest(generate_series(0, {_BF_K - 1})) AS j))
+    ),
+    probe_pos AS (
+      SELECT k, j, {_BF_POS} AS pos
+      FROM (SELECT k, j, md5(concat(j, ':', k)) AS h
+            FROM probe,
+                 (SELECT unnest(generate_series(0, {_BF_K - 1})) AS j))
+    ),
+    cand AS (
+      SELECT p.k FROM probe_pos p JOIN bits b ON p.pos = b.pos
+      GROUP BY p.k HAVING count(*) = {_BF_K}
+    ),
+    exact AS (SELECT k FROM probe WHERE k IN (SELECT k FROM build))
+    SELECT (SELECT count(*) FROM probe) AS n_probe_keys,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) - (SELECT count(*) FROM exact)
+             AS n_false_pos,
+           (SELECT count(*) FROM exact WHERE k IN (SELECT k FROM cand))
+             = (SELECT count(*) FROM exact) AS no_false_negatives
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filtering — the runtime row-level
+    filtering Spark 3.3+ injects automatically
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`), built
+    explicitly so the approximation layer itself is hash-checked: the
+    build side (urgent orders) sets {_BF_K} md5-derived bits in a
+    {_BF_M}-bit filter; probe keys (lineitem orderkeys) whose {_BF_K}
+    positions are all set become candidates; the exact semi-join then
+    removes false positives. The entry emits the measured funnel
+    (probe → candidates → exact) plus the two Bloom guarantees as
+    checked values: false positives exist but are bounded (~7% at this
+    fill factor), false negatives NEVER (`no_false_negatives`).
+    Deterministic md5 hashing makes the sketch — like
+    `events_count_min` — bit-identical cross-engine, so the oracle
+    rebuilds the identical filter in SQL.
+
+    Scale: this is THE pattern for a 100 TB probe side meeting a small
+    build side the optimizer can't see through (e.g. across a shuffle
+    or a non-equi stage): the bit-set is {_BF_M} bits regardless of
+    build size — broadcast for free — and the probe-side prefilter
+    runs scan-side before any shuffle, cutting shuffle volume by the
+    non-member fraction. Here the bit positions travel as a broadcast
+    DataFrame joined on position (pure DataFrame algebra, no driver
+    collect); candidates then verify by exact semi-join."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BF_K)])).alias("j")
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (
+            df.select("k", js)
+            .withColumn("h", F.md5(F.concat(F.col("j"), F.lit(":"), F.col("k"))))
+            .withColumn("pos", F.expr(_BF_POS))
+        )
+
+    bits = positions(build).select("pos").distinct()
+    cand = (
+        positions(probe)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("nset"))
+        .filter(F.col("nset") == _BF_K)
+        .select("k")
+    )
+    exact = probe.join(build, "k", "left_semi")
+    n_probe = probe.agg(F.count("*").alias("n_probe_keys"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_exact_in_cand = exact.join(cand, "k", "left_semi").agg(
+        F.count("*").alias("n_exact_in_cand")
+    )
+    return (
+        n_probe.crossJoin(n_cand)
+        .crossJoin(n_exact)
+        .crossJoin(n_exact_in_cand)
+        .select(
+            "n_probe_keys",
+            "n_candidates",
+            "n_exact",
+            (F.col("n_candidates") - F.col("n_exact")).alias("n_false_pos"),
+            (F.col("n_exact_in_cand") == F.col("n_exact")).alias(
+                "no_false_negatives"
+            ),
+        )
+    )
