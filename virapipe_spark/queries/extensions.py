@@ -3210,3 +3210,100 @@ def docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounds_ok"
         ),
     )
+
+
+@query(
+    "docs_setsim_prefix",
+    oracle=_SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, common,
+           sa.n + sb.n - common AS union_n,
+           round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin-style set-similarity join with PREFIX FILTERING
+    (Bayardo et al., WWW'07; Xiao et al., VLDB'08) — the third
+    candidate-generation strategy beside shared-shingle blocking
+    (`docs_ngram_jaccard`) and MinHash banding (`docs_minhash_lsh`),
+    and unlike LSH it is EXACT: shingles are globally ordered
+    rarest-first (corpus frequency asc, shingle asc) and each doc
+    indexes only its first `n - ceil(t*n) + 1` shingles. Completeness:
+    J(a,b) >= t implies overlap c >= t*max(na, nb) (from
+    c >= t*(na+nb)/(1+t) and c <= min(na, nb)), and c shared shingles
+    cannot all fit in a suffix of length ceil(t*na) - 1 < c, so some
+    shared shingle lies in BOTH prefixes — the candidate join on
+    prefix shingles misses no qualifying pair. The length filter
+    (nb >= t*na, same bound) prunes candidates before verification.
+    The oracle verifies the guarantee end-to-end: it brute-forces via
+    full shared-shingle blocking and the results must match exactly.
+
+    Scale: the inverted index holds ~(1-t) of each doc's shingles,
+    and rarest-first ordering makes prefix buckets the LOW-frequency
+    tail — candidate volume is sum over prefix shingles of bucket²,
+    orders of magnitude below full blocking on a skewed corpus (the
+    head shingles that dominate full blocking never enter a prefix).
+    Verification joins touch only candidate pairs. All shuffles key on
+    shingle or doc_id; the frequency table joins on shingle (bounded
+    by distinct-shingle count, not corpus size)."""
+    t = 0.5
+    sets = _shingles(spark, sf_dir).select("doc_id", "s").distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = sets.groupBy("s").agg(F.count("*").alias("cnt"))
+    w_doc = W.partitionBy("doc_id").orderBy("cnt", "s")
+    prefix = (
+        sets.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") * t) + 1)
+        .select("doc_id", "s", "n")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("b.n") >= F.col("a.n") * t)
+            & (F.col("a.n") >= F.col("b.n") * t)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sets.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            sets.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.s") == F.col("tb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("union_n", F.col("sa.n") + F.col("sb.n") - F.col("common"))
+        .filter(F.col("common") * 1.0 / F.col("union_n") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            "union_n",
+            F.round(F.col("common") * 1.0 / F.col("union_n"), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
