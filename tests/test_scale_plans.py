@@ -783,3 +783,36 @@ class TestTpchSweepPlansMore:
         inner (zero-order customers are the point of Q13)."""
         p = _plan(catalog.QUERIES["q13_customer_distribution"](spark, SF_DIR))
         assert "LeftOuter" in p
+
+
+class TestBfsHops:
+    def test_path_graph_distances_and_unreached(self, spark):
+        """Directed path 0->1->...->5 plus an isolated node 9: from
+        source {0}, dist(i) = i for i <= max_hops, nodes beyond the hop
+        bound and the isolated node are ABSENT (sparse contract)."""
+        from virapipe_spark.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)] + [(9, 9)], ["src", "dst"]
+        ).filter(F.col("src") != 9)
+        sources = spark.createDataFrame([(0,)], ["node"])
+        out = {
+            r["node"]: r["dist"]
+            for r in bfs_hops(edges, sources, max_hops=3).collect()
+        }
+        assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_multi_source_takes_min_and_cycle_terminates(self, spark):
+        """On a 4-cycle with sources {0, 2}, every node is 1 hop from
+        some source; revisiting a node never lowers a settled dist."""
+        from virapipe_spark.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+        )
+        sources = spark.createDataFrame([(0,), (2,)], ["node"])
+        out = {
+            r["node"]: r["dist"]
+            for r in bfs_hops(edges, sources, max_hops=4).collect()
+        }
+        assert out == {0: 0, 1: 1, 2: 0, 3: 1}

@@ -1935,3 +1935,70 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
+    ),
+    srcs AS (SELECT DISTINCT src AS node FROM edges WHERE src < 20),
+    walk AS (
+      SELECT node, 0 AS d FROM srcs
+      UNION
+      SELECT e.dst AS node, w.d + 1 AS d
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(min(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (`graph.bfs_hops`, <= 3 hops) over
+    the part co-purchase graph, from the low-key part set — the
+    reachability/radius primitive the iterative family was missing
+    (k-means, connected components, PageRank, now BFS). Distances are
+    small integers, so the hash check is bitwise; the oracle walks the
+    same graph with a recursive CTE under UNION (set) semantics, which
+    bounds the working table at nodes × hops exactly like the engine's
+    min-fold.
+
+    Scale: see graph.bfs_hops — per-round shuffle is the frontier's
+    out-edges only; edge construction reuses the blocked pair builder
+    (`_order_pair_counts`: pairs per order bounded by basket size²,
+    support >= 2 sparsifies before any iteration)."""
+    from virapipe_spark.graph import bfs_hops
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    und = (
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # Consumed once per hop round: checkpoint for the same reason as
+    # graph_pagerank's edge list (shuffle-aggregate subtree reused 3x).
+    edges = edges.localCheckpoint(eager=False)
+    sources = edges.filter(F.col("src") < 20).select(
+        F.col("src").alias("node")
+    ).distinct()
+    return bfs_hops(edges, sources, max_hops=3)
