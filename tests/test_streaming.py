@@ -257,3 +257,71 @@ class TestForeachBatchSink:
         replay.write.mode("overwrite").parquet(f"{out}/epoch=0")
         replayed = spark.read.parquet(out).drop("epoch")
         assert _rows(replayed, "event_id") == _rows(batch_events, "event_id")
+
+
+class TestTransformWithState:
+    def test_tws_plan_analyzes_with_typed_output(self, spark, batch_events):
+        """The transformWithStateInPandas plan must analyze to the
+        declared (user_id, max_cents, n_types) schema regardless of
+        environment — the Spark-side plumbing is real even where the
+        Python worker dependency is absent."""
+        out = vs.stateful_user_profile_tws(batch_events)
+        assert out.schema.simpleString() == (
+            "struct<user_id:bigint,max_cents:bigint,n_types:bigint>"
+        )
+
+    def test_tws_user_profile_matches_batch(self, spark, events_dir, batch_events):
+        """transformWithStateInPandas (ValueState + MapState) running
+        per-user max/distinct-type profile == batch groupBy agg.
+        Execution needs the python protobuf package (the
+        transformWithState driver worker imports it) and the RocksDB
+        state store provider; skipped honestly where protobuf is not
+        installed — same env-gate policy as the JPEG/MP3 codecs."""
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState python worker needs protobuf",
+        )
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            stream = vs.read_event_stream(spark, events_dir)
+            got = vs.drain_available_now(
+                vs.stateful_user_profile_tws(stream),
+                "t_tws",
+                output_mode="update",
+            )
+            latest = {}
+            for r in got.collect():
+                cur = latest.get(r["user_id"])
+                if (
+                    cur is None
+                    or r["n_types"] > cur["n_types"]
+                    or r["max_cents"] > cur["max_cents"]
+                ):
+                    latest[r["user_id"]] = r
+            want = {
+                r["user_id"]: r
+                for r in batch_events.groupBy("user_id")
+                .agg(
+                    F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                        "max_cents"
+                    ),
+                    F.countDistinct("event_type").alias("n_types"),
+                )
+                .collect()
+            }
+            assert set(latest) == set(want)
+            for uid, r in latest.items():
+                assert r["max_cents"] == want[uid]["max_cents"]
+                assert r["n_types"] == want[uid]["n_types"]
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
