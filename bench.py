@@ -92,6 +92,11 @@ HEADLINE = [
     # over the co-purchase graph) and the vocabulary-first BPE counter.
     "graph_pagerank",
     "docs_bpe_pair_counts",
+    # round-6 (cont.): exact AllPairs prefix-filter similarity join, the
+    # frontier-only BFS shape, and the bloom-prefilter join funnel.
+    "docs_setsim_prefix",
+    "graph_bfs_hops",
+    "join_bloom_prefilter",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
