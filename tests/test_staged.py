@@ -65,7 +65,15 @@ def test_r7_staging_state_matches_round():
     import os
 
     catalog.load_all()
-    assert set(STAGED_R7) == {"agg_grouping_sets", "docs_compression_ratio"}
+    assert set(STAGED_R7) == {
+            "agg_grouping_sets",
+            "docs_compression_ratio",
+            "orc_scan_roundtrip",
+            "events_count_min",
+            "join_bloom_prefilter",
+            "docs_setsim_prefix",
+            "graph_bfs_hops",
+        }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(
         os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.queries.staged import staged_r7
 
 
 @query(
@@ -299,7 +300,7 @@ def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out)
 
 
-@query(
+@staged_r7(
     "orc_scan_roundtrip",
     oracle="""
     SELECT p_partkey, p_name, p_brand, CAST(p_size AS INTEGER) AS p_size,

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.queries.staged import staged_r7
 
 # ---------------------------------------------------------------------------
 # Shared shingle machinery (word 3-grams)
@@ -3212,7 +3213,7 @@ def docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@staged_r7(
     "docs_setsim_prefix",
     oracle=_SHINGLES_SQL
     + """

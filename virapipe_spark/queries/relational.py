@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.queries.staged import staged_r7
 
 
 # ---------------------------------------------------------------------------
@@ -1830,7 +1831,7 @@ _BF_POS = (
 )
 
 
-@query(
+@staged_r7(
     "join_bloom_prefilter",
     oracle=f"""
     WITH build AS (
@@ -1937,7 +1938,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@staged_r7(
     "graph_bfs_hops",
     oracle="""
     WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.queries.staged import staged_r7
 from virapipe_spark import streaming as vstream
 
 _DAY_US = 86_400_000_000
@@ -1293,7 +1294,7 @@ _CM_BUCKET = (
 )
 
 
-@query(
+@staged_r7(
     "events_count_min",
     oracle=f"""
     WITH per_user AS (
