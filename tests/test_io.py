@@ -537,3 +537,39 @@ class TestBam:
         row = vbam.read_bam(spark, str(d)).first()
         assert row["referenceName"] is None
         assert row["readUnmapped"] is True and row["length"] == 4
+
+
+class TestBamWrite:
+    def test_write_bam_roundtrip_with_empty_partitions(self, spark, tmp_path):
+        """write_bam: 2 rows repartitioned to 4 (2 empty partitions must
+        write no shard), reference dictionary derived from data, flags
+        and null-reference (unmapped, ref_id -1) round-trip through the
+        binary layer."""
+        from virapipe_spark import bam as vbam
+
+        df = spark.createDataFrame(
+            [
+                ("a", 10, "chrX", "ACGTACGT", "8M", False, True),
+                ("b", 1, None, "TTTT", "", True, False),
+            ],
+            "readName STRING, start INT, referenceName STRING, "
+            "bases STRING, cigar STRING, readUnmapped BOOLEAN, "
+            "duplicateRead BOOLEAN",
+        )
+        out = str(tmp_path / "bam_out")
+        vbam.write_bam(df.repartition(4), out)
+        import os
+
+        shards = [f for f in os.listdir(out) if f.endswith(".bam")]
+        assert 1 <= len(shards) <= 2
+        got = {
+            r["readName"]: r for r in vbam.read_bam(spark, out).collect()
+        }
+        assert got["a"]["referenceName"] == "chrX"
+        assert got["a"]["start"] == 10
+        assert got["a"]["bases"] == "ACGTACGT"
+        assert got["a"]["cigar"] == "8M"
+        assert got["a"]["duplicateRead"] and not got["a"]["readUnmapped"]
+        assert got["b"]["referenceName"] is None
+        assert got["b"]["readUnmapped"] and not got["b"]["duplicateRead"]
+        assert got["b"]["bases"] == "TTTT"

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark import functions as vf
 from virapipe_spark.catalog import query, table
+from virapipe_spark.queries.staged import staged_r7
 
 
 # ---------------------------------------------------------------------------
@@ -961,4 +962,57 @@ def bam_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(os.path.join(out, f"shard-{shard}.bam"), "wb") as fh:
             fh.write(blob)
+    return vbam.read_bam(spark, out)
+
+
+@staged_r7(
+    "bam_write_roundtrip",
+    oracle=f"""
+    SELECT concat('w', doc_id) AS "readName",
+           CAST((doc_id * 41) % 1000 + 1 AS INTEGER) AS "start",
+           concat('ref', doc_id % 3) AS "referenceName",
+           CAST(32 AS INTEGER) AS length,
+           translate(md5(concat('w', doc_id)), '{_HEX}', '{_DNA16}') AS bases,
+           '32M' AS cigar,
+           (doc_id % 5 = 0) AS "readUnmapped",
+           (doc_id % 11 = 0) AS "duplicateRead"
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def bam_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked DISTRIBUTED binary BAM write→read round-trip —
+    with `bam.write_bam` this closes the last scoped-out reference
+    sink (HDFSWriter.java:247-315's per-partition BAM writer; the
+    text SAM sink has been covered since r4). Alignment rows are
+    derived relationally from doc_id arithmetic (the oracle recomputes
+    every field; no Spark data crosses to the driver except the
+    3-entry reference dictionary, which is header control-plane by
+    design), repartitioned to 4 shards, serialized executor-side
+    through the full encode stack (CIGAR pack, 4-bit sequence nibbles,
+    BGZF members with a small block size so multi-member framing is
+    exercised), then scanned back by `bam.read_bam`. Any byte-layout
+    bug in the WRITER now breaks the hash the same way the scan
+    round-trip guards the reader."""
+    from virapipe_spark import bam as vbam
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    rows = d.select(
+        F.concat(F.lit("w"), F.col("doc_id")).alias("readName"),
+        ((F.col("doc_id") * 41) % 1000 + 1).cast("int").alias("start"),
+        F.concat(F.lit("ref"), F.col("doc_id") % 3).alias("referenceName"),
+        F.translate(
+            F.md5(F.concat(F.lit("w"), F.col("doc_id"))), _HEX, _DNA16
+        ).alias("bases"),
+        F.lit("32M").alias("cigar"),
+        (F.col("doc_id") % 5 == 0).alias("readUnmapped"),
+        (F.col("doc_id") % 11 == 0).alias("duplicateRead"),
+    )
+    out = vio.scratch_dir(spark, sf_dir, "bamw")
+    import os
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    vbam.write_bam(rows.repartition(4), out, block_size=1024)
     return vbam.read_bam(spark, out)
