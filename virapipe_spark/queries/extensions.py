@@ -3308,3 +3308,130 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PI_DIMS = 64
+
+
+@staged_r7(
+    "embed_power_iteration",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    dims AS (
+      SELECT vec_id, g AS d, q[g] AS qv
+      FROM q, (SELECT unnest(generate_series(1, {_PI_DIMS})) AS g)
+    ),
+    gram AS (
+      SELECT a.d AS d1, b.d AS d2, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+      FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2
+    ),
+    u1 AS (SELECT d1 AS d, CAST(sum(g) AS BIGINT) AS u FROM gram GROUP BY 1),
+    s1 AS (SELECT max(abs(u)) // {_QUANT} + 1 AS s FROM u1),
+    v1 AS (SELECT d, u // (SELECT s FROM s1) AS v FROM u1),
+    u2 AS (
+      SELECT g.d1 AS d, CAST(sum(g.g * v.v) AS BIGINT) AS u
+      FROM gram g JOIN v1 v ON g.d2 = v.d GROUP BY 1
+    ),
+    s2 AS (SELECT max(abs(u)) // {_QUANT} + 1 AS s FROM u2),
+    v2 AS (SELECT d, u // (SELECT s FROM s2) AS v FROM u2),
+    witness AS (
+      SELECT round(
+        CAST(sum(a.v * b.v) AS DOUBLE) /
+        (sqrt(CAST((SELECT sum(v * v) FROM v1) AS DOUBLE)) *
+         sqrt(CAST((SELECT sum(v * v) FROM v2) AS DOUBLE))), 6) AS align
+      FROM v1 a JOIN v2 b USING (d)
+    )
+    SELECT a.d, a.v AS v1, b.v AS v2, (SELECT align FROM witness) AS align
+    FROM v1 a JOIN v2 b USING (d)
+    """,
+)
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant singular direction of the embedding matrix by POWER
+    ITERATION on the integer Gram matrix — the spectral primitive
+    under PCA whitening / ABTT common-direction removal ("All-but-
+    the-Top"), which an embedding-cleanup pipeline runs before
+    similarity search. Two matrix-vector rounds from the all-ones
+    start, entirely in the repo's integer-exact idiom: Gram entries
+    are exact sums of quantized products, each round's vector is
+    rescaled to ~QUANT magnitude by integer division (both engines
+    truncate toward zero — verified; a floor-vs-trunc divergence on
+    negative components would break the hash), so every component is
+    bitwise cross-engine. The `align` witness (cosine of successive
+    iterates, one exactly-rounded division) certifies convergence in
+    the output itself.
+
+    Scale: the Gram matrix is the ONLY data-sized pass — dims² cells
+    via a vec_id-blocked self-join of the position-exploded vectors,
+    map-side combinable (the classic X^T X reduction; at 100 TB this
+    is one shuffle of dims² partial sums per partition, independent of
+    row count). Iterations then touch dims²-sized frames only — no
+    driver loop over data, no collect; deeper iteration counts chain
+    the same tiny join (checkpoint cadence as in graph.pagerank)."""
+    qdf = _quantized(spark, sf_dir)
+    dims = qdf.select(
+        "vec_id", F.posexplode("q").alias("pos", "qv")
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), "qv")
+    gram = (
+        dims.alias("a")
+        .join(dims.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.d").alias("d1"), F.col("b.d").alias("d2")
+        )
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("g"))
+    )
+    gram = gram.localCheckpoint(eager=False)  # reused by both rounds
+
+    def step(v: DataFrame) -> DataFrame:
+        u = (
+            gram.join(v, F.col("d2") == F.col("vd"))
+            .groupBy(F.col("d1").alias("d"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
+        )
+        s = u.agg(
+            (F.max(F.abs(F.col("u"))) / F.lit(_QUANT))
+            .cast("long")
+            .alias("s")
+        ).withColumn("s", F.col("s") + 1)
+        return u.crossJoin(F.broadcast(s)).select(
+            F.col("d").alias("vd"), F.expr("u div s").alias("v")
+        )
+
+    v0 = (
+        gram.select(F.col("d1").alias("vd"))
+        .distinct()
+        .withColumn("v", F.lit(1).cast("long"))
+    )
+    v1 = step(v0)
+    v2 = step(v1.select(F.col("vd").alias("vd"), "v"))
+    n1 = v1.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n1"))
+    n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
+    dot = (
+        v1.alias("x")
+        .join(v2.alias("y"), F.col("x.vd") == F.col("y.vd"))
+        .agg(F.sum(F.col("x.v") * F.col("y.v")).cast("long").alias("dp"))
+    )
+    witness = (
+        dot.crossJoin(n1)
+        .crossJoin(n2)
+        .select(
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("n1").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                ),
+                6,
+            ).alias("align")
+        )
+    )
+    return (
+        v1.alias("x")
+        .join(v2.alias("y"), F.col("x.vd") == F.col("y.vd"))
+        .crossJoin(F.broadcast(witness))
+        .select(
+            F.col("x.vd").cast("int").alias("d"),
+            F.col("x.v").alias("v1"),
+            F.col("y.v").alias("v2"),
+            "align",
+        )
+    )
