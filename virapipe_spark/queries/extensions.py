@@ -3435,3 +3435,150 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "align",
         )
     )
+
+
+#: BM25 per-term scorer, shared VERBATIM by the Spark side (F.expr) and
+#: the DuckDB oracle so both engines evaluate the IDENTICAL float
+#: expression tree — every op is an exactly-rounded IEEE double op on
+#: exact inputs (tf/dl/df/N integers, avgdl one int/int division), so
+#: the scores are bitwise cross-engine. k1=1.2, b=0.75. The idf is the
+#: raw Robertson-Sparck-Jones odds (N - df + 0.5)/(df + 0.5) WITHOUT
+#: the log — the repo-wide no-transcendental rule (see
+#: docs_tfidf_topterms): libm last-ulp drift would break the hash, and
+#: for per-term scoring the monotone log changes no ranking.
+_BM25_TERM = (
+    "(CASE WHEN {tf} IS NULL THEN CAST(0.0 AS DOUBLE) ELSE "
+    "((CAST({n} AS DOUBLE) - {df} + 0.5) / ({df} + 0.5)) * "
+    "(({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 * ({dl} / {avgdl})))) "
+    "END)"
+)
+
+
+def _bm25_score_sql(n: str, avgdl: str) -> str:
+    terms = [
+        _BM25_TERM.format(tf=f"tf{i}", df=f"df{i}", dl="dl", n=n, avgdl=avgdl)
+        for i in (1, 2, 3)
+    ]
+    # fixed association order — float addition is not associative and
+    # neither engine may reassociate it
+    return f"(({terms[0]} + {terms[1]}) + {terms[2]})"
+
+
+@staged_r7(
+    "docs_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t[g] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS g
+            FROM documents)
+      WHERE t[g] <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    qterms AS (
+      SELECT term, df, row_number() OVER (ORDER BY df, term) AS r
+      FROM df ORDER BY df, term LIMIT 3
+    ),
+    tf AS (
+      SELECT t.doc_id, q.r, count(*) AS tf, max(q.df) AS df
+      FROM toks t JOIN qterms q USING (term)
+      GROUP BY t.doc_id, q.r
+    ),
+    wide AS (
+      SELECT d.doc_id, d.dl,
+             max(CASE WHEN r = 1 THEN tf END) AS tf1,
+             max(CASE WHEN r = 2 THEN tf END) AS tf2,
+             max(CASE WHEN r = 3 THEN tf END) AS tf3,
+             max(CASE WHEN r = 1 THEN df END) AS df1,
+             max(CASE WHEN r = 2 THEN df END) AS df2,
+             max(CASE WHEN r = 3 THEN df END) AS df3
+      FROM tf JOIN dl d USING (doc_id)
+      GROUP BY d.doc_id, d.dl
+    ),
+    qconst AS (
+      SELECT (SELECT max(df) FROM qterms WHERE r = 1) AS df1,
+             (SELECT max(df) FROM qterms WHERE r = 2) AS df2,
+             (SELECT max(df) FROM qterms WHERE r = 3) AS df3
+    ),
+    scored AS (
+      SELECT w.doc_id, w.dl,
+             {_bm25_score_sql("(SELECT n FROM stats)", "(SELECT avgdl FROM stats)").replace("df1", "q.df1").replace("df2", "q.df2").replace("df3", "q.df3")} AS score
+      FROM wide w, qconst q
+    )
+    SELECT doc_id, dl, round(score, 6) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM scored
+    ORDER BY rnk LIMIT 20
+    """,
+)
+def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family retrieval ranking for a fixed 3-term query (the 3
+    globally rarest tokens — data-derived so the entry is
+    deterministic at every scale factor): full BM25 term-frequency
+    saturation (k1=1.2, b=0.75, document-length normalization against
+    corpus avgdl) with the log-free RSJ-odds idf, completing the
+    retrieval line begun by `docs_tfidf_topterms`. The 3 per-term
+    scores combine in a PINNED association order, and both engines
+    evaluate the VERBATIM-shared `_BM25_TERM` expression tree — the
+    float-determinism contract that lets a scoring function hash-check
+    exactly (see the constant's comment).
+
+    Scale: one token explode feeding tf (doc,term) and df (term)
+    partial aggregates; the query-term table is 3 rows (broadcast), so
+    per-doc scoring is a conditional pivot on the rank key — no
+    per-term join fan-out; global stats (N, avgdl, per-term df) ride a
+    one-row broadcast. The top-20 is TakeOrderedAndProject, never a
+    full sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w_q = W.orderBy("df", "term")
+    qterms = (
+        df.withColumn("r", F.row_number().over(w_q)).filter(F.col("r") <= 3)
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "r")
+        .agg(F.count("*").alias("tf"))
+    )
+    wide = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("tf"))).alias("tf1"),
+            F.max(F.when(F.col("r") == 2, F.col("tf"))).alias("tf2"),
+            F.max(F.when(F.col("r") == 3, F.col("tf"))).alias("tf3"),
+        )
+        .join(dl, "doc_id")
+    )
+    qconst = qterms.groupBy().agg(
+        F.max(F.when(F.col("r") == 1, F.col("df"))).alias("df1"),
+        F.max(F.when(F.col("r") == 2, F.col("df"))).alias("df2"),
+        F.max(F.when(F.col("r") == 3, F.col("df"))).alias("df3"),
+    )
+    scored = (
+        wide.crossJoin(F.broadcast(qconst))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(_bm25_score_sql("n", "avgdl")))
+    )
+    w_rank = W.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "dl", F.round("score", 6).alias("score"), "rnk")
+        .orderBy("rnk")
+    )
