@@ -203,3 +203,33 @@ class TestReadQC:
             assert 0.0 <= v <= 1.0
 
         prop()
+
+
+class TestUdtf:
+    def test_sentence_splitter_lateral_parity(self, spark):
+        """UDTF lateral expansion == built-in split+posexplode pipeline
+        (the JVM path catalog queries actually use); covers the Spark 4
+        table-function API: typed multi-row output, SQL LATERAL, and
+        the DataFrame lateralJoin surface."""
+        from virapipe_spark.functions import sentence_splitter_udtf
+
+        Split = sentence_splitter_udtf()
+        spark.udtf.register("split_sentences", Split)
+        df = spark.createDataFrame(
+            [(1, "One. Two! Three?"), (2, "  no terminator"), (3, None)],
+            ["id", "text"],
+        )
+        df.createOrReplaceTempView("t_udtf")
+        got = spark.sql(
+            "SELECT t.id, s.idx, s.sentence, s.n_chars "
+            "FROM t_udtf t, LATERAL split_sentences(t.text) s"
+        ).collect()
+        rows = {(r["id"], r["idx"]): (r["sentence"], r["n_chars"]) for r in got}
+        assert rows == {
+            (1, 0): ("One.", 4),
+            (1, 1): ("Two!", 4),
+            (1, 2): ("Three?", 6),
+            (2, 0): ("no terminator", 13),
+        }
+        # null text expands to zero rows, not a null row
+        assert not [k for k in rows if k[0] == 3]

@@ -279,3 +279,47 @@ def sam_unmapped(flag: Column | str) -> Column:
     """SAM flag bit 0x4 (read unmapped) — the predicate under
     ``getReadUnmappedFlag`` (AlignNFilter.java:157-184)."""
     return (_col(flag).cast("int").bitwiseAND(F.lit(4))) != 0
+
+
+def sentence_splitter_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function) splitting a
+    text into ordered sentences — the lateral-correlated plug-point
+    for row-expanding logic a scalar UDF can't express (one input row,
+    N typed output rows with per-row derived columns). Returned lazily
+    from a factory so importing this module never touches the UDTF
+    registry.
+
+    Usage: ``Split = sentence_splitter_udtf();
+    df.lateralJoin(Split(F.col("text").outer()))`` or register for SQL
+    ``LATERAL``. Covered by tests/test_functions.py::TestUdtf, which
+    pins parity with the built-in split+posexplode pipeline.
+
+    Scale: a UDTF is ROW-AT-A-TIME Python — the slow path, same class
+    as a scalar Python UDF (pickled rows across the boundary, no Arrow
+    batching, no codegen). Every catalog query that needs sentence
+    expansion uses the JVM-side split+posexplode instead
+    (`docs_sentence_dedup`); this exists to cover the API surface for
+    logic that genuinely cannot be composed from built-ins (stateful
+    per-row expansion, third-party row generators) — and even then,
+    prefer ``mapInPandas`` when the expansion is vectorizable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx INT, sentence STRING, n_chars INT")
+    class SentenceSplitter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            start = 0
+            idx = 0
+            for i, ch in enumerate(text):
+                if ch in ".!?":
+                    sent = text[start : i + 1].strip()
+                    if sent:
+                        yield idx, sent, len(sent)
+                        idx += 1
+                    start = i + 1
+            tail = text[start:].strip()
+            if tail:
+                yield idx, tail, len(tail)
+
+    return SentenceSplitter
