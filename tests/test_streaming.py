@@ -325,3 +325,59 @@ class TestTransformWithState:
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass", prev
                 )
+
+
+class TestStreamIntervalOuter:
+    def test_stream_interval_left_outer(self, spark, tmp_path):
+        """Stream-stream LEFT OUTER interval join == batch twin. Outer
+        null rows only emit once the watermark PROVES no match can
+        arrive — a single-batch drain emits nothing (state awaits the
+        horizon), so the source is split into per-file micro-batches
+        (maxFilesPerTrigger=1) with a later flush file whose event
+        advances the watermark past every view's expiry; the nulls for
+        both unmatched views must then flush mid-drain. This IS the
+        semantic difference between inner and outer stream-stream
+        joins, exercised rather than worked around."""
+        d = tmp_path / "ev"
+        d.mkdir()
+        main = spark.createDataFrame(EVENT_ROWS, vs.EVENTS_SCHEMA)
+        main.coalesce(1).write.mode("overwrite").parquet(str(d / "f1"))
+        # the flush rows must SURVIVE the view/click filters: the
+        # watermark is computed on the post-filter event-time columns,
+        # so a filtered-out event advances nothing (found the hard way —
+        # a "noise" flush event left the watermark at day 1 forever).
+        # A self-matching view+click pair advances both sides and adds
+        # one matched row the batch twin also produces.
+        flush = spark.createDataFrame(
+            [
+                (98, _ts(5, 12, 0), 9, "view", 0.0, "{}"),
+                (99, _ts(5, 12, 30), 9, "click", 0.0, "{}"),
+            ],
+            vs.EVENTS_SCHEMA,
+        )
+        flush.coalesce(1).write.mode("overwrite").parquet(str(d / "f2"))
+        # one directory, two files, lexicographic arrival order f1 < f2
+        import shutil, glob, os
+
+        for sub in ("f1", "f2"):
+            src = glob.glob(str(d / sub / "*.parquet"))[0]
+            shutil.copy(src, str(d / f"{sub}.parquet"))
+            shutil.rmtree(str(d / sub))
+        stream = vs.read_event_stream(spark, str(d), max_files_per_trigger=1)
+        got = vs.drain_available_now(
+            vs.interval_join(
+                stream, interval="1 hour", watermark="2 hours", how="left_outer"
+            ),
+            "t_ivl_outer",
+            output_mode="append",
+        )
+        batch = spark.read.schema(vs.EVENTS_SCHEMA).parquet(str(d))
+        want = vs.interval_join(
+            batch, interval="1 hour", watermark="2 hours", how="left_outer"
+        )
+        cols = ["user_id", "view_id", "click_id", "gap_us"]
+        assert _rows(got, *cols) == _rows(want, *cols)
+        nulls = [r for r in got.collect() if r["click_id"] is None]
+        assert {r["view_id"] for r in nulls} == {2, 7}
+        matched = [r for r in got.collect() if r["click_id"] is not None]
+        assert [(r["view_id"], r["click_id"]) for r in matched] == [(98, 99)]

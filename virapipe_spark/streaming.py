@@ -41,10 +41,18 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """``readStream`` over a parquet directory of events. File sources
-    are replayable and support exactly-once with checkpointing."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    are replayable and support exactly-once with checkpointing.
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow
+    honors it, splitting a bounded drain into several batches — how the
+    outer-join test advances the watermark mid-drain)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def tumbling_counts(
@@ -110,8 +118,9 @@ def interval_join(
     right_type: str = "click",
     interval: str = "4 hours",
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join with an event-time interval condition —
+    """Stream-stream join with an event-time interval condition —
     the canonical attribution join (every ``right_type`` event matched
     to the same user's earlier ``left_type`` events within
     ``interval``). The one §2.11 stateful operator family previously
@@ -127,7 +136,18 @@ def interval_join(
     density; if one user's activity explodes, the bucketed
     decomposition (queries/streaming.py:events_range_join) is the batch
     escape hatch. gap_us is an integer micros difference — exact on
-    both engines."""
+    both engines.
+
+    ``how="left_outer"`` adds the unmatched-attribution rows (a view
+    with NO click in its window emits once, with null click columns).
+    On streams this is the semantics watermarks exist for: the null
+    row for a buffered view can only be emitted once the watermark
+    proves no matching click can still arrive (view_ts + interval +
+    watermark delay) — so outer results trail the inner ones by the
+    watermark horizon, and the engine's no-data final microbatch
+    flushes the tail when a bounded source drains (asserted in
+    tests/test_streaming.py::TestStreamBatchParity::
+    test_stream_interval_left_outer)."""
     left = events.filter(F.col("event_type") == left_type).select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -149,7 +169,7 @@ def interval_join(
             <= left["view_ts"] + F.expr(f"INTERVAL {interval}")
         )
     )
-    return left.join(right, cond).select(
+    return left.join(right, cond, how).select(
         "user_id",
         "view_id",
         "click_id",
