@@ -3252,7 +3252,9 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the inverted index holds ~(1-t) of each doc's shingles,
     and rarest-first ordering makes prefix buckets the LOW-frequency
     tail — candidate volume is sum over prefix shingles of bucket²,
-    orders of magnitude below full blocking on a skewed corpus (the
+    far below full blocking even on this small corpus (measured at
+    sf0.01: 772 candidate pairs vs 11533 under full shared-shingle
+    blocking, 15x — and the gap widens with corpus skew, since the
     head shingles that dominate full blocking never enter a prefix).
     Verification joins touch only candidate pairs. All shuffles key on
     shingle or doc_id; the frequency table joins on shingle (bounded
