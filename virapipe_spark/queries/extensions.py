@@ -3315,6 +3315,49 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PI_DIMS = 64
 
 
+def _vec_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embeddings position-exploded to (vec_id, d, qv) — the
+    relational form the spectral operators aggregate over (integer
+    products only; no float reduction anywhere)."""
+    return (
+        _quantized(spark, sf_dir)
+        .select("vec_id", F.posexplode("q").alias("pos", "qv"))
+        .select("vec_id", (F.col("pos") + 1).alias("d"), "qv")
+    )
+
+
+def _gram(dims: DataFrame) -> DataFrame:
+    """Integer Gram matrix X^T X as (d1, d2, g): one vec_id-blocked
+    self-join, map-side combined — the only data-sized pass of the
+    spectral family; checkpointed because every iteration reuses it."""
+    gram = (
+        dims.alias("a")
+        .join(dims.alias("b"), "vec_id")
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("g"))
+    )
+    return gram.localCheckpoint(eager=False)
+
+
+def _pi_step(gram: DataFrame, v: DataFrame, out_scale: int) -> DataFrame:
+    """One power-iteration round: u = G·v, then integer-rescale so
+    max|component| ~= out_scale (both engines truncate div toward
+    zero — QUIRKS cross-engine note 0)."""
+    u = (
+        gram.join(v, F.col("d2") == F.col("vd"))
+        .groupBy(F.col("d1").alias("d"))
+        .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
+    )
+    s = (
+        u.agg((F.max(F.abs(F.col("u"))) / F.lit(out_scale)).cast("long").alias("s"))
+        .withColumn("s", F.col("s") + 1)
+    )
+    return u.crossJoin(F.broadcast(s)).select(
+        F.col("d").alias("vd"), F.expr("u div s").alias("v")
+    )
+
+
+
 @staged_r7(
     "embed_power_iteration",
     oracle=f"""
@@ -3369,42 +3412,15 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count). Iterations then touch dims²-sized frames only — no
     driver loop over data, no collect; deeper iteration counts chain
     the same tiny join (checkpoint cadence as in graph.pagerank)."""
-    qdf = _quantized(spark, sf_dir)
-    dims = qdf.select(
-        "vec_id", F.posexplode("q").alias("pos", "qv")
-    ).select("vec_id", (F.col("pos") + 1).alias("d"), "qv")
-    gram = (
-        dims.alias("a")
-        .join(dims.alias("b"), "vec_id")
-        .groupBy(
-            F.col("a.d").alias("d1"), F.col("b.d").alias("d2")
-        )
-        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("g"))
-    )
-    gram = gram.localCheckpoint(eager=False)  # reused by both rounds
-
-    def step(v: DataFrame) -> DataFrame:
-        u = (
-            gram.join(v, F.col("d2") == F.col("vd"))
-            .groupBy(F.col("d1").alias("d"))
-            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
-        )
-        s = u.agg(
-            (F.max(F.abs(F.col("u"))) / F.lit(_QUANT))
-            .cast("long")
-            .alias("s")
-        ).withColumn("s", F.col("s") + 1)
-        return u.crossJoin(F.broadcast(s)).select(
-            F.col("d").alias("vd"), F.expr("u div s").alias("v")
-        )
-
+    dims = _vec_dims(spark, sf_dir)
+    gram = _gram(dims)
     v0 = (
         gram.select(F.col("d1").alias("vd"))
         .distinct()
         .withColumn("v", F.lit(1).cast("long"))
     )
-    v1 = step(v0)
-    v2 = step(v1.select(F.col("vd").alias("vd"), "v"))
+    v1 = _pi_step(gram, v0, _QUANT)
+    v2 = _pi_step(gram, v1, _QUANT)
     n1 = v1.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n1"))
     n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
     dot = (
@@ -3583,4 +3599,101 @@ def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "dl", F.round("score", 6).alias("score"), "rnk")
         .orderBy("rnk")
+    )
+
+
+#: Residual-fraction scorer shared verbatim by both engines (same
+#: float-determinism contract as _BM25_TERM): every input is an exact
+#: int64, so the two sqrt/divide ops are exactly-rounded on identical
+#: operands.
+_ABTT_RATIO = (
+    "round(sqrt(CAST(qn2 * n2 - dot * dot AS DOUBLE) / n2)"
+    " / sqrt(CAST(qn2 AS DOUBLE)), 6)"
+)
+
+
+@staged_r7(
+    "embed_abtt_residual",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    dims AS (
+      SELECT vec_id, g AS d, q[g] AS qv
+      FROM q, (SELECT unnest(generate_series(1, {_PI_DIMS})) AS g)
+    ),
+    gram AS (
+      SELECT a.d AS d1, b.d AS d2, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+      FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2
+    ),
+    u1 AS (SELECT d1 AS d, CAST(sum(g) AS BIGINT) AS u FROM gram GROUP BY 1),
+    s1 AS (SELECT max(abs(u)) // {_QUANT} + 1 AS s FROM u1),
+    v1 AS (SELECT d, u // (SELECT s FROM s1) AS v FROM u1),
+    u2 AS (
+      SELECT g.d1 AS d, CAST(sum(g.g * v.v) AS BIGINT) AS u
+      FROM gram g JOIN v1 v ON g.d2 = v.d GROUP BY 1
+    ),
+    s2 AS (SELECT max(abs(u)) // 1000 + 1 AS s FROM u2),
+    v2 AS (SELECT d, u // (SELECT s FROM s2) AS v FROM u2),
+    n2t AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v2),
+    per AS (
+      SELECT m.vec_id,
+             CAST(sum(m.qv * v.v) AS BIGINT) AS dot,
+             CAST(sum(m.qv * m.qv) AS BIGINT) AS qn2
+      FROM dims m JOIN v2 v USING (d)
+      GROUP BY m.vec_id
+    )
+    SELECT vec_id, dot, qn2 * n2 - dot * dot AS res_num,
+           {_ABTT_RATIO} AS res_ratio
+    FROM per, n2t
+    """,
+)
+def embed_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top residual profile (Mu & Viswanath, ICLR'18 —
+    removing the corpus-common direction from embeddings before
+    similarity search): for each vector, the fraction of its mass
+    OUTSIDE the dominant direction found by `embed_power_iteration`'s
+    Gram rounds. The whole computation stays in exact int64 via the
+    Gram identity n2*|r|^2 = (q.q)(v.v) - (q.v)^2 (Cauchy-Schwarz
+    keeps it non-negative): the direction is rescaled to ~1e3
+    magnitude so every product stays under 2^63 with the corpus'
+    measured |x| <= 0.58 envelope; only the final two sqrt/divides are
+    float — the verbatim-shared `_ABTT_RATIO` tree, exactly rounded on
+    identical integer operands, hence bitwise cross-engine. A vector
+    with res_ratio near 0 IS the common-direction hub — the ones ABTT
+    deletes before cosine ranking.
+
+    Scale: reuses `_gram` (the one data-sized pass, dims^2 partial
+    sums); the per-vector pass is one equi-join of the exploded
+    vectors against a 64-row broadcast direction + a vec_id-keyed
+    integer aggregate — linear, map-side combinable, no float
+    reduction anywhere."""
+    dims = _vec_dims(spark, sf_dir)
+    gram = _gram(dims)
+    v0 = (
+        gram.select(F.col("d1").alias("vd"))
+        .distinct()
+        .withColumn("v", F.lit(1).cast("long"))
+    )
+    v1 = _pi_step(gram, v0, _QUANT)
+    v2 = _pi_step(gram, v1, 1000).select(
+        F.col("vd").alias("d"), F.col("v")
+    )
+    n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
+    per = (
+        dims.join(F.broadcast(v2), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qv") * F.col("v")).cast("long").alias("dot"),
+            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("qn2"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(n2))
+        .select(
+            "vec_id",
+            "dot",
+            (F.col("qn2") * F.col("n2") - F.col("dot") * F.col("dot")).alias(
+                "res_num"
+            ),
+            F.expr(_ABTT_RATIO).alias("res_ratio"),
+        )
     )
