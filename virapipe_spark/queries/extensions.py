@@ -3261,6 +3261,14 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     by distinct-shingle count, not corpus size)."""
     t = 0.5
     sets = _shingles(spark, sf_dir).select("doc_id", "s").distinct()
+    # the set table is consumed FIVE times (sizes, freq, prefix join,
+    # both sides of the verification join) — without truncation each
+    # consumer recomputes the corpus explode+distinct. Interleaved A/B
+    # x7 at sf0.1 on a quiet machine (tools/ab_setsim.py): checkpoint
+    # median 4.37 s vs recompute 4.95 s, every order statistic lower —
+    # the pagerank-edge-list precedent (shuffle-aggregate subtree,
+    # unlike the IVF broadcast projection where recompute won).
+    sets = sets.localCheckpoint(eager=False)
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = sets.groupBy("s").agg(F.count("*").alias("cnt"))
     w_doc = W.partitionBy("doc_id").orderBy("cnt", "s")
