@@ -77,6 +77,7 @@ def test_r7_staging_state_matches_round():
             "embed_power_iteration",
             "docs_bm25_rank",
             "embed_abtt_residual",
+            "docs_chunk_windows",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

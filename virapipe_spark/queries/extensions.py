@@ -3705,3 +3705,73 @@ def embed_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ABTT_RATIO).alias("res_ratio"),
         )
     )
+
+
+_CHUNK = 40  # tokens per chunk
+_STRIDE = 30  # tokens between chunk starts (25% overlap)
+
+
+@staged_r7(
+    "docs_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((g - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+             g AS start_tok,
+             t[g:least(g + {_CHUNK} - 1, len(t))] AS c
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), {_STRIDE}))
+                     AS g
+            FROM toks)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the context-window prep
+    step between cleaning and training: each document splits into
+    {_CHUNK}-token windows on a {_STRIDE}-token stride (25% overlap so
+    no boundary loses context), the dual of `docs_pack_sequences`
+    (chunking splits long docs down to budget; packing bins short ones
+    up to it). Each chunk carries its md5 content hash — the join key
+    chunk-level dedup and retrieval indexing both need — so the oracle
+    checks the exact chunk CONTENT, not just offsets.
+
+    Scale: one projection computes the token array; the per-doc
+    explode emits ceil(len/stride) rows whose payload is a slice
+    reference — all JVM-side codegen (sequence + transform + slice +
+    array_join), no Python boundary, no shuffle at all until a
+    downstream aggregate. The chunk table is what feeds the ANN index
+    build (embed_* family) in a real pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") > 0)
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(_STRIDE))
+        ).alias("g"),
+    )
+    c = F.slice(
+        F.col("t"),
+        F.col("g"),
+        F.least(F.lit(_CHUNK), F.size("t") - F.col("g") + 1),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("g") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+        F.col("g").cast("long").alias("start_tok"),
+        F.size(c).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(c, " ")).alias("chunk_hash"),
+    )
