@@ -816,3 +816,53 @@ class TestBfsHops:
             for r in bfs_hops(edges, sources, max_hops=4).collect()
         }
         assert out == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+class TestBfsProperty:
+    def test_random_graphs_match_python_bfs(self, spark):
+        """bfs_hops must agree with a pure-Python BFS (dict-of-lists
+        frontier walk) on random directed graphs — random sources,
+        cycles, self-loops, duplicate edges, unreachable nodes."""
+        from collections import deque
+
+        from hypothesis import given, settings, strategies as st
+
+        from virapipe_spark.graph import bfs_hops
+
+        @settings(max_examples=6, deadline=None)
+        @given(
+            n=st.integers(2, 20),
+            edges=st.lists(
+                st.tuples(st.integers(0, 19), st.integers(0, 19)), max_size=30
+            ),
+            srcs=st.lists(st.integers(0, 19), min_size=1, max_size=3),
+            hops=st.integers(1, 4),
+        )
+        def prop(n, edges, srcs, hops):
+            edges = [(a, b) for a, b in edges if a < n and b < n]
+            srcs = sorted({s for s in srcs if s < n}) or [0]
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, []).append(b)
+            expected = {s: 0 for s in srcs}
+            q = deque((s, 0) for s in srcs)
+            while q:
+                u, d = q.popleft()
+                if d >= hops:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in expected:
+                        expected[v] = d + 1
+                        q.append((v, d + 1))
+            if edges:
+                edf = spark.createDataFrame(edges, ["src", "dst"])
+            else:
+                edf = spark.createDataFrame([], "src long, dst long")
+            sdf = spark.createDataFrame([(s,) for s in srcs], ["node"])
+            got = {
+                r["node"]: r["dist"]
+                for r in bfs_hops(edf, sdf, max_hops=hops).collect()
+            }
+            assert got == expected
+
+        prop()
