@@ -78,6 +78,8 @@ def test_r7_staging_state_matches_round():
             "docs_bm25_rank",
             "embed_abtt_residual",
             "docs_chunk_windows",
+            "parts_fuzzy_pairs",
+            "lineitem_dq_audit",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

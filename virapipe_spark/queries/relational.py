@@ -2003,3 +2003,148 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node")
     ).distinct()
     return bfs_hops(edges, sources, max_hops=3)
+
+
+@staged_r7(
+    "parts_fuzzy_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT min(p_partkey) AS pk, p_name,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.pk AS key_a, b.pk AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM names a JOIN names b ON a.blk = b.blk AND a.pk < b.pk
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def parts_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance fuzzy matching — the entity-resolution
+    primitive (record linkage by approximate string equality) and the
+    engine's string-distance family member: distinct part names pair
+    within a cheap blocking key (their first token) and survive if
+    Levenshtein distance <= 3. Both engines implement the identical
+    classic Levenshtein (verified: 'kitten'/'sitting' = 3 on both), so
+    the integer distances hash bitwise.
+
+    Scale: the two load-bearing moves are (1) DISTINCT names first —
+    edit distance runs per distinct STRING pair, never per row pair
+    (64 names here stand in for 20k parts), and (2) pairs form only
+    inside blocking buckets, the same candidate-bounding contract as
+    every near-dup operator in the catalog (on messier keys the block
+    is a q-gram or phonetic prefix; the length filter |len_a - len_b|
+    <= d composes the same way). The O(len²) distance evaluates
+    JVM-side (codegen'd levenshtein), only on the blocked candidates."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("pk")).select(
+        "pk", "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    )
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        names.alias("a")
+        .join(names.alias("b"), "blk")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .filter(d <= 3)
+        .select(
+            F.col("a.pk").alias("key_a"),
+            F.col("b.pk").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            d.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@staged_r7(
+    "lineitem_dq_audit",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_keys,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS qty_oob,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc_oob,
+             CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS price_nonpos,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS flag_bad
+      FROM lineitem
+    ),
+    dup AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_lines
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber) g
+      WHERE c > 1
+    )
+    SELECT n_rows, null_keys, qty_oob, disc_oob, price_nonpos, flag_bad,
+           dup_lines,
+           (null_keys = 0 AND dup_lines = 0 AND flag_bad = 0) AS key_ok,
+           (qty_oob = 0 AND disc_oob = 0 AND price_nonpos = 0)
+             AS ranges_ok
+    FROM base, dup
+    """,
+)
+def lineitem_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation audit (the Deequ/Great-Expectations
+    operator class): one pass computes the whole constraint suite —
+    null-key count, range violations (quantity/discount/price),
+    domain-membership violations (returnflag), and composite-key
+    duplicate count — and emits both the raw violation counts (for
+    trending) and the pass/fail booleans a pipeline gates on. On clean
+    TPC-H-shaped data every check passes with zeros, which the oracle
+    verifies exactly — and any generator drift or ingestion bug flips
+    a count.
+
+    Scale: all single-column checks fuse into ONE map-side-combinable
+    aggregate over the scan (conditional sums — no per-check pass);
+    the uniqueness check is the only shuffle, keyed on the composite
+    key, and emits surplus counts rather than rows. This is the audit
+    you run per-partition-batch at 100 TB, persisting one row per
+    batch."""
+    li = table(spark, sf_dir, "lineitem")
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    base = li.agg(
+        F.count("*").alias("n_rows"),
+        c(F.col("l_orderkey").isNull()).alias("null_keys"),
+        c((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "qty_oob"
+        ),
+        c((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "disc_oob"
+        ),
+        c(F.col("l_extendedprice") <= 0).alias("price_nonpos"),
+        c(~F.col("l_returnflag").isin("A", "N", "R")).alias("flag_bad"),
+    )
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("long")
+            .alias("dup_lines")
+        )
+    )
+    return base.crossJoin(F.broadcast(dup)).select(
+        "n_rows",
+        "null_keys",
+        "qty_oob",
+        "disc_oob",
+        "price_nonpos",
+        "flag_bad",
+        "dup_lines",
+        (
+            (F.col("null_keys") == 0)
+            & (F.col("dup_lines") == 0)
+            & (F.col("flag_bad") == 0)
+        ).alias("key_ok"),
+        (
+            (F.col("qty_oob") == 0)
+            & (F.col("disc_oob") == 0)
+            & (F.col("price_nonpos") == 0)
+        ).alias("ranges_ok"),
+    )
