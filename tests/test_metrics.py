@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from virapipe_spark.metrics import assembly_stats, gc_content
 
 
@@ -61,3 +63,26 @@ class TestAssemblyStats:
         )
         r = assembly_stats(df).first()
         assert r["n50"] == 30 and r["total_bp"] == 60
+
+
+class TestObservation:
+    def test_observed_metrics_ride_the_action(self, spark):
+        """observe() accumulates metrics during the consuming action —
+        one scan yields both the result and the telemetry; values match
+        an explicit (second-pass) aggregate."""
+        from virapipe_spark.metrics import observed
+
+        df = spark.range(100).withColumn(
+            "v", (F.col("id") % 10).cast("double")
+        )
+        inst, obs = observed(
+            df.filter(F.col("id") % 2 == 0),
+            "stage1",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("v_sum"),
+        )
+        out = inst.groupBy().agg(F.count("*").alias("n")).collect()
+        assert out[0]["n"] == 50
+        got = obs.get
+        assert got["n_rows"] == 50
+        assert got["v_sum"] == 200.0
