@@ -80,6 +80,7 @@ def test_r7_staging_state_matches_round():
             "docs_chunk_windows",
             "parts_fuzzy_pairs",
             "lineitem_dq_audit",
+            "embed_knn_abtt",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

@@ -3775,3 +3775,137 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(c).cast("long").alias("n_tokens"),
         F.md5(F.array_join(c, " ")).alias("chunk_hash"),
     )
+
+
+#: ABTT-corrected cosine: every operand is an exact int64 (n2 = |v|²,
+#: dab = a·b, da/db = a·v, b·v, qa2/qb2 = |a|², |b|²), so the shared
+#: tree is bitwise cross-engine (same contract as _ABTT_RATIO).
+#: Identity: residual cosine = (n2·(a·b) − (a·v)(b·v)) /
+#: (sqrt(n2·|a|² − (a·v)²) · sqrt(n2·|b|² − (b·v)²)).
+_ABTT_COS = (
+    "round((n2 * dab - da * db)"
+    " / (sqrt(CAST(n2 * qa2 - da * da AS DOUBLE))"
+    " * sqrt(CAST(n2 * qb2 - db * db AS DOUBLE))), 6)"
+)
+
+
+@staged_r7(
+    "embed_knn_abtt",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    dims AS (
+      SELECT vec_id, g AS d, q[g] AS qv
+      FROM q, (SELECT unnest(generate_series(1, {_PI_DIMS})) AS g)
+    ),
+    gram AS (
+      SELECT a.d AS d1, b.d AS d2, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+      FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2
+    ),
+    u1 AS (SELECT d1 AS d, CAST(sum(g) AS BIGINT) AS u FROM gram GROUP BY 1),
+    s1 AS (SELECT max(abs(u)) // {_QUANT} + 1 AS s FROM u1),
+    v1 AS (SELECT d, u // (SELECT s FROM s1) AS v FROM u1),
+    u2 AS (
+      SELECT g.d1 AS d, CAST(sum(g.g * v.v) AS BIGINT) AS u
+      FROM gram g JOIN v1 v ON g.d2 = v.d GROUP BY 1
+    ),
+    s2 AS (SELECT max(abs(u)) // 1000 + 1 AS s FROM u2),
+    v2 AS (SELECT d, u // (SELECT s FROM s2) AS v FROM u2),
+    n2t AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v2),
+    per AS (
+      SELECT m.vec_id,
+             CAST(sum(m.qv * v.v) AS BIGINT) AS dv,
+             CAST(sum(m.qv * m.qv) AS BIGINT) AS qn2
+      FROM dims m JOIN v2 v USING (d)
+      GROUP BY m.vec_id
+    ),
+    vecs AS (
+      SELECT q.vec_id, q.q, p.dv, p.qn2
+      FROM q JOIN per p USING (vec_id)
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             (SELECT n2 FROM n2t) AS n2,
+             CAST({_DOT_SQL} AS BIGINT) AS dab,
+             a.dv AS da, b.dv AS db, a.qn2 AS qa2, b.qn2 AS qb2
+      FROM vecs a JOIN vecs b
+        ON a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, {_ABTT_COS} AS cosine_resid,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_ABTT_COS} DESC, neighbor_id)
+               AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_resid, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def embed_knn_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k under ABTT-corrected cosine — similarity search
+    AFTER removing the corpus-common direction (the
+    `embed_abtt_residual` cleanup applied to ranking, which is the
+    point of ABTT: hub vectors that score high against everything on
+    raw cosine stop dominating once the shared component is projected
+    out). The whole pipeline composes the spectral helpers: Gram →
+    power direction → per-vector (q·v, |q|²) moments → pairwise
+    residual cosine via the integer identity in `_ABTT_COS` — no
+    residual VECTORS are ever materialized (the correction is three
+    extra int64 scalars per pair on top of the raw dot), and the
+    shared float tree keeps ranking bitwise cross-engine.
+
+    Scale: identical shape to `embed_knn_bruteforce` (broadcast query
+    rows × corpus scan + per-query top-k window) plus the Gram pass;
+    the moments ride the same row, so ABTT correction at 100 TB costs
+    one extra broadcast join — not a second vector pass. IVF/LSH
+    candidate generation composes in front unchanged."""
+    dims = _vec_dims(spark, sf_dir)
+    gram = _gram(dims)
+    v0 = (
+        gram.select(F.col("d1").alias("vd"))
+        .distinct()
+        .withColumn("v", F.lit(1).cast("long"))
+    )
+    v1 = _pi_step(gram, v0, _QUANT)
+    v2 = _pi_step(gram, v1, 1000).select(F.col("vd").alias("d"), "v")
+    n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
+    per = (
+        dims.join(F.broadcast(v2), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qv") * F.col("v")).cast("long").alias("dv"),
+            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("qn2"),
+        )
+    )
+    vecs = _quantized(spark, sf_dir).select("vec_id", "q").join(per, "vec_id")
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    corpus = vecs.alias("b")
+    dab = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("a.vec_id") != F.col("b.vec_id"))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            "n2",
+            dab.cast("long").alias("dab"),
+            F.col("a.dv").alias("da"),
+            F.col("b.dv").alias("db"),
+            F.col("a.qn2").alias("qa2"),
+            F.col("b.qn2").alias("qb2"),
+        )
+        .withColumn("cosine_resid", F.expr(_ABTT_COS))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_resid").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_resid", "rn")
+    )
