@@ -97,6 +97,10 @@ HEADLINE = [
     "docs_setsim_prefix",
     "graph_bfs_hops",
     "join_bloom_prefilter",
+    # round-6 (cont.): the spectral ABTT rerank (Gram + power iteration
+    # + moment-corrected pairwise scoring) and the fused DQ audit pass.
+    "embed_knn_abtt",
+    "lineitem_dq_audit",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
