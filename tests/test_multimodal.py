@@ -502,3 +502,91 @@ class TestNewCodecProperties:
             assert (twice == once).all()
 
         prop()
+
+
+class TestTiffCodec:
+    def test_roundtrip_both_byte_orders_gray_and_rgb(self):
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        rng = np.random.RandomState(11)
+        rgb = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+        gray = rng.randint(0, 256, (3, 7), dtype=np.uint8)
+        for bo in ("II", "MM"):
+            assert (mm.decode_tiff(mm.encode_tiff(rgb, bo)) == rgb).all()
+            assert (mm.decode_tiff(mm.encode_tiff(gray, bo)) == gray).all()
+
+    def test_multi_strip_reassembly(self):
+        """A hand-built 2-strip little-endian file: pixel rows must
+        reassemble across StripOffsets/StripByteCounts arrays (stored
+        out-of-line because 2 LONGs exceed the 4-byte inline slot)."""
+        import struct
+
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        gray = np.arange(18, dtype=np.uint8).reshape(3, 6)
+        pix = gray.tobytes()
+        half = len(pix) // 2
+        pix_off, off2 = 8, 8 + half
+        arrs = 8 + len(pix)
+        so_off, sc_off, ifd_off = arrs, arrs + 8, arrs + 16
+
+        def e(tag, typ, cnt, val):
+            fmt, size = {3: ("H", 2), 4: ("I", 4)}[typ]
+            if cnt * size > 4:
+                raw = struct.pack("<I", val)
+            else:
+                raw = struct.pack("<" + fmt, val)
+                raw += b"\x00" * (4 - len(raw))
+            return struct.pack("<HHI", tag, typ, cnt) + raw
+
+        ent = [
+            e(256, 3, 1, 6), e(257, 3, 1, 3), e(258, 3, 1, 8),
+            e(259, 3, 1, 1), e(262, 3, 1, 1), e(273, 4, 2, so_off),
+            e(277, 3, 1, 1), e(278, 3, 1, 2), e(279, 4, 2, sc_off),
+        ]
+        data = (
+            struct.pack("<2sHI", b"II", 42, ifd_off)
+            + pix
+            + struct.pack("<II", pix_off, off2)
+            + struct.pack("<II", half, len(pix) - half)
+            + struct.pack("<H", len(ent))
+            + b"".join(ent)
+            + struct.pack("<I", 0)
+        )
+        assert (mm.decode_tiff(data) == gray).all()
+
+    def test_rejects_non_tiff_and_unsupported(self):
+        import numpy as np
+        import pytest
+
+        from virapipe_spark import multimodal as mm
+
+        with pytest.raises(ValueError):
+            mm.decode_tiff(b"NOPE" + b"\x00" * 16)
+
+    def test_property_random_images_roundtrip(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from virapipe_spark import multimodal as mm
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 12),
+            rgb=st.booleans(),
+            big=st.booleans(),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def prop(w, h, rgb, big, seed):
+            rng = np.random.RandomState(seed)
+            shape = (h, w, 3) if rgb else (h, w)
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            bo = "MM" if big else "II"
+            assert (mm.decode_tiff(mm.encode_tiff(img, bo)) == img).all()
+
+        prop()

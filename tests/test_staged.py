@@ -81,6 +81,7 @@ def test_r7_staging_state_matches_round():
             "parts_fuzzy_pairs",
             "lineitem_dq_audit",
             "embed_knn_abtt",
+            "multimodal_tiff_features",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

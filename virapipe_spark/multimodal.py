@@ -13,7 +13,9 @@ Codec status (honest accounting):
   (:func:`decode_png`/:func:`encode_png` — zlib inflate + all five
   scanline filters; gray/RGB/palette/alpha), GIF87a/89a
   (:func:`decode_gif`/:func:`encode_gif` — full LZW with variable code
-  width, 4096-entry dictionary and interlace), 16-bit PCM WAV
+  width, 4096-entry dictionary and interlace), baseline uncompressed
+  TIFF (:func:`decode_tiff`/:func:`encode_tiff` — BOTH byte orders,
+  gray/RGB, multi-strip reassembly), 16-bit PCM WAV
   (:func:`decode_wav`/:func:`encode_wav`), and Sun AU with G.711
   mu-law (:func:`decode_au`/:func:`encode_au` — a genuinely LOSSY
   sample codec expanded by the ITU formula). The feature operators
@@ -87,13 +89,15 @@ def _unpack(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 def require_codecs() -> None:
     """Where compressed-format decoders would load. The container image
     has no PIL/libsndfile/ffmpeg — JPEG/MP3/H.264 paths raise until
-    they exist. Uncompressed BMP, 8-bit PNG, GIF, 16-bit PCM WAV, and
+    they exist. Uncompressed BMP, 8-bit PNG, GIF, baseline TIFF,
+    16-bit PCM WAV, and
     Sun AU (incl. G.711 mu-law) decode natively (:func:`decode_bmp` /
-    :func:`decode_png` / :func:`decode_gif` / :func:`decode_wav` /
+    :func:`decode_png` / :func:`decode_gif` / :func:`decode_tiff` /
+    :func:`decode_wav` /
     :func:`decode_au`, pure numpy + stdlib zlib/LZW)."""
     raise NotImplementedError(
         "compressed media codecs (PIL / soundfile / ffmpeg) are not available "
-        "in this environment; BMP, PNG, GIF, PCM WAV, and AU/mu-law decode "
+        "in this environment; BMP, PNG, GIF, TIFF, PCM WAV, and AU/mu-law decode "
         "natively, everything "
         "else uses the deterministic VPMM container"
     )
@@ -486,6 +490,103 @@ def encode_gif(img: np.ndarray) -> bytes:
     )
 
 
+_TIFF_MAGIC = (b"II*\x00", b"MM\x00*")
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode a baseline uncompressed TIFF (TIFF 6.0 Part 1) to an
+    (h, w) or (h, w, 3) uint8 array: header + IFD walk in EITHER byte
+    order (II little / MM big — the one format in the family where
+    endianness is data, not spec), 8-bit samples, 1 (grayscale) or 3
+    (RGB) samples per pixel, compression=1, any strip layout (pixel
+    rows reassemble across StripOffsets/StripByteCounts)."""
+    if data[:4] not in _TIFF_MAGIC:
+        raise ValueError("not a TIFF (bad byte-order/magic header)")
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        tag, typ, cnt, raw = struct.unpack_from(
+            bo + "HHI4s", data, ifd_off + 2 + 12 * i
+        )
+        tags[tag] = (typ, cnt, raw)
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return [default]
+        typ, cnt, raw = tags[tag]
+        fmt, size = {3: ("H", 2), 4: ("I", 4)}[typ]
+        if cnt * size <= 4:
+            return list(struct.unpack_from(bo + fmt * cnt, raw, 0))
+        (off,) = struct.unpack(bo + "I", raw)
+        return list(struct.unpack_from(bo + fmt * cnt, data, off))
+
+    w, h = values(256)[0], values(257)[0]
+    comp = values(259, default=1)[0]
+    spp = values(277, default=1)[0]
+    bps = values(258, default=8)
+    if comp != 1 or spp not in (1, 3) or any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"only uncompressed 8-bit gray/RGB TIFF (comp={comp}, spp={spp})"
+        )
+    offs = values(273)
+    counts = values(279)
+    raw = b"".join(data[o : o + c] for o, c in zip(offs, counts))
+    arr = np.frombuffer(raw[: h * w * spp], dtype=np.uint8)
+    return arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
+
+
+def encode_tiff(img: np.ndarray, byte_order: str = "II") -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a baseline
+    uncompressed TIFF in the requested byte order ('II' little / 'MM'
+    big), one strip, the 9 baseline-required tags."""
+    bo = "<" if byte_order == "II" else ">"
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    pixels = img.astype(np.uint8).tobytes()
+    # layout: header(8) | pixels | bps array (RGB only) | IFD
+    pix_off = 8
+    bps_off = pix_off + len(pixels)
+    ifd_off = bps_off + (6 if spp == 3 else 0)
+    ent = []
+
+    def entry(tag: int, typ: int, cnt: int, value: int) -> bytes:
+        fmt, size = {3: ("H", 2), 4: ("I", 4)}[typ]
+        if cnt * size > 4:  # value doesn't fit inline -> it's an offset
+            raw = struct.pack(bo + "I", value)
+        else:
+            raw = struct.pack(bo + fmt, value)
+            raw = raw + b"\x00" * (4 - len(raw))
+        return struct.pack(bo + "HHI", tag, typ, cnt) + raw
+
+    ent.append(entry(256, 3, 1, w))
+    ent.append(entry(257, 3, 1, h))
+    if spp == 3:
+        ent.append(entry(258, 3, 3, bps_off))
+    else:
+        ent.append(entry(258, 3, 1, 8))
+    ent.append(entry(259, 3, 1, 1))  # no compression
+    ent.append(entry(262, 3, 1, 1 if spp == 1 else 2))  # photometric
+    ent.append(entry(273, 4, 1, pix_off))  # strip offset
+    ent.append(entry(277, 3, 1, spp))
+    ent.append(entry(278, 3, 1, h))  # rows per strip
+    ent.append(entry(279, 4, 1, len(pixels)))  # strip byte count
+    ifd = (
+        struct.pack(bo + "H", len(ent))
+        + b"".join(ent)
+        + struct.pack(bo + "I", 0)
+    )
+    out = struct.pack(bo + "2sHI", byte_order.encode(), 42, ifd_off)
+    out += pixels
+    if spp == 3:
+        out += struct.pack(bo + "HHH", 8, 8, 8)
+    out += ifd
+    return out
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """Decode a 16-bit PCM RIFF/WAVE file.
 
@@ -581,6 +682,11 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                     h, w = img.shape[:2]
                     arr = img.reshape(-1)
                     n = arr.size
+                elif data[:4] in _TIFF_MAGIC:
+                    img = decode_tiff(data)
+                    h, w = img.shape[:2]
+                    arr = img.reshape(-1)
+                    n = arr.size
                 else:
                     _, w, h, _, _, payload = _unpack(data)
                     # real impl for JPEG/PNG: PIL.Image.open(BytesIO(payload))
@@ -649,6 +755,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     img = decode_png(data)
                 elif data[:6] in _GIF_MAGIC:
                     img = decode_gif(data)
+                elif data[:4] in _TIFF_MAGIC:
+                    img = decode_tiff(data)
                 if img is not None:
                     if img.ndim == 2:
                         img = np.repeat(img[..., None], 3, axis=2)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.queries.staged import staged_r7
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +518,82 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "width",
         "height",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+    )
+
+
+@staged_r7(
+    "multimodal_tiff_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 48) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 48)) AS i, p FROM s),
+    v AS (SELECT doc_id, ascii(substr(p, i, 1)) AS code FROM c)
+    SELECT doc_id AS media_id,
+           CAST(6 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(48 AS INTEGER) AS n_bytes,
+           round(avg(code), 4) AS mean_intensity,
+           round(stddev_pop(code), 4) AS std_intensity
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED baseline-TIFF decode — the codec family's
+    endianness member (TIFF is the one format here where byte order is
+    DATA: the file declares II or MM and the IFD walk must honor it).
+    The same deterministic md5 pixel bytes as the PNG/GIF twins, laid
+    out as 8x6 GRAYSCALE and encoded BIG-endian (multimodal.encode_tiff
+    with 'MM') so the decoder proves the non-native order end-to-end:
+    header magic, IFD entry unpacking, inline-vs-offset tag values, and
+    strip reassembly all flow through the declared byte order, and any
+    slip breaks the hash against the oracle's relational recomputation.
+    Same scale shape as the other codec entries: metadata-first filter,
+    one Arrow boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            48,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_tiff(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_tiff(
+                    np.frombuffer(s.encode(), dtype=np.uint8).reshape(8, 6),
+                    byte_order="MM",
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        to_tiff("p").alias("data"),
+        F.lit(6).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
         F.round("mean_intensity", 4).alias("mean_intensity"),
         F.round("std_intensity", 4).alias("std_intensity"),
     )
