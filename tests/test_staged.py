@@ -82,6 +82,7 @@ def test_r7_staging_state_matches_round():
             "lineitem_dq_audit",
             "embed_knn_abtt",
             "multimodal_tiff_features",
+            "events_stream_interval_left",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

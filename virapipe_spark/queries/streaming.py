@@ -1366,3 +1366,37 @@ def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") >= F.max("n")).alias("no_underestimate"),
         )
     )
+
+
+@staged_r7(
+    "events_stream_interval_left",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+      AND c.ts >= v.ts
+      AND epoch_us(c.ts) - epoch_us(v.ts) <= 4::BIGINT * 3600 * 1000000
+    """,
+)
+def events_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER attribution join
+    (streaming.interval_join(how="left_outer")): every view row
+    survives, unattributed views carry null click columns — the rows a
+    funnel's drop-off analysis is ABOUT, which the inner twin
+    (`events_stream_interval_join`) discards. The streaming half's
+    distinguishing semantics — null emission gated on the watermark
+    proving no match can still arrive, flushed across micro-batches —
+    are exercised in tests/test_streaming.py::TestStreamIntervalOuter;
+    this half hash-checks the identical logical plan in batch mode.
+
+    Scale: same equi-join-on-user + range residual as the inner twin
+    (state/candidates bounded by per-user activity density x interval);
+    outer-ness adds no shuffle — unmatched rows stream out of the same
+    join operator."""
+    return vstream.interval_join(
+        table(spark, sf_dir, "events"), interval="4 hours", how="left_outer"
+    )
