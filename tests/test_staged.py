@@ -83,6 +83,8 @@ def test_r7_staging_state_matches_round():
             "embed_knn_abtt",
             "multimodal_tiff_features",
             "events_stream_interval_left",
+            "events_ab_test_zscore",
+            "events_rfm_segments",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

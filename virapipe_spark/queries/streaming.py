@@ -1400,3 +1400,160 @@ def events_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vstream.interval_join(
         table(spark, sf_dir, "events"), interval="4 hours", how="left_outer"
     )
+
+
+#: Two-proportion pooled z-score on exact integer counts — shared
+#: verbatim by both engines (same float-determinism contract as the
+#: extensions module's _BM25_TERM/_ABTT_COS trees): p-hats and the
+#: pooled variance are fixed expression trees over 4 bigints.
+_AB_Z = (
+    "round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+    " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+    " * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+    " * (1.0 / n_a + 1.0 / n_b)), 6)"
+)
+
+
+@staged_r7(
+    "events_ab_test_zscore",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           {_AB_Z} AS z_score,
+           abs({_AB_Z}) >= 1.96 AS significant_95
+    FROM agg
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: two-proportion pooled z-test on per-user
+    conversion (arm = user_id parity standing in for the assignment
+    hash; conversion = any purchase event). Counts are exact integers
+    from one user-grain aggregate, the z statistic is the
+    verbatim-shared `_AB_Z` float tree (exactly-rounded ops on 4
+    bigints — bitwise cross-engine), and the 95% verdict is a checked
+    boolean. The analytics op every event pipeline ends at; with a
+    user-count this size the parity split correctly reads
+    not-significant.
+
+    Scale: one user-keyed aggregate (map-side combinable max/count)
+    collapsing events to users, then a 4-counter global fold — the
+    z-score itself touches one row. Assignment by hash of user_id
+    (here parity) is the standard stateless bucketing; CUPED or
+    stratified variants add covariate moments to the same fold."""
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", (F.col("user_id") % 2).cast("long"))
+    agg = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    return agg.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(F.col("c_a").cast("double") / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("c_b").cast("double") / F.col("n_b"), 6).alias("rate_b"),
+        F.expr(_AB_Z).alias("z_score"),
+        (F.abs(F.expr(_AB_Z)) >= 1.96).alias("significant_95"),
+    )
+
+
+@staged_r7(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(datediff('day', CAST(max(ts) AS DATE), DATE '2024-02-01')
+                  AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+             AS r_seg,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+             AS f_seg,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+                AS BIGINT) AS m_seg
+    FROM per_user
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value quartiling:
+    recency (days since last event vs the pinned as-of date the decay
+    operator also uses), frequency (event count), monetary (exact
+    cents), each quartiled with ntile(4). Every metric is an exact
+    integer and every ntile ORDER BY carries user_id as the
+    tie-breaker, so bucket boundaries are deterministic and the whole
+    segmentation hashes bitwise (ntile over a tied order would be
+    engine-dependent — the same total-order discipline as
+    window_ntile_cume).
+
+    Scale: one user-keyed aggregate, then three global windows. The
+    windows are the honest cost at 100 TB user counts — the scale path
+    replaces exact ntile with approx-quantile boundary broadcast (two
+    passes, no global sort), trading exactness the oracle would no
+    longer check; documented rather than silently swapped."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max("ts").cast("date")
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(W.orderBy("recency_days", "user_id"))
+        .cast("long")
+        .alias("r_seg"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("long")
+        .alias("f_seg"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "user_id"))
+        .cast("long")
+        .alias("m_seg"),
+    )
