@@ -85,6 +85,9 @@ def test_r7_staging_state_matches_round():
             "events_stream_interval_left",
             "events_ab_test_zscore",
             "events_rfm_segments",
+            "events_cohort_ltv",
+            "events_streak_lengths",
+            "lineitem_abc_analysis",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

@@ -2148,3 +2148,60 @@ def lineitem_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("price_nonpos") == 0)
         ).alias("ranges_ok"),
     )
+
+
+@staged_r7(
+    "lineitem_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+    ranked AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents
+      FROM rev
+    )
+    SELECT r.l_partkey, r.cents, r.cum_cents,
+           CASE WHEN r.cum_cents * 100 <= t.total * 80 THEN 'A'
+                WHEN r.cum_cents * 100 <= t.total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked r, tot t
+    """,
+)
+def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by exact
+    revenue cents, running share computed in INTEGER arithmetic
+    (`cum*100 <= total*80` instead of a float ratio crossing 0.8 — the
+    repo's integer-threshold idiom, immune to last-ulp boundary flips),
+    classed A/<=80%, B/<=95%, C/rest. The skyline entry finds
+    efficient FRONTIERS; ABC finds revenue CONCENTRATION — the other
+    classic Pareto question.
+
+    Scale: one partkey aggregate, then a running-total window. The
+    window is global by revenue rank — the honest exact-answer cost
+    (same stance as events_rfm_segments): at warehouse scale the A/B/C
+    boundaries come from a two-pass quantile-of-aggregates broadcast
+    instead; the total rides a one-row cross join either way."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("cents"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    w = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "cum_cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -1557,3 +1557,131 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_seg"),
     )
+
+
+@staged_r7(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / {_DAY_US}) AS BIGINT) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT f.cohort,
+             CAST(floor(epoch_us(e.ts) / {_DAY_US}) AS BIGINT) - f.cohort
+               AS age_days,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM firsts GROUP BY 1)
+    SELECT d.cohort, d.age_days, s.n_users,
+           CAST(sum(d.cents) OVER (PARTITION BY d.cohort ORDER BY d.age_days
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           CAST(sum(d.cents) OVER (PARTITION BY d.cohort ORDER BY d.age_days
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             // s.n_users AS ltv_cents_per_user
+    FROM daily d JOIN sizes s USING (cohort)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative value per signup cohort by age
+    day, normalized per cohort user: the companion to
+    `events_retention_cohort` (that one counts WHO comes back, this
+    one integrates WHAT they spend). Exact integers throughout: cohort
+    = epoch-day of first event, value in cents, the running total a
+    ROWS UNBOUNDED window, and per-user LTV an integer division (both
+    engines truncate toward zero — QUIRKS note 0).
+
+    Scale: two user/cohort-keyed aggregates plus a per-cohort running
+    window whose partition is bounded by the observation span in days
+    — never user count; the cohort-size join broadcasts."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    firsts = firsts.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("first_ts")) / F.lit(_DAY_US))
+        .cast("long")
+        .alias("cohort"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.join(firsts, "user_id")
+        .groupBy("cohort", (day - F.col("cohort")).alias("age_days"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        daily.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .select(
+            "cohort",
+            "age_days",
+            "n_users",
+            "cum_cents",
+            F.expr("cum_cents div n_users").alias("ltv_cents_per_user"),
+        )
+    )
+
+
+@staged_r7(
+    "events_streak_lengths",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS streak_len, min(day) AS streak_start
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(min(streak_start) AS BIGINT) AS first_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom on the DAY grain (`sessionize_events` does
+    the timestamp-gap variant; the day variant's island key is the
+    classic `day - row_number()` constant-per-run trick, no lag/cumsum
+    needed). All integers: epoch days, streak lengths, counts —
+    bitwise cross-engine.
+
+    Scale: one distinct on (user, day) — the shuffle, bounded by users
+    x active days — then a per-user window and two aggregates on the
+    same key; the window partition is a user's active-day count, never
+    event volume."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    days = e.select("user_id", day.alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.min("streak_start").cast("long").alias("first_day"),
+    )
