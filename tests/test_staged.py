@@ -88,6 +88,8 @@ def test_r7_staging_state_matches_round():
             "events_cohort_ltv",
             "events_streak_lengths",
             "lineitem_abc_analysis",
+            "embed_cluster_purity",
+            "docs_minhash_recall",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

@@ -1379,6 +1379,31 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning). The per-row distance transform is higher-order (outside
     codegen; SCALE.md) — O(C·d) arithmetic per row beats an N×C
     shuffle by construction at any C worth broadcasting."""
+    final, c2_tbl = _lloyd_train_assign(spark, sf_dir)
+    norms = c2_tbl.select(
+        "cid",
+        F.aggregate(
+            F.transform("c", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("c_norm2"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .join(norms, "cid")
+        .select("cid", "n_members", "sum_vec_id", "c_norm2")
+    )
+
+
+def _lloyd_train_assign(spark: SparkSession, sf_dir: str):
+    """The Lloyd construction shared by `embed_kmeans_lloyd` (cluster
+    stats) and `embed_cluster_purity` (label agreement): returns
+    (final assignment (vec_id, q, cid), trained centroid table
+    (cid, c)). Plan shape documented on the catalog entry."""
     qdf = _quantized(spark, sf_dir).select("vec_id", "q")
 
     def centroid_row(cm: DataFrame) -> DataFrame:
@@ -1425,23 +1450,7 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = centroid_row(update(assign(c0)))
     c2_tbl = update(assign(c1)).localCheckpoint(eager=False)
     final = assign(centroid_row(c2_tbl))
-    norms = c2_tbl.select(
-        "cid",
-        F.aggregate(
-            F.transform("c", lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("c_norm2"),
-    )
-    return (
-        final.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("vec_id").alias("sum_vec_id"),
-        )
-        .join(norms, "cid")
-        .select("cid", "n_members", "sum_vec_id", "c_norm2")
-    )
+    return final, c2_tbl
 
 
 @query(
@@ -3908,4 +3917,188 @@ def embed_knn_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine_resid", "rn")
+    )
+
+
+@staged_r7(
+    "embed_cluster_purity",
+    oracle=_KM_ORACLE_HEAD
+    + ","
+    + _km_oracle_round("el", "c0", 1)
+    + ","
+    + _km_oracle_round("el", "c1", 2)
+    + f""",
+    d3 AS (SELECT el.vec_id, c.cid,
+                  sum((el.v - c.cv) * (el.v - c.cv)) AS dist
+           FROM el JOIN c2 c ON el.pos = c.pos
+           GROUP BY el.vec_id, c.cid),
+    a3 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d3) WHERE rn = 1),
+    cont AS (
+      SELECT a.cid, e.label, count(*) AS n
+      FROM a3 a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cid, e.label
+    ),
+    top AS (
+      SELECT cid, label AS top_label, n AS top_n,
+             CAST(nm AS BIGINT) AS n_members
+      FROM (SELECT cid, label, n,
+                   sum(n) OVER (PARTITION BY cid) AS nm,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY n DESC, label) AS rn
+            FROM cont)
+      WHERE rn = 1
+    ),
+    tot AS (
+      SELECT CAST(sum(top_n) AS BIGINT) AS agree,
+             CAST(sum(n_members) AS BIGINT) AS total
+      FROM top
+    )
+    SELECT t.cid, t.n_members, CAST(t.top_label AS BIGINT) AS top_label,
+           CAST(t.top_n AS BIGINT) AS top_n,
+           round(CAST(g.agree AS DOUBLE) / g.total, 6) AS purity
+    FROM top t, tot g
+    """,
+)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation — PURITY of the integer-exact Lloyd
+    clusters against the embeddings table's ground-truth labels: per
+    cluster the majority label and its count (ties broken on min
+    label, deterministic), plus the corpus-level purity score
+    Σ majority / N as a constant column — the quality metric that
+    closes the train→assign→evaluate loop (`embed_kmeans_lloyd` trains
+    and assigns; this entry grades). Counts are integers; the single
+    purity division is one exactly-rounded IEEE op.
+
+    Scale: reuses the shared Lloyd construction (`_lloyd_train_assign`
+    — zero-shuffle broadcast assignment); evaluation adds one
+    (cid,label)-keyed count (C x labels rows), a per-cluster top-1
+    window over that tiny frame, and a one-row broadcast total."""
+    final, _ = _lloyd_train_assign(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        final.join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    sizes = W.partitionBy("cid")
+    top = (
+        cont.withColumn("n_members", F.sum("n").over(sizes).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            "n_members",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("n").cast("long").alias("top_n"),
+        )
+    )
+    tot = top.agg(
+        F.sum("top_n").cast("long").alias("agree"),
+        F.sum("n_members").cast("long").alias("total"),
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_members",
+        "top_label",
+        "top_n",
+        F.round(F.col("agree").cast("double") / F.col("total"), 6).alias(
+            "purity"
+        ),
+    )
+
+
+@staged_r7(
+    "docs_minhash_recall",
+    oracle=_SHINGLES_SQL
+    + f"""
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM ov
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    lsh AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN mh a ON doc_a = a.doc_id
+      JOIN mh b ON doc_b = b.doc_id
+      WHERE ({_MATCHES_SQL}) / {_H}.0 >= {_EST_THRESHOLD}
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM lsh) AS n_lsh,
+             (SELECT count(*) FROM exact e
+              WHERE EXISTS (SELECT 1 FROM lsh l
+                            WHERE l.doc_a = e.doc_a
+                              AND l.doc_b = e.doc_b)) AS n_hit
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall,
+           round(CAST(n_hit AS DOUBLE) / n_lsh, 6) AS precision
+    FROM counts
+    """,
+)
+def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED MinHash-LSH quality — recall AND precision of the
+    banded-signature near-dup pipeline against the exact shingle-
+    Jaccard truth set, as a hash-checked single row: the approximation
+    trade every 100 TB dedup makes (LSH instead of all-pairs) carried
+    as data the driver verifies, not a claim in a docstring (same
+    self-measuring pattern as `join_bloom_prefilter`'s false-positive
+    funnel; the pytest recall pin in tests/test_recall.py checks the
+    ANN family — this entry puts the dedup family's number under the
+    oracle). Both sides are deterministic — md5 minima for signatures,
+    exact integer overlap counts for truth — so recall/precision are
+    exactly reproducible, and regressions in band count, hash family,
+    or threshold flip the row.
+
+    Scale: the truth side is the shared-shingle blocked join (the
+    exact oracle this engine keeps for exactly this purpose, SCALE.md
+    trade-offs); the LSH side is the production one-shuffle signature
+    pipeline (`_minhash_pairs`); the comparison itself is two
+    pair-keyed semi-joins on frames already bounded by the dedup
+    candidate volume."""
+    exact = docs_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_lsh"), 6).alias(
+                "precision"
+            ),
+        )
     )
