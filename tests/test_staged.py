@@ -90,6 +90,8 @@ def test_r7_staging_state_matches_round():
             "lineitem_abc_analysis",
             "embed_cluster_purity",
             "docs_minhash_recall",
+            "events_variant_extract",
+            "events_unpivot_metrics",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

@@ -1685,3 +1685,96 @@ def events_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_streaks"),
         F.min("streak_start").cast("long").alias("first_day"),
     )
+
+
+@staged_r7(
+    "events_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS k_parity,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events
+    GROUP BY k_parity
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type —
+    `parse_json` decodes the JSON string ONCE into the binary variant
+    encoding, then `try_variant_get` extracts typed fields by path
+    without re-parsing (the 100 TB reason VARIANT exists:
+    `events_json_extract`'s get_json_object re-parses the string per
+    path expression, so N extracted fields cost N parses; a variant
+    column parses once and serves every path — and stored as a parquet
+    VARIANT column it also gets shredded field pushdown). Same
+    malformed-row contract as the JSON twin: `try_` semantics null
+    out, never error.
+
+    Scale: parse + extraction are codegen'd projections in the scan
+    stage; the aggregate shuffles 2 groups. Promote hot fields to
+    typed columns at ingest either way — VARIANT is for the flexible
+    tail."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 2).alias("k_parity"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
+@staged_r7(
+    "events_unpivot_metrics",
+    oracle=f"""
+    WITH wide AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS views,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY day
+    )
+    SELECT day, metric, n FROM (
+      SELECT day, 'clicks' AS metric, clicks AS n FROM wide
+      UNION ALL
+      SELECT day, 'views' AS metric, views AS n FROM wide
+      UNION ALL
+      SELECT day, 'purchases' AS metric, purchases AS n FROM wide
+    )
+    """,
+)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the DataFrame-native `unpivot` (melt) —
+    the inverse of `events_pivot_daily`/`agg_pivot`, completing the
+    reshape pair: a wide per-day metrics row explodes to one (day,
+    metric, value) row per measure, the shape metric stores and
+    plotting layers ingest. Spark's unpivot is a single Expand node —
+    one pass, no join, no shuffle beyond the upstream aggregate — and
+    the oracle proves the semantics against the UNION ALL expansion it
+    desugars to.
+
+    Scale: Expand multiplies rows by the measure count ON THE ALREADY
+    AGGREGATED frame (days × metrics, never raw events) — the same
+    aggregate-before-explode discipline as the count-min entry."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    c = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ).cast("long")
+    wide = ev.groupBy(day.alias("day")).agg(
+        c("click").alias("clicks"),
+        c("view").alias("views"),
+        c("purchase").alias("purchases"),
+    )
+    return wide.unpivot(
+        "day", ["clicks", "views", "purchases"], "metric", "n"
+    )
