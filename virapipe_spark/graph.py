@@ -18,11 +18,13 @@ Scale properties:
 - Iterative DataFrame loops grow lineage linearly; on a high-diameter
   (adversarial) graph the accumulated plan eventually overwhelms the
   optimizer and task serialization. ``checkpoint_every`` truncates
-  lineage with ``localCheckpoint`` so plan size stays bounded by the
-  checkpoint interval, not the round count (asserted in
-  tests/test_scale_plans.py). ``localCheckpoint`` stores to executor
-  memory/disk — on a real cluster with preemptible executors, pass a
-  checkpoint dir and use reliable ``checkpoint()`` instead.
+  lineage via ``scale.truncate_lineage`` so plan size stays bounded by
+  the checkpoint interval, not the round count (asserted in
+  tests/test_scale_plans.py). The helper picks the store: executor-
+  local blocks by default, RELIABLE ``checkpoint()`` automatically
+  whenever the session has ``setCheckpointDir`` configured (the
+  preemptible-executor requirement — set the dir, every iterative
+  operator upgrades; tests/test_checkpoint.py).
 - The driver loop is control flow only: data never leaves the cluster;
   the per-round convergence check is a ``count()``.
 - For graphs where even per-round work is skewed (one giant component),
@@ -36,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from virapipe_spark.scale import truncate_lineage
 
 
 def connected_components(
@@ -82,7 +86,7 @@ def connected_components(
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
             # truncate lineage: the next round's plan starts from the
             # materialized labels, not the whole join chain so far
-            new_labels = new_labels.localCheckpoint()
+            new_labels = truncate_lineage(new_labels)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -171,7 +175,7 @@ def connected_components_doubling(
             ).alias(label_col),
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = truncate_lineage(new_labels)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -264,7 +268,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = truncate_lineage(ranks)
     return ranks.select("node", "rank")
 
 
@@ -316,5 +320,5 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
         if h % checkpoint_every == 0 and h < max_hops:
-            dist = dist.localCheckpoint(eager=False)
+            dist = truncate_lineage(dist, eager=False)
     return dist

@@ -229,3 +229,23 @@ def hamilton_allocate(
             ).cast("long").alias("quota"),
         )
     )
+
+
+def truncate_lineage(df, eager: bool = True):
+    """Checkpoint ``df`` to truncate lineage, picking the STRONGEST
+    available store: if the session has a checkpoint directory
+    configured (``spark.sparkContext.setCheckpointDir`` — a
+    distributed-FS path on a real cluster), use RELIABLE
+    ``checkpoint`` (survives executor loss — the preemptible-cluster
+    requirement every iterative docstring in graph.py flags);
+    otherwise fall back to ``localCheckpoint`` (executor-local blocks,
+    the right default on local[...] where writing a reliable
+    checkpoint to /tmp buys nothing).
+
+    One helper instead of call-site policy so iterative operators stay
+    cluster-ready without a code change: set the dir in the session
+    and every round's truncation upgrades."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
