@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.scale import truncate_lineage
 from virapipe_spark.queries.staged import staged_r7
 
 # ---------------------------------------------------------------------------
@@ -287,7 +288,7 @@ def _minhash_sig_bands(
 
     mh = sh.groupBy("doc_id").agg(*[h(j).alias(f"h{j}") for j in range(1, _H + 1)])
     if materialize:
-        mh = mh.localCheckpoint(eager=False)
+        mh = truncate_lineage(mh, eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -1260,7 +1261,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, mode: str = "checkpoint") -> Dat
     serialization on first materialization."""
     assign_scored = _ivf_assign_scored(spark, sf_dir)
     if mode == "checkpoint":
-        assign_scored = assign_scored.localCheckpoint(eager=False)
+        assign_scored = truncate_lineage(assign_scored, eager=False)
     elif mode == "persist":
         assign_scored = assign_scored.persist()
     elif mode != "none":
@@ -1408,9 +1409,12 @@ def _lloyd_train_assign(spark: SparkSession, sf_dir: str):
 
     def centroid_row(cm: DataFrame) -> DataFrame:
         """(cid, c) rows -> one broadcastable row: cents array<struct>."""
-        return cm.groupBy().agg(
-            F.collect_list(F.struct("cid", "c")).alias("cents")
-        ).localCheckpoint(eager=False)
+        return truncate_lineage(
+            cm.groupBy().agg(
+                F.collect_list(F.struct("cid", "c")).alias("cents")
+            ),
+            eager=False,
+        )
 
     def assign(cents_row: DataFrame) -> DataFrame:
         scored = F.transform(
@@ -1448,7 +1452,7 @@ def _lloyd_train_assign(spark: SparkSession, sf_dir: str):
         )
     )
     c1 = centroid_row(update(assign(c0)))
-    c2_tbl = update(assign(c1)).localCheckpoint(eager=False)
+    c2_tbl = truncate_lineage(update(assign(c1)), eager=False)
     final = assign(centroid_row(c2_tbl))
     return final, c2_tbl
 
@@ -3277,7 +3281,7 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median 4.37 s vs recompute 4.95 s, every order statistic lower —
     # the pagerank-edge-list precedent (shuffle-aggregate subtree,
     # unlike the IVF broadcast projection where recompute won).
-    sets = sets.localCheckpoint(eager=False)
+    sets = truncate_lineage(sets, eager=False)
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = sets.groupBy("s").agg(F.count("*").alias("cnt"))
     w_doc = W.partitionBy("doc_id").orderBy("cnt", "s")
@@ -3353,7 +3357,7 @@ def _gram(dims: DataFrame) -> DataFrame:
         .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("g"))
     )
-    return gram.localCheckpoint(eager=False)
+    return truncate_lineage(gram, eager=False)
 
 
 def _pi_step(gram: DataFrame, v: DataFrame, out_scale: int) -> DataFrame:

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
+from virapipe_spark.scale import truncate_lineage
 from virapipe_spark.queries.staged import staged_r7
 
 
@@ -1688,7 +1689,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy localCheckpoint per the minhash-signature precedent (blocks
     # free when the frame is unreferenced; on preemptible clusters use
     # reliable checkpoint — graph.py caveat).
-    edges = edges.localCheckpoint(eager=False)
+    edges = truncate_lineage(edges, eager=False)
     return pagerank(edges, iterations=2)
 
 
@@ -1998,7 +1999,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     # Consumed once per hop round: checkpoint for the same reason as
     # graph_pagerank's edge list (shuffle-aggregate subtree reused 3x).
-    edges = edges.localCheckpoint(eager=False)
+    edges = truncate_lineage(edges, eager=False)
     sources = edges.filter(F.col("src") < 20).select(
         F.col("src").alias("node")
     ).distinct()
