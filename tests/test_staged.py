@@ -92,6 +92,8 @@ def test_r7_staging_state_matches_round():
             "docs_minhash_recall",
             "events_variant_extract",
             "events_unpivot_metrics",
+            "docs_length_outliers_mad",
+            "supplier_concentration_hhi",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

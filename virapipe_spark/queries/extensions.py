@@ -4106,3 +4106,142 @@ def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@staged_r7(
+    "docs_length_outliers_mad",
+    oracle="""
+    WITH lens AS (SELECT doc_id, n_chars FROM documents),
+    med AS (
+      SELECT n_chars AS median FROM (
+        SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM lens)
+      WHERE rn = (n + 1) // 2
+    ),
+    devs AS (
+      SELECT l.doc_id, l.n_chars,
+             abs(l.n_chars - m.median) AS dev, m.median
+      FROM lens l, med m
+    ),
+    mad AS (
+      SELECT dev AS mad FROM (
+        SELECT dev, row_number() OVER (ORDER BY dev, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM devs)
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT d.doc_id, d.n_chars, d.median, m.mad,
+           d.dev > 2 * m.mad AS is_outlier
+    FROM devs d, mad m
+    WHERE d.dev > 2 * m.mad
+    """,
+)
+def docs_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    length-distribution screen a quality pipeline runs where
+    mean/stddev would be dragged by the very outliers it hunts
+    (`docs_length_percentiles` profiles the distribution; this entry
+    flags the tail). Integer-exact throughout: the median is the
+    count-based lower median (row_number = (n+1) div 2, doc_id
+    tie-break — deterministic, no interpolation to drift cross-engine),
+    deviations are integer |x − med|, MAD is the median of those, and
+    the 2×MAD fence is an integer comparison (2× not the classic 3×:
+    this corpus' length spread is tight enough that 3×MAD flags
+    nothing — the fence is a parameter, chosen non-empty so the
+    correctness gate checks real rows). No float anywhere.
+
+    Scale: two global sorts (median, MAD-median) are the honest exact
+    cost — each is a single-column sort of (value, id) pairs; at
+    warehouse scale swap in approx_percentile for the median and keep
+    the integer fence (the same exact-vs-approx stance documented on
+    the RFM and ABC entries)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.orderBy("n_chars", "doc_id")
+    lens = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy())
+    )
+    med = lens.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("n_chars").alias("median"))
+    devs = d.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "n_chars",
+        "median",
+        F.abs(F.col("n_chars") - F.col("median")).alias("dev"),
+    )
+    wd = W.orderBy("dev", "doc_id")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("dev").alias("mad"))
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .filter(F.col("dev") > 2 * F.col("mad"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "median",
+            "mad",
+            (F.col("dev") > 2 * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+@staged_r7(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                   count(*) AS n_suppliers
+            FROM rev)
+    SELECT t.n_suppliers, t.total,
+           CAST(max(r.cents) AS BIGINT) AS top_cents,
+           round(sum((CAST(r.cents AS DOUBLE) / t.total)
+                     * (CAST(r.cents AS DOUBLE) / t.total)) * 10000, 4)
+             AS hhi,
+           round(10000.0 / t.n_suppliers, 4) AS hhi_uniform
+    FROM rev r, tot t
+    GROUP BY t.n_suppliers, t.total
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration profile: the Herfindahl–Hirschman index of
+    supplier revenue shares (Σ share², ×10000 points — the antitrust
+    scale), with the uniform-market floor 10000/n for context. Shares
+    are exactly-rounded divisions of exact integer cents by the exact
+    total; the share² sum is a float reduction, made order-safe by
+    summing a DERIVED METRIC in one aggregate on both engines over
+    identical values — and robustness to reduce-order drift comes from
+    the 4dp round on a quantity bounded in [10000/n, 10000] where
+    adjacent-ulp effects sit far below the rounding grain.
+
+    Scale: one suppkey aggregate + a one-row broadcast total; the HHI
+    fold is a single pass over supplier-grain rows (n_suppliers ≪
+    rows), the concentration dashboard every marketplace computes."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    tot = rev.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("total")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .groupBy("n_suppliers", "total")
+        .agg(
+            F.max("cents").cast("long").alias("top_cents"),
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+            F.round(10000.0 / F.col("n_suppliers"), 4).alias("hhi_uniform"),
+        )
+    )
