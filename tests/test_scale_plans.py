@@ -90,8 +90,33 @@ class TestPlanProperties:
             # frame broadcast across the vocabulary (limit-1 of an
             # aggregate, the scalar-subquery pattern again)
             "docs_bpe_merge_step",
+            # r6 continuation (staged for the r7 flip; the staged sweep
+            # below audits them BEFORE promotion so the flip round's
+            # catalog sweep can never be the first to look): every one
+            # is the ONE-ROW scalar-aggregate crossJoin pattern —
+            # funnel/count totals (bloom prefilter, minhash recall, DQ
+            # audit, AB z-score denominators), rescale/witness scalars
+            # (power iteration, ABTT pair moments x2 entries), corpus
+            # stats and query-term constants (BM25), revenue/size
+            # totals (ABC, HHI), medians (MAD screen), purity total.
+            "join_bloom_prefilter",
+            "embed_power_iteration",
+            "embed_abtt_residual",
+            "embed_knn_abtt",
+            "docs_bm25_rank",
+            "docs_minhash_recall",
+            "docs_length_outliers_mad",
+            "embed_cluster_purity",
+            "lineitem_abc_analysis",
+            "lineitem_dq_audit",
+            "supplier_concentration_hhi",
         }
-        for name, fn in catalog.QUERIES.items():
+        from virapipe_spark.queries.staged import STAGED_R7
+
+        audited = dict(catalog.QUERIES)
+        for n, (fn, _o) in STAGED_R7.items():
+            audited.setdefault(n, fn)
+        for name, fn in audited.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)
             assert "CartesianProduct" not in p, name
