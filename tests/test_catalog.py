@@ -89,8 +89,14 @@ class TestOracleDtypeFidelity:
             p = f"{sf_dir}/{t}.parquet"
             if __import__("os").path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        from virapipe_spark.queries.staged import STAGED_R7
+
+        audited = dict(catalog.ORACLES)
+        for n, (_fn, o) in STAGED_R7.items():
+            if o is not None:
+                audited.setdefault(n, o)
         offenders = []
-        for name, sql in catalog.ORACLES.items():
+        for name, sql in audited.items():
             cols = con.execute(f"DESCRIBE {sql}").fetchall()
             for col, ctype, *_ in cols:
                 if any(l in ctype.upper() for l in self.LOSSY):
