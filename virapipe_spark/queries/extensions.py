@@ -3350,7 +3350,13 @@ def _vec_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gram(dims: DataFrame) -> DataFrame:
     """Integer Gram matrix X^T X as (d1, d2, g): one vec_id-blocked
     self-join, map-side combined — the only data-sized pass of the
-    spectral family; checkpointed because every iteration reuses it."""
+    spectral family; checkpointed because every iteration plus the
+    per-vector moment joins reuse it (2-4 consumers per entry).
+    Verified by interleaved A/B x7 at sf0.1 on a quiet machine
+    (tools/ab_gram.py, embed_abtt_residual end-to-end): checkpoint
+    median 2.28 s vs recompute 2.77 s, every paired rep lower — the
+    shuffle-aggregate precedent (pagerank edges, setsim sets) holds;
+    contrast the IVF broadcast projection where recompute won."""
     gram = (
         dims.alias("a")
         .join(dims.alias("b"), "vec_id")
