@@ -4066,8 +4066,10 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_lsh AS BIGINT) AS n_lsh,
            CAST(n_hit AS BIGINT) AS n_hit,
-           round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall,
-           round(CAST(n_hit AS DOUBLE) / n_lsh, 6) AS precision
+           CASE WHEN n_exact = 0 THEN NULL
+                ELSE round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall,
+           CASE WHEN n_lsh = 0 THEN NULL
+                ELSE round(CAST(n_hit AS DOUBLE) / n_lsh, 6) END AS precision
     FROM counts
     """,
 )
@@ -4104,12 +4106,14 @@ def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            F.when(
+                F.col("n_exact") != 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6),
             ).alias("recall"),
-            F.round(F.col("n_hit").cast("double") / F.col("n_lsh"), 6).alias(
-                "precision"
-            ),
+            F.when(
+                F.col("n_lsh") != 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_lsh"), 6),
+            ).alias("precision"),
         )
     )
 

@@ -1407,10 +1407,11 @@ def events_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: extensions module's _BM25_TERM/_ABTT_COS trees): p-hats and the
 #: pooled variance are fixed expression trees over 4 bigints.
 _AB_Z = (
+    "(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE "
     "round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
     " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
     " * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
-    " * (1.0 / n_a + 1.0 / n_b)), 6)"
+    " * (1.0 / n_a + 1.0 / n_b)), 6) END)"
 )
 
 
@@ -1419,8 +1420,9 @@ _AB_Z = (
     oracle=f"""
     WITH arms AS (
       SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) > count(*)
+                  THEN 1 ELSE 0 END AS converted
       FROM events GROUP BY user_id
     ),
     agg AS (
@@ -1445,13 +1447,19 @@ _AB_Z = (
 def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment analysis: two-proportion pooled z-test on per-user
     conversion (arm = user_id parity standing in for the assignment
-    hash; conversion = any purchase event). Counts are exact integers
-    from one user-grain aggregate, the z statistic is the
+    hash; conversion = the user's purchase share OVER-INDEXING its 1/5
+    uniform expectation — an integer comparison giving a genuine
+    mid-range rate; "any purchase ever" converts EVERYONE at these
+    event volumes, which degenerates the pooled variance to zero and
+    under ANSI mode — the driver's bare-session default — turns the z
+    into DIVIDE_BY_ZERO, caught by the bare gate). Counts are exact
+    integers from one user-grain aggregate, the z statistic is the
     verbatim-shared `_AB_Z` float tree (exactly-rounded ops on 4
-    bigints — bitwise cross-engine), and the 95% verdict is a checked
-    boolean. The analytics op every event pipeline ends at; with a
-    user-count this size the parity split correctly reads
-    not-significant.
+    bigints — bitwise cross-engine) with the all-or-none degenerate
+    case explicitly NULL via CASE (never an evaluated division), and
+    the 95% verdict is a checked boolean. The analytics op every event
+    pipeline ends at; with a user-count this size the parity split
+    correctly reads not-significant.
 
     Scale: one user-keyed aggregate (map-side combinable max/count)
     collapsing events to users, then a 4-counter global fold — the
@@ -1460,9 +1468,16 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified variants add covariate moments to the same fold."""
     e = table(spark, sf_dir, "events")
     arms = e.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted")
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
     ).withColumn("arm", (F.col("user_id") % 2).cast("long"))
     agg = arms.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
