@@ -222,7 +222,7 @@ def _minhash_pairs(
       join sides — measured 6% slower at sf0.1 (2.61 s vs 2.47 s
       median-of-5): the band self-join + pair-dedup shuffles dominate,
       and widening their rows costs more than the two narrow join-backs
-      save. The signature table is lazily ``localCheckpoint``-ed
+      save. The signature table is lazily truncate_lineage-d
       (``materialize=True``) so the three consumers (bands, both
       join-backs) share one computation; blocks free when the returned
       frame is unreferenced — no session-lifetime cache pinning.
@@ -1374,7 +1374,7 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     that way precisely because DuckDB is single-node). The UPDATE
     shuffles only (cid, pos) partial sums — C×dims rows regardless of
     corpus size, map-side combined. Per-iteration centroid tables (C
-    rows) are lazily localCheckpoint-ed so each assignment reads a
+    rows) are lazily truncate_lineage-d so each assignment reads a
     materialized 8-row table instead of re-deriving the whole lineage
     (blocks freed when the result is dereferenced — no session cache
     pinning). The per-row distance transform is higher-order (outside
