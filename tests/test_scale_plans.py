@@ -110,6 +110,10 @@ class TestPlanProperties:
             "lineitem_abc_analysis",
             "lineitem_dq_audit",
             "supplier_concentration_hhi",
+            # same family: reuses the IVF centroid broadcast + brute-force
+            # query broadcast; both BNLJ sides are the established 8-row/
+            # query-subset constants
+            "embed_ivf_recall",
         }
         from virapipe_spark.queries.staged import STAGED_R7
 

@@ -94,6 +94,7 @@ def test_r7_staging_state_matches_round():
             "events_unpivot_metrics",
             "docs_length_outliers_mad",
             "supplier_concentration_hhi",
+            "embed_ivf_recall",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

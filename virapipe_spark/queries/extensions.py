@@ -4255,3 +4255,95 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(10000.0 / F.col("n_suppliers"), 4).alias("hhi_uniform"),
         )
     )
+
+
+@staged_r7(
+    "embed_ivf_recall",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    cent AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < {_IVF_C}),
+    assign_scored AS (
+      SELECT v.vec_id, v.q, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_sum(list_transform(generate_series(1, len(v.q)),
+                                                i -> v.q[i] * c.cq[i])) DESC,
+                        c.cid
+             ) AS crn
+      FROM q v CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, q, cid FROM assign_scored WHERE crn = 1),
+    probes AS (SELECT vec_id, q, cid FROM assign_scored
+               WHERE vec_id < {_N_QUERIES} AND crn <= {_IVF_PROBE}),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round({_DOT_SQL} /
+                           ({_NORM_SQL.format(s='a')} *
+                            {_NORM_SQL.format(s='b')}), 6) AS cosine
+              FROM probes a JOIN assign b
+                ON a.cid = b.cid AND b.vec_id <> a.vec_id))
+      WHERE rn <= {_TOP_K}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round({_DOT_SQL} /
+                           ({_NORM_SQL.format(s='a')} *
+                            {_NORM_SQL.format(s='b')}), 6) AS cosine
+              FROM q a JOIN q b ON a.vec_id < {_N_QUERIES}
+                                AND b.vec_id <> a.vec_id))
+      WHERE rn <= {_TOP_K}
+    )
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(i.neighbor_id) AS DOUBLE) / {_TOP_K}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def embed_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED ANN quality — per-query recall@{_TOP_K} of the IVF
+    cell-probed search against the brute-force exact top-k, as
+    oracle-checked data: the similarity-search twin of
+    `docs_minhash_recall` (tests/test_recall.py pins the same number
+    in pytest; this entry puts it under the driver's hash so a probe-
+    count or quantizer regression is a CORRECTNESS failure, not just a
+    test failure). Both sides are deterministic — quantized integer
+    cosines, doc-id tie-breaks — so per-query hit counts are exact.
+
+    Scale: reuses the production IVF pipeline and the brute-force
+    baseline unchanged; the comparison is a (query, neighbor)-keyed
+    left join on two K-row-per-query frames — negligible beside
+    either search."""
+    ivf = _ivf_topk(spark, sf_dir, mode=_IVF_MAT).select(
+        "query_id", "neighbor_id"
+    )
+    bf = embed_knn_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    joined = bf.join(
+        ivf,
+        (bf["query_id"] == ivf["query_id"])
+        & (bf["bf_neighbor"] == ivf["neighbor_id"]),
+        "left",
+    )
+    return (
+        joined.groupBy(bf["query_id"].alias("query_id"))
+        .agg(F.count(ivf["neighbor_id"]).cast("long").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / _TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
