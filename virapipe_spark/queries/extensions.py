@@ -3418,19 +3418,31 @@ def _pi_step(gram: DataFrame, v: DataFrame, out_scale: int) -> DataFrame:
     """,
 )
 def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant singular direction of the embedding matrix by POWER
-    ITERATION on the integer Gram matrix — the spectral primitive
-    under PCA whitening / ABTT common-direction removal ("All-but-
-    the-Top"), which an embedding-cleanup pipeline runs before
-    similarity search. Two matrix-vector rounds from the all-ones
-    start, entirely in the repo's integer-exact idiom: Gram entries
-    are exact sums of quantized products, each round's vector is
-    rescaled to ~QUANT magnitude by integer division (both engines
+    """POWER ITERATION on the integer Gram matrix — the spectral
+    primitive under PCA whitening / ABTT common-direction removal
+    ("All-but-the-Top"), which an embedding-cleanup pipeline runs
+    before similarity search. Two matrix-vector rounds from the
+    all-ones start, entirely in the repo's integer-exact idiom: Gram
+    entries are exact sums of quantized products, each round's vector
+    is rescaled to ~QUANT magnitude by integer division (both engines
     truncate toward zero — verified; a floor-vs-trunc divergence on
     negative components would break the hash), so every component is
-    bitwise cross-engine. The `align` witness (cosine of successive
-    iterates, one exactly-rounded division) certifies convergence in
-    the output itself.
+    bitwise cross-engine.
+
+    Honest convergence accounting: the iterate is bit-faithful to
+    exact float power iteration (pinned vs numpy in
+    tests/test_recall.py — cosine ~1.0 to G²·1), and when a dominant
+    direction EXISTS two rounds recover it (same test, constructed
+    anisotropic fixture, cosine > 0.99 to the true eigenvector). This
+    driver corpus is near-isotropic — measured lambda2/lambda1 ~ 0.98
+    — so here v2 is the deterministic 2-round iterate, NOT yet the
+    eigenvector; real embedding corpora are exactly the anisotropic
+    case (the ABTT premise is a LARGE spectral gap on the common
+    direction). The `align` witness is iterate-to-iterate stability —
+    a necessary signal that also saturates early when the spectrum is
+    flat, which is why the fixture test, not the witness, carries the
+    convergence claim. Deeper iteration counts chain the same step
+    (checkpoint cadence as graph.pagerank).
 
     Scale: the Gram matrix is the ONLY data-sized pass — dims² cells
     via a vec_id-blocked self-join of the position-exploded vectors,
@@ -3677,8 +3689,10 @@ def embed_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-but-the-top residual profile (Mu & Viswanath, ICLR'18 —
     removing the corpus-common direction from embeddings before
     similarity search): for each vector, the fraction of its mass
-    OUTSIDE the dominant direction found by `embed_power_iteration`'s
-    Gram rounds. The whole computation stays in exact int64 via the
+    OUTSIDE the direction `embed_power_iteration`'s two Gram rounds
+    produce (on an anisotropic corpus that IS the common direction —
+    see that entry's convergence accounting; on this near-isotropic
+    test corpus it is the deterministic 2-round iterate). The whole computation stays in exact int64 via the
     Gram identity n2*|r|^2 = (q.q)(v.v) - (q.v)^2 (Cauchy-Schwarz
     keeps it non-negative): the direction is rescaled to ~1e3
     magnitude so every product stays under 2^63 with the corpus'
