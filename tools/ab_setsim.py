@@ -8,7 +8,6 @@ import time
 
 sys.path.insert(0, ".")
 from pyspark.sql import functions as F, Window as W
-from virapipe_spark import catalog
 from virapipe_spark.session import session
 from virapipe_spark.queries.extensions import _shingles
 
