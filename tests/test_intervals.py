@@ -156,3 +156,47 @@ class TestCoverage:
         assert got == {
             ("c1", 0): 2, ("c1", 1000): 1, ("c1", 2000): 1, ("c2", 1000): 1,
         }
+
+
+class TestSubtract:
+    def test_subtract_golden(self, spark):
+        """bedtools-subtract semantics on a hand example: covering,
+        splitting, edge-touching, and untouched cases."""
+        from virapipe_spark.intervals import subtract
+
+        a = spark.createDataFrame(
+            [
+                ("a1", "c1", 100, 200),  # split by [120,140] and [160,170]
+                ("a2", "c1", 300, 320),  # fully covered by [290, 330]
+                ("a3", "c1", 400, 450),  # untouched
+                ("a4", "c2", 100, 200),  # other sequence: b on c1 ignored
+                ("a5", "c1", 500, 520),  # b overlaps the left edge
+            ],
+            "id STRING, seqid STRING, start LONG, end LONG",
+        )
+        b = spark.createDataFrame(
+            [
+                ("b1", "c1", 120, 130),
+                ("b2", "c1", 125, 140),  # merges with b1 -> [120,140]
+                ("b3", "c1", 160, 170),
+                ("b4", "c1", 290, 330),
+                ("b5", "c1", 490, 505),
+            ],
+            "id STRING, seqid STRING, start LONG, end LONG",
+        )
+        got = sorted(
+            tuple(r)
+            for r in subtract(a, b).select(
+                "id", "seqid", "seg_start", "seg_end"
+            ).collect()
+        )
+        assert got == sorted(
+            [
+                ("a1", "c1", 100, 119),
+                ("a1", "c1", 141, 159),
+                ("a1", "c1", 171, 200),
+                ("a3", "c1", 400, 450),
+                ("a4", "c2", 100, 200),
+                ("a5", "c1", 506, 520),
+            ]
+        )

@@ -95,6 +95,7 @@ def test_r7_staging_state_matches_round():
             "docs_length_outliers_mad",
             "supplier_concentration_hhi",
             "embed_ivf_recall",
+            "interval_subtract",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

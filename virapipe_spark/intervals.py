@@ -179,3 +179,85 @@ def coverage(
             "n_intervals",
         )
     )
+
+
+def subtract(
+    a: DataFrame,
+    b: DataFrame,
+    seq_col: str = "seqid",
+    start_col: str = "start",
+    end_col: str = "end",
+    id_col: str = "id",
+    bin_size: int = 10_000,
+) -> DataFrame:
+    """Interval subtraction (bedtools ``subtract``): each ``a`` interval
+    minus the union of ``b``, emitted as its surviving sub-segments
+    ``(id, seq, seg_start, seg_end)`` — zero rows for a fully covered
+    interval, the untouched interval verbatim when nothing overlaps.
+    Completes the interval algebra with :func:`overlap_join`,
+    :func:`merge_overlapping`, and :func:`coverage`.
+
+    Shape: ``b`` first collapses to disjoint spans
+    (:func:`merge_overlapping` — so per ``a`` row the overlapping
+    blocks are non-overlapping and sortable), candidates come from the
+    binned :func:`overlap_join` (never an unblocked pair), and the
+    complement segments fall out of one per-``a`` lag window over the
+    clipped blocks: gap-before-each-block plus the trailing gap, empty
+    segments filtered, non-overlapped ``a`` rows restored by anti-join.
+
+    Scale: merge is per-sequence windows; the candidate join is the
+    bin-decomposed equi-join; the segment window partitions by ``a``'s
+    id — parallelism = interval count, partition size = blocks per
+    interval (bounded by interval length / typical span)."""
+    mb = merge_overlapping(b, seq_col, start_col, end_col).select(
+        seq_col, start_col, end_col
+    )
+    ov = overlap_join(
+        a.select(id_col, seq_col, start_col, end_col),
+        mb,
+        seq_col,
+        start_col,
+        end_col,
+        bin_size=bin_size,
+    )
+    sa, ea = start_col + "_a", end_col + "_a"
+    sb, eb = start_col + "_b", end_col + "_b"
+    clipped = ov.select(
+        id_col,
+        F.col(seq_col + "_a").alias(seq_col),
+        F.col(sa),
+        F.col(ea),
+        F.greatest(F.col(sb), F.col(sa)).alias("bs"),
+        F.least(F.col(eb), F.col(ea)).alias("be"),
+    )
+    w = Window.partitionBy(id_col).orderBy("bs")
+    gaps = clipped.select(
+        id_col,
+        seq_col,
+        F.coalesce(F.lag("be").over(w) + 1, F.col(sa)).alias("seg_start"),
+        (F.col("bs") - 1).alias("seg_end"),
+    )
+    trailing = clipped.groupBy(id_col, seq_col, ea).agg(
+        F.max("be").alias("last_be")
+    ).select(
+        id_col,
+        seq_col,
+        (F.col("last_be") + 1).alias("seg_start"),
+        F.col(ea).alias("seg_end"),
+    )
+    untouched = (
+        a.select(id_col, seq_col, start_col, end_col)
+        .filter(F.col(end_col) >= F.col(start_col))
+        .join(ov.select(id_col).distinct(), id_col, "left_anti")
+        .select(
+            id_col,
+            seq_col,
+            F.col(start_col).alias("seg_start"),
+            F.col(end_col).alias("seg_end"),
+        )
+    )
+    return (
+        gaps.unionAll(trailing)
+        .filter(F.col("seg_start") <= F.col("seg_end"))
+        .unionAll(untouched)
+    )

@@ -476,3 +476,112 @@ def promote_r7() -> None:
     for name, (fn, oracle) in STAGED_R7.items():
         catalog.query(name, oracle)(fn)
     R7_PROMOTED = True
+
+
+_SUB_READS_SQL = """
+    SELECT concat('s', o_orderkey) AS id,
+           concat('c', o_orderkey % 3) AS seqid,
+           CAST((o_orderkey * 91) % 94000 AS BIGINT) AS start,
+           CAST((o_orderkey * 91) % 94000 + 80 AS BIGINT) AS "end"
+    FROM orders WHERE o_orderkey < 3000
+"""
+
+
+def _sub_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparser read fixture for the subtraction entry: the shared
+    _READS_SQL coordinate space (% 9400) tiles the gene space wall to
+    wall at sf0.01, so subtraction degenerates to ~full coverage (2
+    surviving segments); % 94000 gives ~5 overlapping reads per gene —
+    splits, edge clips, and untouched genes all present."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    start = (F.col("o_orderkey") * 91) % 94000
+    return o.select(
+        F.concat(F.lit("s"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "seqid"
+        ),
+        start.cast("long").alias("start"),
+        (start + 80).cast("long").alias("end"),
+    )
+
+
+@staged_r7(
+    "interval_subtract",
+    oracle=f"""
+    WITH genes AS ({_GENES_SQL}), reads AS ({_SUB_READS_SQL}),
+    flagged AS (
+      SELECT seqid, start, "end", id,
+             CASE WHEN max("end") OVER (
+                      PARTITION BY seqid ORDER BY start, "end", id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR start > max("end") OVER (
+                      PARTITION BY seqid ORDER BY start, "end", id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS opens
+      FROM reads
+    ),
+    islands AS (
+      SELECT seqid, start, "end",
+             sum(opens) OVER (PARTITION BY seqid ORDER BY start, "end", id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    mb AS (
+      SELECT seqid, min(start) AS bstart, max("end") AS bend
+      FROM islands GROUP BY seqid, island
+    ),
+    ov AS (
+      SELECT g.id, g.seqid, g.start AS sa, g."end" AS ea,
+             greatest(m.bstart, g.start) AS bs,
+             least(m.bend, g."end") AS be
+      FROM genes g JOIN mb m
+        ON g.seqid = m.seqid AND g.start <= m.bend AND m.bstart <= g."end"
+    ),
+    gaps AS (
+      SELECT id, seqid,
+             coalesce(lag(be) OVER (PARTITION BY id ORDER BY bs) + 1, sa)
+               AS seg_start,
+             bs - 1 AS seg_end
+      FROM ov
+    ),
+    trail AS (
+      SELECT id, seqid, max(be) + 1 AS seg_start, max(ea) AS seg_end
+      FROM ov GROUP BY id, seqid
+    ),
+    untouched AS (
+      SELECT g.id, g.seqid, g.start AS seg_start, g."end" AS seg_end
+      FROM genes g
+      WHERE NOT EXISTS (SELECT 1 FROM ov WHERE ov.id = g.id)
+    )
+    SELECT id, seqid, seg_start, seg_end FROM (
+      SELECT * FROM gaps WHERE seg_start <= seg_end
+      UNION ALL
+      SELECT * FROM trail WHERE seg_start <= seg_end
+      UNION ALL
+      SELECT * FROM untouched
+    )
+    """,
+)
+def interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`intervals.subtract` (bedtools subtract) under the correctness
+    gate: gene intervals minus the merged read spans, emitted as the
+    surviving sub-segments — the interval-algebra completion beside
+    the overlap join, merge, and binned coverage entries. Hash-exact
+    integers; what the hash proves is the windowed complement
+    construction (merged-block disjointness, lag-gap boundaries,
+    trailing segments, untouched restoration) — each boundary
+    off-by-one breaks it. Golden edge cases (full coverage, splits,
+    edge overlap, cross-sequence isolation) are additionally pinned in
+    tests/test_intervals.py::TestSubtract.
+
+    Scale: see intervals.subtract — merge windows per sequence, binned
+    candidate join, per-interval segment windows."""
+    from virapipe_spark.intervals import subtract
+
+    out = subtract(
+        _genes(spark, sf_dir), _sub_reads(spark, sf_dir), bin_size=512
+    )
+    return out.select("id", "seqid", "seg_start", "seg_end")
