@@ -573,3 +573,25 @@ class TestBamWrite:
         assert got["b"]["referenceName"] is None
         assert got["b"]["readUnmapped"] and not got["b"]["duplicateRead"]
         assert got["b"]["bases"] == "TTTT"
+
+    def test_write_bam_nulls_map_to_missing_markers(self, spark, tmp_path):
+        """The reader's permissive-null rows must survive the binary
+        sink: null name -> '*', null bases -> zero-length seq, null
+        start -> unplaced (-1 -> reader start 0)."""
+        from virapipe_spark import bam as vbam
+
+        df = spark.createDataFrame(
+            [(None, None, None, None, "", True, False)],
+            "readName STRING, start INT, referenceName STRING, "
+            "bases STRING, cigar STRING, readUnmapped BOOLEAN, "
+            "duplicateRead BOOLEAN",
+        )
+        out = str(tmp_path / "bam_nulls")
+        vbam.write_bam(df, out)
+        rows = vbam.read_bam(spark, out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["readName"] == "*"
+        assert r["bases"] == ""
+        assert r["length"] == 0
+        assert r["referenceName"] is None and r["readUnmapped"]

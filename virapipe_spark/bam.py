@@ -320,15 +320,20 @@ def write_bam(
     def _write_partition(rows) -> None:
         recs = []
         for r in rows:
+            # permissive-null convention, sink side: the SAM reader
+            # nulls malformed fields rather than erroring; the binary
+            # sink maps them to the spec's missing markers ("*" name,
+            # zero-length seq, empty CIGAR) instead of crashing an
+            # executor mid-shard on one bad row.
             recs.append(
                 {
-                    "read_name": r["readName"],
+                    "read_name": r["readName"] or "*",
                     "ref_id": ref_index.get(r["referenceName"], -1),
-                    "pos": int(r["start"]) - 1,
+                    "pos": (int(r["start"]) - 1) if r["start"] is not None else -1,
                     "flag": (0x4 if r["readUnmapped"] else 0)
                     | (0x400 if r["duplicateRead"] else 0),
                     "cigar": r["cigar"] or "",
-                    "seq": r["bases"],
+                    "seq": r["bases"] or "",
                 }
             )
         if not recs:
