@@ -43,3 +43,9 @@ class TestPythonDataSource:
         out = df.select(avg_quality("quality").alias("aq")).collect()
         assert len(out) == 40
         assert all(r["aq"] > 0 for r in out)
+
+
+    def test_empty_source_yields_zero_rows(self, spark):
+        spark.dataSource.register(SyntheticReadsDataSource)
+        df = spark.read.format("synthetic_reads").option("n", 0).load()
+        assert df.count() == 0

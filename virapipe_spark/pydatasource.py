@@ -63,11 +63,14 @@ class SyntheticReadsReader(DataSourceReader):
 
     def partitions(self):
         # contiguous id ranges — the split planning a real connector
-        # does against its remote system's native sharding
-        per = -(-self.n // self.parts)
+        # does against its remote system's native sharding. An empty
+        # source still plans ONE empty partition: Spark requires a
+        # non-empty split list (and ceil-div of n=0 would make the
+        # range step 0).
+        per = max(1, -(-self.n // self.parts))
         return [
             InputPartition((lo, min(lo + per, self.n)))
-            for lo in range(0, self.n, per)
+            for lo in range(0, max(self.n, 1), per)
         ]
 
     def read(self, partition):
