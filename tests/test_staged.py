@@ -96,6 +96,7 @@ def test_r7_staging_state_matches_round():
             "supplier_concentration_hhi",
             "embed_ivf_recall",
             "interval_subtract",
+            "events_change_point",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

@@ -1793,3 +1793,74 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "day", ["clicks", "views", "purchases"], "metric", "n"
     )
+
+
+@staged_r7(
+    "events_change_point",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             count(*) AS c
+      FROM events GROUP BY day
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS n FROM daily),
+    pre AS (
+      SELECT day, c,
+             CAST(sum(c) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    dev AS (
+      SELECT p.day, CAST(p.c AS BIGINT) AS c,
+             t.n * p.s - p.i * t.t AS d
+      FROM pre p, tot t
+    ),
+    mx AS (SELECT max(abs(d)) AS m FROM dev)
+    SELECT v.day, v.c, v.d,
+           v.day = (SELECT min(day) FROM dev, mx WHERE abs(d) = m)
+             AS is_changepoint
+    FROM dev v
+    """,
+)
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection on the daily event-count series —
+    the CUSUM/Pettitt-style structural-break statistic in the repo's
+    integer-exact idiom: instead of comparing float prefix means, the
+    deviation at day i is ``n*S_i − i*T`` (prefix sum scaled by day
+    count minus expected share of the total — an exact integer that is
+    n*i times the prefix-mean-vs-global-mean gap), and the changepoint
+    is the argmax of |deviation| (min-day tie-break). The full
+    deviation series ships in the output, so the hash pins every
+    intermediate, not just the winner. The time-series family's
+    structural-break member beside trend (`events_user_trend`), anomaly
+    days (z-score), decay, and gap-fill.
+
+    Scale: one day-keyed count (map-side combinable), a running-sum
+    window over the DAY GRAIN (observation span, never event volume —
+    same bound as `events_cohort_ltv`), and two one-row broadcasts."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    daily = e.groupBy(day.alias("day")).agg(F.count("*").alias("c"))
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("t"), F.count("*").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.select(
+        "day",
+        F.col("c").cast("long").alias("c"),
+        F.sum("c").over(w).cast("long").alias("s"),
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+    )
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        "day", "c", (F.col("n") * F.col("s") - F.col("i") * F.col("t")).alias("d")
+    )
+    mx = dev.agg(F.max(F.abs(F.col("d"))).alias("m"))
+    cp = (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("d")) == F.col("m"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    return dev.crossJoin(F.broadcast(cp)).select(
+        "day", "c", "d", (F.col("day") == F.col("cp_day")).alias("is_changepoint")
+    )
