@@ -114,6 +114,8 @@ class TestPlanProperties:
             # query broadcast; both BNLJ sides are the established 8-row/
             # query-subset constants
             "embed_ivf_recall",
+            # same pattern: three ONE-ROW broadcasts (total, max-dev, argmax)
+            "events_change_point",
         }
         from virapipe_spark.queries.staged import STAGED_R7
 
