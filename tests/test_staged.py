@@ -97,6 +97,7 @@ def test_r7_staging_state_matches_round():
             "embed_ivf_recall",
             "interval_subtract",
             "events_change_point",
+            "multimodal_audio_resample",
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[6-9].json")) or glob.glob(

@@ -941,3 +941,54 @@ def encode_au(sample_rate: int, samples: np.ndarray, ulaw: bool = False) -> byte
         enc = _AU_PCM16
     hdr = _AU_MAGIC + struct.pack(">IIIII", 24, len(raw), enc, sample_rate, n_ch)
     return hdr + raw
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Sample-rate conversion for audio payloads — the audio twin of
+    :func:`resize_images`: WAV (RIFF) and AU payloads decode through
+    the REAL codecs, resample by nearest-neighbor sample selection
+    (output index j reads source index ``j * src_rate // target_rate``
+    — exact integer arithmetic, so the selected samples are
+    bit-identical cross-engine; a production build swaps in a
+    polyphase filter, same contract), and re-encode as 16-bit PCM WAV
+    at the target rate. Output length is ``n * target // src``
+    (integer), so down- and up-sampling are both defined.
+
+    Scale: same rules as every multimodal transform — metadata filter
+    first, one Arrow boundary, payload bytes cross once per batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                if data[:4] == b"RIFF":
+                    src_rate, samples = decode_wav(data)
+                elif data[:4] == _AU_MAGIC:
+                    src_rate, samples = decode_au(data)
+                else:
+                    raise ValueError("resample_audio: not a WAV/AU payload")
+                n = len(samples)
+                m = (n * target_rate) // src_rate
+                idx = (np.arange(m) * src_rate) // target_rate
+                out = samples[idx] if m else samples[:0]
+                rows.append(
+                    (mid, target_rate, int(m), encode_wav(target_rate, out))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESAMPLED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "data"
+    ).mapInPandas(gen, RESAMPLED_SCHEMA)

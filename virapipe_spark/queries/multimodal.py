@@ -597,3 +597,92 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"),
         F.round("std_intensity", 4).alias("std_intensity"),
     )
+
+
+@staged_r7(
+    "multimodal_audio_resample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 48) AS p
+      FROM documents
+    ),
+    j AS (SELECT doc_id, p, unnest(generate_series(0, 16)) AS j FROM s)
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(j AS INTEGER) AS sample_idx,
+           CAST(ascii(substr(p, CAST((j * 22050) // 8000 AS INTEGER) + 1, 1))
+                AS INTEGER) AS sample
+    FROM j
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED audio sample-rate conversion — the composed audio
+    dataflow mirroring `multimodal_resize_features`: md5-coded int16
+    samples encode as REAL 22050 Hz WAV, `multimodal.resample_audio`
+    decodes, selects by exact integer nearest-neighbor
+    (``j * 22050 // 8000``), and re-encodes at 8000 Hz; the result WAV
+    decodes AGAIN through the RIFF parser and every surviving sample
+    is compared scalar-by-scalar against the oracle picking the same
+    indices relationally. Chunk-walk, length (48 -> 17), index
+    arithmetic, and int16 round-trip bugs all break the hash.
+
+    Scale: two Arrow boundaries (transform + verify-decode) on
+    metadata-filtered payload batches — the verify pass exists for the
+    gate; production stops at the re-encoded binary."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            48,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_wav(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_wav(
+                    22050,
+                    np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int16),
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        to_wav("p").alias("data"),
+    )
+    resampled = mm.resample_audio(media, 8000)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("sample_idx", T.IntegerType()),
+            T.StructField("sample", T.IntegerType()),
+        ]
+    )
+
+    def verify_decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                rate, samples = mm.decode_wav(bytes(data))
+                for j, v in enumerate(samples):
+                    rows.append((mid, rate, j, int(v)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return resampled.select("media_id", "data").mapInPandas(
+        verify_decode, out_schema
+    )
