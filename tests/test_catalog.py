@@ -89,12 +89,13 @@ class TestOracleDtypeFidelity:
             p = f"{sf_dir}/{t}.parquet"
             if __import__("os").path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        from virapipe_spark.queries.staged import STAGED_R7
+        from virapipe_spark.queries.staged import STAGED_R7, STAGED_R8
 
         audited = dict(catalog.ORACLES)
-        for n, (_fn, o) in STAGED_R7.items():
-            if o is not None:
-                audited.setdefault(n, o)
+        for gen in (STAGED_R7, STAGED_R8):
+            for n, (_fn, o) in gen.items():
+                if o is not None:
+                    audited.setdefault(n, o)
         offenders = []
         for name, sql in audited.items():
             cols = con.execute(f"DESCRIBE {sql}").fetchall()

@@ -1,10 +1,18 @@
-"""truncate_lineage: localCheckpoint on plain sessions, RELIABLE
-checkpoint when a checkpoint dir is configured — the preemptible-
-cluster upgrade every iterative operator gets for free."""
+"""truncate_lineage: localCheckpoint by default (intra-query dedup
+must not leak reliable-checkpoint files — ADVICE r6), RELIABLE
+checkpoint only for reliable=True call sites (graph.py's iterative
+loops) when a checkpoint dir is configured.
+
+The dir-configured case runs in a DEDICATED subprocess session instead
+of mutating the shared session's checkpoint dir through the private
+``checkpointDir_$eq`` Scala setter (version-brittle py4j plumbing —
+ADVICE r6)."""
 
 from __future__ import annotations
 
-import os
+import subprocess
+import sys
+import textwrap
 
 from pyspark.sql import functions as F
 
@@ -17,41 +25,74 @@ class TestTruncateLineage:
         out = truncate_lineage(spark.range(10).withColumn("v", F.col("id") * 2))
         assert out.count() == 10
 
-    def test_reliable_when_dir_configured(self, spark, tmp_path):
-        sc = spark.sparkContext
-        d = str(tmp_path / "ckpt")
-        sc.setCheckpointDir(d)
-        try:
-            out = truncate_lineage(
-                spark.range(20).withColumn("v", F.col("id") + 1)
-            )
-            assert out.count() == 20
-            # reliable checkpoints materialize files under the dir
-            found = [
-                f
-                for root, _, files in os.walk(d)
-                for f in files
-                if not f.startswith(".")
-            ]
-            assert found, "no reliable checkpoint files written"
-            # BFS still correct under reliable checkpointing (dist
-            # frame checkpoints each round with checkpoint_every=1)
+    def test_reliable_flag_is_local_without_dir(self, spark):
+        # reliable=True degrades to localCheckpoint when no dir is set
+        out = truncate_lineage(
+            spark.range(5).withColumn("v", F.col("id") + 1), reliable=True
+        )
+        assert out.count() == 5
+
+    def test_dir_configured_semantics_dedicated_session(self, tmp_path):
+        """In a session WITH a checkpoint dir: the default
+        (reliable=False) still localCheckpoints — no files appear under
+        the dir, so intra-query dedup call sites cannot leak disk —
+        while reliable=True writes reliable checkpoint files and BFS
+        stays correct checkpointing every round."""
+        script = textwrap.dedent(
+            """
+            import os, sys
+            from pyspark.sql import SparkSession, functions as F
+            from virapipe_spark.scale import truncate_lineage
             from virapipe_spark.graph import bfs_hops
 
-            edges = spark.createDataFrame(
-                [(0, 1), (1, 2), (2, 3)], ["src", "dst"]
+            d = sys.argv[1]
+            spark = (
+                SparkSession.builder.master("local[2]")
+                .appName("ckpt_dedicated")
+                .config("spark.sql.shuffle.partitions", "2")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
             )
+            spark.sparkContext.setCheckpointDir(d)
+
+            def files_under(d):
+                return [
+                    f
+                    for root, _, files in os.walk(d)
+                    for f in files
+                    if not f.startswith(".")
+                ]
+
+            # default: intra-query dedup stays executor-local
+            out = truncate_lineage(spark.range(20).withColumn("v", F.col("id") + 1))
+            assert out.count() == 20
+            assert not files_under(d), f"default leaked files: {files_under(d)}"
+
+            # reliable=True: materializes under the dir
+            out = truncate_lineage(
+                spark.range(20).withColumn("v", F.col("id") * 2), reliable=True
+            )
+            assert out.count() == 20
+            assert files_under(d), "no reliable checkpoint files written"
+
+            # iterative loop correct under reliable checkpointing
+            edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
             srcs = spark.createDataFrame([(0,)], ["node"])
             got = {
                 r["node"]: r["dist"]
-                for r in bfs_hops(
-                    edges, srcs, max_hops=3, checkpoint_every=1
-                ).collect()
+                for r in bfs_hops(edges, srcs, max_hops=3, checkpoint_every=1).collect()
             }
-            assert got == {0: 0, 1: 1, 2: 2, 3: 3}
-        finally:
-            # restore the no-dir state so the shared session's other
-            # tests keep the localCheckpoint fast path
-            setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
-            setter(sc._jvm.scala.Option.empty())
-        assert sc._jsc.sc().getCheckpointDir().isEmpty()
+            assert got == {0: 0, 1: 1, 2: 2, 3: 3}, got
+            spark.stop()
+            print("CKPT_OK")
+            """
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script, str(tmp_path / "ckpt")],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "CKPT_OK" in proc.stdout

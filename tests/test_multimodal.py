@@ -590,3 +590,127 @@ class TestTiffCodec:
             assert (mm.decode_tiff(mm.encode_tiff(img, bo)) == img).all()
 
         prop()
+
+
+class TestJpegCodec:
+    """Baseline JPEG (r7): pure-numpy sequential DCT + canonical
+    Huffman. Flat 8x8 blocks round-trip bit-exactly (the catalog
+    entry's oracle lever); everything else is bounded-error, as a
+    lossy codec permits."""
+
+    def test_flat_blocks_bit_exact(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+        img = vals.repeat(8, axis=0).repeat(8, axis=1)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, img)
+
+    def test_random_gray_error_bounded(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(12)
+        for shape in [(8, 8), (24, 40), (13, 11), (1, 1), (9, 17)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img))
+            assert out.shape == shape
+            # Q=1: only DCT/IDCT float rounding -> off-by-one at most
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_rgb_and_420_subsampling(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        # YCbCr forward+inverse rounding: a few codes of drift
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+        # flat color survives 4:2:0 downsampling exactly
+        flat = np.full((16, 24, 3), [120, 45, 200], dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat, subsample=True))
+        assert np.array_equal(out, flat)
+
+    def test_restart_markers_resync(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        blob = encode_jpeg(img, restart_interval=2)
+        assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+        out = decode_jpeg(blob)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_quant_table_roundtrips_through_dqt(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        q = np.full((8, 8), 16, dtype=np.int32)  # real quantization loss
+        out = decode_jpeg(encode_jpeg(img, qtable=q))
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err > 1  # lossy for real with Q=16
+        assert err <= 64  # but bounded by the quantization grain
+
+    def test_adversarial_bitstreams(self):
+        import numpy as np
+        import pytest
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        blob = encode_jpeg(img)
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00" + blob[1:])  # no SOI
+        with pytest.raises((ValueError, IndexError, NotImplementedError)):
+            decode_jpeg(blob[:20])  # truncated before scan
+        # progressive SOF2 is explicitly unsupported, not mis-decoded
+        sof0 = blob.find(b"\xff\xc0")
+        prog = blob[:sof0] + b"\xff\xc2" + blob[sof0 + 2 :]
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(prog)
+        # stuffed-byte handling: entropy data containing 0xFF00 decodes
+        # (any all-ones-heavy image exercises this path statistically)
+        bright = np.full((16, 16), 255, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(bright)), bright)
+
+    def test_property_random_flat_block_images(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(16)
+        for _ in range(10):
+            bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+            vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+            img = vals.repeat(8, axis=0).repeat(8, axis=1)
+            assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+    def test_image_features_from_real_jpeg(self, spark):
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        vals = np.array([[10, 200], [30, 90]], dtype=np.uint8)
+        img = vals.repeat(8, axis=0).repeat(8, axis=1)
+        blob = mm.encode_jpeg(img)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(blob), 16, 16, 0, 0)],
+            "media_id long, kind string, data binary, width int, "
+            "height int, sample_rate int, duration_ms int",
+        )
+        row = mm.decode_image_features(media).collect()[0]
+        assert (row["width"], row["height"], row["n_bytes"]) == (16, 16, 256)
+        assert abs(row["mean_intensity"] - vals.mean()) < 1e-9
+        assert abs(row["std_intensity"] - vals.std()) < 1e-9

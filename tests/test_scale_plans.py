@@ -109,7 +109,9 @@ class TestPlanProperties:
             "embed_cluster_purity",
             "lineitem_abc_analysis",
             "lineitem_dq_audit",
-            "supplier_concentration_hhi",
+            # (supplier_concentration_hhi left this set in r7: the
+            # integer-exact rewrite folded the one-row total into a
+            # single aggregate — no join remains at all)
             # same family: reuses the IVF centroid broadcast + brute-force
             # query broadcast; both BNLJ sides are the established 8-row/
             # query-subset constants
@@ -117,11 +119,10 @@ class TestPlanProperties:
             # same pattern: three ONE-ROW broadcasts (total, max-dev, argmax)
             "events_change_point",
         }
-        from virapipe_spark.queries.staged import STAGED_R7
+        from virapipe_spark.queries.staged import pending_staged
 
         audited = dict(catalog.QUERIES)
-        for n, (fn, _o) in STAGED_R7.items():
-            audited.setdefault(n, fn)
+        audited.update(pending_staged())
         for name, fn in audited.items():
             df = fn(spark, SF_DIR)
             p = _plan(df)
@@ -207,8 +208,25 @@ class TestPlanProperties:
             # r6: binary BAM decode (BGZF+record layout) is inherently
             # a bytes->rows Python boundary, Arrow-batched per file
             "bam_scan_roundtrip",
+            # r7 promotions: same codec-boundary class as the above —
+            # BAM write path re-reads its own binary output via read_bam
+            "bam_write_roundtrip",
+            # TIFF decode (both byte orders) is a bytes->rows codec
+            "multimodal_tiff_features",
+            # audio resample: decode (AU/µ-law) + polyphase resample are
+            # Arrow-batched numpy stages
+            "multimodal_audio_resample",
+            # r7: baseline JPEG encode->decode is a bytes<->rows codec
+            # boundary like the PNG/GIF/TIFF twins
+            "multimodal_jpeg_features",
         }
-        for name, fn in catalog.QUERIES.items():
+        # r7 process fix: audit staged entries pre-flip too (the r6 red
+        # test came from this sweep missing the staged set).
+        from virapipe_spark.queries.staged import pending_staged
+
+        audited = dict(catalog.QUERIES)
+        audited.update(pending_staged())
+        for name, fn in audited.items():
             p = _plan(fn(spark, SF_DIR))
             assert "BatchEvalPython" not in p, name
             if name not in allowed_pandas:

@@ -56,6 +56,8 @@ def main() -> int:
 
         if not staged_mod.R7_PROMOTED:
             staged_mod.promote_r7()
+        if not staged_mod.R8_PROMOTED:
+            staged_mod.promote_r8()
 
     if bare:
         from pyspark.sql import SparkSession

@@ -306,7 +306,11 @@ def write_bam(
     from pyspark.sql import functions as F
 
     refs = sorted(
-        (r["referenceName"], int(r["l_ref"]))
+        # l_ref aggregates to NULL when a reference's rows all have
+        # null start/bases — keep the reference in the dictionary with
+        # the spec-minimum length 1 rather than TypeError-ing on the
+        # driver (ADVICE r6).
+        (r["referenceName"], int(r["l_ref"]) if r["l_ref"] is not None else 1)
         for r in df.filter(F.col("referenceName").isNotNull())
         .groupBy("referenceName")
         .agg(
@@ -338,10 +342,21 @@ def write_bam(
             )
         if not recs:
             return
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         blob = encode_bam(header_text, refs, recs, block_size)
-        with open(os.path.join(path, f"part-{pid:05d}.bam"), "wb") as fh:
+        # temp-file + atomic rename: a failed/retried/speculative task
+        # must never leave a truncated shard, and the LAST completed
+        # attempt wins the final name (rename is atomic within a POSIX
+        # dir; on a real cluster this is the FileOutputCommitter's
+        # _temporary/attempt dance — same contract) (ADVICE r6).
+        final = os.path.join(path, f"part-{pid:05d}.bam")
+        tmp = os.path.join(
+            path, f".part-{pid:05d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
+        with open(tmp, "wb") as fh:
             fh.write(blob)
+        os.replace(tmp, final)
 
     df.select(
         "readName",

@@ -225,6 +225,16 @@ def load_all() -> None:
             os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
         ):
             staged.promote_r7()
+    # Round-8 flip, SELF-ARMING on the round-7 artifacts (same pattern).
+    if not staged.R8_PROMOTED:
+        import glob
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(
+            os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+        ):
+            staged.promote_r8()
 
 
 def _verified_rounds(root: str | None = None) -> dict[str, int]:

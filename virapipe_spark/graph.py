@@ -86,7 +86,7 @@ def connected_components(
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
             # truncate lineage: the next round's plan starts from the
             # materialized labels, not the whole join chain so far
-            new_labels = truncate_lineage(new_labels)
+            new_labels = truncate_lineage(new_labels, reliable=True)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -175,7 +175,7 @@ def connected_components_doubling(
             ).alias(label_col),
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            new_labels = truncate_lineage(new_labels)
+            new_labels = truncate_lineage(new_labels, reliable=True)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -268,7 +268,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            ranks = truncate_lineage(ranks)
+            ranks = truncate_lineage(ranks, reliable=True)
     return ranks.select("node", "rank")
 
 
@@ -320,5 +320,5 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
         if h % checkpoint_every == 0 and h < max_hops:
-            dist = truncate_lineage(dist, eager=False)
+            dist = truncate_lineage(dist, eager=False, reliable=True)
     return dist

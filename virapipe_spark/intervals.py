@@ -206,9 +206,12 @@ def subtract(
     segments filtered, non-overlapped ``a`` rows restored by anti-join.
 
     Scale: merge is per-sequence windows; the candidate join is the
-    bin-decomposed equi-join; the segment window partitions by ``a``'s
-    id — parallelism = interval count, partition size = blocks per
-    interval (bounded by interval length / typical span)."""
+    bin-decomposed equi-join; the segment window partitions by the FULL
+    a-interval identity ``(id, seq, start, end)`` — ids need not be
+    globally unique — with parallelism = interval count and partition
+    size = blocks per interval (bounded by interval length / typical
+    span). Exact duplicate ``a`` rows collapse to one segment set
+    (their blocks land in one window partition)."""
     mb = merge_overlapping(b, seq_col, start_col, end_col).select(
         seq_col, start_col, end_col
     )
@@ -230,14 +233,18 @@ def subtract(
         F.greatest(F.col(sb), F.col(sa)).alias("bs"),
         F.least(F.col(eb), F.col(ea)).alias("be"),
     )
-    w = Window.partitionBy(id_col).orderBy("bs")
+    # partition by the FULL a-interval identity, not id alone: ids need
+    # not be globally unique (same id on two seqids, duplicate rows) and
+    # blocks from two different a-intervals must never interleave in one
+    # lag window (ADVICE r6)
+    w = Window.partitionBy(id_col, seq_col, sa, ea).orderBy("bs")
     gaps = clipped.select(
         id_col,
         seq_col,
         F.coalesce(F.lag("be").over(w) + 1, F.col(sa)).alias("seg_start"),
         (F.col("bs") - 1).alias("seg_end"),
     )
-    trailing = clipped.groupBy(id_col, seq_col, ea).agg(
+    trailing = clipped.groupBy(id_col, seq_col, sa, ea).agg(
         F.max("be").alias("last_be")
     ).select(
         id_col,
@@ -248,7 +255,19 @@ def subtract(
     untouched = (
         a.select(id_col, seq_col, start_col, end_col)
         .filter(F.col(end_col) >= F.col(start_col))
-        .join(ov.select(id_col).distinct(), id_col, "left_anti")
+        .join(
+            # anti-join on the full identity too: an id overlapped on
+            # one seqid must not drop the same id's untouched interval
+            # on another
+            ov.select(
+                id_col,
+                F.col(seq_col + "_a").alias(seq_col),
+                F.col(sa).alias(start_col),
+                F.col(ea).alias(end_col),
+            ).distinct(),
+            [id_col, seq_col, start_col, end_col],
+            "left_anti",
+        )
         .select(
             id_col,
             seq_col,

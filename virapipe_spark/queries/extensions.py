@@ -4214,9 +4214,18 @@ def docs_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The ONLY float arithmetic in the HHI entry, shared VERBATIM between
+#: Spark and DuckDB: both engines evaluate it once, on one row, over
+#: exact integers — no reduction order exists to drift.
+_HHI_EXPR = (
+    "round(CAST(sumsq AS DOUBLE) * 10000.0 / "
+    "(CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 4)"
+)
+
+
 @staged_r7(
     "supplier_concentration_hhi",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT l_suppkey,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -4224,50 +4233,54 @@ def docs_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_suppkey
     ),
     tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
-                   count(*) AS n_suppliers
+                   count(*) AS n_suppliers,
+                   CAST(max(cents) AS BIGINT) AS top_cents,
+                   sum(CAST(cents AS HUGEINT) * cents) AS sumsq
             FROM rev)
-    SELECT t.n_suppliers, t.total,
-           CAST(max(r.cents) AS BIGINT) AS top_cents,
-           round(sum((CAST(r.cents AS DOUBLE) / t.total)
-                     * (CAST(r.cents AS DOUBLE) / t.total)) * 10000, 4)
-             AS hhi,
-           round(10000.0 / t.n_suppliers, 4) AS hhi_uniform
-    FROM rev r, tot t
-    GROUP BY t.n_suppliers, t.total
+    SELECT n_suppliers, total, top_cents,
+           {_HHI_EXPR} AS hhi,
+           round(10000.0 / n_suppliers, 4) AS hhi_uniform
+    FROM tot
     """,
 )
 def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration profile: the Herfindahl–Hirschman index of
     supplier revenue shares (Σ share², ×10000 points — the antitrust
-    scale), with the uniform-market floor 10000/n for context. Shares
-    are exactly-rounded divisions of exact integer cents by the exact
-    total; the share² sum is a float reduction, made order-safe by
-    summing a DERIVED METRIC in one aggregate on both engines over
-    identical values — and robustness to reduce-order drift comes from
-    the 4dp round on a quantity bounded in [10000/n, 10000] where
-    adjacent-ulp effects sit far below the rounding grain.
+    scale), with the uniform-market floor 10000/n for context.
 
-    Scale: one suppkey aggregate + a one-row broadcast total; the HHI
-    fold is a single pass over supplier-grain rows (n_suppliers ≪
-    rows), the concentration dashboard every marketplace computes."""
+    Integer-exact per ADVICE r6: HHI = Σcents² / total² — both moments
+    accumulate as EXACT wide integers (decimal(38,0) in Spark, HUGEINT
+    in DuckDB; cents² ≈ 1e20 overflows int64, hence the widening), so
+    no float reduction exists anywhere and partition/reduce order
+    cannot move the result. The one float expression (``_HHI_EXPR``) is
+    evaluated once on the single result row, over identical exact
+    inputs, with its SQL text shared verbatim between both engines.
+
+    Scale: one suppkey aggregate, then a one-row total — the HHI fold
+    rides the same aggregate (n_suppliers ≪ rows), the concentration
+    dashboard every marketplace computes."""
     li = table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(cents).cast("long").alias("cents")
     )
+    wide = F.col("cents").cast("decimal(38,0)")
     tot = rev.agg(
         F.sum("cents").cast("long").alias("total"),
         F.count("*").alias("n_suppliers"),
+        F.max("cents").cast("long").alias("top_cents"),
+        F.sum(wide * wide).alias("sumsq"),
     )
-    share = F.col("cents").cast("double") / F.col("total")
-    return (
-        rev.crossJoin(F.broadcast(tot))
-        .groupBy("n_suppliers", "total")
-        .agg(
-            F.max("cents").cast("long").alias("top_cents"),
-            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
-            F.round(10000.0 / F.col("n_suppliers"), 4).alias("hhi_uniform"),
-        )
+    return tot.select(
+        "n_suppliers",
+        "total",
+        "top_cents",
+        F.expr(_HHI_EXPR).alias("hhi"),
+        # 10000.0 lexes as decimal(5,1) in Spark but DOUBLE in DuckDB —
+        # pin the double type explicitly
+        F.expr("round(CAST(10000.0 AS DOUBLE) / n_suppliers, 4)").alias(
+            "hhi_uniform"
+        ),
     )
 
 

@@ -686,3 +686,84 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resampled.select("media_id", "data").mapInPandas(
         verify_decode, out_schema
     )
+
+
+@query(
+    "multimodal_jpeg_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text), 1, 4) AS p FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 4)) AS i, p FROM s),
+    v AS (SELECT doc_id, ascii(substr(p, i, 1)) AS code FROM c)
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(256 AS INTEGER) AS n_bytes,
+           round(avg(code), 4) AS mean_intensity,
+           round(stddev_pop(code), 4) AS std_intensity
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED baseline JPEG decode (round 7 — the codec is REAL:
+    pure-numpy sequential DCT + canonical Huffman, multimodal.
+    encode_jpeg/decode_jpeg). Each document becomes a 16x16 grayscale
+    image of four FLAT 8x8 blocks whose values are the ascii codes of
+    md5(text)'s first 4 chars; flat blocks survive JPEG's
+    DCT->quantize->IDCT round-trip BIT-EXACTLY (only the DC coefficient
+    is nonzero and Q=1 dequantization is exact), so the decoded pixel
+    statistics are deterministic and the DuckDB oracle recomputes them
+    relationally — 64 pixels per block weight every block value
+    equally, so image mean/stddev equal the 4-value mean/stddev. A
+    marker-walk, Huffman, bit-unstuffing, zigzag, or IDCT bug breaks
+    the hash. (AC paths, color, 4:2:0, and restart markers are
+    exercised by tests/test_multimodal.py with the error bounds a
+    lossy codec permits — the oracle pins the exactly-decodable
+    subset.)
+
+    Scale: same shape as the PNG/TIFF twins — metadata-first filter,
+    one Arrow codec boundary, featurization fully parallel per batch;
+    mean over 256 = sum/2^8 is float-exact, matching avg() over the 4
+    codes in DuckDB."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.md5("text"), 1, 4).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_jpeg(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_jpeg(
+                    np.frombuffer(s.encode(), dtype=np.uint8)
+                    .reshape(2, 2)
+                    .repeat(8, axis=0)
+                    .repeat(8, axis=1)
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        to_jpeg("p").alias("data"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+    )

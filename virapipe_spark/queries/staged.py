@@ -585,3 +585,56 @@ def interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _genes(spark, sf_dir), _sub_reads(spark, sf_dir), bin_size=512
     )
     return out.select("id", "seqid", "seg_start", "seg_end")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 overflow, staged for the round-8 window
+# ---------------------------------------------------------------------------
+
+#: Same mechanism as STAGED_R7, one generation on: entries authored in
+#: round 7 beyond the 50-slot driver window go here and flip live once
+#: the round-7 driver artifacts exist (self-arming in catalog.load_all).
+#: Pre-flip gate (ALL FOUR sweeps, closing the r6 process hole where the
+#: pandas-UDF sweep missed staged entries): the cartesian/BNLJ audit,
+#: the lossy-oracle-type sweep, the pandas-UDF plan sweep, and two-scale
+#: strict verification — each iterates pending_staged() so staged
+#: entries are audited in their promoted form BEFORE the flip.
+STAGED_R8: dict[str, tuple[QueryFn, str | None]] = {}
+
+R8_PROMOTED = False
+
+
+def staged_r8(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED_R8 or name in STAGED_R7 or name in catalog.QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        STAGED_R8[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote_r8() -> None:
+    """Register the round-7 overflow into the live catalog (armed by
+    catalog.load_all once CORRECTNESS_r07+ exists)."""
+    global R8_PROMOTED
+    if R8_PROMOTED:
+        return
+    for name, (fn, oracle) in STAGED_R8.items():
+        catalog.query(name, oracle)(fn)
+    R8_PROMOTED = True
+
+
+def pending_staged() -> dict[str, QueryFn]:
+    """Every staged entry not yet live in catalog.QUERIES, across all
+    staging generations. Plan-audit sweeps (tests/test_scale_plans.py)
+    iterate catalog.QUERIES ∪ pending_staged() so a staged entry is
+    audited in exactly the form it will have post-flip — the r6 lesson:
+    the pandas-UDF sweep skipped staged entries and went red the moment
+    the self-arming promotion fired."""
+    out: dict[str, QueryFn] = {}
+    for gen in (STAGED_R7, STAGED_R8):
+        for n, (fn, _o) in gen.items():
+            if n not in catalog.QUERIES:
+                out[n] = fn
+    return out

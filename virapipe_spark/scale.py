@@ -231,21 +231,35 @@ def hamilton_allocate(
     )
 
 
-def truncate_lineage(df, eager: bool = True):
-    """Checkpoint ``df`` to truncate lineage, picking the STRONGEST
-    available store: if the session has a checkpoint directory
-    configured (``spark.sparkContext.setCheckpointDir`` — a
-    distributed-FS path on a real cluster), use RELIABLE
-    ``checkpoint`` (survives executor loss — the preemptible-cluster
-    requirement every iterative docstring in graph.py flags);
-    otherwise fall back to ``localCheckpoint`` (executor-local blocks,
-    the right default on local[...] where writing a reliable
-    checkpoint to /tmp buys nothing).
+def truncate_lineage(df, eager: bool = True, reliable: bool = False):
+    """Checkpoint ``df`` to truncate lineage.
 
-    One helper instead of call-site policy so iterative operators stay
-    cluster-ready without a code change: set the dir in the session
-    and every round's truncation upgrades."""
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=eager)
+    ``reliable=False`` (the default) always uses ``localCheckpoint``:
+    executor-local blocks that are freed when the frame is
+    unreferenced. This is the right store for INTRA-QUERY plan dedup
+    (the minhash signature table, the n-gram table, bloom candidate
+    frames) — the data is consumed within one job and persisting it to
+    a checkpoint directory would leak files: Spark never deletes
+    reliable-checkpoint files unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set
+    BEFORE the session starts, and even then only on GC of the RDD.
+
+    ``reliable=True`` upgrades to RELIABLE ``checkpoint`` when the
+    session has a checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir`` — a distributed-FS path
+    on a real cluster). Pass it from ITERATIVE-LOOP call sites only
+    (graph.py's label propagation / PageRank / BFS), where surviving
+    executor loss mid-iteration is worth the file lifecycle cost; on a
+    long-lived cluster session either set ``cleanCheckpoints`` or
+    periodically clear the checkpoint dir.
+
+    Falls back to ``localCheckpoint`` when the JVM checkpoint-dir
+    probe is unavailable (e.g. Spark Connect has no ``sc._jsc``)."""
+    if reliable:
+        try:
+            sc = df.sparkSession.sparkContext
+            if sc._jsc.sc().getCheckpointDir().isDefined():
+                return df.checkpoint(eager=eager)
+        except Exception:
+            pass
     return df.localCheckpoint(eager=eager)
