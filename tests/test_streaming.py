@@ -381,3 +381,23 @@ class TestStreamIntervalOuter:
         assert {r["view_id"] for r in nulls} == {2, 7}
         matched = [r for r in got.collect() if r["click_id"] is not None]
         assert [(r["view_id"], r["click_id"]) for r in matched] == [(98, 99)]
+
+
+class TestTdigestDailyMerge:
+    def test_merged_digest_rank_within_tol_and_deterministic(self, spark):
+        """The weekly merged-t-digest percentile estimates must certify
+        themselves against the ride-along exact rank (within_tol true
+        for every (week, p)), and the estimates must be deterministic
+        across runs — the digest sorts values and merges sort
+        centroids, so partition order cannot move the output."""
+        from virapipe_spark import catalog
+
+        catalog.load_all()
+        sf = "/root/testdata/sf0.001"
+        out = catalog.QUERIES["events_tdigest_daily_merge"](spark, sf).collect()
+        assert out and all(r["within_tol"] for r in out)
+        assert {r["p"] for r in out} == {0.5, 0.9, 0.99}
+        assert all(r["sketch_rows"] >= 1 for r in out)
+        est = {(r["week"], r["p"]): r["est_value"] for r in out}
+        out2 = catalog.QUERIES["events_tdigest_daily_merge"](spark, sf).collect()
+        assert {(r["week"], r["p"]): r["est_value"] for r in out2} == est

@@ -1864,3 +1864,116 @@ def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.crossJoin(F.broadcast(cp)).select(
         "day", "c", "d", (F.col("day") == F.col("cp_day")).alias("is_changepoint")
     )
+
+
+@query("events_tdigest_daily_merge")  # rows-only: t-digest centroid layout is construction-specific
+def events_tdigest_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup for QUANTILES — completes the sketch
+    family (HLL distinct / KMV distinct / count-min frequency /
+    t-digest quantiles), THE 100 TB percentile-latency pattern: build
+    one t-digest per (day, shard) of the stream, then answer the
+    weekly p50/p90/p99 question by MERGING digests
+    (virapipe_spark.tdigest.merge) instead of re-scanning events.
+    Production keeps the daily digest table (≈100 centroids per shard)
+    and serves any date-range percentile from it.
+
+    Self-validating output (no oracle — no SQL engine reproduces
+    t-digest clustering): for each weekly estimate the TRUE rank of
+    the estimated value rides along from a parallel exact aggregation,
+    and ``within_tol`` certifies |true_rank − p| ≤ 0.02 — the rank
+    guarantee a t-digest actually makes (δ=200 gives measured rank
+    error ~3e-4; the pin is 60× slack). Pinned in
+    tests/test_streaming.py; an independent numpy test in
+    tests/test_tdigest.py checks the digest itself against sorted
+    truth. At 100 TB you'd drop the exact branch — it is the
+    self-check, not the operator.
+
+    Scale: stage 1 groups by (day, shard) — shard = hash(user) % 8
+    bounds any one pandas group to day-volume/8 regardless of skew
+    (the knob to widen at 100 TB); stage 2 merges the tiny centroid
+    rows per week (control-plane-sized, ~8 shards × 7 days × ~100
+    centroids). Both stages deterministic: digests sort values, merges
+    sort centroids — Spark partition order cannot move the output."""
+    import pandas as pd
+
+    from virapipe_spark import tdigest as td
+
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    shard = F.pmod(F.hash("user_id"), F.lit(8)).cast("int")
+    src = ev.select(
+        day.alias("day"), shard.alias("shard"), F.col("value")
+    )
+
+    def build_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = td.build(pdf["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "day": [int(pdf["day"].iloc[0])],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "means": [m.tolist()],
+                "weights": [w.tolist()],
+            }
+        )
+
+    daily = src.groupBy("day", "shard").applyInPandas(
+        build_digest,
+        "day long, shard int, means array<double>, weights array<double>",
+    )
+
+    targets = [0.5, 0.9, 0.99]
+
+    def merge_week(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m, w = td.merge(
+            [
+                (np.array(r["means"]), np.array(r["weights"]))
+                for _, r in pdf.iterrows()
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "week": [int(pdf["week"].iloc[0])] * len(targets),
+                "p": targets,
+                "est_value": [td.quantile(m, w, q) for q in targets],
+                "sketch_rows": [int(len(pdf))] * len(targets),
+            }
+        )
+
+    weekly_est = (
+        daily.withColumn("week", F.expr("day div 7"))
+        .groupBy("week")
+        .applyInPandas(
+            merge_week,
+            "week long, p double, est_value double, sketch_rows int",
+        )
+    )
+
+    # self-check branch: true rank of each estimate within its week
+    week = F.expr(f"floor(unix_micros(ts) / {_DAY_US}) div 7").cast("long")
+    ev_w = ev.select(week.alias("week"), "value")
+    ranked = (
+        ev_w.join(F.broadcast(weekly_est), "week")
+        .groupBy("week", "p", "est_value", "sketch_rows")
+        .agg(
+            (
+                (
+                    F.sum(F.when(F.col("value") < F.col("est_value"), 1).otherwise(0))
+                    + F.sum(
+                        F.when(F.col("value") == F.col("est_value"), 1).otherwise(0)
+                    )
+                    / F.lit(2.0)
+                )
+                / F.count("*")
+            ).alias("true_rank")
+        )
+    )
+    return ranked.select(
+        "week",
+        "p",
+        F.round("est_value", 6).alias("est_value"),
+        "sketch_rows",
+        F.round("true_rank", 6).alias("true_rank"),
+        (F.abs(F.col("true_rank") - F.col("p")) <= 0.02).alias("within_tol"),
+    ).orderBy("week", "p")
