@@ -219,6 +219,9 @@ class TestPlanProperties:
             # r7: baseline JPEG encode->decode is a bytes<->rows codec
             # boundary like the PNG/GIF/TIFF twins
             "multimodal_jpeg_features",
+            # r7: sub-file split scan — member-index + chunk-decode are
+            # the same codec-boundary class as bam_scan_roundtrip
+            "bam_split_scan_roundtrip",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

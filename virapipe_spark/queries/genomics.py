@@ -1016,3 +1016,68 @@ def bam_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     vbam.write_bam(rows.repartition(4), out, block_size=1024)
     return vbam.read_bam(spark, out)
+
+
+@query(
+    "bam_split_scan_roundtrip",
+    oracle=f"""
+    SELECT concat('s', doc_id) AS "readName",
+           CAST((doc_id * 53) % 2000 + 1 AS INTEGER) AS "start",
+           concat('ctg', doc_id % 4) AS "referenceName",
+           CAST(32 AS INTEGER) AS length,
+           translate(md5(concat('s', doc_id)), '{_HEX}', '{_DNA16}') AS bases,
+           '32M' AS cigar,
+           (doc_id % 6 = 0) AS "readUnmapped",
+           (doc_id % 13 = 0) AS "duplicateRead"
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def bam_split_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked SUB-FILE-SPLIT binary BAM scan (r7 — the
+    100 TB few-giant-files path, mirroring hadoop-bam's splitter that
+    the reference consumes via SQLQueryBAM.java:60-66): ONE .bam file
+    is written with a deliberately tiny BGZF block size (hundreds of
+    gzip members, records spanning member boundaries throughout), then
+    ``bam.read_bam(split_size=4096)`` decodes it as MANY parallel
+    chunks — a distributed member-index pass (byte-range resync by
+    magic + BSIZE-chain validation), decompressed-offset prefix sums,
+    and per-chunk record-chain re-sync (the BAMSplitGuesser approach;
+    the file-head chunk starts exactly at the header-probe offset).
+    Records partition exactly across chunks, so the SAME relational
+    oracle that guards the whole-file reader must hash-match — a
+    resync, guesser, chunk-boundary, or offset-arithmetic bug drops or
+    duplicates records and breaks it. tests/test_bam_split.py
+    additionally proves >1 partition and row-identity to the unsplit
+    read at adversarial split sizes."""
+    import hashlib
+    import os
+
+    from virapipe_spark import bam as vbam
+    from virapipe_spark import io as vio
+
+    out = vio.scratch_dir(spark, sf_dir, "bamsplit")
+    os.makedirs(out, exist_ok=True)
+    refs = [(f"ctg{i}", 200000) for i in range(4)]
+    recs = []
+    for i in range(400):
+        seq = "".join(
+            _DNA16[_HEX.index(c)]
+            for c in hashlib.md5(f"s{i}".encode()).hexdigest()
+        )
+        recs.append(
+            {
+                "read_name": f"s{i}",
+                "ref_id": i % 4,
+                "pos": (i * 53) % 2000,
+                "flag": (0x4 if i % 6 == 0 else 0)
+                | (0x400 if i % 13 == 0 else 0),
+                "cigar": "32M",
+                "seq": seq,
+            }
+        )
+    blob = vbam.encode_bam(
+        "@HD\tVN:1.6\tSO:unsorted\n", refs, recs, block_size=512
+    )
+    with open(os.path.join(out, "giant.bam"), "wb") as fh:
+        fh.write(blob)
+    return vbam.read_bam(spark, out, split_size=4096)
