@@ -4374,3 +4374,253 @@ def embed_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "docs_substring_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    wins AS (
+      SELECT doc_id, g AS pos,
+             md5(array_to_string(toks[g : g + 7], ' ')) AS fp
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 7)) AS g
+            FROM t WHERE len(toks) >= 8)
+    ),
+    dup_fp AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+    dwin AS (SELECT w.doc_id, w.pos, w.pos + 7 AS "end"
+             FROM wins w SEMI JOIN dup_fp d ON w.fp = d.fp),
+    flagged AS (
+      SELECT doc_id, pos, "end",
+             CASE WHEN max("end") OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max("end") OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+             THEN 1 ELSE 0 END AS new_span
+      FROM dwin
+    ),
+    spans AS (
+      SELECT doc_id,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id,
+             pos, "end"
+      FROM flagged
+    ),
+    per_span AS (
+      SELECT doc_id, span_id, min(pos) AS s, max("end") AS e
+      FROM spans GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM per_span GROUP BY doc_id
+    ),
+    nwin AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+             FROM dwin GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nwin.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM documents d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    LEFT JOIN nwin ON d.doc_id = nwin.doc_id
+    """,
+)
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring duplication profile — the C4/RefinedWeb training
+    -data hygiene step (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": repeated >=N-token substrings are the
+    memorization vector): every 8-token window is fingerprinted
+    (md5 — the corpus-scale variant swaps in a cheaper rolling hash,
+    same plan shape), windows whose fingerprint occurs >=2 times
+    ANYWHERE in the corpus are duplicated, and per document the
+    duplicated windows merge into maximal covered SPANS (the
+    adjacency-merge union — the scalable approximation of true
+    suffix-array maximal repeats) with exact integer outputs:
+    n_tokens, n_dup_windows, n_dup_spans, dup_tokens. A trainer drops
+    or trims spans; docs with zero duplication ride along with zeros.
+
+    Scale: windows are built by slice() over the token array (NO
+    self-join fan-out — one row per token, window text materialized
+    only into the md5); the fingerprint groupBy is the one big shuffle
+    (key cardinality = distinct windows, uniformly hashed, no skew);
+    the dup set flows back over a fingerprint semi-join; span merging
+    is a per-doc ordered window (partition = document). Linear end to
+    end; at 100 TB the dup-fingerprint table is the only global state
+    and it shrinks with the duplication rate."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    wins = (
+        t.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - 7)
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("pos"), F.lit(8)), " ")
+            ).alias("fp"),
+        )
+    )
+    dup_fp = wins.groupBy("fp").count().filter(F.col("count") >= 2).select("fp")
+    dwin = wins.join(dup_fp, "fp", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + 7).alias("end")
+    )
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = dwin.withColumn(
+        "new_span",
+        F.when(
+            F.max("end").over(w_prev).isNull()
+            | (F.col("pos") > F.max("end").over(w_prev) + 1),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    spans = flagged.withColumn("span_id", F.sum("new_span").over(w_run))
+    per_span = spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = per_span.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    nwin = dwin.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows")
+    )
+    return (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .join(nwin, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "docs_bigram_familiarity",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS (
+      SELECT doc_id, concat(toks[g], ' ', toks[g + 1]) AS bigram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS g
+            FROM t WHERE len(toks) >= 2)
+    ),
+    lm AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY bigram),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(length(bin(lm.c))) AS BIGINT) AS familiarity_bits,
+             CAST(sum(CASE WHEN lm.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_bigrams
+      FROM bg JOIN lm USING (bigram)
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, familiarity_bits, rare_bigrams,
+           round(CAST(familiarity_bits AS DOUBLE) / n_bigrams, 4)
+             AS avg_bits,
+           round(CAST(rare_bigrams AS DOUBLE) / n_bigrams, 4)
+             AS rare_pct
+    FROM scored
+    """,
+)
+def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM familiarity score — the perplexity-filter shape of
+    CCNet/CC-pipeline quality gating (train an n-gram LM, keep docs
+    the model finds unsurprising), made INTEGER-EXACT: the corpus
+    bigram table is the trained model, and each document scores
+    Σ bit_length(corpus_count(bigram)) over its bigrams —
+    floor(log2)+1, a monotone integer surrogate for summed log-counts
+    (what log-likelihood sums up to a normalization the ranking
+    doesn't need), so no transcendental ever crosses an engine
+    boundary. rare_bigrams (count <= 2) is the gibberish signal:
+    documents dominated by corpus-rare transitions rank for removal.
+    The two ratio columns are single exactly-rounded IEEE divisions
+    (the tf/df precedent).
+
+    Scale: one token-pair explode (row count = token count), one
+    bigram-keyed count aggregate (the trained LM — vocabulary², in
+    practice Zipf-bounded), one equi-join of doc bigrams back to the
+    LM (AQE broadcasts small LMs), one per-doc aggregate. The LM
+    table is the only global state; scoring a NEW batch against a
+    frozen LM reuses the same join, which is how the incremental
+    deployment runs."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("g"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.element_at("toks", F.col("g")),
+                F.lit(" "),
+                F.element_at("toks", F.col("g") + 1),
+            ).alias("bigram"),
+        )
+    )
+    lm = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("c"))
+    scored = (
+        bg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.length(F.bin("c"))).cast("long").alias(
+                "familiarity_bits"
+            ),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("rare_bigrams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "familiarity_bits",
+        "rare_bigrams",
+        F.round(
+            F.col("familiarity_bits").cast("double") / F.col("n_bigrams"), 4
+        ).alias("avg_bits"),
+        F.round(
+            F.col("rare_bigrams").cast("double") / F.col("n_bigrams"), 4
+        ).alias("rare_pct"),
+    )
