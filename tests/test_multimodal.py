@@ -714,3 +714,152 @@ class TestJpegCodec:
         assert (row["width"], row["height"], row["n_bytes"]) == (16, 16, 256)
         assert abs(row["mean_intensity"] - vals.mean()) < 1e-9
         assert abs(row["std_intensity"] - vals.std()) < 1e-9
+
+
+class TestFlacCodec:
+    """FLAC (r7): lossless rice-coded audio. Round-trips are BIT-exact
+    (unlike JPEG/mu-law there is no tolerance anywhere)."""
+
+    def test_roundtrip_mono_stereo_multiblock(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_flac, encode_flac
+
+        rng = np.random.default_rng(31)
+        x = rng.normal(0, 3000, 10000).astype(np.int16)
+        rate, y = decode_flac(encode_flac(44100, x, block_size=4096))
+        assert rate == 44100 and np.array_equal(x, y)
+        s = rng.normal(0, 9000, (5000, 2)).astype(np.int16)
+        rate, y = decode_flac(encode_flac(22050, s))
+        assert rate == 22050 and np.array_equal(s, y)
+
+    def test_fixed_predictors_actually_compress(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_flac, encode_flac
+
+        t = np.arange(20000)
+        sig = (10000 * np.sin(t / 50)).astype(np.int16)
+        blob = encode_flac(8000, sig)
+        assert len(blob) < 0.3 * 2 * len(sig)  # real compression
+        assert np.array_equal(decode_flac(blob)[1], sig)
+
+    def test_edge_signals(self):
+        import numpy as np
+
+        from virapipe_spark.multimodal import decode_flac, encode_flac
+
+        for arr in [
+            np.zeros(100, np.int16),
+            np.full(257, -32768, np.int16),
+            np.array([32767], np.int16),
+            np.array([1, -1] * 500, np.int16),
+        ]:
+            assert np.array_equal(decode_flac(encode_flac(8000, arr))[1], arr)
+
+    def test_crc_and_md5_guard_corruption(self):
+        import numpy as np
+        import pytest
+
+        from virapipe_spark.multimodal import decode_flac, encode_flac
+
+        rng = np.random.default_rng(32)
+        x = rng.normal(0, 5000, 3000).astype(np.int16)
+        blob = bytearray(encode_flac(8000, x))
+        with pytest.raises(ValueError):
+            decode_flac(b"fLaX" + bytes(blob[4:]))
+        # flip a bit inside frame data: one of the CRCs or the
+        # STREAMINFO MD5 must catch it (never a silent wrong decode)
+        corrupt = bytearray(blob)
+        corrupt[len(corrupt) // 2] ^= 0x10
+        with pytest.raises(ValueError):
+            decode_flac(bytes(corrupt))
+
+    def test_decoder_handles_lpc_and_partitions(self):
+        """Streams our encoder doesn't emit: an LPC subframe and a
+        partitioned-rice residual, hand-assembled bit-exactly, must
+        decode to the predicted samples."""
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        # samples following s[i] = (2*s[i-1] - s[i-2]) + r with known r,
+        # encoded as LPC order 2, precision 15, shift 0
+        warm = [100, 210]
+        resid = [3, -2, 5, 0, -7, 1]
+        vals = warm[:]
+        for r in resid:
+            vals.append(2 * vals[-1] - 1 * vals[-2] + r)
+        bs = len(vals)
+        hdr = mm._FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 2)
+        hdr.write(0b0111, 4)  # 16-bit blocksize at end
+        hdr.write(0, 4)  # rate from streaminfo
+        hdr.write(0, 4)  # mono
+        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(0, 1)
+        hdr.align()
+        head = bytes(hdr.bytes()) + mm._utf8_code(0) + struct.pack(">H", bs - 1)
+        head += bytes([mm._crc8(head)])
+        body = mm._FlacBitWriter()
+        body.write(0, 1)
+        body.write(32 | (2 - 1), 6)  # LPC order 2
+        body.write(0, 1)  # no wasted bits
+        body.write(warm[0], 16)
+        body.write(warm[1], 16)
+        body.write(15 - 1, 4)  # precision 15
+        body.write(0, 5)  # shift 0
+        body.write(2, 15)  # coef a1 = 2
+        body.write(-1, 15)  # coef a2 = -1
+        # partitioned rice: order 1 -> two partitions over 8 samples
+        body.write(0, 2)
+        body.write(1, 4)
+        body.write(3, 4)  # param p0: covers bs/2 - order = 2 resid
+        mm._rice_write(body, resid[:2], 3)
+        body.write(2, 4)  # param p1: 4 resid
+        mm._rice_write(body, resid[2:], 2)
+        body.align()
+        frame = head + bytes(body.bytes())
+        frame += struct.pack(">H", mm._crc16(frame))
+        si = mm._FlacBitWriter()
+        si.write(bs, 16)
+        si.write(bs, 16)
+        si.write(0, 48)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(bs, 36)
+        si.align()
+        raw = np.array(vals, dtype="<i2").tobytes()
+        streaminfo = bytes(si.bytes()) + hashlib.md5(raw).digest()
+        blob = (
+            b"fLaC"
+            + bytes([0x80])
+            + len(streaminfo).to_bytes(3, "big")
+            + streaminfo
+            + frame
+        )
+        rate, got = mm.decode_flac(blob)
+        assert rate == 8000
+        assert got.tolist() == vals
+
+    def test_audio_features_from_real_flac(self, spark):
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        x = (np.arange(64, dtype=np.int64) * 100 - 3200).astype(np.int16)
+        blob = mm.encode_flac(16000, x, block_size=32)
+        media = spark.createDataFrame(
+            [(5, "audio", bytearray(blob), 0, 0, 16000, 0)],
+            "media_id long, kind string, data binary, width int, "
+            "height int, sample_rate int, duration_ms int",
+        )
+        row = mm.audio_features(media, window=32).collect()[0]
+        assert row["sample_rate"] == 16000 and row["n_windows"] == 2
+        exp = np.sqrt((x.astype(np.float64) ** 2).reshape(2, 32).mean(axis=1))
+        assert np.allclose(row["rms_energy"], exp.round(4))

@@ -222,6 +222,9 @@ class TestPlanProperties:
             # r7: sub-file split scan — member-index + chunk-decode are
             # the same codec-boundary class as bam_scan_roundtrip
             "bam_split_scan_roundtrip",
+            # r7: FLAC encode->decode is a bytes<->rows codec boundary
+            # like the WAV/AU twins
+            "multimodal_flac_features",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

@@ -1336,8 +1336,9 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
     """Per-window RMS energy. WAV (``RIFF`` magic) and Sun AU
     (``.snd`` magic, incl. G.711 mu-law payloads) decode for REAL —
     samples and rate from the actual headers, stereo averaged to mono.
-    VPMM containers use the int8-buffer stub (a real build adds
-    soundfile/librosa for MP3/FLAC). Output is a bounded array column
+    FLAC decodes for real too (r7: rice-coded lossless,
+    :func:`decode_flac`). VPMM containers use the int8-buffer stub (a
+    real build adds soundfile/librosa for MP3). Output is a bounded array column
     (n_windows entries), ready for the embedding/ANN operators
     downstream."""
 
@@ -1353,6 +1354,11 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
                         arr = arr.mean(axis=1)
                 elif data[:4] == _AU_MAGIC:
                     rate, samples = decode_au(data)
+                    arr = samples.astype(np.float64)
+                    if arr.ndim > 1:
+                        arr = arr.mean(axis=1)
+                elif data[:4] == b"fLaC":
+                    rate, samples = decode_flac(data)
                     arr = samples.astype(np.float64)
                     if arr.ndim > 1:
                         arr = arr.mean(axis=1)
@@ -1492,3 +1498,434 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
     return media.filter(F.col("kind") == "audio").select(
         "media_id", "data"
     ).mapInPandas(gen, RESAMPLED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (xiph.org spec / RFC 9639) — pure numpy + struct. The first
+# LOSSLESS compressed audio codec in the family: rice-coded prediction
+# residuals round-trip bit-exactly, so FLAC entries hash-check like the
+# uncompressed formats while exercising real entropy coding.
+# Decoder: CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes,
+# partitioned rice (both residual methods), independent and
+# left-side / right-side / mid-side stereo, CRC-8 + CRC-16 verified.
+# Encoder: FIXED predictors with best-order search and single-partition
+# rice, independent channels — every stream it emits is spec-valid.
+# ---------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytearray:
+        assert self.nbits == 0
+        return self.buf
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbits = n.bit_length()
+    nbytes = 2
+    while nbits > 1 + 5 * nbytes - (nbytes - 1):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes) & 0xFF) | (n >> (6 * (nbytes - 1)))
+    out.append(lead & 0xFF)
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _utf8_decode(br: _FlacBitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        v = (v << 6) | (br.read(8) & 0x3F)
+    return v
+
+
+#: FIXED predictor residual: residual_order[o] applied to sample window
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _rice_write(bw: _FlacBitWriter, residuals, param: int) -> None:
+    for r in residuals:
+        z = (int(r) << 1) if r >= 0 else ((-int(r)) << 1) - 1  # zigzag
+        bw.write_unary(z >> param)
+        if param:
+            bw.write(z & ((1 << param) - 1), param)
+
+
+def _rice_read(br: _FlacBitReader, n: int, param: int) -> list[int]:
+    out = []
+    for _ in range(n):
+        q = br.read_unary()
+        z = (q << param) | (br.read(param) if param else 0)
+        out.append((z >> 1) ^ -(z & 1))  # un-zigzag
+    return out
+
+
+def encode_flac(sample_rate: int, samples: np.ndarray, block_size: int = 4096) -> bytes:
+    """Encode 16-bit mono/stereo PCM as a spec-valid FLAC stream:
+    STREAMINFO (incl. the spec's MD5 of the raw little-endian
+    samples), then frames of FIXED-predictor subframes — per block the
+    best order 0-4 by residual magnitude, single-partition rice with
+    the standard mean-based parameter estimate. Lossless: decode_flac
+    returns the input bit-exactly."""
+    import hashlib
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        chans = [samples]
+    else:
+        chans = [samples[:, c] for c in range(samples.shape[1])]
+    n_ch = len(chans)
+    n_samples = len(chans[0])
+
+    frames = bytearray()
+    for fi, off in enumerate(range(0, n_samples, block_size)):
+        bs = min(block_size, n_samples - off)
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy (frame number coded)
+        hdr.write(0b0111, 4)  # blocksize: 16-bit at end of header
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(n_ch - 1, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        hdr.align()
+        head = bytes(hdr.bytes()) + _utf8_code(fi) + struct.pack(">H", bs - 1)
+        head += bytes([_crc8(head)])
+
+        body = _FlacBitWriter()
+        for ch in chans:
+            blk = ch[off : off + bs]
+            # best fixed order by sum |residual|
+            best_o, best_res, best_cost = 0, blk, None
+            for o in range(min(5, bs)):
+                res = blk.copy()
+                for _ in range(o):
+                    res = np.diff(res)
+                cost = int(np.abs(res[o:] if False else res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_o, best_res, best_cost = o, res, cost
+            o, res = best_o, best_res
+            body.write(0, 1)  # subframe header: zero pad bit
+            body.write(0b001000 | o, 6)  # FIXED, order o
+            body.write(0, 1)  # no wasted bits
+            for w in blk[:o]:  # warm-up samples
+                body.write(int(w), 16)
+            resid = [int(x) for x in res]
+            # rice parameter: smallest p with mean(zigzag) < 2^p
+            mean = (sum(abs(x) for x in resid) * 2 // max(len(resid), 1)) or 1
+            param = min(max(mean.bit_length() - 1, 0), 14)
+            body.write(0, 2)  # residual method: rice 4-bit params
+            body.write(0, 4)  # partition order 0 -> one partition
+            body.write(param, 4)
+            _rice_write(body, resid, param)
+        body.align()
+        frame = head + bytes(body.bytes())
+        frame += struct.pack(">H", _crc16(frame))
+        frames += frame
+
+    raw = np.asarray(samples, dtype="<i2")
+    if raw.ndim == 2:
+        raw_bytes = raw.reshape(-1).tobytes()  # interleaved
+    else:
+        raw_bytes = raw.tobytes()
+    md5 = hashlib.md5(raw_bytes).digest()
+    si = _FlacBitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n_samples, 36)
+    si.align()
+    streaminfo = bytes(si.bytes()) + md5
+    meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return b"fLaC" + meta + bytes(frames)
+
+
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+    14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream to (sample_rate, int16 array — (n,) mono
+    or (n, ch)). Full subframe coverage (CONSTANT / VERBATIM /
+    FIXED 0-4 / LPC any order), both rice residual methods with any
+    partition order, the four channel assignments, wasted bits, and
+    verified frame CRC-8/CRC-16; raises on corruption."""
+    import hashlib
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            streaminfo = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    si = _FlacBitReader(streaminfo)
+    si.read(16)
+    si.read(16)
+    si.read(24)
+    si.read(24)
+    rate = si.read(20)
+    n_ch = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5_expect = streaminfo[18:34]
+
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    while pos < len(data):
+        frame_start = pos
+        br = _FlacBitReader(data, pos)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError(f"bad frame sync at byte {pos}")
+        br.read(1)
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        _utf8_decode(br)
+        if bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        else:
+            bs = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        crc8_got = br.read(8)
+        if _crc8(data[frame_start : br.byte - 1]) != crc8_got:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        bits = {0b100: 8, 0b101: 12, 0b110: 16, 0b111: 20}.get(ss_code, bps)
+        if ss_code == 0b001:
+            bits = 8
+        elif ss_code == 0b010:
+            bits = 12
+        elif ss_code == 0b100:
+            bits = 16
+        elif ss_code == 0b101:
+            bits = 20
+        elif ss_code == 0b110:
+            bits = 24
+        elif ss_code == 0:
+            bits = bps
+
+        if ch_code <= 7:
+            frame_ch = ch_code + 1
+            kinds = ["indep"] * frame_ch
+        else:
+            frame_ch = 2
+            kinds = {8: ["left", "side"], 9: ["side", "right"],
+                     10: ["mid", "side"]}[ch_code]
+
+        sub: list[list[int]] = []
+        for k in kinds:
+            ch_bits = bits + (1 if k == "side" else 0)
+            if br.read(1):
+                raise ValueError("subframe pad bit set")
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = br.read_unary() + 1
+            eff = ch_bits - wasted
+            if stype == 0:  # CONSTANT
+                v = br.read_signed(eff)
+                blkvals = [v] * bs
+            elif stype == 1:  # VERBATIM
+                blkvals = [br.read_signed(eff) for _ in range(bs)]
+            elif 8 <= stype <= 12:  # FIXED order 0-4
+                order = stype & 0x7
+                warm = [br.read_signed(eff) for _ in range(order)]
+                resid = _read_residual(br, bs, order)
+                blkvals = warm[:]
+                coefs = _FIXED_COEFS[order]
+                for i in range(order, bs):
+                    pred = sum(
+                        c * blkvals[i - j - 1] for j, c in enumerate(coefs)
+                    )
+                    blkvals.append(resid[i - order] + pred)
+            elif stype >= 32:  # LPC order = (stype & 31) + 1
+                order = (stype & 31) + 1
+                warm = [br.read_signed(eff) for _ in range(order)]
+                prec = br.read(4) + 1
+                shift = br.read_signed(5)
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                resid = _read_residual(br, bs, order)
+                blkvals = warm[:]
+                for i in range(order, bs):
+                    pred = sum(
+                        c * blkvals[i - j - 1] for j, c in enumerate(coefs)
+                    ) >> shift
+                    blkvals.append(resid[i - order] + pred)
+            else:
+                raise ValueError(f"reserved subframe type {stype}")
+            if wasted:
+                blkvals = [v << wasted for v in blkvals]
+            sub.append(blkvals)
+
+        br.align()
+        crc16_got = (data[br.byte] << 8) | data[br.byte + 1]
+        if _crc16(data[frame_start : br.byte]) != crc16_got:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.byte + 2
+
+        # undo channel decorrelation
+        if kinds == ["left", "side"]:
+            left = sub[0]
+            right = [l - s for l, s in zip(sub[0], sub[1])]
+            out = [left, right]
+        elif kinds == ["side", "right"]:
+            right = sub[1]
+            left = [s + r for s, r in zip(sub[0], sub[1])]
+            out = [left, right]
+        elif kinds == ["mid", "side"]:
+            out_l, out_r = [], []
+            for m, s in zip(sub[0], sub[1]):
+                mm_ = (m << 1) | (s & 1)
+                out_l.append((mm_ + s) >> 1)
+                out_r.append((mm_ - s) >> 1)
+            out = [out_l, out_r]
+        else:
+            out = sub
+        for c, vals in enumerate(out):
+            chans[c].extend(vals)
+
+    arr = np.array(chans, dtype=np.int64).T
+    if total:
+        arr = arr[:total]
+    arr16 = arr.astype("<i2")
+    if md5_expect != b"\x00" * 16:
+        got = hashlib.md5(arr16.reshape(-1).tobytes()).digest()
+        if got != md5_expect:
+            raise ValueError("FLAC STREAMINFO MD5 mismatch (corrupt samples)")
+    res = arr16.astype(np.int16)
+    return rate, res[:, 0] if res.shape[1] == 1 else res
+
+
+def _read_residual(br: _FlacBitReader, bs: int, order: int) -> list[int]:
+    """Partitioned rice residual, both methods (4-bit / 5-bit params,
+    escape code -> raw binary)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    plen = 4 if method == 0 else 5
+    escape = 0xF if method == 0 else 0x1F
+    porder = br.read(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        n = (bs >> porder) - (order if p == 0 else 0)
+        param = br.read(plen)
+        if param == escape:
+            raw_bits = br.read(5)
+            out.extend(br.read_signed(raw_bits) for _ in range(n))
+        else:
+            out.extend(_rice_read(br, n, param))
+    return out

@@ -767,3 +767,78 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"),
         F.round("std_intensity", 4).alias("std_intensity"),
     )
+
+
+@query(
+    "multimodal_flac_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 32) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 32)) AS i, p FROM s),
+    v AS (SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS w,
+                 (ascii(substr(p, i, 1)) - 80) * 257 AS val
+          FROM c)
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(w AS INTEGER) AS window_idx,
+           round(sqrt(avg(val * val)), 4) AS rms
+    FROM v GROUP BY doc_id, w
+    """,
+)
+def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED LOSSLESS-compressed audio decode (r7): int16
+    samples derived from md5 chars are encoded as real FLAC
+    (multimodal.encode_flac — FIXED-predictor subframes, rice-coded
+    residuals, CRC-8/16, STREAMINFO MD5) and decoded back through the
+    full parser inside audio_features. FLAC is lossless, so unlike the
+    mu-law twin no codomain trick is needed: the DuckDB oracle
+    recomputes the exact samples relationally and ANY entropy-coding,
+    predictor, CRC, or bit-packing bug breaks the hash. Same scale
+    shape as the WAV/AU twins: metadata-first filter, one Arrow codec
+    boundary, per-batch decode."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            32,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_flac(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_flac(
+                    16000,
+                    (
+                        (np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64) - 80)
+                        * 257
+                    ).astype(np.int16),
+                    block_size=16,
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        to_flac("p").alias("data"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = mm.audio_features(media, window=16)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.posexplode("rms_energy").alias("window_idx", "rms"),
+    )
