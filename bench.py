@@ -101,6 +101,13 @@ HEADLINE = [
     # + moment-corrected pairwise scoring) and the fused DQ audit pass.
     "embed_knn_abtt",
     "lineitem_dq_audit",
+    # round-7: the C4-style exact-substring dedup (fingerprint shuffle +
+    # semi-join + span-merge windows), the weekly t-digest quantile
+    # rollup (the mergeable-sketch family's heaviest member), and the
+    # sub-file BGZF split scan (member-index pass + chunked decode).
+    "docs_substring_dedup",
+    "events_tdigest_daily_merge",
+    "bam_split_scan_roundtrip",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))

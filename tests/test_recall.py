@@ -150,3 +150,71 @@ class TestPowerIterationDirection:
         top = V[:, np.argmax(w)]
         cos = abs(v2 @ top) / (np.linalg.norm(v2) * np.linalg.norm(top))
         assert cos > 0.99, cos
+
+
+class TestRandomProjectionJL:
+    def test_distortion_bounded_on_real_pairs(self, spark):
+        """Independent JL check (honest-claims rule): the catalog entry
+        hash-checks the exact projection arithmetic; THIS test checks
+        the claim that the +-1 projection preserves pairwise geometry —
+        numpy recomputes the projection from the same md5 signs and
+        measures squared-distance distortion over real embedding pairs
+        against the 1/sqrt(k) JL scaling."""
+        import hashlib
+
+        import numpy as np
+
+        from virapipe_spark import catalog
+        from virapipe_spark.catalog import table
+        from virapipe_spark.queries.extensions import _QUANT, _RP_K
+
+        catalog.load_all()
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            table(spark, sf, "embeddings")
+            .orderBy("vec_id")
+            .limit(40)
+            .collect()
+        )
+        X = np.array(
+            [np.round(np.array(r["embedding"], float) * _QUANT) for r in rows]
+        )
+        d = X.shape[1]
+        S = np.array(
+            [
+                [
+                    1
+                    if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] < "8"
+                    else -1
+                    for j in range(_RP_K)
+                ]
+                for i in range(1, d + 1)
+            ],
+            dtype=np.int64,
+        )
+        # spark's projection matches numpy exactly (same signs, ints)
+        got = {
+            (r["vec_id"], r["dim"]): r["y"]
+            for r in catalog.QUERIES["embed_random_projection"](spark, sf)
+            .filter("vec_id < 40")
+            .collect()
+        }
+        Y = X @ S
+        for vi, r in enumerate(rows):
+            for j in range(_RP_K):
+                assert got[(r["vec_id"], j)] == int(Y[vi, j])
+        # JL geometry: median distortion of scaled pairwise sq-dists
+        rng = np.random.default_rng(0)
+        ratios = []
+        for _ in range(200):
+            a, b = rng.integers(0, len(X), 2)
+            if a == b:
+                continue
+            dx = np.sum((X[a] - X[b]) ** 2)
+            dy = np.sum((Y[a] - Y[b]) ** 2) / _RP_K
+            if dx > 0:
+                ratios.append(dy / dx)
+        med = float(np.median(ratios))
+        # E[ratio]=1; k=16 gives wide variance per pair but the median
+        # over 200 pairs concentrates
+        assert 0.6 < med < 1.6, med

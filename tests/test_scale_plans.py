@@ -118,6 +118,10 @@ class TestPlanProperties:
             "embed_ivf_recall",
             # same pattern: three ONE-ROW broadcasts (total, max-dev, argmax)
             "events_change_point",
+            # r7: theta-sketch algebra — the theta/common/exact frames
+            # crossJoined at the end are ONE-ROW aggregates (k-row
+            # sketches upstream)
+            "events_theta_intersection",
         }
         from virapipe_spark.queries.staged import pending_staged
 
@@ -921,3 +925,21 @@ class TestBfsProperty:
             assert got == expected
 
         prop()
+
+
+class TestPartitionPruning:
+    def test_events_partition_prune_prunes_directories(self, spark):
+        """The pruned re-read must resolve the event_type predicate
+        against the directory structure: the scan's plan carries
+        PartitionFilters on event_type (3 of 5 directories never
+        read), not a post-scan Filter over all rows."""
+        df = catalog.QUERIES["events_partition_prune"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, "no PartitionFilters in scan plan"
+        assert "event_type" in m.group(1), m.group(1)
+        # and the result is still exactly the two requested groups
+        rows = {r["event_type"] for r in df.collect()}
+        assert rows == {"click", "purchase"}

@@ -344,3 +344,52 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).orc(out)
+
+
+@query(
+    "events_partition_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + PARTITION PRUNING — the storage-level
+    100 TB lever this catalog's other scan entries don't isolate:
+    events are written ``partitionBy(event_type)`` (one directory per
+    type, fully distributed, the io.write_grouped layout), then read
+    back with a two-type predicate. Catalyst resolves the predicate
+    against the DIRECTORY STRUCTURE — the scan's PartitionFilters
+    prune 3 of 5 directories before a single byte is read (pinned in
+    tests/test_scale_plans.py), which at a 100 TB events store is the
+    difference between scanning 40 TB and 100 TB. The aggregate then
+    proves the pruned read returns exactly the rows the predicate
+    names (the DuckDB oracle recomputes from the flat table).
+
+    Scale: the write is one pass (each task writes only its types);
+    the pruned read schedules tasks only under the two kept
+    directories; the aggregate is map-side combinable on a 2-value
+    key. The partition column must be low-cardinality by design —
+    day/event_type, never user_id (the small-files anti-pattern)."""
+    from virapipe_spark import io as vio
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = vio.scratch_dir(spark, sf_dir, "evpart")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

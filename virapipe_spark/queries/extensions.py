@@ -4624,3 +4624,189 @@ def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rare_bigrams").cast("double") / F.col("n_bigrams"), 4
         ).alias("rare_pct"),
     )
+
+
+@query(
+    "docs_winnowing_fingerprints",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    grams AS (
+      SELECT doc_id, g AS pos,
+             md5(array_to_string(toks[g : g + 2], ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS g
+            FROM t WHERE len(toks) >= 3)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, h,
+             h || '#' || lpad(CAST(pos AS VARCHAR), 6, '0') AS hk
+      FROM grams
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(hk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             pos,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM keyed
+      QUALIFY pos <= n_grams - 3
+    ),
+    selected AS (
+      SELECT DISTINCT doc_id, substr(sel, 1, 32) AS h,
+             CAST(substr(sel, 34, 6) AS BIGINT) AS pos
+      FROM winmin
+    ),
+    shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM selected)
+               GROUP BY h HAVING count(*) >= 2),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM selected s LEFT JOIN shared sh ON s.h = sh.h
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_selected, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_selected, 4) AS shared_pct
+    FROM per_doc
+    """,
+)
+def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 3-token gram, then in
+    each window of 4 consecutive gram hashes select the minimum
+    (position-tiebroken via the lexicographic 'hash#pos' key, so both
+    engines pick the identical gram) — the guarantee is that any
+    shared substring of >= window+gram tokens yields at least one
+    SHARED selected fingerprint, at ~2/(w+1) the storage of full
+    shingling. Output per doc: fingerprints selected, how many are
+    shared with any other document, and the shared fraction — the
+    plagiarism / near-dup triage signal. Exact integers + one rounded
+    division; hash-checked.
+
+    Scale: gram hashing is slice+md5 per token (no fan-out); window
+    minima are a per-doc ordered window; the shared set is one
+    fingerprint-keyed aggregate (cardinality = selected fingerprints,
+    ~n_tokens/2 per doc). The selected-fingerprint table IS the
+    persisted index at 100 TB — queries probe it, never the corpus."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = (
+        t.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("pos"), F.lit(3)), " ")
+            ).alias("h"),
+        )
+    )
+    keyed = grams.withColumn(
+        "hk",
+        F.concat(
+            F.col("h"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 6, "0")
+        ),
+    )
+    w_cnt = W.partitionBy("doc_id")
+    w_win = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )
+    winmin = (
+        keyed.withColumn("n_grams", F.count("*").over(w_cnt))
+        .withColumn("sel", F.min("hk").over(w_win))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+    )
+    selected = winmin.select(
+        "doc_id",
+        F.substring("sel", 1, 32).alias("h"),
+        F.substring("sel", 34, 6).cast("long").alias("pos"),
+    ).distinct()
+    shared = (
+        selected.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        selected.join(shared.withColumn("is_shared", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).cast("long").alias(
+                "n_shared"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_selected",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_selected"), 4
+        ).alias("shared_pct"),
+    )
+
+
+_RP_K = 16
+_RP_SIGN_SQL = (
+    "CASE WHEN substr(md5(CAST(i AS STRING) || ':' || CAST(j AS STRING)),"
+    " 1, 1) < '8' THEN 1 ELSE -1 END"
+)
+
+
+@query(
+    "embed_random_projection",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    proj AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(generate_series(1, len(q)),
+                      i -> ({_RP_SIGN_SQL}) * q[i])) AS y
+      FROM q, unnest(generate_series(0, {_RP_K - 1})) AS t(j)
+    )
+    SELECT vec_id, CAST(j AS INTEGER) AS dim, CAST(y AS BIGINT) AS y
+    FROM proj
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, 64 -> {_RP_K} dims with
+    a DETERMINISTIC Rademacher (+-1) matrix — the dimensionality-
+    reduction front-end every 100 TB embedding pipeline runs before
+    LSH/IVF (Achlioptas 2001: +-1 entries preserve pairwise distances
+    in expectation exactly like Gaussian projections, with integer
+    arithmetic). The sign s(i,j) derives from md5('i:j') (first hex
+    char < '8'), so BOTH engines synthesize the identical matrix from
+    nothing, the projection of the integer-quantized vectors is EXACT
+    (sums of int64 — no float reduction anywhere), and the driver row
+    hash-checks every output coordinate. The JL distortion guarantee
+    itself is measured independently in tests/test_recall.py against
+    numpy on real pairs.
+
+    Scale: one pass, no shuffle at all — each vector's {_RP_K}
+    projections are a per-row lambda over its own array; the matrix is
+    never materialized (signs are hashed on demand), which at
+    billion-vector scale removes the broadcast entirely."""
+    q = _quantized(spark, sf_dir)
+    proj = q.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("j"),
+        "q",
+    )
+    y = F.expr(
+        f"aggregate(transform(sequence(1, size(q)), i -> "
+        f"({_RP_SIGN_SQL}) * element_at(q, i)), 0L, (acc, x) -> acc + x)"
+    )
+    return proj.select(
+        "vec_id",
+        F.col("j").cast("int").alias("dim"),
+        y.cast("long").alias("y"),
+    )

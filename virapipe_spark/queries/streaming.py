@@ -1977,3 +1977,119 @@ def events_tdigest_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("true_rank", 6).alias("true_rank"),
         (F.abs(F.col("true_rank") - F.col("p")) <= 0.02).alias("within_tol"),
     ).orderBy("week", "p")
+
+
+_THETA_K = 64
+
+
+@query(
+    "events_theta_intersection",
+    oracle=f"""
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             md5(CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM elems
+    ),
+    kth AS (
+      SELECT event_type, max(h) AS kth_h
+      FROM sk WHERE rn <= {_THETA_K} GROUP BY event_type
+    ),
+    theta AS (SELECT min(kth_h) AS th FROM kth),
+    common AS (
+      SELECT count(*) AS n_common
+      FROM (SELECT h FROM sk WHERE rn <= {_THETA_K} AND event_type = 'click') a
+      JOIN (SELECT h FROM sk WHERE rn <= {_THETA_K} AND event_type = 'purchase') b
+        USING (h), theta t
+      WHERE a.h < t.th
+    ),
+    exact AS (
+      SELECT count(*) AS n_exact
+      FROM (SELECT h FROM elems WHERE event_type = 'click') a
+      JOIN (SELECT h FROM elems WHERE event_type = 'purchase') b USING (h)
+    )
+    SELECT t.th AS theta_hex, c.n_common, e.n_exact,
+           round(c.n_common /
+                 (CAST(CAST('0x' || substr(t.th, 1, 12) AS BIGINT) AS DOUBLE)
+                  / 281474976710656.0), 2) AS est_intersection
+    FROM theta t, common c, exact e
+    """,
+)
+def events_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the third mergeable-sketch operation
+    after union (KMV merge) and quantile (t-digest): estimate the
+    INTERSECTION cardinality of two user-activity sets (users-active-
+    on-a-day who click vs who purchase) from their bottom-k sketches
+    alone. theta = min of the two k-th minima; the estimate counts
+    sketch elements present in BOTH sketches below theta and divides
+    by theta-as-a-fraction (first 12 hex chars / 16^12 — one exactly-
+    rounded division of exact integers). Deterministic md5 hashing
+    makes the whole estimate HASH-CHECKABLE (the KMV precedent), and
+    the exact intersection rides along as data, so the driver row
+    certifies both the algebra and its accuracy. At 100 TB the two
+    sketches are k-row objects: audience-overlap questions join
+    sketches, never event tables.
+
+    Scale: one distinct + per-set top-k (window over two partitions),
+    then k-row joins — everything after the distinct is
+    constant-sized."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    elems = e.select(
+        "event_type",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            )
+        ).alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = elems.withColumn("rn", F.row_number().over(w))
+    kth = (
+        sk.filter(F.col("rn") <= _THETA_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_h"))
+    )
+    theta = kth.agg(F.min("kth_h").alias("th"))
+    a = sk.filter(
+        (F.col("rn") <= _THETA_K) & (F.col("event_type") == "click")
+    ).select("h")
+    b = sk.filter(
+        (F.col("rn") <= _THETA_K) & (F.col("event_type") == "purchase")
+    ).select("h")
+    common = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        elems.filter(F.col("event_type") == "click")
+        .select("h")
+        .join(
+            elems.filter(F.col("event_type") == "purchase").select("h"), "h"
+        )
+        .agg(F.count("*").alias("n_exact"))
+    )
+    frac = (
+        F.expr("CAST(conv(substr(th, 1, 12), 16, 10) AS DOUBLE)")
+        / F.lit(281474976710656.0)
+    )
+    return (
+        theta.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("th").alias("theta_hex"),
+            "n_common",
+            "n_exact",
+            F.round(F.col("n_common") / frac, 2).alias("est_intersection"),
+        )
+    )
