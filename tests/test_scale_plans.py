@@ -229,6 +229,9 @@ class TestPlanProperties:
             # r7: FLAC encode->decode is a bytes<->rows codec boundary
             # like the WAV/AU twins
             "multimodal_flac_features",
+            # r7: AVI container walk + per-frame MJPEG decode — same
+            # codec-boundary class
+            "multimodal_mjpeg_frame_sample",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

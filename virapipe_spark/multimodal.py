@@ -1296,17 +1296,39 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling stub: one row per sampled timestamp, frame
-    payload summarized as a hash slice of the buffer (real build: ffmpeg
-    ``-vf fps=...``). Row explosion ×(duration/every_ms) — follow with an
-    aggregate or per-frame filter, never a bare materialize."""
+    """Video frame sampling. RIFF-AVI payloads decode for REAL (r7):
+    every sampled timestamp maps to its Motion-JPEG frame, which is
+    decoded (decode_avi_mjpeg -> decode_jpeg) and summarized by the
+    md5 of its actual pixel bytes — a container-walk or codec bug
+    changes the hash. VPMM containers keep the buffer-slice stub (a
+    real build adds ffmpeg for H.264). Row explosion
+    ×(duration/every_ms) — follow with an aggregate or per-frame
+    filter, never a bare materialize."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                _, _, _, _, dur, payload = _unpack(bytes(data))
+                data = bytes(data)
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    fps, frames = decode_avi_mjpeg(data)
+                    period_ms = 1000 // fps
+                    dur = period_ms * len(frames)
+                    for s, t in enumerate(range(0, dur, every_ms)):
+                        fi = min(t // period_ms, len(frames) - 1)
+                        rows.append(
+                            (
+                                mid,
+                                s,
+                                t,
+                                hashlib.md5(
+                                    frames[fi].astype(np.uint8).tobytes()
+                                ).hexdigest()[:12],
+                            )
+                        )
+                    continue
+                _, _, _, _, dur, payload = _unpack(data)
                 n_frames = max(dur // every_ms, 0)
                 for i in range(n_frames):
                     t = i * every_ms
@@ -1929,3 +1951,82 @@ def _read_residual(br: _FlacBitReader, bs: int, order: int) -> list[int]:
         else:
             out.extend(_rice_read(br, n, param))
     return out
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (Microsoft RIFF-AVI spec + the r7 JPEG codec) —
+# the first REAL video path: an actual container (RIFF chunk walk,
+# stream headers) carrying actual compressed frames (every '00dc'
+# chunk is a baseline JPEG decoded by decode_jpeg). Closes the video
+# capability class honestly for the one codec the sandbox can decode;
+# H.264 still raises (require_codecs).
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10
+) -> bytes:
+    """Pack grayscale/RGB frames as a spec-valid AVI: RIFF('AVI ')
+    with hdrl(avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER))
+    and a movi list of '00dc' JPEG chunks (even-padded, per RIFF)."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = [encode_jpeg(f) for f in frames]
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(cc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", cc + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0,
+        0, 0, w, h
+    )
+    spp = 1 if frames[0].ndim == 2 else 3
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 8 * spp, b"MJPG",
+        w * h * spp, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """Walk a RIFF-AVI container and decode every '00dc' Motion-JPEG
+    frame; returns (fps, frames). Tolerates unknown chunks (skipped by
+    size, per RIFF), nested LISTs, and even-padding."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ' magic missing)")
+    usec = 1_000_000 // 10
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec
+        while pos + 8 <= end:
+            cc = data[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cc == b"LIST":
+                walk(body + 4, body + ln)
+            elif cc == b"avih":
+                (usec,) = struct.unpack_from("<I", data, body)
+            elif cc == b"00dc" and ln:
+                frames.append(decode_jpeg(data[body : body + ln]))
+            pos = body + ln + (ln % 2)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    fps = 1_000_000 // usec if usec else 10
+    return fps, frames

@@ -842,3 +842,83 @@ def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         F.posexplode("rms_energy").alias("window_idx", "rms"),
     )
+
+
+@query(
+    "multimodal_mjpeg_frame_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 16) AS p
+      FROM documents
+    ),
+    f AS (SELECT doc_id, p, unnest(generate_series(0, 3)) AS fi FROM s),
+    px AS (
+      SELECT doc_id, fi,
+             repeat(repeat(substr(p, fi * 4 + 1, 1), 8) ||
+                    repeat(substr(p, fi * 4 + 2, 1), 8), 8) ||
+             repeat(repeat(substr(p, fi * 4 + 3, 1), 8) ||
+                    repeat(substr(p, fi * 4 + 4, 1), 8), 8) AS pixels
+      FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(fi * 100 AS INTEGER) AS t_ms,
+           substr(md5(pixels), 1, 12) AS frame_hash
+    FROM px
+    """,
+)
+def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED VIDEO decode (r7 — the video path is REAL now:
+    RIFF-AVI container walk + per-frame Motion-JPEG decode through the
+    r7 JPEG codec): each document becomes a 4-frame 16x16 grayscale
+    MJPEG AVI at 10 fps, frames built from flat 8x8 blocks of md5
+    chars (bit-exact through JPEG, the multimodal_jpeg_features
+    lever), and sample_frames(every_ms=100) walks the container,
+    decodes EVERY frame, and emits the md5 of its actual pixel bytes.
+    The DuckDB oracle reconstructs the pixel byte-string relationally
+    (repeat() of ASCII chars — frame bytes are printable hex chars, so
+    string-md5 == byte-md5) — a RIFF offset, chunk-padding, JPEG, or
+    sampling-arithmetic bug breaks the hash. H.264 still raises
+    honestly; MJPEG is the codec this sandbox can decode for real.
+
+    Scale: the container walk and frame decodes are one Arrow
+    boundary; sampling emits duration/every_ms rows per video (bounded
+    fan-out, the reference's frame-sample shape)."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))),
+            1,
+            16,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_avi(p: pd.Series) -> pd.Series:
+        out = []
+        for s in p:
+            codes = np.frombuffer(s.encode(), dtype=np.uint8)
+            frames = [
+                codes[fi * 4 : fi * 4 + 4]
+                .reshape(2, 2)
+                .repeat(8, axis=0)
+                .repeat(8, axis=1)
+                for fi in range(4)
+            ]
+            out.append(mm.encode_avi_mjpeg(frames, fps=10))
+        return pd.Series(out)
+
+    media = d.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        to_avi("p").alias("data"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(400).alias("duration_ms"),
+    )
+    return mm.sample_frames(media, every_ms=100)
