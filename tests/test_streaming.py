@@ -401,3 +401,70 @@ class TestTdigestDailyMerge:
         est = {(r["week"], r["p"]): r["est_value"] for r in out}
         out2 = catalog.QUERIES["events_tdigest_daily_merge"](spark, sf).collect()
         assert {(r["week"], r["p"]): r["est_value"] for r in out2} == est
+
+
+class TestIncrementalTdigestSink:
+    def test_stream_digests_answer_quantiles_with_no_mass_lost(
+        self, spark, tmp_path_factory
+    ):
+        """Multi-batch drain (maxFilesPerTrigger=1 over 4 files) builds
+        per-epoch digest rows; the reader's merged answer must (a)
+        conserve total mass exactly across epochs, (b) hit true ranks
+        within the entry's tolerance, (c) be identical on re-read
+        (merge is child-order-independent), and (d) be idempotent
+        under an epoch replay (overwrite, not append)."""
+        import numpy as np
+
+        from virapipe_spark import streaming as vs
+        from virapipe_spark import tdigest as td
+
+        d = tmp_path_factory.mktemp("tdigest_stream")
+        rng = np.random.default_rng(77)
+        base = 1_700_000_000
+        rows = []
+        for i in range(400):
+            rows.append(
+                (
+                    i,
+                    __import__("datetime").datetime.fromtimestamp(
+                        base + (i % 3) * 86400 + i
+                    ),
+                    i % 17,
+                    "click",
+                    float(rng.lognormal(3, 1)),
+                    "{}",
+                )
+            )
+        src = str(d / "events")
+        spark.createDataFrame(rows, vs.EVENTS_SCHEMA).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = vs.read_event_stream(spark, src, max_files_per_trigger=1)
+        digest_path = str(d / "digests")
+        vs.incremental_tdigest_sink(
+            stream, digest_path, str(d / "ckpt"), shards=4
+        )
+        stored = spark.read.parquet(digest_path)
+        assert stored.select("epoch").distinct().count() > 1  # multi-batch
+        # (a) mass conservation
+        total_w = sum(
+            sum(r["weights"]) for r in stored.collect()
+        )
+        assert total_w == 400
+        # (b) rank accuracy
+        vals = np.sort(np.array([r[4] for r in rows]))
+        got = vs.read_merged_quantiles(spark, digest_path)
+        for p, est in got:
+            lo = np.searchsorted(vals, est, "left") / len(vals)
+            hi = np.searchsorted(vals, est, "right") / len(vals)
+            assert max(lo - p, p - hi, 0.0) <= 0.02, (p, est)
+        # (c) deterministic re-read
+        assert vs.read_merged_quantiles(spark, digest_path) == got
+        # (d) replaying an epoch's write is idempotent (materialize
+        # first — a lazy self-overwrite would read its own target)
+        epoch0_rows = spark.read.parquet(f"{digest_path}/epoch=0").collect()
+        spark.createDataFrame(
+            epoch0_rows,
+            "day long, shard int, means array<double>, weights array<double>",
+        ).write.mode("overwrite").parquet(f"{digest_path}/epoch=0")
+        assert vs.read_merged_quantiles(spark, digest_path) == got

@@ -402,3 +402,93 @@ def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         Profile(), out_schema, "Update", "None"
     )
+
+
+def incremental_tdigest_sink(
+    sdf: DataFrame,
+    digest_path: str,
+    checkpoint_dir: str,
+    shards: int = 8,
+    timeout_sec: int = 120,
+) -> None:
+    """Incremental QUANTILE state over a stream — the streaming half of
+    the t-digest family (the batch half is catalog
+    ``events_tdigest_daily_merge``): each micro-batch builds per-(day,
+    shard) digests from ITS OWN rows and appends them to an
+    epoch-keyed digest table; readers answer any date-range percentile
+    by merging the relevant digest rows (tdigest.merge — associative
+    and deterministic), so the stream never re-scans history and the
+    state per epoch is a handful of ~100-centroid rows, not events.
+
+    This is the foreach_batch_idempotent_sink pattern applied to
+    SKETCH state: epoch-keyed overwrite makes replays idempotent, and
+    because merge() is child-order-independent the reader's answer is
+    identical no matter how epochs interleaved. Parity vs the batch
+    build is asserted in tests/test_streaming.py.
+
+    Scale: per micro-batch one (day, shard) applyInPandas over the
+    batch's rows only; the digest table accretes tiny rows (compact
+    with the same idempotent rewrite when epochs pile up)."""
+    import pandas as pd
+
+    from virapipe_spark import tdigest as td
+    from pyspark.sql import functions as F
+
+    def _digest_epoch(df: DataFrame, epoch_id: int) -> None:
+        day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+        src = df.select(
+            day.cast("long").alias("day"),
+            F.pmod(F.hash("user_id"), F.lit(shards)).cast("int").alias("shard"),
+            "value",
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            m, w = td.build(pdf["value"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "day": [int(pdf["day"].iloc[0])],
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "means": [m.tolist()],
+                    "weights": [w.tolist()],
+                }
+            )
+
+        out = src.groupBy("day", "shard").applyInPandas(
+            build,
+            "day long, shard int, means array<double>, weights array<double>",
+        )
+        out.write.mode("overwrite").parquet(f"{digest_path}/epoch={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(_digest_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"availableNow t-digest sink to {digest_path!r} did not "
+                f"finish within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
+def read_merged_quantiles(
+    spark, digest_path: str, targets: tuple[float, ...] = (0.5, 0.9, 0.99)
+):
+    """Reader side of incremental_tdigest_sink: merge ALL stored digest
+    rows (across epochs, days, shards) into one digest and return
+    [(p, estimate)] — the constant-time percentile answer the sink
+    maintains. Digest rows are tiny; this collect is sketch-sized
+    control plane (like a BAM header), never event data."""
+    import numpy as np
+
+    from virapipe_spark import tdigest as td
+
+    rows = spark.read.parquet(digest_path).collect()
+    m, w = td.merge(
+        [(np.array(r["means"]), np.array(r["weights"])) for r in rows]
+    )
+    return [(p, td.quantile(m, w, p)) for p in targets]
