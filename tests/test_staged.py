@@ -136,3 +136,57 @@ def test_r7_promote_flips_them_live():
             catalog.QUERIES.pop(n, None)
             catalog.ORACLES.pop(n, None)
         st.R7_PROMOTED = False
+
+
+from virapipe_spark.queries.staged import STAGED_R8  # noqa: E402
+
+
+def test_r8_staging_state_matches_round():
+    """Round 7: r8-staged entries stay out of queries() so the driver
+    window keeps margin for demotion-rotated entries. Round 8+ (a
+    CORRECTNESS_r07+ artifact exists): load_all self-promotes them."""
+    import glob
+    import os
+
+    catalog.load_all()
+    assert set(STAGED_R8) == {
+        "sam_pileup_consensus",
+        "reads_kmer_classify",
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(
+        os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+    )
+    if armed:
+        assert set(STAGED_R8) <= set(catalog.QUERIES)
+    else:
+        assert not set(STAGED_R8) & set(catalog.QUERIES)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, o) in sorted(STAGED_R8.items()) if o is not None]
+)
+def test_r8_staged_entry_matches_oracle(spark, con, name):
+    """The driver-exact compare, run on every oracle-backed r8 entry
+    pre-flip (the two-scale strict gate runs via check_oracle)."""
+    fn, oracle = STAGED_R8[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = con.execute(oracle).df()
+    assert len(sdf) > 0, f"{name}: empty result passes trivially"
+    problems = compare_frames(sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_r8_promote_flips_them_live():
+    from virapipe_spark.queries import staged as st
+
+    st.promote_r8()
+    try:
+        assert set(STAGED_R8) <= set(catalog.QUERIES)
+        assert "sam_pileup_consensus" in catalog.ORACLES
+        st.promote_r8()  # idempotent
+    finally:
+        for n in STAGED_R8:
+            catalog.QUERIES.pop(n, None)
+            catalog.ORACLES.pop(n, None)
+        st.R8_PROMOTED = False

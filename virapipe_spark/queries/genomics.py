@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark import functions as vf
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7
+from virapipe_spark.queries.staged import staged_r7, staged_r8
 
 
 # ---------------------------------------------------------------------------
@@ -1081,3 +1081,195 @@ def bam_split_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(out, "giant.bam"), "wb") as fh:
         fh.write(blob)
     return vbam.read_bam(spark, out, split_size=4096)
+
+
+@staged_r8(
+    "sam_pileup_consensus",
+    oracle=f"""
+    WITH reads AS (
+      SELECT doc_id,
+             concat('ref', doc_id % 3) AS ref,
+             (doc_id * 7) % 50 + 1 AS start,
+             translate(substr(md5(text), 1, 16), '{_HEX}', '{_DNA16}') AS seq
+      FROM documents
+    ),
+    pile AS (
+      SELECT ref, start + g - 1 AS pos, substr(seq, g, 1) AS base
+      FROM reads, unnest(generate_series(1, 16)) AS t(g)
+    ),
+    counts AS (
+      SELECT ref, pos, base, CAST(count(*) AS BIGINT) AS c
+      FROM pile GROUP BY ref, pos, base
+    ),
+    ranked AS (
+      SELECT ref, pos, base, c,
+             CAST(sum(c) OVER (PARTITION BY ref, pos) AS BIGINT) AS depth,
+             row_number() OVER (PARTITION BY ref, pos
+                                ORDER BY c DESC, base) AS rn
+      FROM counts
+    )
+    SELECT ref AS "referenceName", CAST(pos AS BIGINT) AS pos,
+           depth, base AS consensus, c AS consensus_count
+    FROM ranked WHERE rn = 1 AND depth >= 3
+    """,
+)
+def sam_pileup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pileup + consensus calling — the samtools mpileup/consensus
+    shape, the depth-of-coverage family's per-BASE completion
+    (coverage bins exist since r4; this is the base-resolution
+    variant a viral-assembly pipeline polishes contigs with): every
+    aligned read base lands on its reference position (explode fused
+    with the scan), per (ref, pos) the majority base wins
+    (deterministic tie-break: lexicographic), emitted with depth for
+    positions covered >= 3x.
+
+    Scale: one explode (x read-length) into one partially-aggregated
+    (ref, pos, base) count — the shuffle carries per-base partials
+    bounded by 4 x genome positions, NOT read count; the consensus
+    rank is a per-position window over <= 16 base rows. The classic
+    100 TB pileup plan (position-keyed aggregation, never
+    read-vs-read comparison)."""
+    d = table(spark, sf_dir, "documents")
+    reads = d.select(
+        F.concat(F.lit("ref"), (F.col("doc_id") % 3).cast("string")).alias(
+            "ref"
+        ),
+        ((F.col("doc_id") * 7) % 50 + 1).alias("start"),
+        F.translate(F.substring(F.md5("text"), 1, 16), _HEX, _DNA16).alias(
+            "seq"
+        ),
+    )
+    pile = (
+        reads.select(
+            "ref",
+            "start",
+            # sequence+substr, not split-on-lookahead: Spark's split
+            # emits a trailing '' token that would phantom-inflate
+            # depth at pos start+len
+            F.explode(F.sequence(F.lit(1), F.lit(16))).alias("g"),
+            "seq",
+        )
+        .select(
+            "ref",
+            (F.col("start") + F.col("g") - 1).alias("pos"),
+            F.col("seq").substr(F.col("g"), F.lit(1)).alias("base"),
+        )
+    )
+    counts = pile.groupBy("ref", "pos", "base").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_pos = W.partitionBy("ref", "pos")
+    ranked = counts.withColumn(
+        "depth", F.sum("c").over(w_pos).cast("long")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("ref", "pos").orderBy(F.col("c").desc(), "base")
+        ),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("depth") >= 3)).select(
+        F.col("ref").alias("referenceName"),
+        F.col("pos").cast("long").alias("pos"),
+        "depth",
+        F.col("base").alias("consensus"),
+        F.col("c").alias("consensus_count"),
+    )
+
+
+_KC_K = 5
+
+
+@staged_r8(
+    "reads_kmer_classify",
+    oracle=f"""
+    WITH refs AS (
+      SELECT doc_id, concat('tax', doc_id % 5) AS taxon,
+             translate(substr(md5(text), 1, 16), '{_HEX}', '{_DNA16}') AS seq
+      FROM documents WHERE doc_id < 100
+    ),
+    db AS (
+      SELECT DISTINCT substr(seq, g, {_KC_K}) AS kmer, taxon
+      FROM refs, unnest(generate_series(1, 16 - {_KC_K} + 1)) AS t(g)
+    ),
+    reads AS (
+      SELECT doc_id,
+             translate(substr(md5(text), 1, 16), '{_HEX}', '{_DNA16}') AS seq
+      FROM documents WHERE doc_id >= 100
+    ),
+    hits AS (
+      SELECT r.doc_id, db.taxon
+      FROM (SELECT doc_id, substr(seq, g, {_KC_K}) AS kmer
+            FROM reads, unnest(generate_series(1, 16 - {_KC_K} + 1)) AS t(g)) r
+      JOIN db USING (kmer)
+    ),
+    votes AS (
+      SELECT doc_id, taxon, CAST(count(*) AS BIGINT) AS votes
+      FROM hits GROUP BY doc_id, taxon
+    ),
+    ranked AS (
+      SELECT doc_id, taxon, votes,
+             CAST(sum(votes) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS total_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY votes DESC, taxon) AS rn
+      FROM votes
+    )
+    SELECT doc_id, taxon AS best_taxon, votes, total_hits
+    FROM ranked WHERE rn = 1
+    """,
+)
+def reads_kmer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-mer taxonomic classification — the Kraken-family shape (Wood &
+    Salzberg 2014) that replaces the reference's per-read BLAST pipe
+    with a database join a cluster can actually scale: reference
+    sequences (docs < 100, taxon = doc_id % 5) shred into a distinct
+    (k-mer -> taxon) database; each read's k-mers probe it and the
+    majority taxon wins (deterministic tie-break). Kraken's LCA walk is
+    simplified to the k-mer VOTE variant (ties broken lexicographically
+    instead of climbing a taxonomy tree) — stated, not hidden.
+
+    Scale: database build is one distinct over reference k-mers
+    (bounded by 4^k x taxa); classification is ONE equi-join of read
+    k-mers against it (AQE broadcasts small databases — the real
+    Kraken DB is GBs, which is exactly a broadcast-or-bucketed join
+    choice, never per-read subprocess calls like the BLAST pipe), one
+    per-read vote aggregate, one top-1 window."""
+    d = table(spark, sf_dir, "documents")
+    seq = F.translate(F.substring(F.md5("text"), 1, 16), _HEX, _DNA16)
+    kpos = F.explode(F.sequence(F.lit(1), F.lit(16 - _KC_K + 1))).alias("g")
+    refs = d.filter(F.col("doc_id") < 100).select(
+        F.concat(F.lit("tax"), (F.col("doc_id") % 5).cast("string")).alias(
+            "taxon"
+        ),
+        seq.alias("seq"),
+    )
+    db = (
+        refs.select("taxon", kpos, "seq")
+        .select(
+            "taxon", F.col("seq").substr(F.col("g"), F.lit(_KC_K)).alias("kmer")
+        )
+        .distinct()
+    )
+    reads = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id", seq.alias("seq")
+    )
+    read_kmers = reads.select("doc_id", kpos, "seq").select(
+        "doc_id", F.col("seq").substr(F.col("g"), F.lit(_KC_K)).alias("kmer")
+    )
+    votes = (
+        read_kmers.join(db, "kmer")
+        .groupBy("doc_id", "taxon")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    ranked = votes.withColumn(
+        "total_hits",
+        F.sum("votes").over(W.partitionBy("doc_id")).cast("long"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("votes").desc(), "taxon")
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("taxon").alias("best_taxon"), "votes", "total_hits"
+    )
