@@ -218,3 +218,75 @@ class TestRandomProjectionJL:
         # E[ratio]=1; k=16 gives wide variance per pair but the median
         # over 200 pairs concentrates
         assert 0.6 < med < 1.6, med
+
+
+class TestKcoreIndependent:
+    def test_hand_graph_and_python_peel_agree(self, spark):
+        """Honest-claims check for graph.kcore: a hand graph with a
+        known 3-core, plus a pure-python peel on the catalog fixture
+        (sf0.001) must produce the identical member set and degrees."""
+        from collections import defaultdict
+
+        from virapipe_spark import catalog
+        from virapipe_spark.graph import kcore
+
+        # triangle+tail: 3-core = the K4; tail nodes peel away
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        tail = [(3, 4), (4, 5)]
+        und = k4 + tail
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], ["src", "dst"]
+        )
+        got = {r["node"]: r["d"] for r in kcore(edges, k=3).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+        # catalog fixture: python peel to TRUE fixpoint == spark result
+        catalog.load_all()
+        sf = "/root/testdata/sf0.001"
+        from virapipe_spark.catalog import table
+        import pyspark.sql.functions as F
+
+        li = (
+            table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        pairs = (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+        )
+        und_rows = [
+            (r["pa"], r["pb"])
+            for r in pairs.groupBy("pa", "pb")
+            .count()
+            .filter("count >= 2")
+            .collect()
+        ]
+        adj = defaultdict(set)
+        for a, b in und_rows:
+            adj[a].add(b)
+            adj[b].add(a)
+        nodes = set(adj)
+        while True:
+            drop = {
+                n for n in nodes if sum(1 for m in adj[n] if m in nodes) < 2
+            }
+            if not drop:
+                break
+            nodes -= drop
+        want = {
+            n: sum(1 for m in adj[n] if m in nodes) for n in nodes
+        }
+        sym = spark.createDataFrame(
+            und_rows + [(b, a) for a, b in und_rows], ["src", "dst"]
+        )
+        got = {r["node"]: r["d"] for r in kcore(sym, k=2).collect()}
+        assert got == want
