@@ -4673,15 +4673,20 @@ def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03 — the MOSS algorithm): hash every 3-token gram, then in
-    each window of 4 consecutive gram hashes select the minimum
-    (position-tiebroken via the lexicographic 'hash#pos' key, so both
-    engines pick the identical gram) — the guarantee is that any
-    shared substring of >= window+gram tokens yields at least one
-    SHARED selected fingerprint, at ~2/(w+1) the storage of full
-    shingling. Output per doc: fingerprints selected, how many are
-    shared with any other document, and the shared fraction — the
+    """CROSS-DOCUMENT winnowing match analysis — the second half of
+    the MOSS pipeline (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+    ``docs_fingerprint_winnow`` pins the SELECTION stage (char-k-gram
+    window minima, per-doc fingerprint count); this entry runs the
+    stage MOSS exists for: which selected fingerprints are SHARED
+    between documents. Token-3-grams (word grain, not char grain) are
+    hashed, each 4-window's minimum selected with a deterministic
+    position tie-break (the lexicographic 'hash#pos' key, so both
+    engines pick the identical gram — plain min(h) would be ambiguous
+    under hash ties), then every selected fingerprint is checked for
+    presence in >= 2 documents. The winnowing guarantee: any shared
+    run of >= window+gram tokens yields at least one shared selected
+    fingerprint, at ~2/(w+1) the storage of full shingling. Output per
+    doc: fingerprints selected, shared count, shared fraction — the
     plagiarism / near-dup triage signal. Exact integers + one rounded
     division; hash-checked.
 
