@@ -122,6 +122,9 @@ class TestPlanProperties:
             # crossJoined at the end are ONE-ROW aggregates (k-row
             # sketches upstream)
             "events_theta_intersection",
+            # r7: the global token total — the ONE-ROW scalar-aggregate
+            # crossJoin pattern (mixture-allocation precedent)
+            "docs_shard_assignment",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -4841,3 +4841,86 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("dim"),
         y.cast("long").alias("y"),
     )
+
+
+_SHARD_N = 8
+
+
+@query(
+    "docs_shard_assignment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             md5(CAST(doc_id AS STRING)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, tokens, h,
+             CAST(sum(tokens) OVER (ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c,
+             CAST(sum(tokens) OVER () AS BIGINT) AS total
+      FROM t
+    )
+    SELECT doc_id, tokens,
+           CAST(((c - 1) * {_SHARD_N}) // total AS BIGINT) AS shard
+    FROM cum
+    """,
+)
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + TOKEN-balanced shard assignment —
+    the training-shard build step (shuffle the corpus, then cut it
+    into N shards of ~equal token budget, not equal doc count):
+    documents order by md5(doc_id) (the reproducible shuffle), the
+    running token total assigns shard = (cum-1)*N div total — exact
+    integer arithmetic, every doc's assignment hash-checked.
+
+    Scale: the naive cumulative sum is a GLOBAL ordered window — a
+    single-partition sort at 100 TB. This implementation uses the
+    distributed two-level prefix sum instead: 16 hash buckets (first
+    md5 hex digit) each compute their internal ordered cumsum IN
+    PARALLEL, bucket totals (16 rows) produce per-bucket offsets via a
+    broadcast, and cum = bucket_offset + within_bucket_cum. Identical
+    result (bucket boundaries respect the global md5 order because the
+    bucket IS the leading hex digit), parallelism = bucket count x
+    within-bucket partitions. The DuckDB oracle uses the plain global
+    window — same arithmetic, different physical plan, which is the
+    point."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    t = t.withColumn("bucket", F.substring("h", 1, 1))
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    t = t.withColumn("in_cum", F.sum("tokens").over(w_in).cast("long"))
+    btot = t.groupBy("bucket").agg(
+        F.sum("tokens").cast("long").alias("btokens")
+    )
+    w_b = (
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btokens").over(w_b), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+    )
+    total = t.agg(F.sum("tokens").cast("long").alias("total"))
+    out = (
+        t.join(F.broadcast(boff), "bucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn("c", F.col("offset") + F.col("in_cum"))
+    )
+    return out.select(
+        "doc_id",
+        "tokens",
+        F.expr(f"CAST(((c - 1) * {_SHARD_N}) div total AS BIGINT)").alias(
+            "shard"
+        ),
+    )
