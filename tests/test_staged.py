@@ -153,6 +153,7 @@ def test_r8_staging_state_matches_round():
         "sam_pileup_consensus",
         "reads_kmer_classify",
         "graph_kcore",
+        "lineitem_skew_report",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
 from virapipe_spark.scale import truncate_lineage
-from virapipe_spark.queries.staged import staged_r7
+from virapipe_spark.queries.staged import staged_r7, staged_r8
 
 # ---------------------------------------------------------------------------
 # Shared shingle machinery (word 3-grams)
@@ -4923,4 +4923,86 @@ def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(((c - 1) * {_SHARD_N}) div total AS BIGINT)").alias(
             "shard"
         ),
+    )
+
+
+@staged_r8(
+    "lineitem_skew_report",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS sz
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT key, sz,
+             row_number() OVER (ORDER BY sz, key) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n_keys,
+             CAST(sum(sz) OVER () AS BIGINT) AS total_rows,
+             CAST(max(sz) OVER () AS BIGINT) AS max_sz
+      FROM sizes
+    ),
+    pct AS (
+      SELECT n_keys, total_rows, max_sz,
+             max(CASE WHEN rn * 2 >= n_keys THEN NULL ELSE sz END) AS _x,
+             min(CASE WHEN rn * 2 >= n_keys THEN sz ELSE NULL END) AS p50,
+             min(CASE WHEN rn * 100 >= n_keys * 99 THEN sz ELSE NULL END)
+               AS p99
+      FROM ranked GROUP BY n_keys, total_rows, max_sz
+    )
+    SELECT n_keys, total_rows, max_sz,
+           CAST(p50 AS BIGINT) AS p50, CAST(p99 AS BIGINT) AS p99,
+           round(CAST(max_sz AS DOUBLE) * n_keys / total_rows, 4)
+             AS skew_factor
+    FROM pct
+    """,
+)
+def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW diagnostics — the planning pass a 100 TB pipeline
+    runs BEFORE choosing a join strategy (broadcast? salt factor? AQE
+    skew threshold?): per-key partition sizes for the prospective
+    shuffle key (l_suppkey), reduced to the decision numbers — key
+    count, max partition, exact integer p50/p99 (rank thresholds, no
+    interpolation), and skew_factor = max/mean (one exactly-rounded
+    division): 1.0 = perfectly uniform, >> 1 = salt or AQE-split the
+    top keys. This is the measurement feeding scale.salted_join's
+    factor (the engine measures before it salts — the same discipline
+    the repo applies to its own perf work).
+
+    Scale: one partially-aggregated count by key, then windows over
+    the KEY-GRAIN frame (n_keys rows, not input rows) — the report
+    costs one shuffle regardless of input size."""
+    sizes = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count("*").cast("long").alias("sz"))
+    )
+    w_rank = W.orderBy("sz", "key")
+    w_all = W.partitionBy()
+    ranked = sizes.select(
+        "key",
+        "sz",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("n_keys"),
+        F.sum("sz").over(w_all).cast("long").alias("total_rows"),
+        F.max("sz").over(w_all).cast("long").alias("max_sz"),
+    )
+    pct = ranked.groupBy("n_keys", "total_rows", "max_sz").agg(
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n_keys"), F.col("sz"))
+        ).alias("p50"),
+        F.min(
+            F.when(F.col("rn") * 100 >= F.col("n_keys") * 99, F.col("sz"))
+        ).alias("p99"),
+    )
+    return pct.select(
+        "n_keys",
+        "total_rows",
+        "max_sz",
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p99").cast("long").alias("p99"),
+        F.round(
+            F.col("max_sz").cast("double") * F.col("n_keys")
+            / F.col("total_rows"),
+            4,
+        ).alias("skew_factor"),
     )
