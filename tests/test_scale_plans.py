@@ -125,6 +125,9 @@ class TestPlanProperties:
             # r7: the global token total — the ONE-ROW scalar-aggregate
             # crossJoin pattern (mixture-allocation precedent)
             "docs_shard_assignment",
+            # r7 (staged r8): ALS objective telemetry — three ONE-ROW
+            # objective/penalty aggregates crossJoined into the report
+            "embed_als_factorize",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -385,3 +385,43 @@ def kcore(
         .agg(F.count("*").alias("d"))
         .select(F.col("src").alias("node"), "d")
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    rounds: int = 2,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg 1999) on a BIPARTITE graph, integer-exact: hubs
+    on the left of ``edges(hub, auth)``, authorities on the right.
+    Each round: auth score = sum of pointing hub scores, hub score =
+    sum of pointed-to auth scores — pure int64 sums from a
+    ``scale``-valued start, no normalization inside the loop (the
+    L2 step of the published algorithm only rescales; rankings are
+    identical, and int64 holds ``rounds=2`` for degree products up to
+    ~1e6 — overflow-guard the caller for deeper runs). Returns
+    (hub_scores, auth_scores).
+
+    Scale: each half-round is one edge join + key aggregate (the
+    pagerank shape on a bipartite key split); rounds are unrolled
+    DataFrame ops, lineage bounded by 2x rounds."""
+    from pyspark.sql import functions as F
+
+    hubs = edges.select(hub_col).distinct().withColumn(
+        "hub_score", F.lit(scale).cast("long")
+    )
+    auths = None
+    for _ in range(rounds):
+        auths = (
+            edges.join(hubs, hub_col)
+            .groupBy(auth_col)
+            .agg(F.sum("hub_score").cast("long").alias("auth_score"))
+        )
+        hubs = (
+            edges.join(auths, auth_col)
+            .groupBy(hub_col)
+            .agg(F.sum("auth_score").cast("long").alias("hub_score"))
+        )
+    return hubs, auths

@@ -5006,3 +5006,204 @@ def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_factor"),
     )
+
+
+_ALS_K = 4
+_ALS_LAMBDA = 0.1
+
+
+def _als_init_factors(spark: SparkSession, items: DataFrame, key: str) -> DataFrame:
+    """Deterministic factor init: factor f of key k =
+    ((int(md5('k:f')[:8], 16) % 2001) - 1000) / 1000 in [-1, 1] —
+    reproducible across runs and partitionings (the JL sign-matrix
+    discipline applied to dense init)."""
+    fs = [
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col(key).cast("string"),
+                                F.lit(f":{f}"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).cast("double")
+            / 1000.0
+        ).alias(f"f{f}")
+        for f in range(_ALS_K)
+    ]
+    return items.select(key, F.array(*fs).alias("factors"))
+
+
+@staged_r8("embed_als_factorize")  # rows-only: least-squares factors are
+# float linear algebra no SQL oracle reproduces; self-check columns below
+def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating Least Squares matrix factorization — the
+    recommendation-model family (Koren/Bell/Volinsky 2009; Spark's
+    flagship MLlib workload) built on the engine's own primitives:
+    customer x part quantity ratings factorize into rank-4 embeddings
+    by alternately solving per-user then per-item ridge regressions
+    (closed-form k x k solve per key, numpy inside applyInPandas — the
+    grouped-solve pattern, k**2-sized state per key). Factor init is
+    md5-deterministic and each group's rows are sorted before the
+    solve, so the whole factorization is reproducible bit-for-bit.
+
+    Self-validating output (no oracle): the FULL training objective
+    (SSE + the weighted-lambda ridge penalty — raw SSE alone carries
+    no guarantee, a solve may trade fit for smaller norms) rides along
+    after init, after the user half-step, and after the item
+    half-step — ALS guarantees each half-step cannot increase it
+    (each solve is exact for its subproblem with the other side
+    fixed); ``u_step_ok`` / ``v_step_ok`` certify the decrease,
+    pinned in tests/test_recall.py along with reproducibility.
+
+    Scale: ratings join factors on the alternating key (equi-join,
+    item factors broadcast when small); each solve sees one key's
+    ratings (bounded by that key's degree — the skew knob is the same
+    per-key bound lineitem_skew_report measures); objective is one
+    aggregated pass. The classic 100 TB recommender shape."""
+    import numpy as np
+    import pandas as pd
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 400)
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+    ratings = truncate_lineage(li, eager=False)
+
+    vf = _als_init_factors(
+        spark, ratings.select("item").distinct(), "item"
+    ).withColumnRenamed("factors", "vfac")
+    uf0 = _als_init_factors(
+        spark, ratings.select("user").distinct(), "user"
+    ).withColumnRenamed("factors", "ufac")
+
+    def _solve(joined: DataFrame, group: str, fac_col: str) -> DataFrame:
+        def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("other")
+            A = np.array(pdf[fac_col].tolist())
+            r = pdf["r"].to_numpy()
+            G = A.T @ A + _ALS_LAMBDA * len(r) * np.eye(_ALS_K)
+            x = np.linalg.solve(G, A.T @ r)
+            return pd.DataFrame(
+                {group: [pdf[group].iloc[0]], "factors": [x.tolist()]}
+            )
+
+        return joined.groupBy(group).applyInPandas(
+            fit, f"{group} long, factors array<double>"
+        )
+
+    u_deg = ratings.groupBy("user").agg(F.count("*").alias("nu"))
+    v_deg = ratings.groupBy("item").agg(F.count("*").alias("ni"))
+    sqnorm = F.aggregate(
+        F.transform("factors", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _penalty(fac: DataFrame, key: str, deg: DataFrame, dcol: str):
+        return (
+            fac.join(deg, key)
+            .agg(
+                (F.lit(_ALS_LAMBDA) * F.sum(F.col(dcol) * sqnorm)).alias(
+                    "pen"
+                )
+            )
+        )
+
+    def _obj(u: DataFrame, v: DataFrame):
+        """SSE + lambda*(sum_u n_u||U_u||^2 + sum_i n_i||V_i||^2) —
+        the exact quantity each half-step's closed-form solve
+        minimizes with the other side fixed."""
+        j = (
+            ratings.join(u.withColumnRenamed("factors", "uf"), "user")
+            .join(v.withColumnRenamed("factors", "vf"), "item")
+        )
+        pred = F.aggregate(
+            F.zip_with("uf", "vf", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sse = j.agg(
+            F.sum((F.col("r") - pred) * (F.col("r") - pred)).alias("sse"),
+            F.count("*").alias("n"),
+        )
+        pu = _penalty(u, "user", u_deg, "nu")
+        pv = _penalty(v, "item", v_deg, "ni")
+        return (
+            sse.crossJoin(F.broadcast(pu.withColumnRenamed("pen", "pu")))
+            .crossJoin(F.broadcast(pv.withColumnRenamed("pen", "pv")))
+            .select(
+                "sse",
+                "n",
+                (F.col("sse") + F.col("pu") + F.col("pv")).alias("obj"),
+            )
+        )
+
+    # user half-step: solve U given V
+    ju = ratings.join(vf, "item").select(
+        "user", F.col("item").alias("other"), "r", "vfac"
+    )
+    uf1 = _solve(ju, "user", "vfac").withColumnRenamed("factors", "factors")
+    # item half-step: solve V given new U
+    jv = (
+        ratings.join(
+            uf1.withColumnRenamed("factors", "ufac2"), "user"
+        ).select("item", F.col("user").alias("other"), "r", "ufac2")
+    )
+    vf1 = _solve(jv, "item", "ufac2")
+
+    s0 = _obj(
+        uf0.withColumnRenamed("ufac", "factors"),
+        vf.withColumnRenamed("vfac", "factors"),
+    )
+    s1 = _obj(uf1, vf.withColumnRenamed("vfac", "factors"))
+    s2 = _obj(uf1, vf1)
+    out = (
+        s0.select(
+            F.col("obj").alias("obj_init"),
+            F.col("sse").alias("sse_init"),
+            F.col("n").alias("n_ratings"),
+        )
+        .crossJoin(
+            F.broadcast(s1.select(F.col("obj").alias("obj_after_u")))
+        )
+        .crossJoin(
+            F.broadcast(
+                s2.select(
+                    F.col("obj").alias("obj_after_v"),
+                    F.col("sse").alias("sse_after_v"),
+                )
+            )
+        )
+    )
+    return out.select(
+        "n_ratings",
+        F.round("obj_init", 4).alias("obj_init"),
+        F.round("obj_after_u", 4).alias("obj_after_u"),
+        F.round("obj_after_v", 4).alias("obj_after_v"),
+        F.round("sse_init", 4).alias("sse_init"),
+        F.round("sse_after_v", 4).alias("sse_after_v"),
+        (F.col("obj_after_u") <= F.col("obj_init")).alias("u_step_ok"),
+        (F.col("obj_after_v") <= F.col("obj_after_u")).alias("v_step_ok"),
+        F.round(F.sqrt(F.col("sse_after_v") / F.col("n_ratings")), 4).alias(
+            "rmse"
+        ),
+    )

@@ -2303,3 +2303,75 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.select(
         "node", F.col("d").cast("long").alias("d"), (F.col("d") >= 2).alias("stable_ok")
     )
+
+
+@staged_r8(
+    "graph_hits_bipartite",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_partkey < 400
+    ),
+    a1 AS (
+      SELECT auth, CAST(count(*) AS BIGINT) * 1000000 AS auth_score
+      FROM e GROUP BY auth
+    ),
+    h1 AS (
+      SELECT e.hub, CAST(sum(a1.auth_score) AS BIGINT) AS hub_score
+      FROM e JOIN a1 USING (auth) GROUP BY e.hub
+    ),
+    a2 AS (
+      SELECT e.auth, CAST(sum(h1.hub_score) AS BIGINT) AS auth_score
+      FROM e JOIN h1 USING (hub) GROUP BY e.auth
+    ),
+    h2 AS (
+      SELECT e.hub, CAST(sum(a2.auth_score) AS BIGINT) AS hub_score
+      FROM e JOIN a2 USING (auth) GROUP BY e.hub
+    )
+    SELECT 'hub' AS side, hub AS node, hub_score AS score FROM h2
+    UNION ALL
+    SELECT 'auth' AS side, auth AS node, auth_score AS score FROM a2
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    customer->part purchase graph — the DUAL-diffusion member of the
+    iterative family (PageRank diffuses one score on one vertex set;
+    HITS alternates two scores across a bipartite split: influential
+    customers are those buying authoritative parts and vice versa).
+    Two integer-exact rounds from a 1e6-scaled start, no in-loop
+    normalization (rescaling only — rankings identical, stated in
+    graph.hits_bipartite), the oracle unrolling each half-round as a
+    join+aggregate exactly like the pagerank precedent. Output: both
+    sides' final scores, hash-checked.
+
+    Scale: each half-round is one edge equi-join + key aggregate;
+    the part filter (< 400) bounds the authority side like the other
+    part-graph entries."""
+    from virapipe_spark.graph import hits_bipartite
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 400
+    ).select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+        )
+        .distinct()
+    )
+    e = truncate_lineage(e, eager=False)
+    hubs, auths = hits_bipartite(e, rounds=2)
+    return hubs.select(
+        F.lit("hub").alias("side"),
+        F.col("hub").alias("node"),
+        F.col("hub_score").alias("score"),
+    ).unionAll(
+        auths.select(
+            F.lit("auth").alias("side"),
+            F.col("auth").alias("node"),
+            F.col("auth_score").alias("score"),
+        )
+    )
