@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7
+from virapipe_spark.queries.staged import staged_r7, staged_r8
 from virapipe_spark import streaming as vstream
 
 _DAY_US = 86_400_000_000
@@ -2092,4 +2092,135 @@ def events_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             F.round(F.col("n_common") / frac, 2).alias("est_intersection"),
         )
+    )
+
+
+@staged_r8(
+    "events_stump_classifier",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM pts GROUP BY x
+    ),
+    cum AS (
+      SELECT x, n, pos,
+             CAST(sum(n) OVER w AS BIGINT) AS n_le,
+             CAST(sum(pos) OVER w AS BIGINT) AS pos_le,
+             CAST(sum(n) OVER () AS BIGINT) AS n_all,
+             CAST(sum(pos) OVER () AS BIGINT) AS pos_all
+      FROM agg
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT x AS threshold, n_all, pos_all,
+             -- rule A: predict 1 iff value <= t; rule B: iff value > t
+             pos_le + (n_all - n_le) - (pos_all - pos_le) AS correct_a,
+             (n_le - pos_le) + (pos_all - pos_le) AS correct_b
+      FROM cum
+    ),
+    best AS (
+      SELECT threshold,
+             CASE WHEN correct_a >= correct_b THEN 'le' ELSE 'gt' END
+               AS rule,
+             CAST(CASE WHEN correct_a >= correct_b
+                  THEN correct_a ELSE correct_b END AS BIGINT) AS correct,
+             n_all, pos_all,
+             row_number() OVER (
+               ORDER BY CASE WHEN correct_a >= correct_b
+                        THEN correct_a ELSE correct_b END DESC,
+                        threshold
+             ) AS rn
+      FROM scored
+    )
+    SELECT threshold, rule, correct, n_all AS n,
+           CAST(greatest(pos_all, n_all - pos_all) AS BIGINT)
+             AS majority_baseline,
+           correct >= greatest(pos_all, n_all - pos_all) AS beats_baseline
+    FROM best WHERE rn = 1
+    """,
+)
+def events_stump_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (the 1R / depth-1 tree learner — the
+    base learner of AdaBoost and the simplest supervised TRAINING op
+    a data engine runs in-database): learn the single threshold on
+    ``value`` that best predicts event_type == 'purchase'. EVERY
+    candidate threshold is scored in one pass — cents-quantized
+    feature values aggregate to (n, positives), a sorted cumulative
+    window yields each threshold's confusion counts for both rule
+    orientations (predict-below / predict-above), and the argmax is
+    one top-1 window with deterministic tie-break. All exact integers:
+    the learned threshold, its training accuracy numerator, and a
+    beats-majority-baseline certificate are hash-checked — a
+    cumulative-count or orientation bug flips the output.
+
+    Scale: candidate grain = DISTINCT feature values (cents), not
+    rows; the global ordered window over candidates is the known
+    single-partition pattern at extreme cardinality — the shard
+    assignment entry's two-level prefix sum is the drop-in fix when a
+    feature has billions of distinct values (documented, not needed at
+    value-grain cents)."""
+    pts = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    agg = pts.groupBy("x").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w_cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    cum = agg.select(
+        "x",
+        F.sum("n").over(w_cum).cast("long").alias("n_le"),
+        F.sum("pos").over(w_cum).cast("long").alias("pos_le"),
+        F.sum("n").over(w_all).cast("long").alias("n_all"),
+        F.sum("pos").over(w_all).cast("long").alias("pos_all"),
+    )
+    scored = cum.select(
+        F.col("x").alias("threshold"),
+        "n_all",
+        "pos_all",
+        (
+            F.col("pos_le")
+            + (F.col("n_all") - F.col("n_le"))
+            - (F.col("pos_all") - F.col("pos_le"))
+        ).alias("correct_a"),
+        (
+            (F.col("n_le") - F.col("pos_le"))
+            + (F.col("pos_all") - F.col("pos_le"))
+        ).alias("correct_b"),
+    )
+    best = scored.select(
+        "threshold",
+        F.when(F.col("correct_a") >= F.col("correct_b"), "le")
+        .otherwise("gt")
+        .alias("rule"),
+        F.greatest("correct_a", "correct_b").cast("long").alias("correct"),
+        "n_all",
+        "pos_all",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(F.col("correct").desc(), "threshold")
+        ),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "threshold",
+        "rule",
+        "correct",
+        F.col("n_all").alias("n"),
+        F.greatest(
+            F.col("pos_all"), F.col("n_all") - F.col("pos_all")
+        ).cast("long").alias("majority_baseline"),
+        (
+            F.col("correct")
+            >= F.greatest(F.col("pos_all"), F.col("n_all") - F.col("pos_all"))
+        ).alias("beats_baseline"),
     )
