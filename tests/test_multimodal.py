@@ -947,3 +947,30 @@ class TestAviMjpegCodec:
         ]
         for r, f in zip(rows, frames):
             assert r["frame_hash"] == hashlib.md5(f.tobytes()).hexdigest()[:12]
+
+
+class TestFlacFrameNumbering:
+    def test_utf8_frame_codes_canonical_and_many_frames_roundtrip(self):
+        """FLAC's UTF-8-style frame numbering: every code decodes back
+        and uses the CANONICAL (shortest) length per the 5n+1 payload
+        capacity — the original bound produced overlong 3-byte codes
+        for 11-bit frame numbers. A 200-frame stream (crossing the
+        one-byte boundary at frame 128) round-trips exactly."""
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        for n in list(range(0, 5000)) + [2**16, 2**20, 2**30]:
+            enc = mm._utf8_code(n)
+            assert mm._utf8_decode(mm._FlacBitReader(enc)) == n
+            if n < 0x80:
+                want = 1
+            else:
+                want = 2
+                while n.bit_length() > 5 * want + 1:
+                    want += 1
+            assert len(enc) == want, (n, len(enc), want)
+        rng = np.random.default_rng(9)
+        x = rng.normal(0, 4000, 200 * 64).astype(np.int16)
+        rate, y = mm.decode_flac(mm.encode_flac(8000, x, block_size=64))
+        assert np.array_equal(x, y)

@@ -1624,7 +1624,9 @@ def _utf8_code(n: int) -> bytes:
     out = []
     nbits = n.bit_length()
     nbytes = 2
-    while nbits > 1 + 5 * nbytes - (nbytes - 1):
+    # an nbytes-long sequence carries 5*nbytes+1 payload bits
+    # (lead byte: 7-nbytes bits, continuations: 6 each)
+    while nbits > 5 * nbytes + 1:
         nbytes += 1
     lead = (0xFF << (8 - nbytes) & 0xFF) | (n >> (6 * (nbytes - 1)))
     out.append(lead & 0xFF)
