@@ -157,6 +157,7 @@ def test_r8_staging_state_matches_round():
         "graph_hits_bipartite",
         "embed_als_factorize",
         "events_stump_classifier",
+        "join_size_estimate_cm",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -2375,3 +2375,145 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("auth_score").alias("score"),
         )
     )
+
+
+_CM_W = 262144
+_CM_D = 3
+
+
+@staged_r8(
+    "join_size_estimate_cm",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderkey
+    ),
+    exact AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_size
+      FROM a JOIN b USING (k)
+    ),
+    rows_a AS (
+      SELECT d.i,
+             CAST(CAST('0x' || substr(md5(CAST(d.i AS STRING) || ':' ||
+                       CAST(a.k AS STRING)), 1, 8) AS BIGINT)
+                  % {_CM_W} AS BIGINT) AS bucket,
+             a.c
+      FROM a, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i) d
+    ),
+    rows_b AS (
+      SELECT d.i,
+             CAST(CAST('0x' || substr(md5(CAST(d.i AS STRING) || ':' ||
+                       CAST(b.k AS STRING)), 1, 8) AS BIGINT)
+                  % {_CM_W} AS BIGINT) AS bucket,
+             b.c
+      FROM b, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i) d
+    ),
+    cm_a AS (SELECT i, bucket, CAST(sum(c) AS BIGINT) AS v
+             FROM rows_a GROUP BY i, bucket),
+    cm_b AS (SELECT i, bucket, CAST(sum(c) AS BIGINT) AS v
+             FROM rows_b GROUP BY i, bucket),
+    inner_prod AS (
+      SELECT cm_a.i, CAST(sum(cm_a.v * cm_b.v) AS BIGINT) AS est
+      FROM cm_a JOIN cm_b USING (i, bucket)
+      GROUP BY cm_a.i
+    ),
+    est AS (SELECT CAST(min(est) AS BIGINT) AS est_size FROM inner_prod)
+    SELECT e.exact_size, s.est_size,
+           s.est_size >= e.exact_size AS never_underestimates,
+           round(CAST(s.est_size AS DOUBLE) / e.exact_size, 4) AS ratio
+    FROM exact e, est s
+    """,
+)
+def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation — the count-min inner-product
+    estimator (Cormode & Muthukrishnan 2005; the AGMS join-size line):
+    each side of a prospective equi-join compresses to a {_CM_D} x
+    {_CM_W} count-min sketch, and the join cardinality estimate is the
+    MINIMUM over rows of the sketch inner product — the number a query
+    optimizer reads to pick broadcast vs shuffle WITHOUT touching
+    either table again (sketches are mergeable across partitions by
+    vector addition, the mergeable-sketch family's optimizer-facing
+    member). Width is the accuracy lever and it must respect the key
+    cardinality: the estimator's additive error is ~F1(A)*F1(B)/w, so
+    w = {_CM_W} (>= the larger side's distinct keys at these scales)
+    keeps the measured ratio near 1 — the first cut (w=256) measured a
+    587x overestimate at sf0.1, exactly what the bound predicts for
+    150k keys in 256 buckets, and the ``ratio`` column keeps that
+    honesty in the output. Deterministic md5 bucket hashing makes the whole estimate
+    hash-checkable (the KMV/theta precedent); the exact join size
+    rides along, and ``never_underestimates`` certifies the one-sided
+    CM guarantee (every bucket product counts at least the true
+    matching mass, so est >= exact ALWAYS — a refuting row would be an
+    implementation bug, not noise).
+
+    Scale: per-side key aggregates (partial, the count itself), then
+    {_CM_D}*{_CM_W}-row sketch tables — the inner product is a
+    constant-size join regardless of input; at 100 TB sketches are
+    maintained incrementally per partition and merged."""
+    li = table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").cast("long").alias("c"))
+    od = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").cast("long").alias("c"))
+
+    def cm(side: DataFrame) -> DataFrame:
+        rows = side.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("i"),
+            "k",
+            "c",
+        ).select(
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_W
+            ).alias("bucket"),
+            "c",
+        )
+        return rows.groupBy("i", "bucket").agg(
+            F.sum("c").cast("long").alias("v")
+        )
+
+    cma = cm(li)
+    cmb = cm(od)
+    est = (
+        cma.join(cmb.withColumnRenamed("v", "w"), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("est"))
+        .agg(F.min("est").cast("long").alias("est_size"))
+    )
+    exact = (
+        li.join(od.withColumnRenamed("c", "c2"), "k")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("exact_size"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_size",
+            "est_size",
+            (F.col("est_size") >= F.col("exact_size")).alias(
+                "never_underestimates"
+            ),
+            F.round(
+                F.col("est_size").cast("double") / F.col("exact_size"), 4
+            ).alias("ratio"),
+        )
+    )
