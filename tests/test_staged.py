@@ -158,6 +158,8 @@ def test_r8_staging_state_matches_round():
         "embed_als_factorize",
         "events_stump_classifier",
         "join_size_estimate_cm",
+        "lineitem_equidepth_histogram",
+        "docs_feature_hashing",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -5207,3 +5207,68 @@ def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmse"
         ),
     )
+
+
+_FH_DIM = 64
+
+
+@staged_r8(
+    "docs_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t[g] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS g
+            FROM documents)
+      WHERE t[g] <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                  % {_FH_DIM} AS BIGINT) AS dim,
+             CASE WHEN substr(md5(tok), 9, 1) < '8' THEN 1 ELSE -1 END
+               AS sign
+      FROM toks
+    )
+    SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, dim
+    HAVING sum(sign) <> 0
+    """,
+)
+def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick / signed feature hashing (Weinberger et al.
+    2009; the Vowpal-Wabbit featurizer): each token maps to dimension
+    md5(tok)[:8] % {_FH_DIM} with a +-1 sign from the next hex char
+    (the signed variant makes collision noise zero-mean), and a
+    document's feature vector is the per-(doc, dim) signed count —
+    fixed-width training features with NO vocabulary table, the
+    featurization step that feeds the stump/ALS/kmeans family.
+    Integer-exact and hash-checked (both engines synthesize the same
+    hash function, the JL sign-matrix discipline); zero weights drop
+    so the output is the sparse representation.
+
+    Scale: one token explode + one (doc, dim)-keyed partial-aggregated
+    count — no vocabulary state AT ALL is the trick's entire point at
+    100 TB (contrast docs_tfidf_topterms, which carries the df
+    table)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _FH_DIM
+        ).alias("dim"),
+        F.when(F.substring(F.md5("tok"), 9, 1) < "8", 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

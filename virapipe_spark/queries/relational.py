@@ -2517,3 +2517,68 @@ def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+_EQD_B = 8
+
+
+@staged_r8(
+    "lineitem_equidepth_histogram",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM x
+    ),
+    bucketed AS (
+      SELECT v, n, CAST(((rn - 1) * {_EQD_B}) // n AS BIGINT) AS b
+      FROM ranked
+    )
+    SELECT b AS bucket,
+           CAST(min(v) AS BIGINT) AS lo_cents,
+           CAST(max(v) AS BIGINT) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM bucketed GROUP BY b
+    """,
+)
+def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram — the ANALYZE TABLE statistic a
+    cost-based optimizer consumes (with lineitem_skew_report and
+    join_size_estimate_cm this completes the optimizer-statistics
+    family: skew, join size, selectivity): l_extendedprice in exact
+    cents splits into {_EQD_B} rank-equal buckets, each reporting its
+    [lo, hi] boundary and row count — selectivity of a range predicate
+    reads straight off the bucket overlaps. Bucket membership of tied
+    values at a boundary is rank-arbitrary, but every OUTPUT is
+    deterministic: counts are fixed by the rank arithmetic and a tie
+    group straddling a boundary contributes the same value to both
+    buckets' extrema.
+
+    Scale: the exact global rank is a single-partition sort window at
+    this grain — the known pattern; production ANALYZE samples or
+    range-partitions first (Spark's RangePartitioner does exactly
+    this), and the two-level prefix sum (docs_shard_assignment) is the
+    exact-rank fix when needed. The statistic itself is {_EQD_B} rows
+    regardless of input."""
+    x = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    w_all = W.partitionBy()
+    ranked = x.select(
+        "v",
+        F.row_number().over(W.orderBy("v")).alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    bucketed = ranked.select(
+        "v",
+        F.expr(f"CAST(((rn - 1) * {_EQD_B}) div n AS BIGINT)").alias("b"),
+    )
+    return bucketed.groupBy(F.col("b").alias("bucket")).agg(
+        F.min("v").cast("long").alias("lo_cents"),
+        F.max("v").cast("long").alias("hi_cents"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
