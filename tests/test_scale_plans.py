@@ -128,6 +128,9 @@ class TestPlanProperties:
             # r7 (staged r8): ALS objective telemetry — three ONE-ROW
             # objective/penalty aggregates crossJoined into the report
             "embed_als_factorize",
+            # r7 (staged r8): exact-size and estimate frames are both
+            # ONE-ROW aggregates crossJoined into the report row
+            "join_size_estimate_cm",
         }
         from virapipe_spark.queries.staged import pending_staged
 
