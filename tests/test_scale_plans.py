@@ -131,6 +131,9 @@ class TestPlanProperties:
             # r7 (staged r8): exact-size and estimate frames are both
             # ONE-ROW aggregates crossJoined into the report row
             "join_size_estimate_cm",
+            # r7 (staged r8): five ONE-ROW merge-table broadcasts (the
+            # bpe_merge_step argmax pattern, chained)
+            "docs_bpe_apply",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -160,6 +160,7 @@ def test_r8_staging_state_matches_round():
         "join_size_estimate_cm",
         "lineitem_equidepth_histogram",
         "docs_feature_hashing",
+        "docs_bpe_apply",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(
