@@ -134,6 +134,9 @@ class TestPlanProperties:
             # r7 (staged r8): five ONE-ROW merge-table broadcasts (the
             # bpe_merge_step argmax pattern, chained)
             "docs_bpe_apply",
+            # r7 (staged r8): 5-row class-model broadcast × test tokens —
+            # the constant-cardinality centroid/codebook precedent
+            "docs_nb_classify",
         }
         from virapipe_spark.queries.staged import pending_staged
 
