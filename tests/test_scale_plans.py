@@ -137,6 +137,10 @@ class TestPlanProperties:
             # r7 (staged r8): 5-row class-model broadcast × test tokens —
             # the constant-cardinality centroid/codebook precedent
             "docs_nb_classify",
+            # r7 (staged r8): the null/min/max and multi-distinct one-row
+            # aggregates crossJoin into the profile report (split to dodge
+            # a measured ~25 s RewriteDistinctAggregates compile)
+            "lineitem_column_profile",
         }
         from virapipe_spark.queries.staged import pending_staged
 

