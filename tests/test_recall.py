@@ -343,3 +343,66 @@ class TestAlsIndependent:
                 y = x.copy()
                 y[d] += eps
                 assert obj(y) >= base
+
+
+class TestLabelPropagationIndependent:
+    def test_hand_graph_and_python_lpa_agree(self, spark):
+        """Honest-claims check for graph.label_propagation: a hand
+        graph of two triangles joined by one bridge edge (the textbook
+        two-community fixture), plus a pure-python synchronous LPA
+        with the identical argmax rule must reproduce the Spark labels
+        round-for-round on a random-ish fixture."""
+        from collections import Counter, defaultdict
+
+        from virapipe_spark.graph import label_propagation
+
+        tri1 = [(0, 1), (1, 2), (0, 2)]
+        tri2 = [(3, 4), (4, 5), (3, 5)]
+        und = tri1 + tri2 + [(2, 3)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], ["src", "dst"]
+        )
+        got = {
+            r["node"]: r["lbl"]
+            for r in label_propagation(edges, rounds=4).collect()
+        }
+        # two communities, each labeled by its min member
+        assert got[0] == got[1] == got[2]
+        assert got[3] == got[4] == got[5]
+
+        # python twin with the same deterministic rule, same rounds
+        def py_lpa(und_edges, rounds):
+            adj = defaultdict(list)
+            for a, b in und_edges:
+                adj[a].append(b)
+                adj[b].append(a)
+            lbl = {n: n for n in adj}
+            for _ in range(rounds):
+                new = {}
+                for n in adj:
+                    c = Counter(lbl[m] for m in adj[n])
+                    best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                    new[n] = best[0]
+                lbl = new
+            return lbl
+
+        import random
+
+        rng = random.Random(7)
+        rand_und = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(30), rng.randrange(30)) for _ in range(60)
+                )
+                if a != b
+            }
+        )
+        redges = spark.createDataFrame(
+            rand_und + [(b, a) for a, b in rand_und], ["src", "dst"]
+        )
+        got = {
+            r["node"]: r["lbl"]
+            for r in label_propagation(redges, rounds=4).collect()
+        }
+        assert got == py_lpa(rand_und, 4)

@@ -425,3 +425,74 @@ def hits_bipartite(
             .agg(F.sum("auth_score").cast("long").alias("hub_score"))
         )
     return hubs, auths
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    deterministic: labels start as node ids; each round every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label (the argmax is max(struct(count, -label)) — one
+    aggregate, no window). Runs exactly ``rounds`` synchronous rounds:
+    LPA's fixpoint is not guaranteed (bipartite-ish regions oscillate
+    under synchronous update — the published failure mode), so the
+    operator's contract is the R-round transcript, and the caller
+    reads per-node ``changed`` (did the last round still flip the
+    label?) as data rather than trusting a convergence claim — the
+    honest-claims rule.
+
+    ``edges`` is the symmetric directed form (both (a,b) and (b,a)),
+    the module convention. Returns (node, label, changed).
+
+    Scale: each round is one (dst, label)-keyed count over edges
+    equi-joined to the current label table, then a node-keyed argmax —
+    two shuffles bounded by edge count, the Pregel shape shared with
+    pagerank/kcore; lineage truncates every ``checkpoint_every``
+    rounds (reliable when a checkpoint dir is configured)."""
+    from pyspark.sql import functions as F
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    prev = None
+    for rnd in range(rounds):
+        prev = labels
+        cnts = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            cnts.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+        )
+        # isolated-in-round nodes keep their label (none exist in the
+        # symmetric co-purchase fixture, but the operator is total)
+        labels = (
+            labels.select("node", F.col("lbl").alias("old"))
+            .join(best, "node", "left")
+            .select(
+                "node", F.coalesce("lbl", F.col("old")).alias("lbl")
+            )
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            labels = truncate_lineage(labels, reliable=True)
+    return (
+        labels.join(
+            prev.select("node", F.col("lbl").alias("prev_lbl")), "node"
+        )
+        .select(
+            "node",
+            "lbl",
+            (F.col("lbl") != F.col("prev_lbl")).alias("changed"),
+        )
+    )

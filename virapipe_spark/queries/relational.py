@@ -2670,3 +2670,93 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_null, n_distinct, min_val, max_val)"
         ),
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label-propagation oracle (kcore unroll
+    precedent: every chained CTE AS MATERIALIZED — QUIRKS 8). Each
+    round: per-(node, label) neighbor counts, per-node max count,
+    min-label argmax — semantics shared verbatim with
+    graph.label_propagation's struct-max."""
+    parts = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN l{i - 1} l ON e.src = l.node
+      GROUP BY e.dst, l.lbl
+    ),
+    m{i} AS MATERIALIZED (SELECT node, max(c) AS mc FROM c{i} GROUP BY node),
+    l{i} AS MATERIALIZED (
+      SELECT c.node, min(c.lbl) AS lbl
+      FROM c{i} c JOIN m{i} m ON c.node = m.node AND c.c = m.mc
+      GROUP BY c.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT f.node, CAST(f.lbl AS BIGINT) AS lbl,
+           f.lbl <> p.lbl AS changed
+    FROM l{rounds} f JOIN l{rounds - 1} p ON f.node = p.node"""
+    )
+    return "".join(parts)
+
+
+@staged_r8("graph_label_propagation", oracle=_lpa_oracle(rounds=4))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph (the kcore fixture) — the COMMUNITY member
+    of the iterative-graph family (CC finds connectivity; LPA finds
+    density structure inside a component). Four deterministic rounds
+    (most-frequent neighbor label, min-label tie-break); the hash pins
+    every node's final label AND whether the last round still flipped
+    it (`changed`) — synchronous LPA may oscillate by design, so the
+    transcript, not a convergence claim, is the contract
+    (honest-claims rule; the oscillation literature is the reason).
+
+    Scale: see graph.label_propagation — per round one edge-keyed
+    count + one node-keyed argmax aggregate, the Pregel shape;
+    reliable-capable lineage truncation every 2 rounds."""
+    from virapipe_spark.graph import label_propagation
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+    )
+    und = pairs.groupBy("pa", "pb").count().filter(F.col("count") >= 2)
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    edges = truncate_lineage(edges, eager=False)
+    out = label_propagation(edges, rounds=4)
+    return out.select("node", F.col("lbl").cast("long").alias("lbl"), "changed")
