@@ -2224,3 +2224,130 @@ def events_stump_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.greatest(F.col("pos_all"), F.col("n_all") - F.col("pos_all"))
         ).alias("beats_baseline"),
     )
+
+
+_ATTR_LOOKBACK_US = 72 * 3600 * 1000000
+
+
+@staged_r8(
+    "events_attribution_ushape",
+    oracle=f"""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, event_type AS channel,
+             epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.user_id, t.touch_id, t.channel, t.t_us,
+             c.c_us - t.t_us AS age_us
+      FROM conv c JOIN touch t ON c.user_id = t.user_id
+      WHERE t.t_us <= c.c_us AND c.c_us - t.t_us <= {_ATTR_LOOKBACK_US}
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM pairs
+      WINDOW w AS (PARTITION BY conv_id ORDER BY t_us, touch_id)
+    ),
+    credited AS (
+      SELECT conv_id, user_id, touch_id, channel, rn, n, age_us,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rn = 1 OR rn = n THEN 400000
+               ELSE 200000 // (n - 2)
+                    + CASE WHEN rn - 1 <= 200000 % (n - 2)
+                           THEN 1 ELSE 0 END
+             END AS credit_ppm
+      FROM ranked
+    )
+    SELECT conv_id, user_id, touch_id, channel,
+           CAST(rn AS BIGINT) AS rn, CAST(n AS BIGINT) AS n, age_us,
+           CAST(credit_ppm AS BIGINT) AS credit_ppm,
+           CAST(sum(credit_ppm) OVER (PARTITION BY conv_id) AS BIGINT)
+             = 1000000 AS conv_total_ok
+    FROM credited
+    """,
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    marketing-analytics operator the asof join only enriches for:
+    every purchase conversion gathers the same user's view/click
+    touches in a 72 h lookback and splits exactly 1 000 000 ppm of
+    credit: 100% to a lone touch, 50/50 for two, else 40% first /
+    40% last / 20% Hamilton-split over the middles (integer floor +
+    earliest-middles remainder, the docs_mixture_allocation idiom —
+    so every conversion's credits sum to EXACTLY 1e6, certified in
+    the output by `conv_total_ok`). Integer-exact, hash-checked; ties
+    broken by (ts, touch_id), a touch at the conversion instant
+    counts.
+
+    Scale: candidate pairs form only inside a user-keyed equi-join
+    with the lookback filter (the events_range_join stance: pair
+    formation IS the semantics, volume bounded by touches-per-user-
+    per-72h); position/credit assignment is one conversion-keyed
+    window pass. At 100 TB the lookback bound is what keeps per-user
+    state finite — the same bound the streaming interval join uses."""
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = (
+        conv.join(touch, conv["user_id"] == touch["t_user"])
+        .withColumn("c_us", F.unix_micros("c_ts"))
+        .withColumn("t_us", F.unix_micros("t_ts"))
+        .filter(
+            (F.col("t_us") <= F.col("c_us"))
+            & (F.col("c_us") - F.col("t_us") <= _ATTR_LOOKBACK_US)
+        )
+        .select(
+            "conv_id",
+            "user_id",
+            "touch_id",
+            "channel",
+            "t_us",
+            (F.col("c_us") - F.col("t_us")).alias("age_us"),
+        )
+    )
+    wo = W.partitionBy("conv_id").orderBy("t_us", "touch_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(W.partitionBy("conv_id"))
+    )
+    mid_n = F.greatest(F.col("n") - 2, F.lit(1))
+    credit = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(
+            F.expr("200000 div (n - 2)")
+            + F.when(F.col("rn") - 1 <= 200000 % mid_n, 1).otherwise(0)
+        )
+    )
+    credited = ranked.withColumn("credit_ppm", credit)
+    return credited.select(
+        "conv_id",
+        "user_id",
+        "touch_id",
+        "channel",
+        F.col("rn").cast("long").alias("rn"),
+        F.col("n").cast("long").alias("n"),
+        "age_us",
+        F.col("credit_ppm").cast("long").alias("credit_ppm"),
+        (
+            F.sum("credit_ppm").over(W.partitionBy("conv_id")).cast("long")
+            == 1000000
+        ).alias("conv_total_ok"),
+    )
