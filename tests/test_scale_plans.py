@@ -251,6 +251,9 @@ class TestPlanProperties:
             # r7: AVI container walk + per-frame MJPEG decode — same
             # codec-boundary class
             "multimodal_mjpeg_frame_sample",
+            # r7 (staged r8): BMP encode + decode/dHash fingerprint are
+            # the codec boundary; banding/Hamming stay JVM-side
+            "multimodal_dhash_neardup",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

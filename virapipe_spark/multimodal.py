@@ -2032,3 +2032,51 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
     fps = 1_000_000 // usec if usec else 10
     return fps, frames
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprint: decode
+    each image (BMP/PNG/GIF/TIFF by magic), take channel 0, and for an
+    (h x w) grid emit bit r*(w-1)+c = 1 iff px[r][c] < px[r][c+1] —
+    the standard 64-bit dHash when w=9, h=8 (the resize-to-9x8 step is
+    the caller's: compose with resize_images for arbitrary inputs).
+    Bits pack into two NONNEGATIVE 32-bit halves (dhash_lo = bits
+    0..31, dhash_hi = 32..63) so no sign bit ever crosses an engine
+    boundary. Returns (media_id, dhash_hi, dhash_lo).
+
+    Scale: one Arrow batch boundary per partition (mapInPandas), the
+    codec-decode pattern shared by decode_image_features; everything
+    downstream (banding, candidate joins, Hamming) is JVM-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                if data[:2] == b"BM":
+                    img = decode_bmp(data)
+                elif data[:8] == _PNG_SIG:
+                    img = decode_png(data)
+                elif data[:6] in _GIF_MAGIC:
+                    img = decode_gif(data)
+                else:
+                    img = decode_tiff(data)
+                gray = img[:, :, 0].astype(np.int32)
+                bits = (gray[:, :-1] < gray[:, 1:]).astype(np.uint64)
+                flat = bits.reshape(-1)
+                idx = np.arange(flat.size, dtype=np.uint64)
+                lo = int((flat[idx < 32] << idx[idx < 32]).sum())
+                hi_mask = idx >= 32
+                hi = int(
+                    (flat[hi_mask] << (idx[hi_mask] - 64 + 32)).sum()
+                    if flat.size > 32
+                    else 0
+                )
+                out.append((mid, hi, lo))
+            yield pd.DataFrame(
+                out, columns=["media_id", "dhash_hi", "dhash_lo"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        gen, "media_id long, dhash_hi long, dhash_lo long"
+    )

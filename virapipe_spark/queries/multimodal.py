@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7
+from virapipe_spark.queries.staged import staged_r7, staged_r8
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,3 +922,179 @@ def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(400).alias("duration_ms"),
     )
     return mm.sample_frames(media, every_ms=100)
+
+
+@staged_r8(
+    "multimodal_dhash_neardup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             substr(md5(text) || md5(text || 'x') || md5(text || 'y'),
+                    1, 72) AS p
+      FROM documents
+    ),
+    pix AS (
+      SELECT doc_id, g - 1 AS i, ascii(substr(p, g, 1)) AS code
+      FROM (SELECT doc_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    bits AS (
+      SELECT doc_id,
+             (i // 9) * 8 + (i % 9) AS idx,
+             CASE WHEN code < lead(code) OVER (PARTITION BY doc_id ORDER BY i)
+                  THEN 1 ELSE 0 END AS b
+      FROM pix QUALIFY i % 9 < 8
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id AS media_id,
+             CAST(sum(CASE WHEN idx >= 32
+                           THEN b * (1::BIGINT << (idx - 32)) ELSE 0 END)
+                  AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN idx < 32
+                           THEN b * (1::BIGINT << idx) ELSE 0 END)
+                  AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+      SELECT media_id, dhash_hi, dhash_lo, 0 AS band,
+             dhash_lo % 65536 AS bv FROM h
+      UNION ALL
+      SELECT media_id, dhash_hi, dhash_lo, 1, dhash_lo // 65536 FROM h
+      UNION ALL
+      SELECT media_id, dhash_hi, dhash_lo, 2, dhash_hi % 65536 FROM h
+      UNION ALL
+      SELECT media_id, dhash_hi, dhash_lo, 3, dhash_hi // 65536 FROM h
+    ),
+    pairs AS (
+      SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+             bit_count(xor(a.dhash_hi, b.dhash_hi))
+               + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS ham
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+    ),
+    part AS (
+      SELECT ma AS media_id, ham FROM pairs
+      UNION ALL
+      SELECT mb, ham FROM pairs
+    ),
+    agg AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN ham <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM part GROUP BY media_id
+    )
+    SELECT h.media_id, h.dhash_hi, h.dhash_lo,
+           coalesce(agg.n_cand, 0) AS n_cand,
+           coalesce(agg.n_dup, 0) AS n_dup
+    FROM h LEFT JOIN agg ON h.media_id = agg.media_id
+    """,
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the MULTIMODAL member of the
+    near-dup family (MinHash/SimHash/PPJoin dedup text; dHash dedups
+    images): deterministic 9x8 grayscale BMPs built from md5-hex
+    pixels encode through the REAL BMP codec, decode back through the
+    real parser, and fingerprint as the standard 64-bit dHash
+    (bit = px[r][c] < px[r][c+1]), packed into two nonnegative 32-bit
+    halves so no sign bit crosses engines. Candidates then block on
+    four 16-bit hash bands (the LSH banding idiom: Hamming-<=k pairs
+    must agree on SOME band for k < 4 well-spread bits) and exact
+    Hamming distance over candidates yields per-image candidate and
+    near-dup counts. DuckDB recomputes pixels, hash, bands, and pair
+    counts relationally from the generative hex — the Spark path
+    proves the codec round-trip + UDF bit-packing on top of that.
+
+    Scale: the decode/fingerprint is one Arrow boundary
+    (mapInPandas, codec-exempt); banding is an equi-join — candidate
+    volume is sum-over-band-buckets |b|^2 (the docs_minhash_lsh
+    analysis), ~760 expected collision pairs per 5 000 random images
+    at 16-bit bands; Hamming is JVM bit_count on packed longs."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_bmp(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_bmp(
+                    np.repeat(
+                        np.frombuffer(s.encode(), dtype=np.uint8).reshape(
+                            8, 9, 1
+                        ),
+                        3,
+                        axis=2,
+                    )
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select("media_id", to_bmp("p").alias("data"))
+    h = mm.dhash_images(media)
+    bands = None
+    for i, bv in enumerate(
+        [
+            F.col("dhash_lo") % 65536,
+            F.expr("dhash_lo div 65536"),
+            F.col("dhash_hi") % 65536,
+            F.expr("dhash_hi div 65536"),
+        ]
+    ):
+        part = h.select(
+            "media_id",
+            "dhash_hi",
+            "dhash_lo",
+            F.lit(i).alias("band"),
+            bv.cast("long").alias("bv"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = (
+        F.bit_count(
+            F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+        )
+        + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("b.media_id").alias("mb"),
+            ham.alias("ham"),
+        )
+        .distinct()
+    )
+    part = pairs.select(F.col("ma").alias("media_id"), "ham").unionAll(
+        pairs.select(F.col("mb").alias("media_id"), "ham")
+    )
+    agg = part.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("ham") <= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    return h.join(agg, "media_id", "left").select(
+        "media_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+    )
