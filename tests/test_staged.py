@@ -167,6 +167,8 @@ def test_r8_staging_state_matches_round():
         "graph_label_propagation",
         "events_attribution_ushape",
         "multimodal_dhash_neardup",
+        "events_dow_seasonal",
+        "docs_sorted_neighborhood",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

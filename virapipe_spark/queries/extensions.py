@@ -5612,3 +5612,88 @@ def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("true_lang") == F.col("cls")).alias("correct"),
     )
+
+
+_SN_W = 4
+
+
+@staged_r8(
+    "docs_sorted_neighborhood",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, substr(text, 1, 16) AS head16,
+             row_number() OVER (ORDER BY lang, text, doc_id) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.rn AS rank_a, b.rn AS rank_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           a.lang = b.lang AS same_lang,
+           CAST(levenshtein(a.head16, b.head16) AS BIGINT) AS head_dist
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SN_W}
+    """,
+)
+def docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995 —
+    the THIRD classic blocking discipline beside hash blocks
+    (editdist entry) and LSH bands (minhash entry)): order the corpus
+    by a similarity-preserving sort key (lang, text, doc_id), and only
+    rows within a rank window of w={_SN_W} ever pair. Near-identical
+    records sort adjacent regardless of which block boundary a hash
+    scheme would split them across — the blocker of choice when dup
+    clusters straddle block keys. Pairs carry rank distance plus the
+    16-char-head Levenshtein as the cheap verifier; candidate volume
+    is EXACTLY N·w by construction (vs data-dependent block sizes).
+
+    Scale: the global sort rank is the honest exact cost (the
+    ABC/RFM stance) — at 100 TB the rank comes from
+    repartitionByRange + per-partition row_number with broadcast
+    partition offsets (the docs_shard_assignment prefix-sum
+    machinery), and pairing stays an equi-join on the rank bucket
+    (each row joins its own and its predecessor bucket, never a rank
+    inequality join)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 16).alias("head16"), "text"
+    )
+    rn = F.row_number().over(W.orderBy("lang", "text", "doc_id"))
+    r = d.select("doc_id", "lang", "head16", rn.alias("rn")).withColumn(
+        "bucket", F.expr(f"(rn - 1) div {_SN_W}")
+    )
+    # a-side probes its own and the NEXT bucket so every pair with
+    # 1 <= gap <= w is covered by an equi-join on bucket
+    a = r.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("head16").alias("head_a"),
+        F.col("rn").alias("rank_a"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe"),
+    )
+    b = r.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("head16").alias("head_b"),
+        F.col("rn").alias("rank_b"),
+        F.col("bucket").alias("probe"),
+    )
+    return (
+        a.join(b, "probe")
+        .filter(
+            (F.col("rank_b") - F.col("rank_a") >= 1)
+            & (F.col("rank_b") - F.col("rank_a") <= _SN_W)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_a",
+            "rank_b",
+            (F.col("rank_b") - F.col("rank_a")).cast("long").alias(
+                "rank_gap"
+            ),
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+            F.levenshtein(F.col("head_a"), F.col("head_b"))
+            .cast("long")
+            .alias("head_dist"),
+        )
+    )

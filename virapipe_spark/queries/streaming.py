@@ -2351,3 +2351,77 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1000000
         ).alias("conv_total_ok"),
     )
+
+
+@staged_r8(
+    "events_dow_seasonal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY event_type, day
+    ),
+    base AS (
+      SELECT event_type, day % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(day_cents) AS BIGINT) AS dow_sum_cents
+      FROM daily GROUP BY event_type, day % 7
+    )
+    SELECT d.event_type, d.day, d.day % 7 AS dow, d.day_cents,
+           b.n_days, b.dow_sum_cents,
+           CAST(d.day_cents * b.n_days - b.dow_sum_cents AS BIGINT)
+             AS resid_scaled,
+           2 * abs(d.day_cents * b.n_days - b.dow_sum_cents)
+             > b.dow_sum_cents AS is_outlier
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.day % 7 = b.dow
+    """,
+)
+def events_dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition — the seasonality member of
+    the time-series family (trend, changepoint, anomaly-days, EW
+    sketches established): daily revenue-cents per event type, a
+    per-(type, weekday) baseline, and an INTEGER-EXACT scaled residual
+    day_cents*n − Σ (the same cross-multiplied-comparison idiom as
+    ABC/ LTV — no float mean ever crosses an engine), with the
+    ±50%-of-baseline outlier flag 2·|resid| > Σ evaluated in integers
+    too. This is the "is Monday supposed to look like this" monitor:
+    the residual is the deseasonalized signal changepoint/anomaly
+    entries would consume.
+
+    Scale: two partial-aggregable groupBys (day grain, then weekday
+    grain — 7·|types| rows, broadcastable) and one equi-join back to
+    the daily series; at 100 TB the daily table is the one that needs
+    a date-partitioned layout, which events_partition_prune's write
+    path provides."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(cents).cast("long").alias("day_cents"))
+    base = daily.groupBy(
+        "event_type", (F.col("day") % 7).alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("day_cents").cast("long").alias("dow_sum_cents"),
+    )
+    resid = F.col("day_cents") * F.col("n_days") - F.col("dow_sum_cents")
+    return (
+        daily.withColumn("dow", F.col("day") % 7)
+        .join(base, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "day_cents",
+            "n_days",
+            "dow_sum_cents",
+            resid.cast("long").alias("resid_scaled"),
+            (F.lit(2) * F.abs(resid) > F.col("dow_sum_cents")).alias(
+                "is_outlier"
+            ),
+        )
+    )
