@@ -1273,3 +1273,173 @@ def reads_kmer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select(
         "doc_id", F.col("taxon").alias("best_taxon"), "votes", "total_hits"
     )
+
+
+_FLAGSTAT_CATS = [
+    ("total", "TRUE"),
+    ("secondary", "(flag & 256) <> 0"),
+    ("supplementary", "(flag & 2048) <> 0"),
+    ("duplicates", "(flag & 1024) <> 0"),
+    ("mapped", "(flag & 4) = 0"),
+    ("paired", "(flag & 1) <> 0"),
+    ("read1", "(flag & 1) <> 0 AND (flag & 64) <> 0"),
+    ("read2", "(flag & 1) <> 0 AND (flag & 128) <> 0"),
+    ("properly_paired", "(flag & 1) <> 0 AND (flag & 2) <> 0"),
+    (
+        "both_mapped",
+        "(flag & 1) <> 0 AND (flag & 4) = 0 AND (flag & 8) = 0",
+    ),
+    ("singletons", "(flag & 1) <> 0 AND (flag & 4) = 0 AND (flag & 8) <> 0"),
+]
+
+
+def _flagstat_oracle() -> str:
+    sums = ",\n".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{name}"
+        for name, cond in _FLAGSTAT_CATS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS ord, '{name}' AS category, n_{name} AS n FROM one"
+        for i, (name, _) in enumerate(_FLAGSTAT_CATS)
+    )
+    return f"""
+    WITH flags AS (
+      SELECT doc_id % 4096 AS flag FROM documents
+    ),
+    one AS MATERIALIZED (SELECT {sums} FROM flags),
+    cats AS ({rows})
+    SELECT ord, category, n,
+           CAST(n * 1000000 // (SELECT n_total FROM one) AS BIGINT)
+             AS pct_ppm
+    FROM cats
+    """
+
+
+@staged_r8("sam_flagstat", oracle=_flagstat_oracle())
+def sam_flagstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-flagstat parity — THE standard alignment QC summary
+    (reference capability class: SQLQueryBAM.java's flag predicates,
+    generalized to the full category battery): eleven flag-bit
+    categories (total / secondary 0x100 / supplementary 0x800 /
+    duplicate 0x400 / mapped !0x4 / paired 0x1 / read1 0x40 / read2
+    0x80 / properly-paired 0x2 / both-mates-mapped / singleton
+    mate-unmapped 0x8) counted in ONE pass and emitted one row per
+    category with an integer-ppm share (floor division — no float
+    ratio crosses engines). The flag word derives as doc_id % 4096
+    (the sam_flag_filter convention) so both engines exercise
+    identical bitwise semantics end to end.
+
+    Scale: all eleven categories fuse into a single
+    map-side-combinable conditional-sum aggregate over the scan (the
+    dq_audit shape) — one job, no shuffle beyond the final 1-row
+    reduce; the stack to rows is constant-width. This is the per-batch
+    QC row a 100 TB alignment store persists per ingest."""
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4096).alias("flag")
+    )
+    one = d.agg(
+        *[
+            F.sum(F.when(F.expr(cond), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, cond in _FLAGSTAT_CATS
+        ]
+    )
+    stack = ", ".join(
+        f"{i}, '{name}', n_{name}" for i, (name, _) in enumerate(_FLAGSTAT_CATS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_FLAGSTAT_CATS)}, {stack}) AS (ord, category, n)"
+        ),
+        F.col("n_total"),
+    ).select(
+        "ord",
+        "category",
+        "n",
+        F.expr("n * 1000000 div n_total").cast("long").alias("pct_ppm"),
+    )
+
+
+@staged_r8(
+    "contigs_n50_stats",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, n_chars AS len FROM documents
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, len,
+             row_number() OVER (ORDER BY len DESC, doc_id) AS rn,
+             sum(len) OVER (ORDER BY len DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(len) OVER () AS total,
+             count(*) OVER () AS n_contigs
+      FROM lens
+    ),
+    thr AS (SELECT unnest([50, 90]) AS threshold),
+    hit AS (
+      SELECT t.threshold, r.rn, r.len, r.total, r.n_contigs,
+             row_number() OVER (PARTITION BY t.threshold ORDER BY r.rn)
+               AS pick
+      FROM thr t JOIN ranked r ON r.cum * 100 >= r.total * t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(len AS BIGINT) AS nxx_len,
+           CAST(rn AS BIGINT) AS lxx_count,
+           CAST(total AS BIGINT) AS total_bases,
+           CAST(n_contigs AS BIGINT) AS n_contigs
+    FROM hit WHERE pick = 1
+    """,
+)
+def contigs_n50_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N50/N90 assembly statistics — the standard contig-set QC
+    metric downstream of the assemble stage (reference capability
+    class: MegaHit assembly outputs, tools.py pipeline): contigs
+    ranked by length desc, NXX = the length at which the running sum
+    first reaches XX% of total bases, LXX = how many contigs that
+    takes. The 50%-crossing test is the INTEGER cross-multiplication
+    cum*100 >= total*XX (the ABC idiom — no float share), ties broken
+    by doc_id so the rank is total.
+
+    Scale: the global length-rank window is the honest exact cost
+    (ABC/RFM stance — at 100 TB the crossing point comes from a
+    length-histogram prefix sum instead, the equi-depth entry's
+    machinery); the threshold table is two literal rows exploded
+    against qualifying ranks, then a per-threshold min-rank pick."""
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("len")
+    )
+    wo = W.orderBy(F.col("len").desc(), "doc_id")
+    ranked = lens.select(
+        "doc_id",
+        "len",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("len")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("len")
+        .over(W.orderBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total"),
+        F.count("*")
+        .over(W.orderBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n_contigs"),
+    )
+    hit = (
+        ranked.withColumn(
+            "threshold", F.explode(F.array(F.lit(50), F.lit(90)))
+        )
+        .filter(F.col("cum") * 100 >= F.col("total") * F.col("threshold"))
+        .withColumn(
+            "pick",
+            F.row_number().over(W.partitionBy("threshold").orderBy("rn")),
+        )
+        .filter(F.col("pick") == 1)
+    )
+    return hit.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("len").cast("long").alias("nxx_len"),
+        F.col("rn").cast("long").alias("lxx_count"),
+        F.col("total").cast("long").alias("total_bases"),
+        F.col("n_contigs").cast("long").alias("n_contigs"),
+    )
