@@ -141,6 +141,9 @@ class TestPlanProperties:
             # aggregates crossJoin into the profile report (split to dodge
             # a measured ~25 s RewriteDistinctAggregates compile)
             "lineitem_column_profile",
+            # r7 (staged r8): the ONE-ROW total/key-count broadcast that
+            # carries the relative heavy-hitter threshold
+            "events_cm_heavy_hitters",
         }
         from virapipe_spark.queries.staged import pending_staged
 

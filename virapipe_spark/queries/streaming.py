@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from virapipe_spark.catalog import query, table
 from virapipe_spark.queries.staged import staged_r7, staged_r8
 from virapipe_spark import streaming as vstream
+from virapipe_spark.scale import truncate_lineage
 
 _DAY_US = 86_400_000_000
 
@@ -2423,5 +2424,126 @@ def events_dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2) * F.abs(resid) > F.col("dow_sum_cents")).alias(
                 "is_outlier"
             ),
+        )
+    )
+
+
+_HH_W = 1024
+_HH_D = 3
+# heavy-hitter threshold = 1.2x the uniform share: (6*total) div (5*keys)
+# — scale-invariant under the near-uniform synthetic key distribution
+# (an absolute total/k fraction empties at 10x scale: 10x users dilute
+# every share 10x while per-key counts stay ~Poisson(67))
+
+
+@staged_r8(
+    "events_cm_heavy_hitters",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS nk FROM exact),
+    rows_k AS (
+      SELECT d.i, e.k, e.c,
+             CAST(CAST('0x' || substr(md5(CAST(d.i AS STRING) || ':' ||
+                       CAST(e.k AS STRING)), 1, 8) AS BIGINT)
+                  % {_HH_W} AS BIGINT) AS bucket
+      FROM exact e,
+           (SELECT unnest(generate_series(0, {_HH_D - 1})) AS i) d
+    ),
+    cm AS MATERIALIZED (
+      SELECT i, bucket, CAST(sum(c) AS BIGINT) AS v
+      FROM rows_k GROUP BY i, bucket
+    ),
+    est AS (
+      SELECT r.k, CAST(min(cm.v) AS BIGINT) AS est
+      FROM rows_k r JOIN cm ON r.i = cm.i AND r.bucket = cm.bucket
+      GROUP BY r.k
+    )
+    SELECT e.k AS user_id, s.est, e.c AS exact,
+           e.c >= (6 * t.n) // (5 * t.nk) AS is_true_hh,
+           s.est >= e.c AS never_under
+    FROM est s JOIN exact e ON s.k = e.k, tot t
+    WHERE s.est >= (6 * t.n) // (5 * t.nk)
+    """,
+)
+def events_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by count-min probe — the FREQUENT-ITEMS member of
+    the mergeable-sketch family (HLL distinct / KMV distinct / CM
+    frequency / theta algebra / t-digest quantiles established): build
+    a {_HH_D}x{_HH_W} CM sketch of per-user event counts, probe every
+    candidate key, and report keys whose estimate clears 1.2x the uniform share
+    (6*total) div (5*keys) — a relative threshold, so the entry stays
+    non-empty at every scale of the near-uniform fixture.
+    CM only ever OVERestimates, so every true heavy hitter is
+    structurally guaranteed to be reported (the no-false-negative
+    funnel, join_bloom_prefilter's stance) — the exact counts ride
+    along, ``is_true_hh`` separates real from collision-inflated
+    reports, and ``never_under`` certifies the one-sided guarantee per
+    key (a refuting row = implementation bug). Deterministic md5
+    bucketing keeps the whole sketch hash-checkable.
+
+    Scale: the sketch is {_HH_D}*{_HH_W} mergeable counters built by one
+    partial-aggregable pass; probing joins candidate keys to the
+    sketch on (row, bucket) — an equi-join. At 100 TB the candidate
+    set comes from per-partition local top-k (cheap superset), not the
+    full key list; the threshold rides a one-row total broadcast."""
+    ev = table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    exact = truncate_lineage(exact, eager=False)
+    tot = exact.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("nk"),
+    )
+    rows = exact.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_HH_D - 1))).alias("i"),
+        "k",
+        "c",
+    ).select(
+        "i",
+        "k",
+        "c",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _HH_W
+        ).alias("bucket"),
+    )
+    rows = truncate_lineage(rows, eager=False)
+    cm = rows.groupBy("i", "bucket").agg(F.sum("c").cast("long").alias("v"))
+    est = (
+        rows.join(cm, ["i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("v").cast("long").alias("est"))
+    )
+    return (
+        est.join(exact, "k")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("est") >= F.expr("(6 * n) div (5 * nk)"))
+        .select(
+            F.col("k").alias("user_id"),
+            "est",
+            F.col("c").alias("exact"),
+            (F.col("c") >= F.expr("(6 * n) div (5 * nk)")).alias(
+                "is_true_hh"
+            ),
+            (F.col("est") >= F.col("c")).alias("never_under"),
         )
     )
