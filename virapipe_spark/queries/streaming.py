@@ -2547,3 +2547,144 @@ def events_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("c")).alias("never_under"),
         )
     )
+
+
+@staged_r8(
+    "events_ohlc_daily",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY us, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY us DESC, event_id DESC) AS rn_close
+      FROM pts
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM ranked GROUP BY event_type, day
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the candlestick downsampling
+    every time-series store ships (open/high/low/close + tick count +
+    summed volume), integer-cents exact with the total order
+    (ts, event_id) deciding open and close (first/last are only
+    well-defined under a total order — the rename_unique determinism
+    stance). Implemented as two row_number windows + one grouped
+    aggregate rather than first()/last() (whose Spark semantics are
+    order-dependent within partitions — the documented trap).
+
+    Scale: partitioned window + partial-aggregable groupBy on the
+    (type, day) grain — the same keys, so AQE coalesces to one
+    shuffle; this is the classic pre-aggregation that turns raw ticks
+    into the bar table dashboards actually scan."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US))
+        .cast("long")
+        .alias("day"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wk = W.partitionBy("event_type", "day")
+    ranked = pts.withColumn(
+        "rn_open", F.row_number().over(wk.orderBy("us", "event_id"))
+    ).withColumn(
+        "rn_close",
+        F.row_number().over(
+            wk.orderBy(F.col("us").desc(), F.col("event_id").desc())
+        ),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+        .cast("long")
+        .alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+        .cast("long")
+        .alias("close_cents"),
+        F.count("*").cast("long").alias("n_ticks"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
+
+
+@staged_r8(
+    "events_twap_user",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, cents,
+             lead(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) - us AS held_us
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(sum(cents * held_us) AS BIGINT) AS weighted_sum,
+           CAST(sum(held_us) AS BIGINT) AS held_total_us,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(CAST(sum(cents * held_us) AS DOUBLE) / sum(held_us), 4)
+             AS twap_cents
+    FROM held WHERE held_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user — the irregular-sampling
+    mean the plain avg() gets WRONG (a value held for 3 days must
+    weigh 3 days, not one tick): each event's value holds until the
+    user's next event (step-function semantics, the asof-join world
+    view), weight = held microseconds, and the average is
+    Σ value·held / Σ held. Exact integer numerator and denominator
+    ship alongside the single exactly-rounded float division (the
+    tf/df idiom); the last tick of each user has no successor and is
+    excluded (open interval — stated, not hidden).
+
+    Scale: one lead() window per user (the sessionize shape), one
+    partial-aggregable groupBy — no pair formation; at 100 TB this is
+    the standard downsampling pass over an entity-partitioned,
+    time-sorted layout."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wu = W.partitionBy("user_id").orderBy("us", "event_id")
+    held = pts.withColumn(
+        "held_us", F.lead("us").over(wu) - F.col("us")
+    ).filter(F.col("held_us").isNotNull())
+    return held.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("held_us"))
+        .cast("long")
+        .alias("weighted_sum"),
+        F.sum("held_us").cast("long").alias("held_total_us"),
+        F.count("*").cast("long").alias("n_segments"),
+        F.round(
+            F.sum(F.col("cents") * F.col("held_us")).cast("double")
+            / F.sum("held_us"),
+            4,
+        ).alias("twap_cents"),
+    )
