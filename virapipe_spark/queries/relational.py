@@ -2760,3 +2760,209 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = truncate_lineage(edges, eager=False)
     out = label_propagation(edges, rounds=4)
     return out.select("node", F.col("lbl").cast("long").alias("lbl"), "changed")
+
+
+_HMED_BUCKET = 100000  # $1000-wide histogram buckets in cents
+
+
+@staged_r8(
+    "lineitem_histogram_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    vals AS (
+      SELECT flag, cents, count(*) AS c FROM pts GROUP BY flag, cents
+    ),
+    cum AS (
+      SELECT flag, cents,
+             sum(c) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cle,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM vals
+    )
+    SELECT flag, CAST(min(n) AS BIGINT) AS n,
+           CAST((min(n) + 1) // 2 AS BIGINT) AS target_rank,
+           CAST(min(cents) AS BIGINT) AS median_cents
+    FROM cum WHERE cle >= (n + 1) // 2
+    GROUP BY flag
+    """,
+)
+def lineitem_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median WITHOUT a global row sort — the
+    two-pass histogram algorithm every ABC/N50/RFM docstring defers to,
+    implemented for real: pass 1 histograms price-cents into
+    $1000-wide buckets and a per-flag prefix sum locates the bucket
+    containing the lower-median rank (n+1) div 2; pass 2 scans ONLY
+    that bucket's rows, ranking exact values from the carried-in
+    cumulative base. The oracle computes the same integer rank
+    definition over the full per-value distribution — so the hash
+    proves the bucketed refinement finds the identical value while
+    never sorting more than one bucket's distinct values per group.
+
+    Scale: pass 1 is a partial-aggregable (flag, bucket) count (1024
+    buckets/group, broadcastable); pass 2's filter prunes the scan to
+    ~1/1000 of rows per group. This is how exact quantiles are
+    actually computed at 100 TB (t-digest is the approximate cousin;
+    this is the exact path)."""
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    hist = pts.groupBy(
+        "flag", F.expr(f"cents div {_HMED_BUCKET}").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    wb = W.partitionBy("flag").orderBy("bucket")
+    cum = hist.select(
+        "flag",
+        "bucket",
+        "c",
+        (F.sum("c").over(
+            wb.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(W.partitionBy("flag")).alias("n"),
+    ).withColumn("target", F.expr("(n + 1) div 2"))
+    med_bucket = (
+        cum.filter(F.col("cum_before") + F.col("c") >= F.col("target"))
+        .groupBy("flag")
+        .agg(
+            F.min_by(
+                F.struct("bucket", "cum_before", "n", "target"), "bucket"
+            ).alias("mb")
+        )
+        .select(
+            "flag",
+            F.col("mb.bucket").alias("bucket"),
+            F.col("mb.cum_before").alias("cum_before"),
+            F.col("mb.n").alias("n"),
+            F.col("mb.target").alias("target"),
+        )
+    )
+    # pass 2: only the median bucket's rows per group are ever ranked
+    in_bucket = pts.withColumn(
+        "bucket", F.expr(f"cents div {_HMED_BUCKET}")
+    ).join(F.broadcast(med_bucket), ["flag", "bucket"])
+    vals = in_bucket.groupBy(
+        "flag", "cents", "cum_before", "n", "target"
+    ).agg(F.count("*").alias("c"))
+    wv = W.partitionBy("flag").orderBy("cents")
+    ranked = vals.withColumn(
+        "cle",
+        F.col("cum_before")
+        + F.sum("c").over(wv.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        ranked.filter(F.col("cle") >= F.col("target"))
+        .groupBy("flag")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.min("target").cast("long").alias("target_rank"),
+            F.min("cents").cast("long").alias("median_cents"),
+        )
+    )
+
+
+@staged_r8(
+    "orders_ri_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders
+    ),
+    j AS MATERIALIZED (
+      SELECT o.o_orderkey, o.total_cents, li.n_lines, li.line_cents
+      FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CAST(sum(CASE WHEN total_cents IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+           CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN total_cents IS NULL
+                         THEN n_lines ELSE 0 END) AS BIGINT)
+             AS n_orphan_lines,
+           CAST(sum(CASE WHEN n_lines IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_childless_orders,
+           CAST(sum(CASE WHEN total_cents IS NOT NULL
+                          AND n_lines IS NOT NULL
+                          AND total_cents <> line_cents
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_price_mismatch,
+           CAST(max(CASE WHEN total_cents IS NOT NULL
+                          AND n_lines IS NOT NULL
+                         THEN abs(total_cents - line_cents)
+                         ELSE 0 END) AS BIGINT) AS max_abs_diff_cents
+    FROM j
+    """,
+)
+def orders_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the dq_audit class
+    extended across the foreign key (single-table expectations can't
+    see orphans): one full-outer join of orders against per-order
+    line aggregates yields, in one pass, orphaned lineitems (child
+    without parent), childless orders (parent without child), and
+    header-vs-detail reconciliation (o_totalprice cents vs summed
+    line gross cents — whatever the generator's relationship is, the
+    mismatch COUNT and the max absolute diff are the data, reported
+    not assumed). Integer-cents exact.
+
+    Scale: the child side pre-aggregates to the join key BEFORE the
+    join (the classic RI-audit trick — the join carries one row per
+    order, not one per line), then a single conditional-sum reduce;
+    at 100 TB both sides shuffle on the same key once, and AQE
+    handles the orphan-skew case."""
+    li = table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("line_cents"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "total_cents"
+        ),
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "full_outer")
+    both = F.col("total_cents").isNotNull() & F.col("n_lines").isNotNull()
+    return j.agg(
+        F.sum(F.when(F.col("total_cents").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orders"),
+        F.sum(F.coalesce("n_lines", F.lit(0))).cast("long").alias(
+            "n_lineitems"
+        ),
+        F.sum(
+            F.when(F.col("total_cents").isNull(), F.col("n_lines")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_orphan_lines"),
+        F.sum(F.when(F.col("n_lines").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_childless_orders"),
+        F.sum(
+            F.when(
+                both & (F.col("total_cents") != F.col("line_cents")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_price_mismatch"),
+        F.max(
+            F.when(
+                both, F.abs(F.col("total_cents") - F.col("line_cents"))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("max_abs_diff_cents"),
+    )
