@@ -595,3 +595,42 @@ class TestBamWrite:
         assert r["bases"] == ""
         assert r["length"] == 0
         assert r["referenceName"] is None and r["readUnmapped"]
+
+
+class TestCompaction:
+    def test_compact_parquet_shrinks_and_preserves(self, spark, tmp_path):
+        """io.compact_parquet: fragmented table -> fewer files, byte
+        budget respected (ceil(bytes/target)), rows and values intact."""
+        import os
+
+        from virapipe_spark import io as vio
+
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "compact")
+        df = spark.range(0, 5000).selectExpr(
+            "id", "id % 13 AS k", "concat('v', id) AS v"
+        )
+        df.repartition(32).write.parquet(src)
+        n_src = sum(
+            1 for r, _, fs in os.walk(src) for f in fs
+            if f.endswith(".parquet")
+        )
+        assert n_src == 32
+        stats = vio.compact_parquet(spark, src, dst, target_bytes=1 << 20)
+        assert stats["files_before"] == 32
+        assert stats["files_after"] < 32
+        import math
+
+        assert stats["files_after"] == max(
+            1, math.ceil(stats["bytes_before"] / (1 << 20))
+        )
+        a = sorted(map(tuple, spark.read.parquet(src).collect()))
+        b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+        assert a == b
+
+    def test_catalog_entry_self_checks(self, spark):
+        from virapipe_spark.queries.dataflow import files_compaction
+
+        row = files_compaction(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row["shrunk"] and row["rows_match"] and row["checksum_match"]
+        assert row["before_rows"] == row["after_rows"] > 0

@@ -144,6 +144,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW total/key-count broadcast that
             # carries the relative heavy-hitter threshold
             "events_cm_heavy_hitters",
+            # r7 (staged r8): before/after compaction checksums are two
+            # ONE-ROW aggregates crossJoined into the report row
+            "files_compaction",
         }
         from virapipe_spark.queries.staged import pending_staged
 

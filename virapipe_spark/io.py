@@ -526,3 +526,49 @@ def write_grouped(
     distributed: each task writes only its groups, no driver fan-out, and
     downstream reads get partition pruning on ``group_col`` for free."""
     df.write.mode(mode).partitionBy(group_col).format(fmt).save(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every 100 TB
+    lake needs (streaming sinks, per-partition grouped writes, and
+    incremental ingests all fragment: thousands of KB-sized files turn
+    a scan into a task-scheduling and NameNode/liststatus bottleneck).
+    Rewrites ``src`` into ``dst`` with file count chosen from the
+    MEASURED on-disk footprint (the broadcast_if_small discipline):
+    n_files = ceil(total_bytes / target_bytes), applied via
+    ``coalesce`` — a shuffle-free narrow repack; data order within
+    files may change task assignment but no row is dropped or
+    duplicated (the caller's round-trip check is the contract).
+
+    Returns {"files_before", "bytes_before", "files_after"} so the
+    maintenance job can log the shrink. Local-FS listing (the
+    scratch_dir stance); a cluster deployment lists the DFS instead."""
+    import math
+    import os
+
+    files_before = 0
+    bytes_before = 0
+    for r, _, fs in os.walk(src):
+        for f in fs:
+            if f.endswith(".parquet"):
+                files_before += 1
+                bytes_before += os.path.getsize(os.path.join(r, f))
+    n = max(1, math.ceil(bytes_before / target_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode(mode).parquet(dst)
+    files_after = sum(
+        1
+        for r, _, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": files_after,
+    }

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7
+from virapipe_spark.queries.staged import staged_r7, staged_r8
 
 
 @query(
@@ -392,4 +392,68 @@ def events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@staged_r8("files_compaction")  # rows-only: file counts are codec/env grain
+def files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (io.compact_parquet) — the
+    table-maintenance op every streaming sink and incremental ingest
+    needs at 100 TB, exercised end to end: fragment documents into 48
+    shards, compact to measured-size-derived file count via a
+    shuffle-free coalesce repack, and certify IN THE OUTPUT that (a)
+    the file count shrank, (b) not one row was lost or duplicated,
+    and (c) a column-level checksum survived the rewrite — the
+    rows-only self-validating shape (files_listing precedent; file
+    counts themselves are encoding-grain, so they are evidence
+    columns, not hashed truth).
+
+    Scale: compaction cost is one narrow read+write of the data (no
+    shuffle); the file-count decision reads MEASURED bytes (the
+    broadcast_if_small discipline), so the same code yields 4 files
+    at sf0.01 and ~40 at sf1000 without retuning."""
+    from virapipe_spark import io as vio
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    frag = vio.scratch_dir(spark, sf_dir, "compact_frag")
+    dst = vio.scratch_dir(spark, sf_dir, "compact_out")
+    d.repartition(48).write.mode("overwrite").parquet(frag)
+    stats = vio.compact_parquet(spark, frag, dst, target_bytes=64 << 10)
+
+    def summarize(path: str, prefix: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        return df.agg(
+            F.count("*").cast("long").alias(f"{prefix}_rows"),
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.col("n_chars").cast("string"),
+                        F.col("lang"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias(f"{prefix}_crc"),
+        )
+
+    before = summarize(frag, "before")
+    after = summarize(dst, "after")
+    return (
+        before.crossJoin(after)
+        .select(
+            F.lit(stats["files_before"]).cast("long").alias("files_before"),
+            F.lit(stats["files_after"]).cast("long").alias("files_after"),
+            "before_rows",
+            "after_rows",
+            (F.lit(stats["files_after"]) < F.lit(stats["files_before"]))
+            .alias("shrunk"),
+            (F.col("before_rows") == F.col("after_rows")).alias("rows_match"),
+            (F.col("before_crc") == F.col("after_crc")).alias(
+                "checksum_match"
+            ),
+        )
     )
