@@ -147,6 +147,9 @@ class TestPlanProperties:
             # r7 (staged r8): before/after compaction checksums are two
             # ONE-ROW aggregates crossJoined into the report row
             "files_compaction",
+            # r7 (staged r8): the ONE-ROW day-bounds broadcast the spine
+            # sequence() explodes from
+            "events_calendar_spine",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -177,6 +177,7 @@ def test_r8_staging_state_matches_round():
         "lineitem_histogram_median",
         "orders_ri_audit",
         "files_compaction",
+        "events_calendar_spine",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(
