@@ -2784,3 +2784,197 @@ def events_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_day").isNull().alias("is_gap"),
         )
     )
+
+
+_CV_K = 5
+
+
+@staged_r8(
+    "events_stump_cv",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id % {_CV_K} AS fold,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    byx AS (
+      SELECT x, fold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM pts GROUP BY x, fold
+    ),
+    folds AS (SELECT unnest(generate_series(0, {_CV_K - 1})) AS f),
+    ex AS (
+      SELECT f.f AS fold, b.x,
+             sum(CASE WHEN b.fold <> f.f THEN b.n ELSE 0 END) AS n_tr,
+             sum(CASE WHEN b.fold <> f.f THEN b.pos ELSE 0 END) AS pos_tr,
+             sum(CASE WHEN b.fold = f.f THEN b.n ELSE 0 END) AS n_te,
+             sum(CASE WHEN b.fold = f.f THEN b.pos ELSE 0 END) AS pos_te
+      FROM byx b, folds f GROUP BY f.f, b.x
+    ),
+    cum AS (
+      SELECT fold, x,
+             sum(n_tr) OVER w AS ntr_le, sum(pos_tr) OVER w AS ptr_le,
+             sum(n_te) OVER w AS nte_le, sum(pos_te) OVER w AS pte_le,
+             sum(n_tr) OVER wf AS ntr_all, sum(pos_tr) OVER wf AS ptr_all,
+             sum(n_te) OVER wf AS nte_all, sum(pos_te) OVER wf AS pte_all
+      FROM ex
+      WINDOW w AS (PARTITION BY fold ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY fold)
+    ),
+    scored AS (
+      SELECT fold, x AS threshold, ntr_all, ptr_all, nte_all, pte_all,
+             ptr_le + (ntr_all - ntr_le) - (ptr_all - ptr_le) AS tr_a,
+             (ntr_le - ptr_le) + (ptr_all - ptr_le) AS tr_b,
+             pte_le + (nte_all - nte_le) - (pte_all - pte_le) AS te_a,
+             (nte_le - pte_le) + (pte_all - pte_le) AS te_b
+      FROM cum
+    ),
+    best AS (
+      SELECT fold, threshold,
+             CASE WHEN tr_a >= tr_b THEN 'le' ELSE 'gt' END AS rule,
+             CAST(CASE WHEN tr_a >= tr_b THEN tr_a ELSE tr_b END
+                  AS BIGINT) AS train_correct,
+             CAST(ntr_all AS BIGINT) AS train_n,
+             CAST(CASE WHEN tr_a >= tr_b THEN te_a ELSE te_b END
+                  AS BIGINT) AS test_correct,
+             CAST(nte_all AS BIGINT) AS test_n,
+             row_number() OVER (
+               PARTITION BY fold
+               ORDER BY CASE WHEN tr_a >= tr_b THEN tr_a ELSE tr_b END
+                          DESC, threshold) AS rn
+      FROM scored
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, threshold, rule,
+           train_correct, train_n, test_correct, test_n,
+           train_correct * test_n >= test_correct * train_n
+             AS no_generalization_gain
+    FROM best WHERE rn = 1
+    """,
+)
+def events_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the decision stump — model SELECTION
+    infrastructure, not just training (events_stump_classifier learns
+    one stump on everything; this entry answers the question that
+    actually gates deployment: how does it do on data it never saw):
+    {_CV_K} folds by event_id % {_CV_K}, and ALL {_CV_K} trainings+
+    evaluations run in ONE pass — per-(value, fold) counts explode
+    against the fold dimension so each fold's training view is
+    total-minus-own-fold, one fold-partitioned cumulative window
+    scores every threshold for train AND test simultaneously, and a
+    per-fold argmax (train-accuracy, deterministic tie-break) picks
+    each model. Per-fold test accuracy ships as exact integer
+    numerators; ``no_generalization_gain`` certifies
+    train_acc >= test_acc per fold via cross-multiplication (the
+    integer-ratio idiom) — the sanity direction CV is supposed to
+    show, reported as data rather than assumed.
+
+    Scale: candidate grain = distinct cents x {_CV_K} (the fold
+    explode is a constant x{_CV_K}); everything else is the stump
+    entry's machinery with fold added to every key — k-fold CV as a
+    GROUP-BY dimension, the data-parallel formulation that trains a
+    billion-row fold set without ever materializing k copies of the
+    data."""
+    pts = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % _CV_K).alias("fold"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    byx = pts.groupBy("x", "fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    ex = (
+        byx.withColumn(
+            "f", F.explode(F.sequence(F.lit(0), F.lit(_CV_K - 1)))
+        )
+        .groupBy("f", "x")
+        .agg(
+            F.sum(F.when(F.col("fold") != F.col("f"), F.col("n")).otherwise(0)).alias("n_tr"),
+            F.sum(F.when(F.col("fold") != F.col("f"), F.col("pos")).otherwise(0)).alias("pos_tr"),
+            F.sum(F.when(F.col("fold") == F.col("f"), F.col("n")).otherwise(0)).alias("n_te"),
+            F.sum(F.when(F.col("fold") == F.col("f"), F.col("pos")).otherwise(0)).alias("pos_te"),
+        )
+        .withColumnRenamed("f", "fold")
+    )
+    w = W.partitionBy("fold").orderBy("x").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("fold")
+    cum = ex.select(
+        "fold",
+        "x",
+        F.sum("n_tr").over(w).alias("ntr_le"),
+        F.sum("pos_tr").over(w).alias("ptr_le"),
+        F.sum("n_te").over(w).alias("nte_le"),
+        F.sum("pos_te").over(w).alias("pte_le"),
+        F.sum("n_tr").over(wf).alias("ntr_all"),
+        F.sum("pos_tr").over(wf).alias("ptr_all"),
+        F.sum("n_te").over(wf).alias("nte_all"),
+        F.sum("pos_te").over(wf).alias("pte_all"),
+    )
+    scored = cum.select(
+        "fold",
+        F.col("x").alias("threshold"),
+        "ntr_all",
+        "ptr_all",
+        "nte_all",
+        "pte_all",
+        (
+            F.col("ptr_le")
+            + (F.col("ntr_all") - F.col("ntr_le"))
+            - (F.col("ptr_all") - F.col("ptr_le"))
+        ).alias("tr_a"),
+        (
+            (F.col("ntr_le") - F.col("ptr_le"))
+            + (F.col("ptr_all") - F.col("ptr_le"))
+        ).alias("tr_b"),
+        (
+            F.col("pte_le")
+            + (F.col("nte_all") - F.col("nte_le"))
+            - (F.col("pte_all") - F.col("pte_le"))
+        ).alias("te_a"),
+        (
+            (F.col("nte_le") - F.col("pte_le"))
+            + (F.col("pte_all") - F.col("pte_le"))
+        ).alias("te_b"),
+    )
+    pick_tr = F.greatest("tr_a", "tr_b")
+    best = scored.select(
+        "fold",
+        "threshold",
+        F.when(F.col("tr_a") >= F.col("tr_b"), "le")
+        .otherwise("gt")
+        .alias("rule"),
+        pick_tr.cast("long").alias("train_correct"),
+        F.col("ntr_all").cast("long").alias("train_n"),
+        F.when(F.col("tr_a") >= F.col("tr_b"), F.col("te_a"))
+        .otherwise(F.col("te_b"))
+        .cast("long")
+        .alias("test_correct"),
+        F.col("nte_all").cast("long").alias("test_n"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("fold").orderBy(
+                F.col("train_correct").desc(), "threshold"
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "threshold",
+            "rule",
+            "train_correct",
+            "train_n",
+            "test_correct",
+            "test_n",
+            (
+                F.col("train_correct") * F.col("test_n")
+                >= F.col("test_correct") * F.col("train_n")
+            ).alias("no_generalization_gain"),
+        )
+    )
