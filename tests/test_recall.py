@@ -406,3 +406,137 @@ class TestLabelPropagationIndependent:
             for r in label_propagation(redges, rounds=4).collect()
         }
         assert got == py_lpa(rand_und, 4)
+
+
+class TestR8EntryIndependent:
+    """Pure-python / numpy twins for the continuation-batch entries
+    whose oracles mirror the same construction (honest-claims rule)."""
+
+    def test_dhash_band_pigeonhole_guarantee(self):
+        """Any pair at Hamming distance <= 3 MUST share at least one of
+        the four 16-bit bands (pigeonhole: 3 flipped bits cannot touch
+        4 bands) — the recall guarantee the banding join relies on.
+        Checked exhaustively-ish over random 64-bit pairs."""
+        import random
+
+        rng = random.Random(11)
+        for _ in range(500):
+            h = rng.getrandbits(64)
+            flip = rng.sample(range(64), rng.randint(0, 3))
+            g = h
+            for b in flip:
+                g ^= 1 << b
+            bands_h = [(h >> (16 * i)) & 0xFFFF for i in range(4)]
+            bands_g = [(g >> (16 * i)) & 0xFFFF for i in range(4)]
+            assert any(a == b for a, b in zip(bands_h, bands_g))
+
+    def test_dhash_udf_matches_python(self, spark):
+        """The mapInPandas dhash on a hand-built BMP equals a pure
+        python dHash of the same pixel grid."""
+        import numpy as np
+
+        from virapipe_spark import multimodal as mm
+
+        rng = np.random.default_rng(3)
+        g = rng.integers(0, 255, (8, 9), dtype=np.uint8)
+        bmp = mm.encode_bmp(np.stack([g, g, g], axis=-1))
+        media = spark.createDataFrame([(1, bytearray(bmp))], "media_id long, data binary")
+        row = mm.dhash_images(media).collect()[0]
+        bits = [
+            1 if g[r][c] < g[r][c + 1] else 0
+            for r in range(8)
+            for c in range(8)
+        ]
+        lo = sum(b << i for i, b in enumerate(bits[:32]))
+        hi = sum(b << i for i, b in enumerate(bits[32:]))
+        assert (row["dhash_hi"], row["dhash_lo"]) == (hi, lo)
+
+    def test_attribution_hamilton_credit_sums(self):
+        """U-shape credit closes to exactly 1e6 ppm for every touch
+        count — the pure arithmetic the entry's conv_total_ok column
+        certifies distributedly."""
+        for n in range(1, 50):
+            if n == 1:
+                credits = [1000000]
+            elif n == 2:
+                credits = [500000, 500000]
+            else:
+                base, rem = divmod(200000, n - 2)
+                credits = (
+                    [400000]
+                    + [base + (1 if i <= rem else 0) for i in range(1, n - 1)]
+                    + [400000]
+                )
+            assert sum(credits) == 1000000, n
+
+    def test_twap_matches_python(self, spark):
+        """events_twap_user on sf0.001 equals a pure-python step
+        integration over the same (ts, event_id)-ordered points."""
+        from collections import defaultdict
+
+        from virapipe_spark.catalog import table
+        from virapipe_spark.queries.streaming import events_twap_user
+        import pyspark.sql.functions as F
+
+        sf = "/root/testdata/sf0.001"
+        pts = defaultdict(list)
+        for r in (
+            table(spark, sf, "events")
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .collect()
+        ):
+            pts[r["user_id"]].append((r["us"], r["event_id"], r["cents"]))
+        want = {}
+        for u, rows in pts.items():
+            rows.sort()
+            num = den = 0
+            for (us, _, c), (us2, _, _) in zip(rows, rows[1:]):
+                num += c * (us2 - us)
+                den += us2 - us
+            if den:
+                want[u] = (num, den)
+        got = {
+            r["user_id"]: (r["weighted_sum"], r["held_total_us"])
+            for r in events_twap_user(spark, sf).collect()
+        }
+        assert got == want
+
+    def test_histogram_median_matches_numpy(self, spark):
+        """The bucketed two-pass median equals numpy's lower median of
+        the raw per-flag values."""
+        import numpy as np
+
+        from virapipe_spark.catalog import table
+        from virapipe_spark.queries.relational import (
+            lineitem_histogram_median,
+        )
+        import pyspark.sql.functions as F
+
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            table(spark, sf, "lineitem")
+            .select(
+                F.col("l_returnflag").alias("flag"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        )
+        by = {}
+        for r in rows:
+            by.setdefault(r["flag"], []).append(r["cents"])
+        want = {}
+        for fl, vs in by.items():
+            vs.sort()
+            want[fl] = vs[(len(vs) + 1) // 2 - 1]  # lower median
+        got = {
+            r["flag"]: r["median_cents"]
+            for r in lineitem_histogram_median(spark, sf).collect()
+        }
+        assert got == want
