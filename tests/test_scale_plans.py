@@ -263,6 +263,10 @@ class TestPlanProperties:
             # r7 (staged r8): BMP encode + decode/dHash fingerprint are
             # the codec boundary; banding/Hamming stay JVM-side
             "multimodal_dhash_neardup",
+            # r7 (staged r8): AVI build + container-walk/JPEG-decode
+            # intensity extraction are the codec boundary; shot
+            # segmentation stays JVM-side windows
+            "multimodal_shot_boundaries",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

@@ -2080,3 +2080,35 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         gen, "media_id long, dhash_hi long, dhash_lo long"
     )
+
+
+def frame_intensities(media: DataFrame) -> DataFrame:
+    """Per-frame mean intensity over a video column: walk each RIFF-AVI
+    container, decode every Motion-JPEG frame, and emit
+    (media_id, frame_idx, mean_x100) — mean pixel value scaled x100
+    and rounded to an exact integer so downstream shot logic stays in
+    integer arithmetic (for flat frames the mean IS the pixel value
+    and the x100 scaling is exact by construction). The temporal
+    feature extractor shot-boundary detection consumes.
+
+    Scale: one Arrow batch boundary per partition (the sample_frames
+    codec class); emits n_frames rows per video — bounded fan-out,
+    aggregate after."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                _, frames = decode_avi_mjpeg(bytes(data))
+                for fi, fr in enumerate(frames):
+                    mean100 = int(
+                        round(float(fr.astype(np.float64).mean()) * 100)
+                    )
+                    out.append((mid, fi, mean100))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "mean_x100"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        gen, "media_id long, frame_idx int, mean_x100 long"
+    )

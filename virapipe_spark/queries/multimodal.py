@@ -9,7 +9,7 @@ fixture tables.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
@@ -1097,4 +1097,115 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dhash_lo",
         F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
         F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+    )
+
+
+_SHOT_THR = 2000  # |delta mean_x100| > 2000 <=> mean jump > 20 gray levels
+
+
+@staged_r8(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text), 1, 8) AS p FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, fi,
+             ascii(substr(p, fi + 1, 1)) * 100 AS mean_x100
+      FROM (SELECT doc_id, p, unnest(generate_series(0, 7)) AS fi FROM s)
+    ),
+    flagged AS (
+      SELECT doc_id, fi, mean_x100,
+             CASE WHEN lag(mean_x100) OVER w IS NULL THEN 1
+                  WHEN abs(mean_x100 - lag(mean_x100) OVER w) > {_SHOT_THR}
+                  THEN 1 ELSE 0 END AS new_shot
+      FROM fr
+      WINDOW w AS (PARTITION BY doc_id ORDER BY fi)
+    ),
+    shots AS (
+      SELECT doc_id, fi, mean_x100,
+             sum(new_shot) OVER (PARTITION BY doc_id ORDER BY fi
+                                 ROWS UNBOUNDED PRECEDING) AS shot_id
+      FROM flagged
+    )
+    SELECT doc_id AS media_id, CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(min(fi) AS BIGINT) AS start_frame,
+           CAST(max(fi) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(mean_x100) AS BIGINT) AS sum_mean_x100
+    FROM shots GROUP BY doc_id, shot_id
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection — the video-analytics operator above
+    frame sampling (frame_sample summarizes frames; this entry
+    segments TIME): each document becomes an 8-frame flat-gray MJPEG
+    AVI (one md5 char per frame, flat 8x8 blocks bit-exact through
+    baseline JPEG — the multimodal_jpeg_features lever), the REAL
+    container+codec path decodes every frame to a mean intensity, and
+    a per-video lag window cuts a new shot wherever the mean jumps
+    more than 20 gray levels (md5 hex ASCII lives in two clusters,
+    digits 48-57 vs letters 97-102, so cluster transitions are
+    genuine cuts and within-cluster steps are not — both cases
+    exercised in every video). Gaps-and-islands over frames (the
+    sessionize shape) turns boundary flags into per-shot segments;
+    DuckDB reconstructs intensities relationally from the hex, so the
+    hash proves container walk + JPEG decode + the segmentation
+    algebra end to end, all in integers.
+
+    Scale: decode is one Arrow boundary emitting n_frames bounded
+    rows per video; segmentation is one (media)-keyed window pass +
+    a (media, shot) aggregate — no pair formation, the sessionize
+    cost model."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.md5("text"), 1, 8).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_avi(p: pd.Series) -> pd.Series:
+        out = []
+        for s in p:
+            codes = np.frombuffer(s.encode(), dtype=np.uint8)
+            frames = [
+                np.full((16, 16), codes[fi], dtype=np.uint8)
+                for fi in range(8)
+            ]
+            out.append(mm.encode_avi_mjpeg(frames, fps=10))
+        return pd.Series(out)
+
+    media = d.select("media_id", to_avi("p").alias("data"))
+    fr = mm.frame_intensities(media)
+    wl = W.partitionBy("media_id").orderBy("frame_idx")
+    lagged = fr.withColumn("prev", F.lag("mean_x100").over(wl))
+    flagged = lagged.withColumn(
+        "new_shot",
+        F.when(F.col("prev").isNull(), 1)
+        .when(
+            F.abs(F.col("mean_x100") - F.col("prev")) > _SHOT_THR, 1
+        )
+        .otherwise(0),
+    )
+    shots = flagged.withColumn(
+        "shot_id",
+        F.sum("new_shot").over(
+            wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return shots.groupBy("media_id", "shot_id").agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.max("frame_idx").cast("long").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("mean_x100").cast("long").alias("sum_mean_x100"),
+    ).select(
+        "media_id",
+        F.col("shot_id").cast("long").alias("shot_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "sum_mean_x100",
     )
