@@ -267,6 +267,9 @@ class TestPlanProperties:
             # intensity extraction are the codec boundary; shot
             # segmentation stays JVM-side windows
             "multimodal_shot_boundaries",
+            # r7 (staged r8): AU/µ-law decode + integer window energy
+            # are the codec boundary; the VAD automaton is JVM windows
+            "multimodal_vad_segments",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

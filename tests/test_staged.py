@@ -180,6 +180,7 @@ def test_r8_staging_state_matches_round():
         "events_calendar_spine",
         "events_stump_cv",
         "multimodal_shot_boundaries",
+        "multimodal_vad_segments",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

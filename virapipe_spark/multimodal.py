@@ -2112,3 +2112,38 @@ def frame_intensities(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         gen, "media_id long, frame_idx int, mean_x100 long"
     )
+
+
+def audio_window_energy(media: DataFrame, window: int = 16) -> DataFrame:
+    """Per-window EXACT energy over an audio column: decode each
+    container (AU or WAV by magic), square-sum each ``window``-sample
+    block as int64, and emit (media_id, window_idx, energy) — the
+    integer companion to audio_features' float RMS, for downstream
+    logic (VAD, silence trim) that must stay in exact arithmetic.
+    Samples are int16-range integers, so a window's sum of squares is
+    exact in int64 up to ~8e9 windows-samples.
+
+    Scale: one Arrow batch boundary (the codec class); n_windows rows
+    per clip, bounded fan-out."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                if data[:4] == b".snd":
+                    _, samples = decode_au(data)
+                else:
+                    _, samples = decode_wav(data)
+                s = samples.astype(np.int64)
+                n = len(s) // window
+                for wi in range(n):
+                    seg = s[wi * window : (wi + 1) * window]
+                    out.append((mid, wi, int((seg * seg).sum())))
+            yield pd.DataFrame(
+                out, columns=["media_id", "window_idx", "energy"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        gen, "media_id long, window_idx int, energy long"
+    )

@@ -1209,3 +1209,151 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "sum_mean_x100",
     )
+
+
+_VAD_LO = 40_000_000
+_VAD_HI = 70_000_000
+
+
+@staged_r8(
+    "multimodal_vad_segments",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 64) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 64)) AS i, p FROM s),
+    u AS (SELECT doc_id, CAST((i - 1) // 8 AS INTEGER) AS w,
+                 255 - ascii(substr(p, i, 1)) AS ub
+          FROM c),
+    v AS (SELECT doc_id, w,
+                 CAST(CASE WHEN ub >= 128 THEN -1 ELSE 1 END
+                 * (((ub % 16) * 8 + 132) * power(2, (ub // 16) % 8) - 132)
+                   AS BIGINT) AS val
+          FROM u),
+    e AS (
+      SELECT doc_id, w, CAST(sum(val * val) AS BIGINT) AS energy
+      FROM v GROUP BY doc_id, w
+    ),
+    flagged AS (
+      SELECT doc_id, w, energy, energy > {_VAD_LO} AS active,
+             CASE WHEN lag(energy > {_VAD_LO}) OVER win IS NULL
+                       OR lag(energy > {_VAD_LO}) OVER win
+                          <> (energy > {_VAD_LO})
+                  THEN 1 ELSE 0 END AS new_run
+      FROM e
+      WINDOW win AS (PARTITION BY doc_id ORDER BY w)
+    ),
+    runs AS (
+      SELECT doc_id, w, energy, active,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY w
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT doc_id AS media_id, CAST(run_id AS BIGINT) AS run_id,
+           CAST(min(w) AS BIGINT) AS start_w,
+           CAST(max(w) AS BIGINT) AS end_w,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS sum_energy,
+           bool_or(active) AS active,
+           bool_or(active) AND max(energy) > {_VAD_HI} AS is_speech
+    FROM runs GROUP BY doc_id, run_id
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection with HYSTERESIS — the audio-analytics
+    operator above feature extraction (audio_features summarizes;
+    this entry segments time, the shot-boundary twin for sound):
+    G.711 mu-law clips (codomain-exact fixture, the ulaw_features
+    lever) decode through the real AU path to per-8-sample EXACT
+    integer energies (new audio_window_energy helper — float RMS
+    can't carry a hash), then the two-threshold automaton: windows
+    above LO={_VAD_LO} form candidate runs (gaps-and-islands on the
+    active flag), and a run is speech only if it ALSO peaks above
+    HI={_VAD_HI} — the hysteresis that kills flutter around a single
+    threshold, expressed declaratively as bool_or(active) AND
+    max(energy) > HI per run instead of a stateful scan. Thresholds
+    sit at ~p25/p80 of the fixture's energy distribution so silence
+    runs, speech runs, AND sub-peak active runs (the hysteresis
+    discriminator) all occur at every scale. DuckDB reconstructs
+    samples with the ITU expansion formula and replays the
+    segmentation algebra — the hash proves codec + energy + automaton
+    end to end in integers.
+
+    Scale: decode is one Arrow boundary, n_windows bounded rows per
+    clip; segmentation is one (media)-keyed window pass + a
+    (media, run) aggregate — the sessionize cost model."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))
+            ),
+            1,
+            64,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_au(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_au(
+                    8000,
+                    mm._ulaw_expand(
+                        np.frombuffer(s.encode(), dtype=np.uint8)
+                    ),
+                    ulaw=True,
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select("media_id", to_au("p").alias("data"))
+    e = mm.audio_window_energy(media, window=8)
+    wl = W.partitionBy("media_id").orderBy("window_idx")
+    active = F.col("energy") > _VAD_LO
+    flagged = e.withColumn(
+        "active", active
+    ).withColumn("prev_active", F.lag(active).over(wl)).withColumn(
+        "new_run",
+        F.when(
+            F.col("prev_active").isNull()
+            | (F.col("prev_active") != F.col("active")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("media_id", "run_id")
+        .agg(
+            F.min("window_idx").cast("long").alias("start_w"),
+            F.max("window_idx").cast("long").alias("end_w"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("energy").cast("long").alias("sum_energy"),
+            F.max("active").alias("active"),
+            (
+                F.max("active")
+                & (F.max("energy") > F.lit(_VAD_HI))
+            ).alias("is_speech"),
+        )
+        .select(
+            "media_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "start_w",
+            "end_w",
+            "n_windows",
+            "sum_energy",
+            "active",
+            "is_speech",
+        )
+    )
