@@ -540,3 +540,58 @@ class TestR8EntryIndependent:
             for r in lineitem_histogram_median(spark, sf).collect()
         }
         assert got == want
+
+    def test_kaplan_meier_matches_python(self, spark):
+        """events_kaplan_meier vs a pure-python KM estimator over the
+        same censored durations (sf0.001) — risk sets, hazards, and
+        the survival curve to 4dp."""
+        from collections import Counter
+
+        from virapipe_spark.catalog import table
+        from virapipe_spark.queries.streaming import (
+            _DAY_US,
+            _KM_HORIZON_D,
+            events_kaplan_meier,
+        )
+        import pyspark.sql.functions as F
+
+        sf = "/root/testdata/sf0.001"
+        ev = table(spark, sf, "events").select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us")
+        ).collect()
+        s, p = {}, {}
+        for r in ev:
+            if r["event_type"] == "signup":
+                s[r["user_id"]] = min(s.get(r["user_id"], r["us"]), r["us"])
+        for r in ev:
+            if (
+                r["event_type"] == "purchase"
+                and r["user_id"] in s
+                and r["us"] > s[r["user_id"]]
+            ):
+                p[r["user_id"]] = min(p.get(r["user_id"], r["us"]), r["us"])
+        durs = []
+        for u, su in s.items():
+            if u in p and (p[u] - su) // _DAY_US < _KM_HORIZON_D:
+                durs.append(((p[u] - su) // _DAY_US, True))
+            else:
+                durs.append((_KM_HORIZON_D, False))
+        d = Counter(t for t, e in durs if e)
+        c = Counter(t for t, e in durs if not e)
+        times = sorted(set(d) | set(c))
+        want = {}
+        surv = 1.0
+        for t in times:
+            n = sum(1 for tu, _ in durs if tu >= t)
+            surv *= 1.0 - d[t] / n
+            want[t] = (n, d[t], c[t], round(surv, 4))
+        got = {
+            r["t_days"]: (
+                r["n_at_risk"],
+                r["n_events"],
+                r["n_censored"],
+                r["survival"],
+            )
+            for r in events_kaplan_meier(spark, sf).collect()
+        }
+        assert got == want

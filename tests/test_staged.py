@@ -181,6 +181,7 @@ def test_r8_staging_state_matches_round():
         "events_stump_cv",
         "multimodal_shot_boundaries",
         "multimodal_vad_segments",
+        "events_kaplan_meier",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -2978,3 +2978,127 @@ def events_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("no_generalization_gain"),
         )
     )
+
+
+_KM_HORIZON_D = 7
+
+
+@staged_r8(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+      GROUP BY e.user_id
+    ),
+    dur AS (
+      SELECT s.user_id,
+             CASE WHEN p.p_us IS NOT NULL
+                   AND (p.p_us - s.s_us) // {_DAY_US} < {_KM_HORIZON_D}
+                  THEN (p.p_us - s.s_us) // {_DAY_US}
+                  ELSE {_KM_HORIZON_D} END AS t,
+             p.p_us IS NOT NULL
+               AND (p.p_us - s.s_us) // {_DAY_US} < {_KM_HORIZON_D}
+               AS event
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    steps AS (
+      SELECT t,
+             CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk
+      FROM steps
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, n_at_risk, d AS n_events,
+           c AS n_censored,
+           CAST(d * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm,
+           round(product(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 4)
+             AS survival
+    FROM risk ORDER BY t
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimation — the time-to-event analytics
+    class (churn, conversion latency, reliability) the retention
+    matrix only bins: time from first signup to first subsequent
+    purchase, administratively CENSORED at a {_KM_HORIZON_D}-day
+    horizon (8/150 users censored at sf0.01, 65/1500 at sf0.1 — both
+    classes genuinely occur; an uncensored design here degenerates to
+    a plain histogram because every user eventually converts). Per
+    event-time step: the risk set n_t (a DESCENDING cumulative sum —
+    everyone whose duration >= t), events d_t, censored c_t, the
+    integer hazard d*1e6 div n, and the KM curve
+    S(t) = prod(1 - d/n) as the ONE float column — a window product
+    over the t-ordered frame, association order pinned identically in
+    both engines (the pinned-order float discipline; every factor and
+    the rounding are defined on the same exact integers).
+
+    Scale: two per-user min-aggregates (signup, first conversion) and
+    one LEFT join — entity-grain, no pair formation; the step table
+    is |distinct durations| rows (horizon-bounded), so the windows
+    are control-plane sized regardless of cohort size."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s.select("user_id", "s_us"), "user_id")
+        .filter(us > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p_us"))
+    )
+    days = F.expr(f"(p_us - s_us) div {_DAY_US}")
+    is_event = F.col("p_us").isNotNull() & (days < _KM_HORIZON_D)
+    dur = (
+        s.join(p, "user_id", "left")
+        .select(
+            F.when(is_event, days)
+            .otherwise(F.lit(_KM_HORIZON_D))
+            .alias("t"),
+            is_event.alias("event"),
+        )
+    )
+    steps = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("event"), 0).otherwise(1))
+        .cast("long")
+        .alias("c"),
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = steps.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_desc).cast("long")
+    )
+    return risk.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.expr("d * 1000000 div n_at_risk").cast("long").alias("hazard_ppm"),
+        F.round(
+            F.product(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")
+            ).over(w_asc),
+            4,
+        ).alias("survival"),
+    )
