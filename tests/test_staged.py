@@ -182,6 +182,8 @@ def test_r8_staging_state_matches_round():
         "multimodal_shot_boundaries",
         "multimodal_vad_segments",
         "events_kaplan_meier",
+        "lineitem_benford_audit",
+        "lineitem_gini_lorenz",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

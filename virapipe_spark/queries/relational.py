@@ -2966,3 +2966,170 @@ def orders_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_abs_diff_cents"),
     )
+
+
+#: round(log10(1+1/d) * 1e6) for d = 1..9 — python-precomputed literal
+#: constants (they sum to exactly 1e6), shared verbatim by both engines
+#: so no transcendental ever evaluates inside a query.
+_BENFORD_PPM = [
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+]
+
+
+def _benford_case() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(_BENFORD_PPM, 1)
+    )
+    return f"CASE digit {whens} END"
+
+
+@staged_r8(
+    "lineitem_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS STRING), 1, 1) AS BIGINT) AS digit
+      FROM lineitem
+      WHERE l_extendedprice > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, n, total,
+           CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+           CAST({_benford_case()} AS BIGINT) AS benford_ppm,
+           CAST(abs(n * 1000000 // total - {_benford_case()}) AS BIGINT)
+             AS abs_dev_ppm,
+           abs(n * 1000000 // total - {_benford_case()}) > 50000
+             AS flagged
+    FROM counts
+    """,
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic-accounting
+    screen (fabricated or constrained amounts betray themselves in
+    the leading-digit distribution): leading digit of exact price
+    cents counted per digit, observed frequency in integer ppm
+    against the Benford expectation log10(1+1/d) — precomputed as
+    LITERAL ppm constants summing to exactly 1e6 and shared verbatim
+    by both engines, so no transcendental ever evaluates in a query
+    (the oracle-discipline workaround for an inherently logarithmic
+    law). Per-digit absolute deviation and a 5%-point flag ship as
+    data: TPC-H-style uniform pricing is NOT Benford-distributed, and
+    the flags SHOULD fire — the entry is the measurement, the flags
+    are what an auditor reads (honest-claims rule: whether this data
+    obeys Benford is an empirical output, not an assumption).
+
+    Scale: one digit projection (string head of an integer — stays in
+    codegen) + a 9-group count with a window total — the
+    constant-width audit row per batch, dq_audit's cost model."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("long")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    counts = counts.withColumn(
+        "total", F.sum("n").over(W.partitionBy()).cast("long")
+    )
+    bppm = F.expr(_benford_case())
+    obs = F.expr("n * 1000000 div total")
+    return counts.select(
+        "digit",
+        "n",
+        "total",
+        obs.cast("long").alias("observed_ppm"),
+        bppm.cast("long").alias("benford_ppm"),
+        F.abs(obs - bppm).cast("long").alias("abs_dev_ppm"),
+        (F.abs(obs - bppm) > 50000).alias("flagged"),
+    )
+
+
+@staged_r8(
+    "lineitem_gini_lorenz",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, cents,
+             row_number() OVER (ORDER BY cents, l_suppkey) AS i,
+             CAST(sum(cents) OVER (ORDER BY cents, l_suppkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM rev
+    )
+    SELECT CAST(i AS BIGINT) AS i, l_suppkey, cents, cum, total, n,
+           CAST(cum * 1000000 // total AS BIGINT) AS lorenz_ppm,
+           CAST(i * 1000000 // n AS BIGINT) AS pop_ppm,
+           round(CAST(2 * sum(i * cents) OVER ()
+                      - (n + 1) * total AS DOUBLE)
+                 / (n * total), 4) AS gini
+    FROM ranked
+    """,
+)
+def lineitem_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini coefficient of supplier revenue — the
+    RANK-based concentration measure beside the share-square HHI
+    (HHI answers "how few control it"; Gini answers "how unequal is
+    the whole distribution"): suppliers ranked ascending by exact
+    revenue cents, each row carries its Lorenz coordinate
+    (population ppm, cumulative-revenue ppm) in integers, and the
+    Gini rides every row from the closed form
+    G = (2*Σ i*x_(i) − (n+1)*Σx) / (n*Σx) — numerator and both
+    denominator factors are exact integers, so the single rounded
+    float division is the only float op (the HHI r7 rewrite's
+    discipline, applied from the start).
+
+    Scale: one supplier aggregate + one global rank window (the
+    honest exact cost, ABC stance — range-partitioned rank + offset
+    broadcast at 100 TB); the Σ i*x and totals are unbounded-window
+    sums over the already-reduced supplier table."""
+    rev = table(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wo = W.orderBy("cents", "l_suppkey")
+    wall = W.partitionBy()
+    ranked = rev.select(
+        "l_suppkey",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.sum("cents")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cents").over(wall).cast("long").alias("total"),
+        F.count("*").over(wall).cast("long").alias("n"),
+    )
+    return ranked.select(
+        F.col("i").cast("long").alias("i"),
+        "l_suppkey",
+        "cents",
+        "cum",
+        "total",
+        "n",
+        F.expr("cum * 1000000 div total").cast("long").alias("lorenz_ppm"),
+        F.expr("i * 1000000 div n").cast("long").alias("pop_ppm"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("cents")).over(wall)
+                - (F.col("n") + 1) * F.col("total")
+            ).cast("double")
+            / (F.col("n") * F.col("total")),
+            4,
+        ).alias("gini"),
+    )
