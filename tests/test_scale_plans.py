@@ -150,6 +150,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW day-bounds broadcast the spine
             # sequence() explodes from
             "events_calendar_spine",
+            # r7 (staged r8): the ONE-ROW basket-count broadcast carrying
+            # N into the support/lift ppm expressions
+            "orders_association_rules",
         }
         from virapipe_spark.queries.staged import pending_staged
 
