@@ -3102,3 +3102,93 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("survival"),
     )
+
+
+@staged_r8(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, us, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    tri AS (
+      SELECT user_id, sid,
+             lag(event_type, 2) OVER w2 AS e1,
+             lag(event_type, 1) OVER w2 AS e2,
+             event_type AS e3
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3)
+                AS BIGINT) AS rank
+    FROM tri WHERE e1 IS NOT NULL
+    GROUP BY e1, e2, e3
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3) <= 25
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the top-25 three-step event sequences
+    across sessions (the product-analytics "what do users actually
+    DO" question; the Markov entry models one-step transition
+    probabilities, this surfaces the concrete multi-step paths funnel
+    designers read): sessionize by the 12 h gap rule (the sessionize
+    entry's exact construction), order within session by the
+    (ts, event_id) total order, slide a length-3 window via double
+    lag — trigrams never cross a session boundary because the lag
+    window is (user, session)-partitioned — count, and rank with a
+    deterministic tie-break. Exact integers.
+
+    Scale: two window passes over entity-partitioned data (the
+    sessionize cost model) and one trigram-keyed count whose
+    cardinality is bounded by |event_types|^3, tiny forever — the
+    top-k rank runs on that reduced table, not on rows."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    ).withColumn(
+        "prev_us", F.lag("us").over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = ordered.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    w2 = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    tri = sess.select(
+        F.lag("event_type", 2).over(w2).alias("e1"),
+        F.lag("event_type", 1).over(w2).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "e1", "e2", "e3"))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= 25)
