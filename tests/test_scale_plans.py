@@ -153,6 +153,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW basket-count broadcast carrying
             # N into the support/lift ppm expressions
             "orders_association_rules",
+            # r7 (staged r8): the ONE-ROW token-total broadcast in the
+            # collocation lift expression
+            "docs_collocations",
         }
         from virapipe_spark.queries.staged import pending_staged
 

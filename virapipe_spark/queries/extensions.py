@@ -5697,3 +5697,108 @@ def docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("head_dist"),
         )
     )
+
+
+_COLL_MIN_N = 5
+
+
+@staged_r8(
+    "docs_collocations",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+      FROM (SELECT unnest(toks) AS tok FROM t) WHERE tok <> ''
+      GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT toks[g] AS w1, toks[g + 1] AS w2
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS g
+            FROM t WHERE len(toks) >= 2)
+      WHERE toks[g] <> '' AND toks[g + 1] <> ''
+    ),
+    pair AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY w1, w2
+      HAVING count(*) >= {_COLL_MIN_N}
+    )
+    SELECT p.w1, p.w2, p.n_pair, u1.n_tok AS n_w1, u2.n_tok AS n_w2,
+           tot.n AS n_tokens,
+           CAST(p.n_pair * tot.n * 1000 // (u1.n_tok * u2.n_tok)
+                AS BIGINT) AS lift_x1000,
+           p.n_pair * tot.n > u1.n_tok * u2.n_tok AS collocated
+    FROM pair p
+    JOIN uni u1 ON p.w1 = u1.tok
+    JOIN uni u2 ON p.w2 = u2.tok
+    CROSS JOIN tot
+    """,
+)
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — corpus-level PMI ranking without the log
+    (PMI = log lift, and log is monotone, so ranking and the
+    independence test carry over to the INTEGER lift
+    n_ab·N/(n_a·n_b), scaled x1000 by floor division; the
+    positively-associated verdict is the cross-multiplication
+    n_ab·N > n_a·n_b — no transcendental, no float): adjacent-token
+    bigrams with >= {_COLL_MIN_N} occurrences against unigram
+    independence. The bigram-familiarity entry scores DOCUMENTS
+    against the LM; this ranks the corpus's own phrases — the
+    collocation lexicon a tokenizer/phrase-merge step consumes
+    (word2vec's phrase pass is exactly this statistic).
+
+    Scale: one unigram count, one adjacent-pair count (row count =
+    token count, no pair join — adjacency is positional, the
+    association-rules contrast), two equi-joins back to the unigram
+    table, a one-row total broadcast. Zipf bounds both count
+    tables."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_tok"))
+    )
+    uni = truncate_lineage(uni, eager=False)
+    tot = uni.agg(F.sum("n_tok").cast("long").alias("n"))
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("g"),
+            "toks",
+        )
+        .select(
+            F.element_at("toks", F.col("g")).alias("w1"),
+            F.element_at("toks", F.col("g") + 1).alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pair = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _COLL_MIN_N)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2"))
+    return (
+        pair.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.col("n").alias("n_tokens"),
+            F.expr("n_pair * n * 1000 div (n_w1 * n_w2)")
+            .cast("long")
+            .alias("lift_x1000"),
+            (F.col("n_pair") * F.col("n") > F.col("n_w1") * F.col("n_w2"))
+            .alias("collocated"),
+        )
+    )
