@@ -150,9 +150,6 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW day-bounds broadcast the spine
             # sequence() explodes from
             "events_calendar_spine",
-            # r7 (staged r8): the ONE-ROW basket-count broadcast carrying
-            # N into the support/lift ppm expressions
-            "orders_association_rules",
             # r7 (staged r8): the ONE-ROW token-total broadcast in the
             # collocation lift expression
             "docs_collocations",

@@ -170,7 +170,6 @@ def test_r8_staging_state_matches_round():
         "events_dow_seasonal",
         "docs_sorted_neighborhood",
         "sam_flagstat",
-        "contigs_n50_stats",
         "events_cm_heavy_hitters",
         "events_ohlc_daily",
         "events_twap_user",
@@ -184,7 +183,6 @@ def test_r8_staging_state_matches_round():
         "events_kaplan_meier",
         "lineitem_benford_audit",
         "lineitem_gini_lorenz",
-        "orders_association_rules",
         "events_path_trigrams",
         "docs_collocations",
     }

@@ -1360,86 +1360,3 @@ def sam_flagstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 1000000 div n_total").cast("long").alias("pct_ppm"),
     )
-
-
-@staged_r8(
-    "contigs_n50_stats",
-    oracle="""
-    WITH lens AS (
-      SELECT doc_id, n_chars AS len FROM documents
-    ),
-    ranked AS MATERIALIZED (
-      SELECT doc_id, len,
-             row_number() OVER (ORDER BY len DESC, doc_id) AS rn,
-             sum(len) OVER (ORDER BY len DESC, doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(len) OVER () AS total,
-             count(*) OVER () AS n_contigs
-      FROM lens
-    ),
-    thr AS (SELECT unnest([50, 90]) AS threshold),
-    hit AS (
-      SELECT t.threshold, r.rn, r.len, r.total, r.n_contigs,
-             row_number() OVER (PARTITION BY t.threshold ORDER BY r.rn)
-               AS pick
-      FROM thr t JOIN ranked r ON r.cum * 100 >= r.total * t.threshold
-    )
-    SELECT CAST(threshold AS BIGINT) AS threshold,
-           CAST(len AS BIGINT) AS nxx_len,
-           CAST(rn AS BIGINT) AS lxx_count,
-           CAST(total AS BIGINT) AS total_bases,
-           CAST(n_contigs AS BIGINT) AS n_contigs
-    FROM hit WHERE pick = 1
-    """,
-)
-def contigs_n50_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N50/N90 assembly statistics — the standard contig-set QC
-    metric downstream of the assemble stage (reference capability
-    class: MegaHit assembly outputs, tools.py pipeline): contigs
-    ranked by length desc, NXX = the length at which the running sum
-    first reaches XX% of total bases, LXX = how many contigs that
-    takes. The 50%-crossing test is the INTEGER cross-multiplication
-    cum*100 >= total*XX (the ABC idiom — no float share), ties broken
-    by doc_id so the rank is total.
-
-    Scale: the global length-rank window is the honest exact cost
-    (ABC/RFM stance — at 100 TB the crossing point comes from a
-    length-histogram prefix sum instead, the equi-depth entry's
-    machinery); the threshold table is two literal rows exploded
-    against qualifying ranks, then a per-threshold min-rank pick."""
-    lens = table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").alias("len")
-    )
-    wo = W.orderBy(F.col("len").desc(), "doc_id")
-    ranked = lens.select(
-        "doc_id",
-        "len",
-        F.row_number().over(wo).alias("rn"),
-        F.sum("len")
-        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"),
-        F.sum("len")
-        .over(W.orderBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("total"),
-        F.count("*")
-        .over(W.orderBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("n_contigs"),
-    )
-    hit = (
-        ranked.withColumn(
-            "threshold", F.explode(F.array(F.lit(50), F.lit(90)))
-        )
-        .filter(F.col("cum") * 100 >= F.col("total") * F.col("threshold"))
-        .withColumn(
-            "pick",
-            F.row_number().over(W.partitionBy("threshold").orderBy("rn")),
-        )
-        .filter(F.col("pick") == 1)
-    )
-    return hit.select(
-        F.col("threshold").cast("long").alias("threshold"),
-        F.col("len").cast("long").alias("nxx_len"),
-        F.col("rn").cast("long").alias("lxx_count"),
-        F.col("total").cast("long").alias("total_bases"),
-        F.col("n_contigs").cast("long").alias("n_contigs"),
-    )

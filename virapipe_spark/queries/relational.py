@@ -3133,124 +3133,3 @@ def lineitem_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
-
-
-_AR_MIN_SUPPORT = 2  # pair must co-occur in >= 2 baskets
-
-
-@staged_r8(
-    "orders_association_rules",
-    oracle=f"""
-    WITH basket AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    item AS MATERIALIZED (
-      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
-      FROM basket GROUP BY l_partkey
-    ),
-    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
-           FROM basket),
-    pair AS (
-      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
-             CAST(count(*) AS BIGINT) AS n_pair
-      FROM basket a JOIN basket b
-        ON a.l_orderkey = b.l_orderkey
-       AND a.l_partkey <> b.l_partkey
-      GROUP BY ante, cons
-      HAVING count(*) >= {_AR_MIN_SUPPORT}
-    )
-    SELECT p.ante, p.cons, p.n_pair,
-           ia.n_item AS n_ante, ic.n_item AS n_cons, nb.n AS n_baskets,
-           CAST(p.n_pair * 1000000 // nb.n AS BIGINT) AS support_ppm,
-           CAST(p.n_pair * 1000000 // ia.n_item AS BIGINT)
-             AS confidence_ppm,
-           CAST(p.n_pair * nb.n * 1000000 // (ia.n_item * ic.n_item)
-                AS BIGINT) AS lift_ppm,
-           p.n_pair * nb.n > ia.n_item * ic.n_item AS positively_assoc
-    FROM pair p
-    JOIN item ia ON p.ante = ia.l_partkey
-    JOIN item ic ON p.cons = ic.l_partkey
-    CROSS JOIN nb
-    """,
-)
-def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules (Agrawal-Srikant 2-itemsets) —
-    THE classic retail-analytics operator, distinct from the
-    co-purchase GRAPH entries (those build topology; this ranks
-    directed rules ante→cons): per ordered pair with support >=
-    {_AR_MIN_SUPPORT} baskets, the full rule battery in INTEGER ppm —
-    support n_ab/N, confidence n_ab/n_a, lift n_ab·N/(n_a·n_b) — all
-    floor divisions on exact counts (n_pair·N·1e6 stays far inside
-    int64 at these cardinalities), plus the lift>1 verdict via
-    cross-multiplication so the association test itself never
-    touches a float. The FULL part universe participates with support
-    >= 2 — repeat co-purchase is the signal; a higher absolute floor
-    (or an item prefilter) empties at larger SF because baskets stay
-    ~4 lines while the item universe grows 10x (the heavy-hitter
-    relative-threshold lesson, measured: 6 890 rules at sf0.01 and
-    7 146 at sf0.1 under this design vs 6 under the part<400+thr3
-    first cut).
-
-    Scale: the pair formation is the basket self-equi-join on
-    l_orderkey — candidate volume Σ basket_size², the Apriori L2
-    cost, pruned upstream by the support-threshold-on-items trick at
-    real scale (drop items under min-support BEFORE pairing:
-    anti-monotonicity); counts and the rule metrics are one pair
-    aggregate + two item-table equi-joins + a one-row basket-count
-    broadcast."""
-    basket = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    basket = truncate_lineage(basket, eager=False)
-    item = basket.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("n_item")
-    )
-    nb = basket.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n")
-    )
-    pair = (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("ante"),
-            F.col("b.l_partkey").alias("cons"),
-        )
-        .agg(F.count("*").cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= _AR_MIN_SUPPORT)
-    )
-    ia = item.select(
-        F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_ante")
-    )
-    ic = item.select(
-        F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons")
-    )
-    return (
-        pair.join(ia, "ante")
-        .join(ic, "cons")
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "ante",
-            "cons",
-            "n_pair",
-            "n_ante",
-            "n_cons",
-            F.col("n").alias("n_baskets"),
-            F.expr("n_pair * 1000000 div n").cast("long").alias(
-                "support_ppm"
-            ),
-            F.expr("n_pair * 1000000 div n_ante").cast("long").alias(
-                "confidence_ppm"
-            ),
-            F.expr("n_pair * n * 1000000 div (n_ante * n_cons)")
-            .cast("long")
-            .alias("lift_ppm"),
-            (F.col("n_pair") * F.col("n") > F.col("n_ante") * F.col("n_cons"))
-            .alias("positively_assoc"),
-        )
-    )
