@@ -595,3 +595,56 @@ class TestR8EntryIndependent:
             for r in events_kaplan_meier(spark, sf).collect()
         }
         assert got == want
+
+
+class TestSsspIndependent:
+    def test_hand_graph_and_python_dijkstra_agree(self, spark):
+        """Honest-claims check for graph.sssp: a hand graph with known
+        distances, plus a pure-python Dijkstra on a derived fixture
+        must produce the identical distance map (the Bellman-Ford loop
+        and Dijkstra agree at the fixpoint for non-negative
+        weights)."""
+        import heapq
+
+        from virapipe_spark.graph import sssp
+
+        # hand graph: shortcut via 2 beats the direct heavy edge
+        wedges = [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (2, 3, 9)]
+        edges = spark.createDataFrame(wedges, ["src", "dst", "w"])
+        seeds = spark.createDataFrame([(0,)], ["node"])
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp(edges, seeds, max_rounds=10).collect()
+        }
+        assert got == {0: 0, 1: 3, 2: 1, 3: 4}
+
+        # deterministic pseudo-random sparse graph, multi-source
+        rows = [
+            (a, (a * 7 + i * 13) % 50, (a + i) % 9 + 1)
+            for a in range(50)
+            for i in range(3)
+            if a != (a * 7 + i * 13) % 50
+        ]
+        seeds_py = [n for n in range(50) if n % 17 == 0]
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for s, d, w in rows:
+            adj.setdefault(s, []).append((d, w))
+        dist_py: dict[int, int] = {s: 0 for s in seeds_py}
+        heap = [(0, s) for s in seeds_py]
+        heapq.heapify(heap)
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist_py.get(u, 1 << 62):
+                continue
+            for v, w in adj.get(u, []):
+                nd = du + w
+                if nd < dist_py.get(v, 1 << 62):
+                    dist_py[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        edges2 = spark.createDataFrame(rows, ["src", "dst", "w"])
+        seeds2 = spark.createDataFrame([(s,) for s in seeds_py], ["node"])
+        got2 = {
+            r["node"]: r["dist"]
+            for r in sssp(edges2, seeds2, max_rounds=30).collect()
+        }
+        assert got2 == dist_py

@@ -185,6 +185,7 @@ def test_r8_staging_state_matches_round():
         "lineitem_gini_lorenz",
         "events_path_trigrams",
         "docs_collocations",
+        "graph_sssp_weighted",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -496,3 +496,74 @@ def label_propagation(
             (F.col("lbl") != F.col("prev_lbl")).alias("changed"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Multi-source weighted shortest paths by synchronous Bellman-Ford
+    relaxation — the WEIGHTED member of the iterative-graph family
+    (bfs_hops is its unit-weight special case; reference capability
+    class: graph distance over derived relation graphs). ``edges`` is a
+    directed ``(src, dst, w)`` list with non-negative integer weights;
+    ``sources`` a one-column ``node`` frame (distance 0). Each round
+    relaxes one more edge hop and folds candidates with a min
+    aggregate, so after round r every node holds the exact minimum
+    over paths of <= r edges (the classic Bellman-Ford invariant) —
+    run to the fixpoint (early stop) and that is the true distance.
+
+    The relaxation is FRONTIER-LIMITED: only nodes whose distance
+    improved last round re-emit their out-edges. This preserves the
+    per-round invariant exactly — any <= r-edge path's prefix improves
+    its endpoint at some round <= r-1, queueing the next relaxation no
+    later than the full-relax schedule — while shrinking the per-round
+    shuffle from the whole graph to the active fringe (the delta-
+    stepping observation; most rounds touch a shrinking frontier).
+
+    Distances are exact int64 sums of int weights: bitwise
+    cross-engine, no tolerance. Unreached nodes are absent (the
+    sparse-BFS contract).
+
+    Scale: per round one frontier-keyed equi-join + one min aggregate
+    (the Pregel shape shared by pagerank/bfs/kcore); lineage truncated
+    every ``checkpoint_every`` rounds (reliable when a checkpoint dir
+    is configured); the early-stop count() is scalar control plane,
+    the CC-loop precedent."""
+    from pyspark.sql import functions as F
+
+    dist = (
+        sources.select(
+            F.col("node").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .distinct()
+        .persist()
+    )
+    frontier = dist
+    for rnd in range(1, max_rounds + 1):
+        cand = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").cast("long").alias("node"),
+                (F.col("f.dist") + F.col("e.w")).cast("long").alias("dist"),
+            )
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if rnd % checkpoint_every == 0:
+            merged = truncate_lineage(merged, reliable=True)
+        else:
+            merged = merged.persist()
+        # improved nodes only: (node, dist) pairs not present before
+        frontier = merged.join(dist, ["node", "dist"], "left_anti")
+        dist = merged
+        if frontier.count() == 0:
+            break
+    return dist
