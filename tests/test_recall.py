@@ -648,3 +648,57 @@ class TestSsspIndependent:
             for r in sssp(edges2, seeds2, max_rounds=30).collect()
         }
         assert got2 == dist_py
+
+
+class TestGreedyCoverageIndependent:
+    def test_matches_python_greedy(self, spark):
+        """Honest-claims check for docs_greedy_coverage: a pure-python
+        greedy max-coverage over the same shingle sets must produce
+        the identical pick transcript (both oracles greedy-select; this
+        pins the semantics against a third, loop-free-of-SQL
+        implementation)."""
+        from virapipe_spark.queries.extensions import (
+            _GC_ROUNDS,
+            docs_greedy_coverage,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+        shingles = {}
+        for doc_id, text in rows:
+            t = text.split(" ")
+            if len(t) >= 3:
+                shingles[doc_id] = {
+                    " ".join(t[g : g + 3]) for g in range(len(t) - 2)
+                }
+        covered: set = set()
+        picked: set = set()
+        want = []
+        total = 0
+        for rnd in range(1, _GC_ROUNDS + 1):
+            best = max(
+                (
+                    (len(s - covered), -doc_id)
+                    for doc_id, s in shingles.items()
+                    if doc_id not in picked
+                ),
+            )
+            marginal, doc_id = best[0], -best[1]
+            covered |= shingles[doc_id]
+            picked.add(doc_id)
+            total += marginal
+            want.append((rnd, doc_id, marginal, total))
+        got = [
+            (r["round"], r["doc_id"], r["marginal"], r["covered_total"])
+            for r in docs_greedy_coverage(spark, sf)
+            .orderBy("round")
+            .collect()
+        ]
+        assert got == want
+        assert total == len(covered)

@@ -186,6 +186,7 @@ def test_r8_staging_state_matches_round():
         "events_path_trigrams",
         "docs_collocations",
         "graph_sssp_weighted",
+        "docs_greedy_coverage",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

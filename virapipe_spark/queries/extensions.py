@@ -5802,3 +5802,168 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("collocated"),
         )
     )
+
+
+_GC_ROUNDS = 6
+
+
+def _greedy_coverage_oracle(rounds: int) -> str:
+    """Unrolled greedy max-coverage oracle: the adaptive argmax loop
+    (pick, re-score, pick) has no SQL fixpoint form, so ``rounds``
+    picks are unrolled as chained CTEs — the kcore/sssp unroll
+    precedent. Each round's score CTE anti-joins the covered-shingle
+    set and the picked-doc set, takes the (marginal DESC, doc_id)
+    top-1, and folds the winner's shingles into the covered set
+    (MATERIALIZED: each is referenced by the next round twice)."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[g], t[g+1], t[g+2]) AS tok
+      FROM raw, UNNEST(generate_series(1, len(t) - 2)) AS u(g)
+      WHERE len(t) >= 3
+    ),
+    s1 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS marginal
+      FROM toks GROUP BY doc_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT 1 AS rnd, doc_id, marginal FROM s1
+      ORDER BY marginal DESC, doc_id LIMIT 1
+    ),
+    c1 AS MATERIALIZED (
+      SELECT DISTINCT t.tok FROM toks t JOIN p1 ON t.doc_id = p1.doc_id
+    )"""
+    ]
+    for i in range(2, rounds + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+    s{i} AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS marginal
+      FROM toks t LEFT JOIN c{i - 1} c ON t.tok = c.tok
+      WHERE c.tok IS NULL AND t.doc_id NOT IN ({picked})
+      GROUP BY t.doc_id
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT {i} AS rnd, doc_id, marginal FROM s{i}
+      ORDER BY marginal DESC, doc_id LIMIT 1
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT tok FROM c{i - 1}
+      UNION
+      SELECT t.tok FROM toks t JOIN p{i} ON t.doc_id = p{i}.doc_id
+    )"""
+        )
+    allp = " UNION ALL ".join(
+        f"SELECT * FROM p{j}" for j in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rnd AS BIGINT) AS round, doc_id, marginal,
+           CAST(sum(marginal) OVER (ORDER BY rnd) AS BIGINT)
+             AS covered_total
+    FROM ({allp})"""
+    )
+    return "".join(parts)
+
+
+@staged_r8(
+    "docs_greedy_coverage", oracle=_greedy_coverage_oracle(_GC_ROUNDS)
+)
+def docs_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular max-coverage corpus selection (the
+    Nemhauser-Wolsey-Fisher 1-1/e greedy, the facility-location /
+    set-cover shape): pick the document covering the most distinct
+    word-3-gram shingles, fold its shingles into the covered set,
+    re-score every remaining document by MARGINAL new-shingle count,
+    repeat — the data-SELECTION step of a training-data pipeline
+    (choose k shards that maximize content coverage), the ADAPTIVE
+    complement of docs_novelty_fraction's fixed ingest-order scan.
+    Integer marginals with a (marginal DESC, doc_id) total order make
+    every pick deterministic; the output is the pick transcript
+    (round, doc, marginal gain, running covered total — the running
+    sum equals the true covered-set size because marginals count only
+    new shingles).
+
+    Scale: per round one anti-join against the covered set (keyed by
+    shingle, partial-aggregated count) + a global top-1
+    (TakeOrderedAndProject — a cheap reduce, not a sort); the covered
+    set is bounded by k docs' shingles (broadcastable); the
+    multi-consumer shingle table is lazily checkpoint-deduped (the
+    PPJoin precedent). Greedy's sequential picks are inherently
+    k round-trips — at 100 TB this exact loop runs on per-shard
+    aggregates, k stays small, and each round is one map-side-combined
+    count."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split("text", " ")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(t) >= 3, F.sequence(F.lit(0), F.size(t) - 3)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("g"),
+            t.alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("t")[F.col("g")],
+                F.col("t")[F.col("g") + 1],
+                F.col("t")[F.col("g") + 2],
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    toks = truncate_lineage(toks, eager=False)
+    covered = None
+    picked = None
+    sels: list[DataFrame] = []
+    for rnd in range(1, _GC_ROUNDS + 1):
+        cand = toks
+        if picked is not None:
+            cand = cand.join(F.broadcast(picked), "doc_id", "left_anti")
+        if covered is not None:
+            cand = cand.join(F.broadcast(covered), "tok", "left_anti")
+        scores = cand.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("marginal")
+        )
+        sel = (
+            scores.orderBy(F.col("marginal").desc(), "doc_id")
+            .limit(1)
+            .select(F.lit(rnd).cast("long").alias("round"), "doc_id", "marginal")
+            .persist()
+        )
+        sels.append(sel)
+        new_cov = toks.join(sel.select("doc_id"), "doc_id").select("tok")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        )
+        covered = covered.persist()
+        pick_ids = sel.select("doc_id")
+        picked = (
+            pick_ids if picked is None else picked.unionByName(pick_ids)
+        )
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "round",
+        "doc_id",
+        "marginal",
+        F.sum("marginal")
+        .over(
+            W.orderBy("round").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long")
+        .alias("covered_total"),
+    )
