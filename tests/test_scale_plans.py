@@ -153,6 +153,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW token-total broadcast in the
             # collocation lift expression
             "docs_collocations",
+            # r7 (staged r8): the ONE-ROW per-half token totals broadcast
+            # in the ppm rate expressions
+            "docs_bigram_drift",
         }
         from virapipe_spark.queries.staged import pending_staged
 

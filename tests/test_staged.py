@@ -187,6 +187,7 @@ def test_r8_staging_state_matches_round():
         "docs_collocations",
         "graph_sssp_weighted",
         "docs_greedy_coverage",
+        "docs_bigram_drift",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -5967,3 +5967,103 @@ def docs_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_total"),
     )
+
+
+@staged_r8(
+    "docs_bigram_drift",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id % 2 AS half, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT half, concat_ws(' ', t[g], t[g+1]) AS tok
+      FROM raw, UNNEST(generate_series(1, len(t) - 1)) AS u(g)
+      WHERE len(t) >= 2
+    ),
+    cnt AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+             CAST(sum(n_b) AS BIGINT) AS t_b
+      FROM cnt
+    )
+    SELECT tok, n_a, n_b,
+           CAST(n_a * 1000000 // t_a AS BIGINT) AS rate_a_ppm,
+           CAST(n_b * 1000000 // t_b AS BIGINT) AS rate_b_ppm,
+           CAST(abs(n_a * 1000000 // t_a - n_b * 1000000 // t_b)
+                AS BIGINT) AS delta_ppm
+    FROM cnt, tot
+    WHERE n_a + n_b >= 20
+    """,
+)
+def docs_bigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-snapshot DISTRIBUTION DRIFT: the word-bigram occurrence
+    distribution of corpus half A (even doc_id — the 'reference
+    snapshot') vs half B (odd — the 'candidate snapshot'), each
+    bigram's rate in both halves as integer ppm with the absolute
+    rate delta — the ingest-validation report that catches a content
+    shift between training-data snapshots before it reaches a model
+    (the PSI/KL use case, kept transcendental-free per the repo's
+    oracle discipline: ranking bigrams by |Δppm| orders them the same
+    way the per-token PSI term does for rates of this magnitude).
+    Low-mass bigrams (joint count < 20) drop: rate estimates below
+    that are noise at both test scales.
+
+    Scale: one bigram explode -> one (tok)-keyed partial-aggregated
+    conditional count carrying BOTH halves in one pass (no
+    self-join), one-row totals broadcast; output bounded by vocab²,
+    not corpus size. Mergeable across shards (sums), so the drift
+    report is incrementally maintainable."""
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"), F.split("text", " ").alias("t")
+    )
+    toks = d.select(
+        "half",
+        F.explode(
+            F.when(
+                F.size("t") >= 2, F.sequence(F.lit(0), F.size("t") - 2)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("g"),
+        "t",
+    ).select(
+        "half",
+        F.concat_ws(
+            " ", F.col("t")[F.col("g")], F.col("t")[F.col("g") + 1]
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_a") + F.col("n_b") >= 20)
+        .select(
+            "tok",
+            "n_a",
+            "n_b",
+            F.expr("n_a * 1000000 div t_a").cast("long").alias("rate_a_ppm"),
+            F.expr("n_b * 1000000 div t_b").cast("long").alias("rate_b_ppm"),
+            F.abs(
+                F.expr("n_a * 1000000 div t_a")
+                - F.expr("n_b * 1000000 div t_b")
+            )
+            .cast("long")
+            .alias("delta_ppm"),
+        )
+    )
