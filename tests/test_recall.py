@@ -702,3 +702,50 @@ class TestGreedyCoverageIndependent:
         ]
         assert got == want
         assert total == len(covered)
+
+
+class TestFingerprintSensitivity:
+    def test_single_edit_flips_exactly_one_bucket(self, spark):
+        """Claims check for lineitem_bucket_fingerprint: editing ONE
+        row's value changes exactly one bucket's digest (and no
+        counts); duplicating a row changes exactly one bucket's count
+        even when XOR cancels (the companion-column rationale)."""
+        from pyspark.sql import functions as F
+
+        def fp(df):
+            row_str = F.concat_ws("|", "k", "v")
+            h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
+                "long"
+            )
+            rows = (
+                df.select(h.alias("h"))
+                .groupBy((F.col("h") % 256).alias("bucket"))
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.expr("bit_xor(h)").cast("long").alias("x"),
+                )
+                .collect()
+            )
+            return {r["bucket"]: (r["n"], r["x"]) for r in rows}
+
+        base = spark.createDataFrame(
+            [(i, i * 7 % 100) for i in range(500)], ["k", "v"]
+        )
+        edited = spark.createDataFrame(
+            [(i, i * 7 % 100 if i != 123 else -1) for i in range(500)],
+            ["k", "v"],
+        )
+        a, b = fp(base), fp(edited)
+        diff = {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+        # the old and new row hash may land in 1 or 2 distinct buckets
+        assert 1 <= len(diff) <= 2 and diff
+        # duplicate one row twice (even multiplicity): XOR cancels,
+        # count catches it
+        dup = base.unionAll(
+            spark.createDataFrame([(123, 123 * 7 % 100)] * 2, ["k", "v"])
+        )
+        c = fp(dup)
+        diff2 = {k for k in set(a) | set(c) if a.get(k) != c.get(k)}
+        assert len(diff2) == 1
+        (k2,) = diff2
+        assert c[k2][1] == a[k2][1] and c[k2][0] == a[k2][0] + 2

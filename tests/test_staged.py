@@ -188,6 +188,7 @@ def test_r8_staging_state_matches_round():
         "graph_sssp_weighted",
         "docs_greedy_coverage",
         "docs_bigram_drift",
+        "lineitem_bucket_fingerprint",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

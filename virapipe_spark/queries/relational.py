@@ -3261,3 +3261,60 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_ok"),
         )
     )
+
+
+@staged_r8(
+    "lineitem_bucket_fingerprint",
+    oracle="""
+    WITH rows_h AS (
+      SELECT CAST('0x' || substr(md5(concat_ws('|',
+               l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT),
+               l_returnflag, l_linestatus)), 1, 15) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT h % 256 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_digest
+    FROM rows_h GROUP BY bucket
+    """,
+)
+def lineitem_bucket_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bucketed DATASET FINGERPRINT — the
+    replica-verification / migration-audit primitive at 100 TB: every
+    row canonicalizes to an integer-rendered string (floats first to
+    cents, the house idiom — cross-engine float formatting never
+    enters the hash), hashes through md5 to a 60-bit int, and folds
+    into its bucket's XOR digest. Two copies of a table agree iff all
+    256 (bucket, n_rows, xor_digest) rows agree; a single changed,
+    dropped, or duplicated row flips its bucket (XOR cancels exact
+    duplicate PAIRS — the count column is the companion check that
+    catches even-multiplicity edits). Both engines synthesize the
+    same hash function, so the digest itself is what the oracle gate
+    proves.
+
+    Scale: one projection + one 256-key aggregate; XOR is commutative
+    and associative, so partials combine map-side in any order and
+    per-shard digests MERGE without re-reading data — the reason this
+    beats a sort-based checksum (which needs a total order) for
+    distributed integrity checks. Bucket count is a constant: output
+    size is independent of table size."""
+    li = table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        li.select(h.alias("h"))
+        .groupBy((F.col("h") % 256).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_digest"),
+        )
+    )
