@@ -749,3 +749,38 @@ class TestFingerprintSensitivity:
         assert len(diff2) == 1
         (k2,) = diff2
         assert c[k2][1] == a[k2][1] and c[k2][0] == a[k2][0] + 2
+
+
+class TestAutocorrIndependent:
+    def test_matches_numpy_acf(self, spark):
+        """Honest-claims check for events_autocorr_daily: numpy's
+        float ACF on the same daily series must agree to 6 dp with the
+        integer-exact num/den construction."""
+        import duckdb
+        import numpy as np
+
+        from virapipe_spark.queries.streaming import events_autocorr_daily
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        rows = con.execute(
+            """SELECT CAST(floor(epoch_us(ts)/86400000000) AS BIGINT) d,
+                      count(*) FROM events GROUP BY d ORDER BY d"""
+        ).fetchall()
+        days = {d: n for d, n in rows}
+        ds = sorted(days)
+        assert ds == list(range(ds[0], ds[0] + len(ds))), "gap in days"
+        x = np.array([days[d] for d in ds], dtype=float)
+        c = x - x.mean()
+        den = float((c * c).sum())
+        got = {
+            r["k"]: (r["acf"], r["n_pairs"])
+            for r in events_autocorr_daily(spark, sf).collect()
+        }
+        for k in range(1, 8):
+            want = float((c[:-k] * c[k:]).sum()) / den
+            assert abs(got[k][0] - round(want, 6)) <= 1e-6, (k, got[k], want)
+            assert got[k][1] == len(x) - k

@@ -156,6 +156,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW per-half token totals broadcast
             # in the ppm rate expressions
             "docs_bigram_drift",
+            # r7 (staged r8): two ONE-ROW broadcasts — the (n, s)
+            # centering constants and the acf denominator
+            "events_autocorr_daily",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -3192,3 +3192,88 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.filter(F.col("rank") <= 25)
+
+
+#: The ONLY float arithmetic in the autocorrelation entry, shared
+#: VERBATIM between both engines (one exactly-rounded division; the
+#: CASE guards ANSI division-by-zero for a constant series).
+_ACF_EXPR = (
+    "round(CASE WHEN den = 0 THEN 0 "
+    "ELSE CAST(num AS DOUBLE) / den END, 6)"
+)
+
+
+@staged_r8(
+    "events_autocorr_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    c AS (SELECT day, n * x - s AS c FROM daily, tot),
+    den_t AS (SELECT CAST(sum(c * c) AS BIGINT) AS den FROM c),
+    lagged AS (
+      SELECT l.k, a.c AS ca, b.c AS cb
+      FROM (SELECT unnest(generate_series(1, 7)) AS k) l
+      JOIN c a ON true
+      JOIN c b ON b.day = a.day + l.k
+    ),
+    agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(ca * cb) AS BIGINT) AS num
+      FROM lagged GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_pairs, num, den, {_ACF_EXPR} AS acf
+    FROM agg, den_t
+    """,
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 AUTOCORRELATION of the daily event-count series — the
+    time-series diagnostic that sits between events_user_trend (OLS
+    drift) and events_dow_seasonal (fixed weekly residuals): the ACF
+    measures how much each lag explains, the statistic behind
+    seasonality DETECTION (a lag-7 spike says 'weekly') and
+    Ljung-Box-style pipeline monitors. Integer-exact by the scaled
+    centering c_d = n*x_d - S (no float mean enters the sums): ACF's
+    scale-invariance means r_k = sum(c_d c_{d+k}) / sum(c_d^2)
+    unchanged, with num/den emitted as exact int64 and the one float
+    division shared verbatim (_ACF_EXPR).
+
+    Scale: the heavy pass is the day-keyed count (map-side combined);
+    everything after runs on the days-long series — the lag join is an
+    equi-join on day+k (Catalyst extracts the equality), the totals
+    ride one-row broadcasts. At 100 TB the daily series is still tiny:
+    ACF cost is the aggregate, by construction."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("c")
+    )
+    c = c.persist()
+    den = c.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("den"))
+    a = c.select(
+        "day",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+    )
+    b = c.select(F.col("day").alias("day_b"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("day_b") == F.col("day") + F.col("k"))
+    agg = pairs.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("num"),
+    )
+    return agg.crossJoin(F.broadcast(den)).select(
+        "k", "n_pairs", "num", "den", F.expr(_ACF_EXPR).alias("acf")
+    )
