@@ -784,3 +784,45 @@ class TestAutocorrIndependent:
             want = float((c[:-k] * c[k:]).sum()) / den
             assert abs(got[k][0] - round(want, 6)) <= 1e-6, (k, got[k], want)
             assert got[k][1] == len(x) - k
+
+
+class TestBootstrapIndependent:
+    def test_matches_python_hashlib_bootstrap(self, spark):
+        """Honest-claims check for events_bootstrap_ci: a pure-python
+        bootstrap using hashlib.md5 for the same (b, i) draws must
+        reproduce the identical percentile bracket."""
+        import hashlib
+
+        import duckdb
+
+        from virapipe_spark.queries.streaming import (
+            _BOOT_B,
+            events_bootstrap_ci,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        xs = [
+            n
+            for _, n in con.execute(
+                """SELECT CAST(floor(epoch_us(ts)/86400000000) AS BIGINT) d,
+                          count(*) FROM events GROUP BY d ORDER BY d"""
+            ).fetchall()
+        ]
+        n = len(xs)
+        sums = []
+        for b in range(1, _BOOT_B + 1):
+            s = 0
+            for i in range(n):
+                h = hashlib.md5(f"{b}_{i}".encode()).hexdigest()
+                s += xs[int(h[:8], 16) % n]
+            sums.append((s, b))
+        sums.sort()
+        lo = sums[_BOOT_B * 25 // 1000 - 1][0]
+        hi = sums[_BOOT_B * 975 // 1000 - 1][0]
+        row = events_bootstrap_ci(spark, sf).collect()[0]
+        assert (row["lo_sum"], row["hi_sum"]) == (lo, hi)
+        assert row["observed_sum"] == sum(xs) and row["n_days"] == n

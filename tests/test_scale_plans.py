@@ -159,6 +159,9 @@ class TestPlanProperties:
             # r7 (staged r8): two ONE-ROW broadcasts — the (n, s)
             # centering constants and the acf denominator
             "events_autocorr_daily",
+            # r7 (staged r8): ONE-ROW broadcasts — the (n, obs)
+            # constants and the two percentile-bracket scalars
+            "events_bootstrap_ci",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -3277,3 +3277,135 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(F.broadcast(den)).select(
         "k", "n_pairs", "num", "den", F.expr(_ACF_EXPR).alias("acf")
     )
+
+
+_BOOT_B = 400
+
+
+@staged_r8(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i, x FROM daily),
+    nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS obs
+      FROM idx
+    ),
+    grid AS (
+      SELECT b.b, i.i
+      FROM (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b,
+           (SELECT i FROM idx) i
+    ),
+    draws AS (
+      SELECT g.b,
+             CAST(CAST('0x' || substr(md5(concat(g.b, '_', g.i)), 1, 8)
+                       AS BIGINT) % nn.n AS BIGINT) AS di
+      FROM grid g, nn
+    ),
+    sums AS (
+      SELECT d.b, CAST(sum(ix.x) AS BIGINT) AS s
+      FROM draws d JOIN idx ix ON ix.i = d.di GROUP BY d.b
+    ),
+    ranked AS (SELECT s, row_number() OVER (ORDER BY s, b) AS rn FROM sums)
+    SELECT nn.n AS n_days, CAST({_BOOT_B} AS BIGINT) AS n_boot,
+           nn.obs AS observed_sum,
+           (SELECT s FROM ranked WHERE rn = {_BOOT_B * 25 // 1000})
+             AS lo_sum,
+           (SELECT s FROM ranked WHERE rn = {_BOOT_B * 975 // 1000})
+             AS hi_sum,
+           ((SELECT s FROM ranked WHERE rn = {_BOOT_B * 25 // 1000})
+              <= nn.obs
+            AND nn.obs
+              <= (SELECT s FROM ranked WHERE rn = {_BOOT_B * 975 // 1000}))
+             AS covered
+    FROM nn
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BOOTSTRAP 95% confidence interval for the total
+    daily event volume — the resampling-inference member of the
+    statistics family (events_ab_test_zscore is parametric, this is
+    Efron's nonparametric alternative): B=400 resamples of the
+    30-day series, each day drawn by the shared md5 hash of
+    (resample, position) — both engines synthesize the identical
+    pseudo-random draws, so the hash pins every resample sum and the
+    percentile bracket (ranks B*0.025 and B*0.975 under a total
+    (sum, b) order). Integer-exact throughout: sums,
+    not means (same ordering, no division); ``covered`` certifies the
+    observed total lies inside its own CI as data.
+
+    Scale: the only corpus-size pass is the day-keyed count; the
+    resample grid is B x n_days rows over the TINY aggregate series
+    (bootstrap-over-aggregates — the published poor-man's-bootstrap
+    shape), and the draw-to-value lookup is an equi-join on the day
+    index. At 100 TB: identical plan, B*30 rows still."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    idx = daily.select(
+        (F.row_number().over(W.orderBy("day")) - 1).cast("long").alias("i"),
+        "x",
+    ).persist()
+    nn = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("obs"),
+    )
+    grid = idx.select("i").withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
+    )
+    draws = grid.crossJoin(F.broadcast(nn)).select(
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("b").cast("string"),
+                            F.lit("_"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n")
+        ).alias("di"),
+    )
+    sums = (
+        draws.join(idx, draws["di"] == idx["i"])
+        .groupBy("b")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    ranked = sums.select(
+        "s", F.row_number().over(W.orderBy("s", "b")).alias("rn")
+    )
+    lo = ranked.filter(F.col("rn") == _BOOT_B * 25 // 1000).select(
+        F.col("s").alias("lo_sum")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B * 975 // 1000).select(
+        F.col("s").alias("hi_sum")
+    )
+    return (
+        nn.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(_BOOT_B).cast("long").alias("n_boot"),
+            F.col("obs").alias("observed_sum"),
+            "lo_sum",
+            "hi_sum",
+            (
+                (F.col("lo_sum") <= F.col("obs"))
+                & (F.col("obs") <= F.col("hi_sum"))
+            ).alias("covered"),
+        )
+    )
