@@ -191,6 +191,7 @@ def test_r8_staging_state_matches_round():
         "lineitem_bucket_fingerprint",
         "events_autocorr_daily",
         "events_bootstrap_ci",
+        "docs_phrase_search",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

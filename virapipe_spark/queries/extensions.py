@@ -6067,3 +6067,91 @@ def docs_bigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional inverted-index phrase search
+# ---------------------------------------------------------------------------
+
+#: Batch phrase workload: (phrase_id, words). Constant literals shared
+#: with the oracle so both engines search the same queries.
+_PHRASE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["table", "hash"]),
+    (2, ["merge", "group"]),
+    (3, ["scan", "query", "big"]),
+]
+
+_PHRASE_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ph AS (
+  SELECT * FROM (VALUES
+    (1, ['table', 'hash']),
+    (2, ['merge', 'group']),
+    (3, ['scan', 'query', 'big'])
+  ) AS v(pid, w)
+),
+m AS (
+  SELECT ph.pid, raw.doc_id
+  FROM raw, ph, UNNEST(generate_series(1, len(t) - len(w) + 1)) AS u(g)
+  WHERE len(t) >= len(w) AND t[g:g + len(w) - 1] = w
+)
+SELECT CAST(pid AS BIGINT) AS pid, doc_id,
+       CAST(count(*) AS BIGINT) AS matches
+FROM m GROUP BY pid, doc_id
+"""
+
+
+@staged_r8("docs_phrase_search", oracle=_PHRASE_ORACLE)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE SEARCH over a positional inverted index — the
+    retrieval primitive BM25 ranking cannot express (term order and
+    adjacency matter: ``"table hash"`` must match only consecutive
+    occurrences). The engine path is the index one: posexplode the
+    corpus into (doc, position, term) postings, semi-join against the
+    broadcast query-term dimension so only postings for queried terms
+    survive the scan, align each surviving posting to its candidate
+    phrase START (position - offset), and count a match where every
+    offset of the phrase contributed — a group-all-offsets-present
+    check, no string rescanning. The oracle is the INDEPENDENT naive
+    construction: slide a window over every token position and compare
+    the token slice against the phrase literal (DuckDB list-slice
+    equality), so the index path is verified against a scan that never
+    builds an index. Output: (pid, doc_id, matches) per matching doc,
+    counting overlapping occurrences.
+
+    Scale: the broadcast term dim prunes postings to the query
+    vocabulary BEFORE any shuffle (for a 3-phrase workload that is a
+    few terms out of the whole vocab — the classic search-engine
+    read pattern); the one shuffle keys on (pid, doc, start) whose
+    cardinality is bounded by surviving postings, with map-side
+    partial counts. Phrases of repeated words stay correct because
+    offsets, not terms, are counted. At 100 TB the posting explode is
+    embarrassingly parallel per document shard and term-partitioned
+    posting lists would serve the same plan incrementally.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dim = spark.createDataFrame(
+        [
+            (pid, off, term, len(words))
+            for pid, words in _PHRASE_QUERIES
+            for off, term in enumerate(words)
+        ],
+        "pid long, off int, term string, plen int",
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    cand = tok.join(F.broadcast(dim), "term").select(
+        "pid", "doc_id", (F.col("pos") - F.col("off")).alias("start"), "plen"
+    )
+    hits = (
+        cand.filter(F.col("start") >= 0)
+        .groupBy("pid", "doc_id", "start", "plen")
+        .agg(F.count("*").alias("n_off"))
+        .filter(F.col("n_off") == F.col("plen"))
+    )
+    return hits.groupBy("pid", "doc_id").agg(
+        F.count("*").cast("long").alias("matches")
+    )
