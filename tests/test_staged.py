@@ -192,6 +192,7 @@ def test_r8_staging_state_matches_round():
         "events_autocorr_daily",
         "events_bootstrap_ci",
         "docs_phrase_search",
+        "docs_decontaminate_bloom",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

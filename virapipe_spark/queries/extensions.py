@@ -6155,3 +6155,127 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("pid", "doc_id").agg(
         F.count("*").cast("long").alias("matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter benchmark decontamination (the scale path of
+# docs_decontaminate, with the approximation layer measured as data)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.relational import _BF_K, _BF_M, _BF_POS  # noqa: E402
+
+_DCB_ORACLE = (
+    _SHINGLES_SQL
+    + f""",
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {_BENCH_DOCS}),
+    bits AS (
+      SELECT DISTINCT {_BF_POS} AS pos
+      FROM (SELECT md5(concat(j, ':', s)) AS h
+            FROM bench,
+                 (SELECT unnest(generate_series(0, {_BF_K - 1})) AS j))
+    ),
+    probe AS (SELECT doc_id, s FROM sh WHERE doc_id >= {_BENCH_DOCS}),
+    vocab AS (SELECT DISTINCT s FROM probe),
+    vpos AS (
+      SELECT s, {_BF_POS} AS pos
+      FROM (SELECT s, md5(concat(j, ':', s)) AS h
+            FROM vocab,
+                 (SELECT unnest(generate_series(0, {_BF_K - 1})) AS j))
+    ),
+    bloom_s AS (
+      SELECT s FROM vpos v JOIN bits b ON v.pos = b.pos
+      GROUP BY s HAVING count(*) = {_BF_K}
+    ),
+    exact_s AS (SELECT s FROM vocab WHERE s IN (SELECT s FROM bench))
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bloom_hits,
+           CAST(sum(CASE WHEN es.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_hits,
+           sum(CASE WHEN es.s IS NOT NULL THEN 1 ELSE 0 END) > 0
+             AS contaminated,
+           sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END)
+             >= sum(CASE WHEN es.s IS NOT NULL THEN 1 ELSE 0 END)
+             AS no_false_negatives
+    FROM probe p
+    LEFT JOIN bloom_s bs ON p.s = bs.s
+    LEFT JOIN exact_s es ON p.s = es.s
+    GROUP BY p.doc_id
+    """
+)
+
+
+@staged_r8("docs_decontaminate_bloom", oracle=_DCB_ORACLE)
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER of the eval
+    set's shingles — how docs_decontaminate actually deploys when the
+    benchmark suite is large: the filter is {_BF_M} bits no matter how
+    many eval shingles exist (a fixed-size broadcast where the exact
+    shingle set would outgrow broadcast limits), probe shingles test
+    their {_BF_K} md5-derived bit positions scan-side, and only
+    bloom-flagged shingles reach the exact verification join. The
+    approximation layer is emitted AS DATA per training doc: shingle
+    count, bloom-flagged count, exact-contaminated count, the
+    contamination verdict, and the Bloom guarantee
+    (`no_false_negatives`: every exact hit was bloom-flagged — the
+    property that makes the prefilter safe for decontamination, where
+    a false negative means eval leakage into training data). False
+    positives cost only wasted verification, never leakage; the
+    n_bloom_hits - n_exact_hits gap measures them per doc.
+
+    Scale: positions are probed per DISTINCT shingle (the vocabulary,
+    not the corpus — shared shingles hash once), the bit-set travels
+    as a broadcast join on position (no driver collect), and the
+    flag-back joins key on the shingle so partial aggregation bounds
+    the per-doc rollup. The whole funnel is one broadcast + two
+    shingle-keyed shuffles regardless of benchmark size."""
+    sh = _shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_DOCS).select("s").distinct()
+    )
+    probe = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+    vocab = probe.select("s").distinct()
+    vocab = truncate_lineage(vocab, eager=False)
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BF_K)])).alias("j")
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (
+            df.select("s", js)
+            .withColumn("h", F.md5(F.concat(F.col("j"), F.lit(":"), F.col("s"))))
+            .withColumn("pos", F.expr(_BF_POS))
+        )
+
+    bits = positions(bench).select("pos").distinct()
+    bloom_s = (
+        positions(vocab)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("s")
+        .agg(F.count("*").alias("nset"))
+        .filter(F.col("nset") == _BF_K)
+        .select("s", F.lit(1).alias("bloom"))
+    )
+    exact_s = vocab.join(bench, "s", "left_semi").select(
+        "s", F.lit(1).alias("exact")
+    )
+    return (
+        probe.join(bloom_s, "s", "left")
+        .join(exact_s, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("bloom"), F.lit(0)))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("exact"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact_hits"),
+            (F.sum(F.coalesce(F.col("exact"), F.lit(0))) > 0).alias(
+                "contaminated"
+            ),
+            (
+                F.sum(F.coalesce(F.col("bloom"), F.lit(0)))
+                >= F.sum(F.coalesce(F.col("exact"), F.lit(0)))
+            ).alias("no_false_negatives"),
+        )
+    )
