@@ -282,6 +282,9 @@ class TestPlanProperties:
             # r7 (staged r8): AU/µ-law decode + integer window energy
             # are the codec boundary; the VAD automaton is JVM windows
             "multimodal_vad_segments",
+            # r7 (staged r8): AU decode to per-sample rows is the codec
+            # boundary; the DFT correlation is a JVM broadcast join
+            "multimodal_dft_bins",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

@@ -193,6 +193,7 @@ def test_r8_staging_state_matches_round():
         "events_bootstrap_ci",
         "docs_phrase_search",
         "docs_decontaminate_bloom",
+        "multimodal_dft_bins",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -2147,3 +2147,31 @@ def audio_window_energy(media: DataFrame, window: int = 16) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         gen, "media_id long, window_idx int, energy long"
     )
+
+
+def audio_samples(media: DataFrame) -> DataFrame:
+    """Decoded per-sample view of an audio column: (media_id,
+    sample index n, int16-range value) through the real AU/WAV decode
+    path — the input shape for frequency-domain analytics (DFT bins,
+    autocorrelation pitch) that need sample ALIGNMENT, not just
+    window energies.
+
+    Scale: one Arrow batch boundary; fan-out = clip length rows per
+    clip, the same bound as the sample data itself."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                if data[:4] == b".snd":
+                    _, samples = decode_au(data)
+                else:
+                    _, samples = decode_wav(data)
+                for n, val in enumerate(samples.astype(np.int64)):
+                    out.append((mid, n, int(val)))
+            yield pd.DataFrame(out, columns=["media_id", "n", "val"])
+
+    return media.select("media_id", "data").mapInPandas(
+        gen, "media_id long, n int, val long"
+    )

@@ -1357,3 +1357,140 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_speech",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain audio analytics: exact integer DFT bins
+# ---------------------------------------------------------------------------
+
+_DFT_N = 64  # samples per clip (the md5-derived fixture length)
+_DFT_BINS = (1, 3, 7, 12)  # analysis frequencies (cycles per clip)
+_DFT_SCALE = 10000  # trig table fixed-point scale
+
+#: Integer-quantized trig table shared VERBATIM by both engines: the
+#: only transcendental evaluation happens once at import time to build
+#: these literals; every oracle-checked value downstream is exact
+#: integer arithmetic over them (the JL-sign-matrix-as-literals
+#: precedent).
+_DFT_TBL: list[tuple[int, int, int, int]] = [
+    (
+        k,
+        n,
+        round(__import__("math").cos(2 * __import__("math").pi * k * n / _DFT_N) * _DFT_SCALE),
+        round(__import__("math").sin(2 * __import__("math").pi * k * n / _DFT_N) * _DFT_SCALE),
+    )
+    for k in _DFT_BINS
+    for n in range(_DFT_N)
+]
+
+_DFT_VALUES = ", ".join(
+    f"({k}, {n}, {c}, {s})" for k, n, c, s in _DFT_TBL
+)
+
+#: Quantized spectral power, shared verbatim (re/im are bounded by
+#: 64 * 32124 * 10000 ~ 2.1e10 — their direct squares would overflow
+#: int64, the div-first form stays exact and identical cross-engine).
+_DFT_POWER = (
+    "(re_x div 10000) * (re_x div 10000)"
+    " + (im_x div 10000) * (im_x div 10000)"
+)
+
+
+@staged_r8(
+    "multimodal_dft_bins",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 64) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 64)) AS i, p FROM s),
+    u AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS n,
+                 255 - ascii(substr(p, i, 1)) AS ub
+          FROM c),
+    v AS (SELECT doc_id, n,
+                 CAST(CASE WHEN ub >= 128 THEN -1 ELSE 1 END
+                 * (((ub % 16) * 8 + 132) * power(2, (ub // 16) % 8) - 132)
+                   AS BIGINT) AS val
+          FROM u),
+    tbl(k, n, co, si) AS (VALUES {_DFT_VALUES}),
+    x AS (
+      SELECT doc_id, k,
+             CAST(sum(val * co) AS BIGINT) AS re_x,
+             CAST(sum(val * si) AS BIGINT) AS im_x
+      FROM v JOIN tbl USING (n) GROUP BY doc_id, k
+    )
+    SELECT doc_id AS media_id, CAST(k AS BIGINT) AS bin_k, re_x, im_x,
+           CAST({_DFT_POWER.replace(' div ', ' // ')} AS BIGINT) AS power_q
+    FROM x
+    """,
+)
+def multimodal_dft_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer DFT-BIN spectral energy — the frequency-domain
+    capability the audio family was missing (energy/VAD/resample are
+    time-domain): each clip's {_DFT_N} mu-law samples decode through
+    the real AU codec, then correlate against a fixed-point
+    cosine/sine table at {len(_DFT_BINS)} analysis bins
+    (the Goertzel/sliding-DFT use case: tone detection, band energy,
+    spectral fingerprinting) — re/im accumulations and the quantized
+    power are ALL exact int64, so the hash proves codec + transform
+    end to end. The trig table is quantized once at import and shared
+    as literals with the DuckDB oracle, which reconstructs the same
+    samples from the ITU mu-law expansion formula and replays the
+    correlation — two independent sample paths (real decoder vs
+    algebraic formula) must agree bit-for-bit before any spectral
+    value is even compared.
+
+    Scale: decode is one Arrow boundary (bounded fan-out: {_DFT_N}
+    rows/clip); the trig table is a {len(_DFT_TBL)}-row broadcast, the
+    one shuffle keys (media, bin) with map-side partial sums. At 100 TB
+    the same plan serves per-shard, and K bins cost K broadcast-join
+    multiplies — no FFT dependency, no float drift across partition
+    orders."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))
+            ),
+            1,
+            64,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_au(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_au(
+                    8000,
+                    mm._ulaw_expand(
+                        np.frombuffer(s.encode(), dtype=np.uint8)
+                    ),
+                    ulaw=True,
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select("media_id", to_au("p").alias("data"))
+    samples = mm.audio_samples(media)
+    tbl = spark.createDataFrame(_DFT_TBL, "k int, n int, co long, si long")
+    x = (
+        samples.join(F.broadcast(tbl), "n")
+        .groupBy("media_id", "k")
+        .agg(
+            F.sum(F.col("val") * F.col("co")).cast("long").alias("re_x"),
+            F.sum(F.col("val") * F.col("si")).cast("long").alias("im_x"),
+        )
+    )
+    return x.select(
+        "media_id",
+        F.col("k").cast("long").alias("bin_k"),
+        "re_x",
+        "im_x",
+        F.expr(_DFT_POWER).cast("long").alias("power_q"),
+    )
