@@ -162,6 +162,15 @@ class TestPlanProperties:
             # r7 (staged r8): ONE-ROW broadcasts — the (n, obs)
             # constants and the two percentile-bracket scalars
             "events_bootstrap_ci",
+            # r7 (staged r8): six ONE-ROW delete/survive count
+            # aggregates crossJoined into the cascade manifest row
+            "orders_cascade_delete",
+            # r7 (staged r8): the ONE-ROW (chi2, dof) total broadcast
+            # riding along every contingency cell
+            "events_chisq_independence",
+            # r7 (staged r8): the ONE-ROW user-count broadcast in the
+            # support_ppm denominator
+            "events_seq_patterns",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -194,6 +194,9 @@ def test_r8_staging_state_matches_round():
         "docs_phrase_search",
         "docs_decontaminate_bloom",
         "multimodal_dft_bins",
+        "events_seq_patterns",
+        "events_chisq_independence",
+        "orders_cascade_delete",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

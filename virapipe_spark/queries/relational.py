@@ -3318,3 +3318,111 @@ def lineitem_bucket_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("long").alias("xor_digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascade-delete propagation audit (the GDPR erasure shape)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "orders_cascade_delete",
+    oracle="""
+    WITH del_c AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ),
+    del_o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+    ),
+    del_l AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+    ),
+    left_o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM del_c)
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM del_c) AS n_customers_deleted,
+      (SELECT CAST(count(*) AS BIGINT) FROM del_o) AS n_orders_deleted,
+      (SELECT CAST(count(*) AS BIGINT) FROM del_l) AS n_lineitems_deleted,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer)
+        - (SELECT count(*) FROM del_c) AS n_customers_left,
+      (SELECT CAST(count(*) AS BIGINT) FROM left_o) AS n_orders_left,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        - (SELECT count(*) FROM del_l) AS n_lineitems_left,
+      (SELECT count(*) FROM left_o
+       WHERE o_custkey IN (SELECT c_custkey FROM del_c)) = 0
+        AS no_orphaned_orders
+    """,
+)
+def orders_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADE-DELETE propagation — the GDPR/right-to-erasure shape:
+    deleting one customer segment must take its orders and their line
+    items with it, across three referential hops. The entry computes
+    the full deletion manifest (per-table delete counts and surviving
+    counts) plus the invariant that makes the cascade correct
+    (`no_orphaned_orders`: no surviving order references a deleted
+    customer) — the complement of orders_ri_audit, which checks keys
+    that EXIST; this checks the closure of keys being REMOVED. In a
+    lakehouse this manifest is exactly what a MERGE/DELETE commit
+    protocol needs before it swaps files (events_upsert_merge's
+    deletion sibling).
+
+    Scale: each hop is one key-keyed semi/anti join flowing root →
+    leaves (customer keys → order keys → line items), never a
+    multi-way product; counts are one-row aggregates assembled by
+    broadcast. The deleted-key frontier is what shuffles — bounded by
+    the deletion request, not table size — and at 100 TB the same
+    plan drives the actual file-rewrite job (anti-join output is the
+    keep-set writer input)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    del_c = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    del_o = orders.join(
+        del_c, orders.o_custkey == del_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_o = del_o.persist()
+    del_l = li.join(
+        del_o, li.l_orderkey == del_o.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    left_o = orders.join(
+        del_c, orders.o_custkey == del_c.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+    left_o = left_o.persist()
+    n_del_c = del_c.agg(F.count("*").cast("long").alias("n_customers_deleted"))
+    n_del_o = del_o.agg(F.count("*").cast("long").alias("n_orders_deleted"))
+    n_del_l = del_l.agg(
+        F.count("*").cast("long").alias("n_lineitems_deleted")
+    )
+    n_cust = cust.agg(F.count("*").cast("long").alias("n_cust_total"))
+    n_left_o = left_o.agg(F.count("*").cast("long").alias("n_orders_left"))
+    n_li = li.agg(F.count("*").cast("long").alias("n_li_total"))
+    orphans = left_o.join(
+        del_c, left_o.o_custkey == del_c.c_custkey, "left_semi"
+    ).agg(F.count("*").alias("n_orphans"))
+    return (
+        n_del_c.crossJoin(F.broadcast(n_del_o))
+        .crossJoin(F.broadcast(n_del_l))
+        .crossJoin(F.broadcast(n_cust))
+        .crossJoin(F.broadcast(n_left_o))
+        .crossJoin(F.broadcast(n_li))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_customers_deleted",
+            "n_orders_deleted",
+            "n_lineitems_deleted",
+            (F.col("n_cust_total") - F.col("n_customers_deleted"))
+            .cast("long")
+            .alias("n_customers_left"),
+            "n_orders_left",
+            (F.col("n_li_total") - F.col("n_lineitems_deleted"))
+            .cast("long")
+            .alias("n_lineitems_left"),
+            (F.col("n_orphans") == 0).alias("no_orphaned_orders"),
+        )
+    )

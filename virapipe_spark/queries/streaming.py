@@ -3409,3 +3409,192 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support (ordered, non-adjacent — the PrefixSpan
+# length-2 primitive)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_seq_patterns",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type,
+             min(ts) AS mn, max(ts) AS mx
+      FROM events GROUP BY user_id, event_type
+    ),
+    sup AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM per a JOIN per b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.mn < b.mx
+      GROUP BY a.event_type, b.event_type
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events)
+    SELECT type_a, type_b, support,
+           CAST(support * 1000000 // n_users AS BIGINT) AS support_ppm
+    FROM sup, u
+    """,
+)
+def events_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support — the ORDERED, NON-ADJACENT
+    complement of events_path_trigrams (which counts consecutive
+    steps): for every ordered event-type pair (a, b), how many users
+    ever did a THEN LATER b, regardless of what happened in between —
+    the PrefixSpan/GSP length-2 primitive behind 'users who error
+    before purchasing' cohort questions. The naive semantics is an
+    O(events²)-per-user EXISTS scan; the engine path collapses it to
+    per-(user, type) time EXTREMA first (exists a-before-b ⟺
+    min_ts(a) < max_ts(b) — the extrema carry the full existential),
+    so the pair stage fans out from a types-bounded frame, never the
+    raw event log. Support is emitted both absolute and as exact ppm
+    of the user base.
+
+    Scale: one (user, type)-keyed partial aggregate over the log, a
+    self-join whose per-user fan-out is bounded by |types|² (25 here,
+    constant — NOT event volume), and a types²-bounded rollup. The
+    one-row user count broadcasts. At 100 TB the extrema table is the
+    only thing that shuffles, mergeable across shards and
+    incrementally maintainable (min/max fold under union)."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("mn").alias("mn_a")
+    )
+    b = per.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("mx").alias("mx_b")
+    )
+    sup = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("mn_a") < F.col("mx_b"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return sup.crossJoin(F.broadcast(users)).select(
+        "type_a",
+        "type_b",
+        "support",
+        F.expr("support * 1000000 div n_users")
+        .cast("long")
+        .alias("support_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (integer-exact contingency algebra)
+# ---------------------------------------------------------------------------
+
+#: Expected-count and chi-square-term algebra, shared verbatim (Spark
+#: `div`; the oracle swaps in DuckDB's `//`). x1000 fixed-point keeps
+#: every intermediate inside int64 at both test scales (documented
+#: bound: d_x1000² <= ~1e14).
+_CHI_E = "rt * ct * 1000 div n"
+_CHI_TERM = (
+    f"(o * 1000 - ({_CHI_E})) * (o * 1000 - ({_CHI_E})) div ({_CHI_E})"
+)
+
+
+@staged_r8(
+    "events_chisq_independence",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+          FROM cell GROUP BY 1),
+    c2 AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+    t AS (
+      SELECT cell.event_type, cell.dow, cell.o,
+             CAST({_CHI_E.replace(' div ', ' // ')} AS BIGINT) AS e_x1000,
+             CAST({_CHI_TERM.replace(' div ', ' // ')} AS BIGINT)
+               AS term_x1000
+      FROM cell
+      JOIN r ON r.event_type = cell.event_type
+      JOIN c2 ON c2.dow = cell.dow
+      CROSS JOIN nn
+    ),
+    tot AS (
+      SELECT CAST(sum(term_x1000) AS BIGINT) AS chi2_x1000,
+             CAST((count(DISTINCT event_type) - 1)
+                  * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+      FROM t
+    )
+    SELECT t.event_type, t.dow, t.o, t.e_x1000, t.term_x1000,
+           tot.chi2_x1000, tot.dof
+    FROM t, tot
+    """,
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square INDEPENDENCE test over the event_type × day-of-week
+    contingency table — the categorical-association member of the
+    statistics family (z-test compares two proportions; bootstrap
+    bounds a mean; Kaplan-Meier handles censoring; this one asks 'is
+    traffic mix independent of weekday?', the seasonality-audit
+    question behind mixture rebalancing). Kept transcendental-free per
+    the oracle discipline: expected counts and per-cell (O-E)²/E
+    terms are x1000 fixed-point integers whose algebra is shared
+    VERBATIM with the oracle ({_CHI_E!r}), day-of-week is epoch-day
+    mod 7 (engine-native dayofweek() conventions differ — DuckDB
+    numbers Sunday 0, Spark numbers it 1), and the statistic plus
+    degrees of freedom ride along every cell row for a one-read
+    report.
+
+    Scale: one (type, dow)-keyed count over the log (map-side
+    partial), then all reassembly happens on the CELL table (bounded
+    by |types| × 7, constant) — marginals, totals, and the statistic
+    never touch event-volume data again; the one-row total broadcasts.
+    Mergeable across shards: cells sum, everything else derives."""
+    ev = table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            "event_type",
+            (
+                F.expr("unix_micros(ts) div 86400000000") % 7
+            ).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    cell = cell.persist()
+    r = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    c2 = cell.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    nn = cell.agg(F.sum("o").cast("long").alias("n"))
+    t = (
+        cell.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c2), "dow")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            F.expr(_CHI_E).cast("long").alias("e_x1000"),
+            F.expr(_CHI_TERM).cast("long").alias("term_x1000"),
+        )
+    )
+    tot = t.agg(
+        F.sum("term_x1000").cast("long").alias("chi2_x1000"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
+    return t.crossJoin(F.broadcast(tot))
