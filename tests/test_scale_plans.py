@@ -171,6 +171,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW user-count broadcast in the
             # support_ppm denominator
             "events_seq_patterns",
+            # r7 (staged r8): the ONE-ROW accuracy report (n, MAE,
+            # WAPE) broadcast along every backtest day
+            "events_snaive_backtest",
         }
         from virapipe_spark.queries.staged import pending_staged
 

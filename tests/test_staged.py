@@ -197,6 +197,8 @@ def test_r8_staging_state_matches_round():
         "events_seq_patterns",
         "events_chisq_independence",
         "orders_cascade_delete",
+        "interval_depth_histogram",
+        "events_snaive_backtest",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -280,3 +280,54 @@ def subtract(
         .filter(F.col("seg_start") <= F.col("seg_end"))
         .unionAll(untouched)
     )
+
+
+def depth_histogram(
+    iv: DataFrame,
+    seq_col: str = "seqid",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Exact per-base DEPTH-OF-COVERAGE histogram (the `samtools
+    depth | sort | uniq -c` shape): for every (seqid, depth > 0), how
+    many bases are covered by exactly `depth` intervals. Ends are
+    INCLUSIVE (the convention of this module's fixtures).
+
+    The diff-array / sweep-line formulation: +1 at start, -1 at
+    end+1, pre-aggregate deltas per position (making positions unique
+    per seqid, so the window sort is total without a tiebreak), prefix
+    sum = depth of the segment [pos, next_pos), histogram by summing
+    segment lengths. Never materializes per-base rows — cost is
+    O(breakpoints), not O(genome length).
+
+    Scale: one union + one (seq, pos) partial-aggregated shuffle, one
+    seq-partitioned ordered window, one (seq, depth) rollup — all keys
+    bounded by breakpoint count. A chromosome is one window partition;
+    for extreme single-contig skew, range-partition the prefix sum by
+    position block and carry block offsets (the standard distributed
+    prefix-sum refinement)."""
+    ev = iv.select(
+        F.col(seq_col).alias("seqid"),
+        F.col(start_col).alias("pos"),
+        F.lit(1).alias("d"),
+    ).unionByName(
+        iv.select(
+            F.col(seq_col).alias("seqid"),
+            (F.col(end_col) + 1).alias("pos"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    ag = ev.groupBy("seqid", "pos").agg(F.sum("d").alias("delta"))
+    w = Window.partitionBy("seqid").orderBy("pos")
+    seg = ag.withColumn(
+        "depth",
+        F.sum("delta").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("seg_len", F.lead("pos").over(w) - F.col("pos"))
+    return (
+        seg.filter((F.col("depth") > 0) & F.col("seg_len").isNotNull())
+        .groupBy("seqid", "depth")
+        .agg(F.sum("seg_len").cast("long").alias("n_bases"))
+        .select("seqid", F.col("depth").cast("long").alias("depth"), "n_bases")
+    )

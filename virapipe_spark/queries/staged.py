@@ -638,3 +638,47 @@ def pending_staged() -> dict[str, QueryFn]:
             if n not in catalog.QUERIES:
                 out[n] = fn
     return out
+
+
+@staged_r8(
+    "interval_depth_histogram",
+    oracle=f"""
+    WITH iv AS ({_READS_SQL}),
+    ev AS (
+      SELECT seqid, start AS pos, 1 AS d FROM iv
+      UNION ALL
+      SELECT seqid, "end" + 1 AS pos, -1 AS d FROM iv
+    ),
+    ag AS (
+      SELECT seqid, pos, CAST(sum(d) AS BIGINT) AS delta
+      FROM ev GROUP BY seqid, pos
+    ),
+    seg AS (
+      SELECT seqid, pos,
+             sum(delta) OVER (PARTITION BY seqid ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS depth,
+             lead(pos) OVER (PARTITION BY seqid ORDER BY pos) - pos
+               AS seg_len
+      FROM ag
+    )
+    SELECT seqid, CAST(depth AS BIGINT) AS depth,
+           CAST(sum(seg_len) AS BIGINT) AS n_bases
+    FROM seg WHERE depth > 0 AND seg_len IS NOT NULL
+    GROUP BY seqid, depth
+    """,
+)
+def interval_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals.depth_histogram under the gate — the exact
+    depth-of-coverage histogram (`samtools depth`'s distribution, the
+    genome-coverage QC report behind 'what fraction of the assembly
+    sits above 10x?'), completing the interval algebra: overlap join,
+    merge, subtract, bin-coverage, and now per-base depth. The
+    sweep-line diff-array never expands per-base rows — +1/-1 deltas
+    at breakpoints, one prefix sum, segment lengths summed per depth
+    — so both engines replay the identical O(breakpoints) algebra
+    (positions made unique per seqid by the delta pre-aggregation,
+    which is what keeps the two window sorts total without a
+    tiebreak, the interval_merge_spans lesson)."""
+    from virapipe_spark.intervals import depth_histogram
+
+    return depth_histogram(_reads(spark, sf_dir))

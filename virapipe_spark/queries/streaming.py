@@ -3598,3 +3598,90 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
     )
     return t.crossJoin(F.broadcast(tot))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast with honest backtest
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_snaive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    fc AS (
+      SELECT day, cents AS actual_cents,
+             lag(cents, 7) OVER (ORDER BY day) AS forecast_cents
+      FROM daily
+    ),
+    bt AS (
+      SELECT day, actual_cents, forecast_cents,
+             abs(actual_cents - forecast_cents) AS abs_err_cents
+      FROM fc WHERE forecast_cents IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(abs_err_cents) // count(*) AS BIGINT)
+               AS mae_cents,
+             CAST(sum(abs_err_cents) * 1000000
+                  // sum(actual_cents) AS BIGINT) AS wape_ppm
+      FROM bt
+    )
+    SELECT bt.day, bt.actual_cents, bt.forecast_cents, bt.abs_err_cents,
+           tot.n_days, tot.mae_cents, tot.wape_ppm
+    FROM bt, tot
+    """,
+)
+def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive FORECAST with an honest BACKTEST — the
+    forecasting baseline every production pipeline ships before any
+    model (forecast(d) = actual(d-7), the weekly-seasonality naive),
+    and the one the dow_seasonal/autocorr entries diagnose but never
+    predict with. Each backtestable day carries its actual, the
+    frozen-horizon forecast, and the absolute error in exact integer
+    cents; the one-row accuracy report (MAE in cents, WAPE in ppm —
+    both integer-exact, no float reduction order) rides along so a
+    single read answers 'how wrong is naive?', the denominator any
+    fancier model must beat. Days without a 7-day predecessor are
+    excluded rather than zero-filled — forecasting against a gap is a
+    backtest lie.
+
+    Scale: one day-keyed partial aggregate over the log collapses
+    event volume to one row per day; the lag and the error rollup run
+    on that days-bounded series (a single ordered window over ~years
+    of rows — trivially one partition; at daily-per-key grain the
+    window would partition by key). Mergeable: daily cents sum across
+    shards, everything downstream derives."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    wd = W.orderBy("day")
+    bt = (
+        daily.select(
+            "day",
+            F.col("cents").alias("actual_cents"),
+            F.lag("cents", 7).over(wd).alias("forecast_cents"),
+        )
+        .filter(F.col("forecast_cents").isNotNull())
+        .withColumn(
+            "abs_err_cents",
+            F.abs(F.col("actual_cents") - F.col("forecast_cents")),
+        )
+    )
+    tot = bt.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("sum(abs_err_cents) div count(*)")
+        .cast("long")
+        .alias("mae_cents"),
+        F.expr("sum(abs_err_cents) * 1000000 div sum(actual_cents)")
+        .cast("long")
+        .alias("wape_ppm"),
+    )
+    return bt.crossJoin(F.broadcast(tot))
