@@ -297,6 +297,9 @@ class TestPlanProperties:
             # r7 (staged r8): AU decode to per-sample rows is the codec
             # boundary; the DFT correlation is a JVM broadcast join
             "multimodal_dft_bins",
+            # r7 (staged r8): BMP decode to coordinate pixel rows is the
+            # codec boundary; the Sobel scatter is a JVM explode+groupBy
+            "multimodal_sobel_energy",
         }
         # r7 process fix: audit staged entries pre-flip too (the r6 red
         # test came from this sweep missing the staged set).

@@ -199,6 +199,7 @@ def test_r8_staging_state_matches_round():
         "orders_cascade_delete",
         "interval_depth_histogram",
         "events_snaive_backtest",
+        "multimodal_sobel_energy",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

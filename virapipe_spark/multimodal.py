@@ -2175,3 +2175,37 @@ def audio_samples(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         gen, "media_id long, n int, val long"
     )
+
+
+def image_pixels(media: DataFrame) -> DataFrame:
+    """Decoded per-pixel view of an image column: (media_id, y, x,
+    channel-0 value) through the real BMP/PNG/GIF/TIFF decode path —
+    the input shape for relational CV kernels (convolution, gradient,
+    morphology) that need pixel COORDINATES, the image twin of
+    audio_samples.
+
+    Scale: one Arrow batch boundary; fan-out = h*w rows per image,
+    the same bound as the pixel data itself."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                if data[:2] == b"BM":
+                    img = decode_bmp(data)
+                elif data[:8] == _PNG_SIG:
+                    img = decode_png(data)
+                elif data[:6] in _GIF_MAGIC:
+                    img = decode_gif(data)
+                else:
+                    img = decode_tiff(data)
+                gray = img[:, :, 0].astype(np.int64)
+                for y in range(gray.shape[0]):
+                    for x in range(gray.shape[1]):
+                        out.append((mid, y, x, int(gray[y, x])))
+            yield pd.DataFrame(out, columns=["media_id", "y", "x", "v"])
+
+    return media.select("media_id", "data").mapInPandas(
+        gen, "media_id long, y int, x int, v long"
+    )

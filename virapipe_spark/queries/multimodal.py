@@ -1494,3 +1494,147 @@ def multimodal_dft_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "im_x",
         F.expr(_DFT_POWER).cast("long").alias("power_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational convolution: Sobel gradient energy
+# ---------------------------------------------------------------------------
+
+#: The 3x3 Sobel kernel as (dx, dy, wx, wy) offset rows — wx = dx*(2-|dy|),
+#: wy = dy*(2-|dx|) — shared between the Spark literal-array explode and
+#: the oracle VALUES table.
+_SOBEL_OFF = [
+    (dx, dy, dx * (2 - abs(dy)), dy * (2 - abs(dx)))
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+]
+
+_SOBEL_VALUES = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _SOBEL_OFF)
+
+
+@staged_r8(
+    "multimodal_sobel_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             substr(md5(text) || md5(text || 'x') || md5(text || 'y'),
+                    1, 72) AS p
+      FROM documents
+    ),
+    pix AS (
+      SELECT doc_id, (g - 1) // 9 AS y, (g - 1) % 9 AS x,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT doc_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    off(dx, dy, wx, wy) AS (VALUES {_SOBEL_VALUES}),
+    contrib AS (
+      SELECT doc_id, x - dx AS x0, y - dy AS y0,
+             v * wx AS cx, v * wy AS cy
+      FROM pix, off
+    ),
+    g AS (
+      SELECT doc_id, y0, x0,
+             CAST(sum(cx) AS BIGINT) AS gx, CAST(sum(cy) AS BIGINT) AS gy
+      FROM contrib GROUP BY doc_id, y0, x0 HAVING count(*) = 9
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_interior,
+           CAST(sum(gx * gx + gy * gy) AS BIGINT) AS edge_energy,
+           CAST(max(gx * gx + gy * gy) AS BIGINT) AS max_grad2
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_sobel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL CONVOLUTION — the 3x3 Sobel gradient as pure
+    DataFrame algebra, the CV feature-extraction step above raw
+    intensity stats (image_features reports brightness; this reports
+    EDGE CONTENT, the blur/blank-image screen a multimodal training
+    corpus filters on). The 8x9 grayscale fixture rides the real BMP
+    codec round-trip, decodes to coordinate pixel rows (the new
+    image_pixels view), and each pixel SCATTERS its 9 weighted kernel
+    contributions by a literal-array explode (no join — projection +
+    one group-by); an output pixel is interior iff all 9 neighbors
+    contributed (HAVING count(*) = 9 — the boundary handling, free).
+    Per image: interior count, total gradient energy Σ(gx²+gy²), and
+    the sharpest edge — all exact int64 (|g| <= 4*255 so squares are
+    tiny). The oracle replays pixels from the generative hex and the
+    identical scatter relationally, so codec + kernel + boundary rule
+    are all under the hash.
+
+    Scale: decode is one Arrow boundary; the scatter is a constant
+    9x fan-out fused into the scan (no shuffle until the
+    (media, y, x)-keyed partial-aggregated group-by, whose
+    cardinality is the pixel grid itself). Any separable/larger
+    kernel is the same plan with a different offset literal; at
+    100 TB of images this is embarrassingly parallel per shard."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_bmp(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_bmp(
+                    np.repeat(
+                        np.frombuffer(s.encode(), dtype=np.uint8).reshape(
+                            8, 9, 1
+                        ),
+                        3,
+                        axis=2,
+                    )
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select("media_id", to_bmp("p").alias("data"))
+    px = mm.image_pixels(media)
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(wx).alias("wx"),
+                F.lit(wy).alias("wy"),
+            )
+            for dx, dy, wx, wy in _SOBEL_OFF
+        ]
+    )
+    contrib = px.select(
+        "media_id", "y", "x", "v", F.explode(offs).alias("o")
+    ).select(
+        "media_id",
+        (F.col("x") - F.col("o.dx")).alias("x0"),
+        (F.col("y") - F.col("o.dy")).alias("y0"),
+        (F.col("v") * F.col("o.wx")).alias("cx"),
+        (F.col("v") * F.col("o.wy")).alias("cy"),
+    )
+    g = (
+        contrib.groupBy("media_id", "y0", "x0")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cx").cast("long").alias("gx"),
+            F.sum("cy").cast("long").alias("gy"),
+        )
+        .filter(F.col("n") == 9)
+    )
+    grad2 = F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")
+    return g.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_interior"),
+        F.sum(grad2).cast("long").alias("edge_energy"),
+        F.max(grad2).cast("long").alias("max_grad2"),
+    )
