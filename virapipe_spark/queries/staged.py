@@ -682,3 +682,94 @@ def interval_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from virapipe_spark.intervals import depth_histogram
 
     return depth_histogram(_reads(spark, sf_dir))
+
+
+@staged_r8(
+    "interval_reciprocal_overlap",
+    oracle=f"""
+    WITH genes AS (
+      SELECT concat('g', p_partkey) AS id,
+             concat('c', p_partkey % 3) AS seqid,
+             CAST((p_partkey * 37) % 9000 AS BIGINT) AS start,
+             CAST((p_partkey * 37) % 9000 + 400 AS BIGINT) AS "end"
+      FROM part WHERE p_partkey < 3000
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.seqid AS seqid_a,
+             least(a."end", b."end") - greatest(a.start, b.start) + 1
+               AS ov_len,
+             a."end" - a.start + 1 AS len_a,
+             b."end" - b.start + 1 AS len_b
+      FROM genes a JOIN genes b
+        ON a.seqid = b.seqid AND a.start <= b."end" AND b.start <= a."end"
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b, seqid_a, CAST(ov_len AS BIGINT) AS ov_len,
+           CAST(ov_len * 1000 // len_a AS BIGINT) AS frac_a_x1000,
+           CAST(ov_len * 1000 // len_b AS BIGINT) AS frac_b_x1000
+    FROM pairs
+    WHERE ov_len * 2 >= len_a AND ov_len * 2 >= len_b
+    """,
+)
+def interval_reciprocal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-overlap self-join (`bedtools intersect -f 0.5 -r`)
+    over the gene fixture — the variant-concordance filter on top of
+    the plain overlap join: a pair counts only if the overlap covers
+    >= 50% of BOTH intervals, which kills the tiny-nested-in-huge
+    matches a plain overlap join floods downstream with (the reason
+    every CNV/SV comparison pipeline uses -r; a self-comparison is
+    exactly how replicate call-sets are concordance-checked). The
+    fraction test is exact integers (ov_len * 2 >= len — no float
+    ratio anywhere); emitted per pair: overlap length and both
+    coverage fractions in x1000 fixed-point (truncating div shared
+    with the oracle). `id_a < id_b` keeps each unordered pair once
+    and drops self-pairs.
+
+    Scale: rides intervals.overlap_join's bin-decomposed equi-join
+    unchanged (the fraction predicate is a post-join filter on
+    already-bounded candidate pairs — bin pruning does the heavy
+    lifting, the reciprocal test is free arithmetic)."""
+    from virapipe_spark.intervals import overlap_join
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 3000)
+    start = (F.col("p_partkey") * 37) % 9000
+    g = p.select(
+        F.concat(F.lit("g"), F.col("p_partkey").cast("string")).alias("id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 3).cast("string")).alias(
+            "seqid"
+        ),
+        start.cast("long").alias("start"),
+        (start + 400).cast("long").alias("end"),
+    )
+    out = overlap_join(g, g, bin_size=512).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    ov_len = (
+        F.least(F.col("end_a"), F.col("end_b"))
+        - F.greatest(F.col("start_a"), F.col("start_b"))
+        + 1
+    )
+    len_a = F.col("end_a") - F.col("start_a") + 1
+    len_b = F.col("end_b") - F.col("start_b") + 1
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            "seqid_a",
+            ov_len.cast("long").alias("ov_len"),
+            len_a.cast("long").alias("len_a"),
+            len_b.cast("long").alias("len_b"),
+        )
+        .filter(
+            (F.col("ov_len") * 2 >= F.col("len_a"))
+            & (F.col("ov_len") * 2 >= F.col("len_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "seqid_a",
+            "ov_len",
+            F.expr("ov_len * 1000 div len_a").cast("long").alias("frac_a_x1000"),
+            F.expr("ov_len * 1000 div len_b").cast("long").alias("frac_b_x1000"),
+        )
+    )
