@@ -201,6 +201,7 @@ def test_r8_staging_state_matches_round():
         "events_snaive_backtest",
         "multimodal_sobel_energy",
         "interval_reciprocal_overlap",
+        "embed_dbscan_clusters",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

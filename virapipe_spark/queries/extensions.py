@@ -6279,3 +6279,152 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("no_false_negatives"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering over embeddings
+# ---------------------------------------------------------------------------
+
+_DBSCAN_COS = 0.25  # epsilon, as a cosine floor (the near-isotropic
+# synthetic corpus has no tight clusters; 0.25 yields cores, borders
+# AND noise at both test scales — real corpora use ~0.8+)
+_DBSCAN_MINN = 2  # core point: >= 2 epsilon-neighbors
+
+
+@staged_r8(
+    "embed_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE q AS ({_Q_SQL}),
+    b AS (SELECT vec_id, q, {_bucket_sql('q')} AS bk FROM q q),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM b a JOIN b b ON a.bk = b.bk AND a.vec_id < b.vec_id
+      WHERE round({_DOT_SQL} /
+                  ({_NORM_SQL.format(s='a')} * {_NORM_SQL.format(s='b')}),
+                  6) >= {_DBSCAN_COS}
+    ),
+    e AS (SELECT va AS a, vb AS vb2 FROM p
+          UNION ALL SELECT vb, va FROM p),
+    deg AS (SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY a),
+    core AS (SELECT vec_id FROM deg WHERE degree >= {_DBSCAN_MINN}),
+    ce AS (
+      SELECT e.a, e.vb2 FROM e
+      WHERE e.a IN (SELECT vec_id FROM core)
+        AND e.vb2 IN (SELECT vec_id FROM core)
+    ),
+    reach(src, node) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT r.src, ce.vb2 FROM reach r JOIN ce ON ce.a = r.node
+    ),
+    clab AS (SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY src),
+    blab AS (
+      SELECT e.a AS vec_id, CAST(min(c.cluster_id) AS BIGINT) AS cluster_id
+      FROM e JOIN clab c ON c.vec_id = e.vb2
+      WHERE e.a NOT IN (SELECT vec_id FROM core)
+      GROUP BY e.a
+    )
+    SELECT emb.vec_id,
+           CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+           CASE WHEN clab.cluster_id IS NOT NULL THEN 'core'
+                WHEN blab.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(clab.cluster_id, blab.cluster_id) AS cluster_id
+    FROM embeddings emb
+    LEFT JOIN deg ON deg.vec_id = emb.vec_id
+    LEFT JOIN clab ON clab.vec_id = emb.vec_id
+    LEFT JOIN blab ON blab.vec_id = emb.vec_id
+    """,
+)
+def embed_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding corpus — DENSITY clustering, the
+    member of the clustering family k-means cannot be (no k chosen, no
+    centroid, arbitrary shapes, an explicit NOISE verdict — the
+    outlier-scrubbing semantics a training-data pipeline wants when
+    'cluster' means 'organic content mass' and everything sparse is
+    suspect). Epsilon-neighborhoods are cosine >= {_DBSCAN_COS} within
+    the sign-bit LSH bucket (the approximate-DBSCAN construction:
+    blocking bounds candidate pairs, the embed_cosine_neardup layer),
+    core points have >= {_DBSCAN_MINN} neighbors, clusters are
+    connected components of the CORE-CORE graph (min-label fixpoint,
+    the dedup_clusters machinery), borders attach to their minimum
+    core cluster, the rest is noise. Every vector is emitted with
+    degree, role, and nullable cluster id — the full DBSCAN verdict.
+
+    Scale: pair volume is sum-over-buckets |b|² (never corpus²); the
+    component loop runs on the CORE subgraph only (density pruning
+    shrinks it first — the reason DBSCAN-at-scale implementations all
+    run CC on cores); border/noise assembly is two key-keyed joins.
+    The recursive oracle replays reachability exactly, so cluster ids
+    — not just counts — are under the hash."""
+    from virapipe_spark.graph import connected_components
+
+    qdf = _quantized(spark, sf_dir)
+
+    def bucket(side: str) -> Column:
+        return F.concat(
+            *[
+                F.when(F.element_at(F.col(f"{side}.q"), d) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for d in _LSH_DIMS
+            ]
+        )
+
+    a = qdf.alias("a")
+    b = qdf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (bucket("a") == bucket("b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(_cosine("a", "b"), 6) >= _DBSCAN_COS)
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+    )
+    e = pairs.select(
+        F.col("va").alias("a"), F.col("vb").alias("b")
+    ).unionAll(pairs.select(F.col("vb").alias("a"), F.col("va").alias("b")))
+    e = truncate_lineage(e, eager=False)
+    deg = e.groupBy(F.col("a").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    core = deg.filter(F.col("degree") >= _DBSCAN_MINN).select("vec_id")
+    ce = e.join(
+        core.withColumnRenamed("vec_id", "a"), "a", "left_semi"
+    ).join(core.withColumnRenamed("vec_id", "b"), "b", "left_semi")
+    clab = connected_components(
+        ce.select("a", "b"), core, node_col="vec_id", label_col="cluster_id"
+    )
+    blab = (
+        e.join(
+            clab.select(F.col("vec_id").alias("b"), "cluster_id"), "b"
+        )
+        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("vec_id"))
+        .agg(F.min("cluster_id").cast("long").alias("b_cluster"))
+    )
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        emb.join(deg, "vec_id", "left")
+        .join(
+            clab.select("vec_id", F.col("cluster_id").alias("c_cluster")),
+            "vec_id",
+            "left",
+        )
+        .join(blab, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.when(F.col("c_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("c_cluster", "b_cluster")
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
