@@ -174,6 +174,9 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW accuracy report (n, MAE,
             # WAPE) broadcast along every backtest day
             "events_snaive_backtest",
+            # r7 (staged r8): the ONE-ROW half-totals and total-EMD
+            # broadcasts in the CDF-gap/report expressions
+            "events_wasserstein_drift",
         }
         from virapipe_spark.queries.staged import pending_staged
 

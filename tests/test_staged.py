@@ -202,6 +202,9 @@ def test_r8_staging_state_matches_round():
         "multimodal_sobel_energy",
         "interval_reciprocal_overlap",
         "embed_dbscan_clusters",
+        "events_mannwhitney_u",
+        "events_spearman_daily",
+        "events_wasserstein_drift",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -3685,3 +3685,304 @@ def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wape_ppm"),
     )
     return bt.crossJoin(F.broadcast(tot))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test — integer-exact nonparametric compare
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_mannwhitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    r AS (
+      SELECT event_type,
+             2 * rank() OVER (ORDER BY cents)
+               + count(*) OVER (PARTITION BY cents) - 1 AS midrank_x2
+      FROM s
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN midrank_x2
+                      ELSE 0 END) AS BIGINT) AS rsum_a_x2,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_b
+      FROM r
+    )
+    SELECT n_a, n_b,
+           CAST(rsum_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+           CAST(2 * n_a * n_b - (rsum_a_x2 - n_a * (n_a + 1)) AS BIGINT)
+             AS u_b_x2,
+           CAST((rsum_a_x2 - n_a * (n_a + 1)) * 1000000
+                // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the NONPARAMETRIC two-sample test the
+    statistics family was missing (the z-test assumes normal-ish
+    means; U compares whole DISTRIBUTIONS through ranks and is exactly
+    the AUC of 'does a random click out-value a random purchase?').
+    Ranks are where float engines diverge, so everything is doubled
+    into integers: with ties at value v, midrank_x2 = 2*rank + ties-1
+    is EXACT (the x2 trick — midranks are half-integers), U_x2 and the
+    AUC in ppm follow in pure int64. The oracle ranks row-at-a-time;
+    the engine path NEVER ranks raw rows — it groups to per-distinct-
+    value counts first and derives midranks from the cumulative count
+    prefix (identical math, value-domain-bounded), the formulation
+    that survives 100 TB.
+
+    Scale: one (cents)-keyed partial-aggregated count collapses event
+    volume to the value domain; the single ordered window runs over
+    DISTINCT values only (bounded, mergeable across shards by
+    re-prefix-summing); the final fold is one row."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    wp = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    g2 = g.withColumn(
+        "midrank_x2",
+        2 * F.coalesce(F.sum(F.col("cnt_a") + F.col("cnt_b")).over(wp), F.lit(0))
+        + (F.col("cnt_a") + F.col("cnt_b"))
+        + 1,
+    )
+    agg = g2.agg(
+        F.sum(F.col("cnt_a") * F.col("midrank_x2"))
+        .cast("long")
+        .alias("rsum_a_x2"),
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("rsum_a_x2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u_a_x2"),
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            - (F.col("rsum_a_x2") - F.col("n_a") * (F.col("n_a") + 1))
+        )
+        .cast("long")
+        .alias("u_b_x2"),
+        F.expr(
+            "(rsum_a_x2 - n_a * (n_a + 1)) * 1000000 div (2 * n_a * n_b)"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (daily revenue vs daily activity)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_spearman_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day,
+             2 * rank() OVER (ORDER BY cents)
+               + count(*) OVER (PARTITION BY cents) - 1 AS ra_x2,
+             2 * rank() OVER (ORDER BY n_events)
+               + count(*) OVER (PARTITION BY n_events) - 1 AS rb_x2
+      FROM daily
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((ra_x2 - rb_x2) * (ra_x2 - rb_x2)) AS BIGINT)
+               AS sum_d2_x4
+      FROM r
+    )
+    SELECT n, sum_d2_x4,
+           CAST(1000000 - 6 * 1000000 * sum_d2_x4
+                // (4 * n * (n * n - 1)) AS BIGINT) AS rho_x1e6
+    FROM agg
+    """,
+)
+def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman RANK correlation between daily revenue and daily
+    activity — the monotone-association statistic (Pearson needs
+    float moments and is outlier-fragile; Spearman asks only 'do busy
+    days earn more?', which survives any monotone transform). Both
+    series rank with the midrank-x2 trick (ties stay exact
+    half-integers doubled into int64 — the events_mannwhitney_u
+    device), squared rank differences carry the x4 factor, and rho
+    lands in exact ppm via the textbook d² form (with midranks under
+    ties this is the classical tie-adjusted approximation — the tie
+    structure here is a handful of equal daily counts at most; the
+    docstring states the form so the statistic is pinned, not
+    discovered). One output row: n days, Σd²(x4), rho_x1e6.
+
+    Scale: the day rollup collapses the log (map-side partials); both
+    rank windows run over the DAYS series (bounded — years, not
+    events); the fold is one row. The engine and oracle share the
+    construction verbatim; determinism comes from exact integer ranks,
+    never float sums."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+    def midrank_x2(col: str) -> Column:
+        return (
+            2 * F.rank().over(W.orderBy(col))
+            + F.count("*").over(W.partitionBy(col))
+            - 1
+        )
+
+    r = daily.select(
+        "day",
+        midrank_x2("cents").alias("ra_x2"),
+        midrank_x2("n_events").alias("rb_x2"),
+    )
+    d2 = (F.col("ra_x2") - F.col("rb_x2")) * (
+        F.col("ra_x2") - F.col("rb_x2")
+    )
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2_x4"),
+    )
+    return agg.select(
+        "n",
+        "sum_d2_x4",
+        F.expr("1000000 - 6 * 1000000 * sum_d2_x4 div (4 * n * (n * n - 1))")
+        .cast("long")
+        .alias("rho_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth-mover) distribution drift
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_wasserstein_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 2 AS half,
+             CAST(round(value * 100) AS BIGINT) // 500 AS bucket
+      FROM events
+    ),
+    cnt AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+             CAST(sum(n_b) AS BIGINT) AS t_b
+      FROM cnt
+    ),
+    cum AS (
+      SELECT bucket, n_a, n_b,
+             CAST(sum(n_a) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_a,
+             CAST(sum(n_b) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_b
+      FROM cnt
+    ),
+    g AS (
+      SELECT bucket, n_a, n_b,
+             CAST(abs(cum_a * 1000000 // t_a - cum_b * 1000000 // t_b)
+                  AS BIGINT) AS cdf_gap_ppm
+      FROM cum, tot
+    ),
+    emd AS (SELECT CAST(sum(cdf_gap_ppm) AS BIGINT) AS emd_ppm_buckets
+            FROM g)
+    SELECT g.bucket, g.n_a, g.n_b, g.cdf_gap_ppm, emd.emd_ppm_buckets
+    FROM g, emd
+    """,
+)
+def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) DISTRIBUTION drift between the
+    even-day and odd-day transaction-value distributions — the
+    transport metric that sees HOW FAR mass moved, which the
+    chi-square/PSI family (per-bucket ratio tests) is blind to: a $5
+    shift and a $50 shift hit the same buckets differently here. In
+    1-D, EMD is exactly the area between CDFs — Σ over value buckets
+    of |CDF_a - CDF_b| — so with integer bucket counts and
+    ppm-truncated cumulative shares (shared verbatim), the whole
+    metric is exact int64 arithmetic: per bucket the CDF gap in ppm,
+    plus the total (in bucket-width × ppm units) riding every row.
+
+    Scale: one (bucket)-keyed count carrying both halves in one pass
+    (the bigram_drift device — no self-join), one ordered window over
+    the BUCKET domain (bounded by value range / 500 cents, constant),
+    one-row totals broadcast. Mergeable across shards: bucket counts
+    sum, CDFs re-derive."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        (F.expr("unix_micros(ts) div 86400000000") % 2).alias("half"),
+        F.expr("cast(round(value * 100) as bigint) div 500").alias("bucket"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnt.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wc).cast("long").alias("cum_a"),
+        F.sum("n_b").over(wc).cast("long").alias("cum_b"),
+    )
+    g = cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.expr("cum_a * 1000000 div t_a")
+            - F.expr("cum_b * 1000000 div t_b")
+        )
+        .cast("long")
+        .alias("cdf_gap_ppm"),
+    )
+    emd = g.agg(
+        F.sum("cdf_gap_ppm").cast("long").alias("emd_ppm_buckets")
+    )
+    return g.crossJoin(F.broadcast(emd))
