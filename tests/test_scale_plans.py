@@ -188,6 +188,9 @@ class TestPlanProperties:
             # doc routes against (the centroid/codebook precedent) plus
             # the ONE-ROW moved-count report
             "docs_consistent_hash_ring",
+            # r7 (staged r8): ONE-ROW broadcasts — the period-midpoint
+            # bound and the 2x2 cell-means frame
+            "events_diff_in_diff",
         }
         from virapipe_spark.queries.staged import pending_staged
 

@@ -208,6 +208,9 @@ def test_r8_staging_state_matches_round():
         "events_theilsen_trend",
         "docs_cdc_chunk_dedup",
         "docs_consistent_hash_ring",
+        "events_bot_regularity",
+        "lineitem_rounding_drift",
+        "events_diff_in_diff",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

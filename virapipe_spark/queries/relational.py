@@ -3426,3 +3426,88 @@ def orders_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_orphans") == 0).alias("no_orphaned_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Financial rounding-drift audit (round-then-sum vs sum-then-round)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "lineitem_rounding_drift",
+    oracle="""
+    WITH ln AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               AS net_x10000
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(sum((net_x10000 + 50) // 100) AS BIGINT)
+               AS round_then_sum_cents,
+             CAST((sum(net_x10000) + 50) // 100 AS BIGINT)
+               AS sum_then_round_cents
+      FROM ln GROUP BY l_orderkey
+    )
+    SELECT CAST(round_then_sum_cents - sum_then_round_cents AS BIGINT)
+             AS drift_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round_then_sum_cents) AS BIGINT) AS total_cents_rts
+    FROM per_order GROUP BY drift_cents
+    """,
+)
+def lineitem_rounding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUNDING-DRIFT audit — the finance-pipeline invariant check:
+    does rounding each line to cents and summing give the same
+    invoice total as summing exactly and rounding once? (It doesn't —
+    and regulators care which one you book.) Discounted line values
+    live in exact 1/10000-dollar fixed-point (price cents × discount
+    percent, both single exactly-rounded casts of the 2-dp source
+    columns — no float ever sums), the two policies are pure integer
+    arithmetic ((x+50) div 100 = half-up cents), and the output is
+    the full drift DISTRIBUTION: how many orders drift by -2..+2
+    cents between policies, with the booked total per drift class.
+    The per-line vs per-order drift bound (each line contributes
+    < 1 cent of truncation, so |drift| <= lines-1) is visible in the
+    histogram.
+
+    Scale: one order-keyed partial-aggregated pass carrying BOTH
+    policies in the same aggregate (no second scan), then a
+    drift-keyed rollup over the orders frame. Mergeable at the
+    per-order grain; the fixed-point algebra is the pattern any
+    money pipeline should ship instead of floats."""
+    li = table(spark, sf_dir, "lineitem")
+    net = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("net_x10000")
+    per_order = (
+        li.select("l_orderkey", net)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.expr("(net_x10000 + 50) div 100"))
+            .cast("long")
+            .alias("round_then_sum_cents"),
+            F.expr("(sum(net_x10000) + 50) div 100")
+            .cast("long")
+            .alias("sum_then_round_cents"),
+        )
+    )
+    return (
+        per_order.groupBy(
+            (
+                F.col("round_then_sum_cents")
+                - F.col("sum_then_round_cents")
+            )
+            .cast("long")
+            .alias("drift_cents")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("round_then_sum_cents")
+            .cast("long")
+            .alias("total_cents_rts"),
+        )
+    )

@@ -4078,3 +4078,198 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_hi_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot detection: inter-event timing regularity
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_bot_regularity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(count(gap_s) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_s) AS BIGINT) AS sum_s,
+             CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_s2
+      FROM g GROUP BY user_id HAVING count(gap_s) >= 20
+    )
+    SELECT user_id, n_gaps,
+           CAST(sum_s // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST(n_gaps * sum_s2 - sum_s * sum_s AS BIGINT) AS var_num_s2,
+           CAST((n_gaps * sum_s2 - sum_s * sum_s) // (n_gaps * n_gaps)
+                AS BIGINT) AS var_s2,
+           (n_gaps * sum_s2 - sum_s * sum_s) // (n_gaps * n_gaps)
+             * 100 < (sum_s // n_gaps) * (sum_s // n_gaps)
+             AS too_regular
+    FROM s
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT-DETECTION timing screen — humans are bursty, schedulers are
+    metronomes: per active user (>= 20 inter-event gaps), the
+    inter-event gap mean and variance in EXACT integer seconds, via
+    the moments identity n·Σx² − (Σx)² (never a float mean
+    subtraction — the identity keeps partition order irrelevant;
+    second-scale gaps bound the squares far inside int64, which
+    microsecond gaps would not). The flag: variance under 1% of the
+    squared mean (coefficient of variation < ~0.1) marks
+    suspiciously clockwork accounts — the timing-regularity heuristic
+    every traffic-quality pipeline runs before counting 'users'. The
+    per-user sums are emitted too, so downstream can re-threshold
+    without rescanning.
+
+    Scale: one (user)-keyed ordered window for gaps (the sessionize
+    cost model), then a user-keyed partial aggregate; the HAVING
+    prunes the long inactive tail early. Mergeable: (n, Σx, Σx²) are
+    the canonical mergeable moment sketch."""
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(wu)).alias("gap_s")
+    )
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.sum("gap_s").cast("long").alias("sum_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("long")
+            .alias("sum_s2"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    var_num = F.col("n_gaps") * F.col("sum_s2") - F.col("sum_s") * F.col(
+        "sum_s"
+    )
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_s div n_gaps").cast("long").alias("mean_gap_s"),
+        var_num.cast("long").alias("var_num_s2"),
+        F.expr("(n_gaps * sum_s2 - sum_s * sum_s) div (n_gaps * n_gaps)")
+        .cast("long")
+        .alias("var_s2"),
+        (
+            F.expr(
+                "(n_gaps * sum_s2 - sum_s * sum_s) div (n_gaps * n_gaps)"
+            )
+            * 100
+            < F.expr("(sum_s div n_gaps) * (sum_s div n_gaps)")
+        ).alias("too_regular"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (2x2 causal baseline)
+# ---------------------------------------------------------------------------
+
+
+@staged_r8(
+    "events_diff_in_diff",
+    oracle="""
+    WITH d AS (
+      SELECT user_id % 2 = 0 AS treated,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    bounds AS (
+      SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT) AS mid
+      FROM d
+    ),
+    cells AS (
+      SELECT treated, day >= mid AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM d, bounds GROUP BY treated, day >= mid
+    ),
+    m AS (
+      SELECT
+        CAST(max(CASE WHEN treated AND post
+                      THEN cents * 1000 // n END) AS BIGINT) AS tp,
+        CAST(max(CASE WHEN treated AND NOT post
+                      THEN cents * 1000 // n END) AS BIGINT) AS tq,
+        CAST(max(CASE WHEN NOT treated AND post
+                      THEN cents * 1000 // n END) AS BIGINT) AS cp,
+        CAST(max(CASE WHEN NOT treated AND NOT post
+                      THEN cents * 1000 // n END) AS BIGINT) AS cq
+      FROM cells
+    )
+    SELECT cells.treated, cells.post, cells.n, cells.cents,
+           CAST(cells.cents * 1000 // cells.n AS BIGINT) AS mean_mcents,
+           CAST((m.tp - m.tq) - (m.cp - m.cq) AS BIGINT) AS did_mcents
+    FROM cells, m
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the 2x2 causal baseline the A/B
+    z-test can't provide when assignment isn't randomized over time:
+    treatment (even user ids, the stand-in cohort) vs control, before
+    vs after the period midpoint (pinned as the INTEGER midpoint of
+    the observed day range — no data-dependent float split), and the
+    causal estimate is the treated delta minus the control delta,
+    which cancels both the level difference between cohorts and the
+    common time trend. Cell means live in exact milli-cents
+    (truncating div shared verbatim), so the DiD estimate is one
+    integer riding every cell row alongside the full 2x2 table
+    (n, sum, mean per cell) — the parallel-trends evidence a reviewer
+    asks for.
+
+    Scale: one (treated, post)-keyed partial aggregate over the log —
+    four cells out, period bounds a one-row broadcast; the estimate
+    assembles from the cell frame alone. Mergeable: cells sum across
+    shards."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = d.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").cast("long").alias("mid")
+    )
+    cells = (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("treated", (F.col("day") >= F.col("mid")).alias("post"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    cells = cells.persist()
+    mean_m = F.expr("cents * 1000 div n")
+    m = cells.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), mean_m))
+        .cast("long")
+        .alias("tp"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), mean_m))
+        .cast("long")
+        .alias("tq"),
+        F.max(F.when(~F.col("treated") & F.col("post"), mean_m))
+        .cast("long")
+        .alias("cp"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), mean_m))
+        .cast("long")
+        .alias("cq"),
+    )
+    return cells.crossJoin(F.broadcast(m)).select(
+        "treated",
+        "post",
+        "n",
+        "cents",
+        mean_m.cast("long").alias("mean_mcents"),
+        ((F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq")))
+        .cast("long")
+        .alias("did_mcents"),
+    )
