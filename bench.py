@@ -108,6 +108,16 @@ HEADLINE = [
     "docs_substring_dedup",
     "events_tdigest_daily_merge",
     "bam_split_scan_roundtrip",
+    # round-7 continuation (live once the r8 staging flips; the
+    # `n in catalog.QUERIES` filter below skips them until then):
+    # the positional inverted-index phrase search (retrieval's index
+    # path), the content-defined chunking dedup (position-explode +
+    # chunk-hash — the storage-dedup shape), and the Sobel scatter
+    # (the multimodal family's first bench member: codec decode +
+    # relational convolution).
+    "docs_phrase_search",
+    "docs_cdc_chunk_dedup",
+    "multimodal_sobel_energy",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
