@@ -191,6 +191,10 @@ class TestPlanProperties:
             # r7 (staged r8): ONE-ROW broadcasts — the period-midpoint
             # bound and the 2x2 cell-means frame
             "events_diff_in_diff",
+            # (embed_dim_truncation_recall needs no exemption: its
+            # 10-row query broadcast — the embed_knn_bruteforce
+            # precedent — sits behind the union's lineage truncation,
+            # so the visible plan starts at the checkpoint scan)
         }
         from virapipe_spark.queries.staged import pending_staged
 

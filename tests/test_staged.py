@@ -211,6 +211,8 @@ def test_r8_staging_state_matches_round():
         "events_bot_regularity",
         "lineitem_rounding_drift",
         "events_diff_in_diff",
+        "lineitem_fifo_matching",
+        "embed_dim_truncation_recall",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(

@@ -6716,3 +6716,158 @@ def docs_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("moved_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension-truncation recall (the Matryoshka question)
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (8, 16, 64)  # prefix lengths; 64 = full = ground truth
+
+
+def _trunc_rank_sql(d: int) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> a.q[i] * b.q[i]))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(list_slice({s}.q, 1, %d), "
+        "x -> x * x)))" % d
+    )
+    return f"""
+      SELECT {d} AS dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({dot} / ({norm.format(s='a')}
+                              * {norm.format(s='b')}), 6) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM q a JOIN q b
+        ON a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+    """
+
+
+@staged_r8(
+    "embed_dim_truncation_recall",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    ranked AS (
+      {" UNION ALL ".join(_trunc_rank_sql(d) for d in _TRUNC_DIMS)}
+    ),
+    top AS (
+      SELECT dim, query_id, neighbor_id FROM ranked WHERE rn <= {_TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM top WHERE dim = 64
+    ),
+    hits AS (
+      SELECT t.dim, t.query_id,
+             CAST(count(tr.neighbor_id) AS BIGINT) AS n_hits
+      FROM top t
+      LEFT JOIN truth tr ON tr.query_id = t.query_id
+                        AND tr.neighbor_id = t.neighbor_id
+      GROUP BY t.dim, t.query_id
+    ),
+    summary AS (
+      SELECT dim, CAST(sum(n_hits) * 1000000 // (count(*) * {_TOP_K})
+                       AS BIGINT) AS recall_ppm
+      FROM hits GROUP BY dim
+    )
+    SELECT CAST(hits.dim AS BIGINT) AS dim, hits.query_id, hits.n_hits,
+           summary.recall_ppm
+    FROM hits JOIN summary ON summary.dim = hits.dim
+    """,
+)
+def embed_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION recall sweep — the Matryoshka-embedding
+    question ('how much ANN quality survives keeping only the first d
+    dims?') answered as measured DATA, the embed_ivf_recall pattern
+    turned on the representation itself: brute-force top-{_TOP_K} by
+    exact quantized cosine over the first 8 and 16 dims, scored
+    against the full-64-dim ranking as ground truth; per (dim, query)
+    the hit count, per dim the recall in exact ppm. The d=64 rows are
+    the self-test (recall exactly 1e6 ppm by construction — visible
+    in the output, the honest-claims device). Prefix norms are
+    re-derived per truncation (a truncated cosine is NOT the full
+    cosine re-scaled), ties at the rank boundary break by neighbor id
+    after 6-dp rounding — both pinned identically in both engines.
+
+    Scale: the query side is a {_N_QUERIES}-row broadcast against the
+    corpus scan (the brute-force baseline's plan, x|dims| truncation
+    passes fused into one union); ranking partitions by query. The
+    production decision this feeds — store d dims instead of 64 —
+    multiplies scan throughput by 64/d, which is the whole point of
+    the sweep."""
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    corpus = qdf.alias("b")
+    parts: list[DataFrame] = []
+    for d in _TRUNC_DIMS:
+        def tdot(d: int) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("a.q"), 1, d),
+                    F.slice(F.col("b.q"), 1, d),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        def tnorm(side: str, d: int) -> Column:
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.slice(F.col(f"{side}.q"), 1, d), lambda x: x * x
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            )
+
+        cos = F.round(
+            tdot(d).cast("double") / (tnorm("a", d) * tnorm("b", d)), 6
+        )
+        scored = (
+            F.broadcast(queries)
+            .join(corpus, F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+        )
+        wq = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "neighbor_id"
+        )
+        parts.append(
+            scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= _TOP_K)
+            .select("dim", "query_id", "neighbor_id")
+        )
+    top = parts[0]
+    for p in parts[1:]:
+        top = top.unionByName(p)
+    top = truncate_lineage(top, eager=False)
+    truth = top.filter(F.col("dim") == 64).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    hits = (
+        top.join(
+            truth,
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("dim", "query_id")
+        .agg(F.count("tn").cast("long").alias("n_hits"))
+    )
+    summary = hits.groupBy("dim").agg(
+        F.expr(f"sum(n_hits) * 1000000 div (count(*) * {_TOP_K})")
+        .cast("long")
+        .alias("recall_ppm")
+    )
+    return hits.join(summary, "dim").select(
+        "dim", "query_id", "n_hits", "recall_ppm"
+    )
