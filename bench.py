@@ -108,8 +108,9 @@ HEADLINE = [
     "docs_substring_dedup",
     "events_tdigest_daily_merge",
     "bam_split_scan_roundtrip",
-    # round-7 continuation (live once the r8 staging flips; the
-    # `n in catalog.QUERIES` filter below skips them until then):
+    # round-7 continuation (live once their staging generation flips —
+    # phrase/sobel in r8, CDC chunking in r9; the `n in
+    # catalog.QUERIES` filter below skips them until then):
     # the positional inverted-index phrase search (retrieval's index
     # path), the content-defined chunking dedup (position-explode +
     # chunk-hash — the storage-dedup shape), and the Sobel scatter

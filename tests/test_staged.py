@@ -200,19 +200,6 @@ def test_r8_staging_state_matches_round():
         "interval_depth_histogram",
         "events_snaive_backtest",
         "multimodal_sobel_energy",
-        "interval_reciprocal_overlap",
-        "embed_dbscan_clusters",
-        "events_mannwhitney_u",
-        "events_spearman_daily",
-        "events_wasserstein_drift",
-        "events_theilsen_trend",
-        "docs_cdc_chunk_dedup",
-        "docs_consistent_hash_ring",
-        "events_bot_regularity",
-        "lineitem_rounding_drift",
-        "events_diff_in_diff",
-        "lineitem_fifo_matching",
-        "embed_dim_truncation_recall",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[7-9].json")) or glob.glob(
@@ -251,3 +238,84 @@ def test_r8_promote_flips_them_live():
             catalog.QUERIES.pop(n, None)
             catalog.ORACLES.pop(n, None)
         st.R8_PROMOTED = False
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging generation (the second round-7 overflow: round 7
+# authored more than one 50-slot window of new entries, so STAGED_R8
+# holds exactly one window and these 13 wait one more round)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import STAGED_R9  # noqa: E402
+
+
+def test_r9_staging_state_matches_round():
+    """Rounds 7-8: r9-staged entries stay out of queries() so each
+    round's driver window exactly covers its never-proven set. Round
+    9+ (a CORRECTNESS_r08+ artifact exists): load_all self-promotes."""
+    import glob
+    import os
+
+    catalog.load_all()
+    assert set(STAGED_R9) == {
+        "interval_reciprocal_overlap",
+        "embed_dbscan_clusters",
+        "events_mannwhitney_u",
+        "events_spearman_daily",
+        "events_wasserstein_drift",
+        "events_theilsen_trend",
+        "docs_cdc_chunk_dedup",
+        "docs_consistent_hash_ring",
+        "events_bot_regularity",
+        "lineitem_rounding_drift",
+        "events_diff_in_diff",
+        "lineitem_fifo_matching",
+        "embed_dim_truncation_recall",
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(
+        os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+    )
+    if armed:
+        assert set(STAGED_R9) <= set(catalog.QUERIES)
+    else:
+        assert not set(STAGED_R9) & set(catalog.QUERIES)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, o) in sorted(STAGED_R9.items()) if o is not None]
+)
+def test_r9_staged_entry_matches_oracle(spark, con, name):
+    """The driver-exact compare on every oracle-backed r9 entry
+    pre-flip (the two-scale strict gate runs via check_oracle)."""
+    fn, oracle = STAGED_R9[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = con.execute(oracle).df()
+    assert len(sdf) > 0, f"{name}: empty result passes trivially"
+    problems = compare_frames(sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_r9_promote_flips_them_live():
+    from virapipe_spark.queries import staged as st
+
+    st.promote_r9()
+    try:
+        assert set(STAGED_R9) <= set(catalog.QUERIES)
+        assert "lineitem_fifo_matching" in catalog.ORACLES
+        st.promote_r9()  # idempotent
+    finally:
+        for n in STAGED_R9:
+            catalog.QUERIES.pop(n, None)
+            catalog.ORACLES.pop(n, None)
+        st.R9_PROMOTED = False
+
+
+def test_r8_window_exactly_fits_after_flip():
+    """The r8 flip must not overflow the 50-slot window: the r8
+    generation holds at most (50 - new-live-this-round) entries. With
+    the r9 generation absorbing the second overflow, STAGED_R8 is
+    pinned at exactly 50 total promotions across both r7 staging
+    flips... concretely: |STAGED_R8| <= 50."""
+    assert len(STAGED_R8) <= 50
+    assert len(STAGED_R9) <= 50

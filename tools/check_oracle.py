@@ -19,7 +19,7 @@ on top of the normalized hash, so int-vs-float / HUGEINT / DECIMAL
 divergences that the driver's exact hash would catch fail locally too
 (round-5 lesson: sessionize_events).
 
-``--staged`` force-promotes the next round's staged entries (STAGED_R7)
+``--staged`` force-promotes every pending staged generation
 into the checked set, so window-overflow entries get the same gate as
 live ones BEFORE their flip round.
 """
@@ -58,6 +58,8 @@ def main() -> int:
             staged_mod.promote_r7()
         if not staged_mod.R8_PROMOTED:
             staged_mod.promote_r8()
+        if not staged_mod.R9_PROMOTED:
+            staged_mod.promote_r9()
 
     if bare:
         from pyspark.sql import SparkSession

@@ -235,6 +235,18 @@ def load_all() -> None:
             os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
         ):
             staged.promote_r8()
+    # Round-9 flip, SELF-ARMING on the round-8 artifacts (same pattern;
+    # the second round-7 overflow generation — round 7 authored more
+    # than one window of new entries).
+    if not staged.R9_PROMOTED:
+        import glob
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(
+            os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+        ):
+            staged.promote_r9()
 
 
 def _verified_rounds(root: str | None = None) -> dict[str, int]:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
 from virapipe_spark.scale import truncate_lineage
-from virapipe_spark.queries.staged import staged_r7, staged_r8
+from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 # ---------------------------------------------------------------------------
 # Shared shingle machinery (word 3-grams)
@@ -6291,7 +6291,7 @@ _DBSCAN_COS = 0.25  # epsilon, as a cosine floor (the near-isotropic
 _DBSCAN_MINN = 2  # core point: >= 2 epsilon-neighbors
 
 
-@staged_r8(
+@staged_r9(
     "embed_dbscan_clusters",
     oracle=f"""
     WITH RECURSIVE q AS ({_Q_SQL}),
@@ -6435,7 +6435,7 @@ def embed_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "docs_cdc_chunk_dedup",
     oracle="""
     WITH pos AS (
@@ -6575,7 +6575,7 @@ _CH_POS = (
 _CH_VNODES = 8
 
 
-@staged_r8(
+@staged_r9(
     "docs_consistent_hash_ring",
     oracle=f"""
     WITH ringall AS (
@@ -6747,7 +6747,7 @@ def _trunc_rank_sql(d: int) -> str:
     """
 
 
-@staged_r8(
+@staged_r9(
     "embed_dim_truncation_recall",
     oracle=f"""
     WITH q AS ({_Q_SQL}),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
 from virapipe_spark.scale import truncate_lineage
-from virapipe_spark.queries.staged import staged_r7, staged_r8
+from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 
 # ---------------------------------------------------------------------------
@@ -3433,7 +3433,7 @@ def orders_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "lineitem_rounding_drift",
     oracle="""
     WITH ln AS (
@@ -3518,7 +3518,7 @@ def lineitem_rounding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "lineitem_fifo_matching",
     oracle="""
     WITH b AS (

@@ -633,11 +633,53 @@ def pending_staged() -> dict[str, QueryFn]:
     the pandas-UDF sweep skipped staged entries and went red the moment
     the self-arming promotion fired."""
     out: dict[str, QueryFn] = {}
-    for gen in (STAGED_R7, STAGED_R8):
+    for gen in (STAGED_R7, STAGED_R8, STAGED_R9):
         for n, (fn, _o) in gen.items():
             if n not in catalog.QUERIES:
                 out[n] = fn
     return out
+
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second overflow, staged for the round-9 window
+# ---------------------------------------------------------------------------
+
+#: Third staging generation: round 7 authored more than one window's
+#: worth of overflow (STAGED_R8 holds exactly the 50 entries the
+#: round-8 window can prove), so the remainder waits one more round and
+#: flips on the round-8 driver artifacts. Identical mechanism and the
+#: same four pre-flip sweeps (all iterate pending_staged, which spans
+#: every generation).
+STAGED_R9: dict[str, tuple[QueryFn, str | None]] = {}
+
+R9_PROMOTED = False
+
+
+def staged_r9(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if (
+            name in STAGED_R9
+            or name in STAGED_R8
+            or name in STAGED_R7
+            or name in catalog.QUERIES
+        ):
+            raise ValueError(f"duplicate staged query name: {name}")
+        STAGED_R9[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote_r9() -> None:
+    """Register the second round-7 overflow into the live catalog
+    (armed by catalog.load_all once CORRECTNESS_r08+ exists)."""
+    global R9_PROMOTED
+    if R9_PROMOTED:
+        return
+    for name, (fn, oracle) in STAGED_R9.items():
+        catalog.query(name, oracle)(fn)
+    R9_PROMOTED = True
 
 
 @staged_r8(
@@ -684,7 +726,7 @@ def interval_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth_histogram(_reads(spark, sf_dir))
 
 
-@staged_r8(
+@staged_r9(
     "interval_reciprocal_overlap",
     oracle=f"""
     WITH genes AS (

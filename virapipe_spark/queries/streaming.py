@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7, staged_r8
+from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 from virapipe_spark import streaming as vstream
 from virapipe_spark.scale import truncate_lineage
 
@@ -3692,7 +3692,7 @@ def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "events_mannwhitney_u",
     oracle="""
     WITH s AS (
@@ -3794,7 +3794,7 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "events_spearman_daily",
     oracle="""
     WITH daily AS (
@@ -3886,7 +3886,7 @@ def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "events_wasserstein_drift",
     oracle="""
     WITH b AS (
@@ -3993,7 +3993,7 @@ def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "events_theilsen_trend",
     oracle="""
     WITH daily AS (
@@ -4085,7 +4085,7 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "events_bot_regularity",
     oracle="""
     WITH g AS (
@@ -4175,7 +4175,7 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_r8(
+@staged_r9(
     "events_diff_in_diff",
     oracle="""
     WITH d AS (
