@@ -318,6 +318,9 @@ class TestPlanProperties:
             # r7 (staged r8): AU decode to per-sample rows is the codec
             # boundary; the DFT correlation is a JVM broadcast join
             "multimodal_dft_bins",
+            # r7 (staged r9): same AU decode boundary; the lag-banded
+            # autocorrelation self-join is JVM-side
+            "multimodal_pitch_autocorr",
             # r7 (staged r8): BMP decode to coordinate pixel rows is the
             # codec boundary; the Sobel scatter is a JVM explode+groupBy
             "multimodal_sobel_energy",

@@ -271,6 +271,9 @@ def test_r9_staging_state_matches_round():
         "events_diff_in_diff",
         "lineitem_fifo_matching",
         "embed_dim_truncation_recall",
+        "multimodal_pitch_autocorr",
+        "graph_clustering_coeff",
+        "events_max_drawdown",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7, staged_r8
+from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 
 @query(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark import functions as vf
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7, staged_r8
+from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.queries.staged import staged_r7, staged_r8
+from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,4 +1637,129 @@ def multimodal_sobel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_interior"),
         F.sum(grad2).cast("long").alias("edge_energy"),
         F.max(grad2).cast("long").alias("max_grad2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-domain pitch detection: integer autocorrelation argmax
+# ---------------------------------------------------------------------------
+
+_PITCH_LAGS = (2, 16)  # candidate period range, in samples
+
+
+@staged_r9(
+    "multimodal_pitch_autocorr",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, substr(md5(text) || md5(text || 'x'), 1, 64) AS p
+      FROM documents
+    ),
+    c AS (SELECT doc_id, unnest(generate_series(1, 64)) AS i, p FROM s),
+    u AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS n,
+                 255 - ascii(substr(p, i, 1)) AS ub
+          FROM c),
+    v AS (SELECT doc_id, n,
+                 CAST(CASE WHEN ub >= 128 THEN -1 ELSE 1 END
+                 * (((ub % 16) * 8 + 132) * power(2, (ub // 16) % 8) - 132)
+                   AS BIGINT) AS val
+          FROM u),
+    ac AS (
+      SELECT a.doc_id, b.n - a.n AS lag,
+             CAST(sum(a.val * b.val) AS BIGINT) AS acorr
+      FROM v a JOIN v b
+        ON a.doc_id = b.doc_id
+       AND b.n - a.n BETWEEN {_PITCH_LAGS[0]} AND {_PITCH_LAGS[1]}
+      GROUP BY a.doc_id, b.n - a.n
+    ),
+    best AS (
+      SELECT doc_id, lag, acorr,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY acorr DESC, lag) AS rn
+      FROM ac
+    )
+    SELECT doc_id AS media_id, CAST(lag AS BIGINT) AS period,
+           acorr AS peak_acorr
+    FROM best WHERE rn = 1
+    """,
+)
+def multimodal_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DOMAIN PITCH detection — the autocorrelation-argmax
+    estimator (the YIN/ACF family's exact core): the lag in
+    [{_PITCH_LAGS[0]}, {_PITCH_LAGS[1]}] samples where the clip best
+    matches a shifted copy of itself is its period — the
+    complementary estimator to multimodal_dft_bins' frequency-domain
+    energy (ACF finds the period directly, no bin quantization).
+    Samples ride the real AU/mu-law codec into coordinate rows
+    (audio_samples), autocorrelation at every candidate lag is an
+    EXACT int64 lag-keyed aggregate over the self-join (no float, no
+    normalization needed for pure argmax), and the winner pins ties
+    to the smallest lag. The oracle replays samples from the ITU
+    expansion formula and the same join — codec, correlation, and
+    argmax all under the hash.
+
+    Scale: the self-join blocks on media_id with band-bounded lag
+    fan-out ({_PITCH_LAGS[1]} rows per sample, constant); the
+    (media, lag) aggregate is partial-agg'd map-side; argmax is a
+    media-partitioned window over {_PITCH_LAGS[1] - _PITCH_LAGS[0] + 1}
+    rows per clip. Real pipelines window long clips first — same plan
+    per window."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("x")))
+            ),
+            1,
+            64,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_au(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_au(
+                    8000,
+                    mm._ulaw_expand(
+                        np.frombuffer(s.encode(), dtype=np.uint8)
+                    ),
+                    ulaw=True,
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select("media_id", to_au("p").alias("data"))
+    samples = mm.audio_samples(media)
+    a = samples.select(
+        "media_id", F.col("n").alias("na"), F.col("val").alias("va")
+    )
+    b = samples.select(
+        F.col("media_id").alias("mb"),
+        F.col("n").alias("nb"),
+        F.col("val").alias("vb"),
+    )
+    ac = (
+        a.join(
+            b,
+            (F.col("media_id") == F.col("mb"))
+            & (F.col("nb") - F.col("na") >= _PITCH_LAGS[0])
+            & (F.col("nb") - F.col("na") <= _PITCH_LAGS[1]),
+        )
+        .groupBy("media_id", (F.col("nb") - F.col("na")).alias("lag"))
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("acorr"))
+    )
+    wm = W.partitionBy("media_id").orderBy(F.col("acorr").desc(), "lag")
+    return (
+        ac.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "media_id",
+            F.col("lag").cast("long").alias("period"),
+            F.col("acorr").alias("peak_acorr"),
+        )
     )

@@ -3653,3 +3653,110 @@ def lineitem_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fully_allocated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (per-node triangle density)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb, pa FROM und
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM edges GROUP BY src
+    ),
+    tri AS (
+      SELECT w.node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT e1.src AS node, e1.dst AS b, e2.dst AS c
+        FROM edges e1 JOIN edges e2
+          ON e2.src = e1.src AND e1.dst < e2.dst
+      ) w
+      JOIN und t ON t.pa = w.b AND t.pb = w.c
+      GROUP BY w.node
+    )
+    SELECT deg.node, deg.degree,
+           CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+           CAST(coalesce(tri.triangles, 0) * 2000000
+                // (deg.degree * (deg.degree - 1)) AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    WHERE deg.degree >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient — graph_triangle_count made
+    per-node: for every part in the co-purchase graph (support >= 2
+    edges, the shared sparsifier), the fraction of its neighbor pairs
+    that are themselves connected, in exact ppm (2·tri·1e6 div
+    deg·(deg-1) — integer, no float ratio). This is the locality
+    statistic community detection actually thresholds on (a node
+    embedded in a clique scores 1e6; a pure hub scores 0), where the
+    global triangle count only says how clustered the graph is in
+    aggregate. Nodes with degree < 2 are excluded — their coefficient
+    is undefined, not zero (the honest-domain rule; emitting 0 would
+    poison downstream averages).
+
+    Scale: wedges enumerate from the symmetrized edge list with
+    b < c orientation (each unordered neighbor pair once), volume
+    Σ deg² — the same bound as the global count, just grouped by the
+    wedge center; the closing-edge check is one equi-join against the
+    oriented edge table; everything shuffles on vertex keys. The
+    degree-ordered-orientation refinement applies unchanged at
+    100 TB."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = (
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    und = truncate_lineage(und, eager=False)
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = edges.select(F.col("src").alias("node"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("node2"), F.col("dst").alias("c"))
+    wedges = e1.join(
+        e2,
+        (F.col("node") == F.col("node2")) & (F.col("b") < F.col("c")),
+    ).select("node", "b", "c")
+    tri = (
+        wedges.join(
+            und,
+            (F.col("b") == F.col("pa")) & (F.col("c") == F.col("pb")),
+            "left_semi",
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "coalesce(triangles, 0) * 2000000"
+                " div (degree * (degree - 1))"
+            )
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )

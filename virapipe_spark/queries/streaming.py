@@ -4273,3 +4273,92 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_mcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (peak-to-trough decline of the daily series)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, cents,
+             CAST(max(cents) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS peak,
+             CAST(max(cents) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) - cents
+                  AS BIGINT) AS drawdown
+      FROM daily
+    ),
+    best AS (
+      SELECT day, cents, peak, drawdown,
+             row_number() OVER (ORDER BY drawdown DESC, day) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n_days
+      FROM dd
+    )
+    SELECT n_days, day AS trough_day, cents AS trough_cents,
+           peak AS peak_cents, drawdown AS max_drawdown_cents,
+           CAST(drawdown * 1000000 // peak AS BIGINT) AS drawdown_ppm
+    FROM best WHERE rn = 1
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN — the peak-to-trough risk metric (finance's
+    'worst decline from a running high', equally the right alarm for
+    daily revenue or any KPI series): running prefix maximum, per-day
+    drawdown = peak − current, global argmax with ties pinned to the
+    earliest day. One report row: the trough day, its value, the peak
+    it fell from, the drawdown in exact cents and in ppm of the peak
+    (truncating div shared verbatim). Everything is exact integer —
+    the running max is order-pinned by the day sort in both engines,
+    so the hash proves the full window algebra, not just the final
+    number.
+
+    Scale: the day rollup collapses the log (map-side partials); the
+    prefix-max and argmax windows run over the DAYS series (bounded —
+    years, not events). Per-key drawdowns (per asset, per cohort)
+    partition the same windows by key. Mergeable: daily cents sum
+    across shards, the scan re-derives."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wp = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dd = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(wp).cast("long").alias("peak"),
+        (F.max("cents").over(wp) - F.col("cents"))
+        .cast("long")
+        .alias("drawdown"),
+    )
+    best = dd.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("drawdown").desc(), "day"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n_days"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "n_days",
+        F.col("day").alias("trough_day"),
+        F.col("cents").alias("trough_cents"),
+        F.col("peak").alias("peak_cents"),
+        F.col("drawdown").alias("max_drawdown_cents"),
+        F.expr("drawdown * 1000000 div peak")
+        .cast("long")
+        .alias("drawdown_ppm"),
+    )
