@@ -274,6 +274,8 @@ def test_r9_staging_state_matches_round():
         "multimodal_pitch_autocorr",
         "graph_clustering_coeff",
         "events_max_drawdown",
+        "docs_rake_keywords",
+        "events_matched_pairs_att",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

@@ -6871,3 +6871,143 @@ def embed_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(summary, "dim").select(
         "dim", "query_id", "n_hits", "recall_ppm"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency phrase scoring)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "docs_rake_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, g AS pos, t[g] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(g)
+      WHERE len(t) >= 1 AND t[g] <> ''
+    ),
+    stop AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM tok GROUP BY w
+      ) WHERE rn <= 3
+    ),
+    flagged AS (
+      SELECT doc_id, pos, w, w IN (SELECT w FROM stop) AS is_stop,
+             sum(CASE WHEN w IN (SELECT w FROM stop) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS pid
+      FROM tok
+    ),
+    pw AS (
+      SELECT doc_id, pid, pos, w,
+             count(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM flagged WHERE NOT is_stop
+    ),
+    ws AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM pw GROUP BY w
+    ),
+    phr AS (
+      SELECT p.doc_id, p.pid,
+             string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+             CAST(sum(ws.deg * 1000 // ws.freq) AS BIGINT) AS score_x1000
+      FROM pw p JOIN ws ON ws.w = p.w
+      WHERE p.plen <= 4
+      GROUP BY p.doc_id, p.pid
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(score_x1000) AS BIGINT) AS score_x1000
+    FROM phr GROUP BY phrase
+    ORDER BY score_x1000 DESC, phrase LIMIT 20
+    """,
+)
+def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction — the degree-over-frequency phrase
+    scorer (Rose et al.), the KEYWORD member of the text family that
+    tf-idf (document-discriminative terms) and collocations
+    (word-pair lift) both miss: candidate phrases are maximal runs
+    between STOPWORDS, a word's degree is the total length of phrases
+    it appears in (co-occurrence mass), and a phrase scores the sum
+    of its words' deg/freq ratios — words that live in long phrases
+    outrank frequent-but-isolated ones. Stopwords are data-derived
+    (top-3 corpus tokens, tie-pinned by string) since the synthetic
+    corpus has no natural ones; phrase segmentation is
+    gaps-and-islands on the stop flag (the VAD/sessionize device);
+    phrases over 4 words drop (RAKE's usual cap); ratios are x1000
+    integers and the global top-20 is a total-ordered
+    TakeOrderedAndProject. Phrase text reassembles position-ordered
+    in both engines (sorted collect vs ordered string_agg).
+
+    Scale: tokenization fuses into the scan; segmentation is one
+    doc-keyed window; word stats and the score join key on the word;
+    the only global step is the top-20 reduce. Stop-set derivation is
+    one token-keyed count + a 3-row broadcast."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        d.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tok = truncate_lineage(tok, eager=False)
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(3)
+        .select("w")
+    )
+    flagged = tok.join(
+        F.broadcast(stop.withColumn("is_stop", F.lit(True))), "w", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce("is_stop", F.lit(False)).alias("is_stop"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = flagged.withColumn(
+        "pid", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wd)
+    )
+    pw = flagged.filter(~F.col("is_stop")).withColumn(
+        "plen", F.count("*").over(W.partitionBy("doc_id", "pid"))
+    )
+    ws = pw.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    phr = (
+        pw.filter(F.col("plen") <= 4)
+        .join(ws, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.sum(F.expr("deg * 1000 div freq"))
+            .cast("long")
+            .alias("score_x1000"),
+        )
+    )
+    return (
+        phr.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("score_x1000").cast("long").alias("score_x1000"),
+        )
+        .orderBy(F.col("score_x1000").desc(), "phrase")
+        .limit(20)
+    )

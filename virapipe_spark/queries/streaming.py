@@ -4362,3 +4362,113 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drawdown_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matched-pairs treatment effect (nearest-neighbor covariate matching)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_matched_pairs_att",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 = 0 AS treated,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT *,
+             last_value(CASE WHEN NOT treated
+                             THEN struct_pack(cx := x, cy := y) END
+                        IGNORE NULLS)
+               OVER (ORDER BY x, user_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_c,
+             first_value(CASE WHEN NOT treated
+                              THEN struct_pack(cx := x, cy := y) END
+                         IGNORE NULLS)
+               OVER (ORDER BY x, user_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_c
+      FROM u
+    ),
+    m AS (
+      SELECT user_id, x, y,
+             CASE WHEN prev_c IS NULL THEN next_c
+                  WHEN next_c IS NULL THEN prev_c
+                  WHEN x - prev_c.cx <= next_c.cx - x THEN prev_c
+                  ELSE next_c END AS c
+      FROM s WHERE treated
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_treated,
+           CAST(sum(abs(x - c.cx)) AS BIGINT) AS total_x_gap,
+           CAST(sum(y - c.cy) * 1000 // count(*) AS BIGINT) AS att_mcents
+    FROM m
+    """,
+)
+def events_matched_pairs_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCHED-PAIRS treatment effect — 1-nearest-neighbor covariate
+    matching (the propensity-matching shape), the second member of
+    the causal family: where events_diff_in_diff cancels trends by
+    time, matching cancels confounding by COMPARABILITY — each
+    treated user (even ids) pairs with the control user closest in
+    activity level (event count, the covariate), and ATT is the mean
+    outcome gap over matched pairs, in exact milli-cents. The
+    nearest-neighbor search is NOT a cross join: both cohorts sort
+    once on the covariate and every treated row reads its nearest
+    control from two IGNORE-NULLS window scans (last preceding /
+    first following control — the as-of join device turned sideways,
+    O(n log n) total), tie to the preceding. Match quality rides
+    along (total |covariate gap| — a reviewer rejects matches that
+    stretch too far).
+
+    Scale: one user-keyed rollup collapses the log; one global sort
+    of the USERS frame (at per-key grain the windows partition by
+    stratum); the fold is one row. Matching with replacement — a
+    control can serve several treated — which is what keeps the scan
+    one-pass."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("treated"), "x", "y"
+    )
+    cstruct = F.when(
+        ~F.col("treated"),
+        F.struct(F.col("x").alias("cx"), F.col("y").alias("cy")),
+    )
+    wo = W.orderBy("x", "user_id")
+    s = u.select(
+        "*",
+        F.last(cstruct, ignorenulls=True)
+        .over(wo.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_c"),
+        F.first(cstruct, ignorenulls=True)
+        .over(wo.rowsBetween(1, W.unboundedFollowing))
+        .alias("next_c"),
+    )
+    c = (
+        F.when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(
+            F.col("x") - F.col("prev_c.cx")
+            <= F.col("next_c.cx") - F.col("x"),
+            F.col("prev_c"),
+        )
+        .otherwise(F.col("next_c"))
+    )
+    m = s.filter(F.col("treated")).select("user_id", "x", "y", c.alias("c"))
+    return m.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.sum(F.abs(F.col("x") - F.col("c.cx")))
+        .cast("long")
+        .alias("total_x_gap"),
+        F.expr("sum(y - c.cy) * 1000 div count(*)")
+        .cast("long")
+        .alias("att_mcents"),
+    )
