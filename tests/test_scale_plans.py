@@ -191,6 +191,9 @@ class TestPlanProperties:
             # r7 (staged r8): ONE-ROW broadcasts — the period-midpoint
             # bound and the 2x2 cell-means frame
             "events_diff_in_diff",
+            # r7 (staged r9): the ONE-ROW session-count x ONE-ROW
+            # argmax-peak crossJoin assembling the report row
+            "events_peak_concurrency",
             # (embed_dim_truncation_recall needs no exemption: its
             # 10-row query broadcast — the embed_knn_bruteforce
             # precedent — sits behind the union's lineage truncation,
@@ -321,6 +324,9 @@ class TestPlanProperties:
             # r7 (staged r9): same AU decode boundary; the lag-banded
             # autocorrelation self-join is JVM-side
             "multimodal_pitch_autocorr",
+            # r7 (staged r9): BMP decode to pixel rows is the codec
+            # boundary; Otsu's histogram algebra is JVM windows
+            "multimodal_otsu_threshold",
             # r7 (staged r8): BMP decode to coordinate pixel rows is the
             # codec boundary; the Sobel scatter is a JVM explode+groupBy
             "multimodal_sobel_energy",

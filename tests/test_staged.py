@@ -276,6 +276,9 @@ def test_r9_staging_state_matches_round():
         "events_max_drawdown",
         "docs_rake_keywords",
         "events_matched_pairs_att",
+        "reads_gc_skew_origin",
+        "multimodal_otsu_threshold",
+        "events_peak_concurrency",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

@@ -1360,3 +1360,117 @@ def sam_flagstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 1000000 div n_total").cast("long").alias("pct_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative GC-skew origin detection
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "reads_gc_skew_origin",
+    oracle=f"""
+    WITH seq AS (
+      SELECT doc_id,
+             translate(md5(text) || md5(text || '2'),
+                       '{_HEX}', '{_DNA16}') AS s
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, g AS pos,
+             CASE substr(s, g, 1) WHEN 'G' THEN 1
+                                  WHEN 'C' THEN -1 ELSE 0 END AS d
+      FROM seq, UNNEST(generate_series(1, 64)) AS u(g)
+    ),
+    cum AS (
+      SELECT doc_id, pos,
+             CAST(sum(d) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS skew
+      FROM base
+    ),
+    best AS (
+      SELECT doc_id, pos, skew,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY skew, pos) AS rn,
+             CAST(last_value(skew) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS final_skew
+      FROM cum
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS origin_pos,
+           skew AS min_skew, final_skew
+    FROM best WHERE rn = 1
+    """,
+)
+def reads_gc_skew_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative GC-SKEW origin detection — the classic replication-
+    origin locator (leading strands over-accumulate G, lagging
+    strands C, so the cumulative (G−C) walk bottoms out at oriC and
+    peaks at the terminus — the skew-diagram analysis every bacterial
+    genome annotation starts with). Per 64-base fixture sequence (the
+    doubled md5→DNA device): the cumulative skew as an exact integer
+    prefix sum, its argmin position (tie to the earliest — a pinned
+    convention, since a flat minimum is a plateau), the minimum value
+    and the sequence-final skew (the global G−C balance). Everything
+    is integers under one doc-partitioned ordered window; the oracle
+    replays the identical walk from the generative hex.
+
+    Scale: base explode fuses into the scan (64 rows/sequence,
+    bounded); one doc-keyed window pass; for chromosome-length
+    sequences the same walk block-partitions with carried offsets
+    (the distributed prefix-sum refinement the depth-histogram entry
+    also cites)."""
+    seq = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.translate(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("2")))),
+            _HEX,
+            _DNA16,
+        ).alias("s"),
+    )
+    # per-char via explode(sequence)+substr — Spark's split on the
+    # zero-width '(?!^)' pattern emits a trailing '' token (QUIRKS),
+    # which would add a phantom position 65 to the argmin domain
+    base = seq.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("pos"),
+        "s",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.expr("substr(s, pos, 1)") == "G", 1)
+        .when(F.expr("substr(s, pos, 1)") == "C", -1)
+        .otherwise(0)
+        .alias("d"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    cum = base.select(
+        "doc_id",
+        "pos",
+        F.sum("d")
+        .over(wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("skew"),
+    )
+    best = cum.select(
+        "doc_id",
+        "pos",
+        "skew",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("skew", "pos"))
+        .alias("rn"),
+        F.last("skew")
+        .over(
+            wd.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        .cast("long")
+        .alias("final_skew"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("origin_pos"),
+        F.col("skew").alias("min_skew"),
+        "final_skew",
+    )

@@ -1763,3 +1763,159 @@ def multimodal_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acorr").alias("peak_acorr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Otsu threshold: integer-exact between-class variance argmax
+# ---------------------------------------------------------------------------
+
+#: Between-class variance score, x10000 fixed-point, shared verbatim
+#: (numerator (n0*S - N*S0)² <= ~3e11 and the x10000 product stays
+#: far inside int64 for 72-pixel fixtures).
+_OTSU_SCORE = (
+    "(n0 * s_all - n_all * s0) * (n0 * s_all - n_all * s0) * 10000"
+    " div (n0 * (n_all - n0))"
+)
+
+
+@staged_r9(
+    "multimodal_otsu_threshold",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             substr(md5(text) || md5(text || 'x') || md5(text || 'y'),
+                    1, 72) AS p
+      FROM documents
+    ),
+    pix AS (
+      SELECT doc_id, CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT doc_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    hist AS (
+      SELECT doc_id, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv
+      FROM pix GROUP BY doc_id, v
+    ),
+    cum AS (
+      SELECT doc_id, v,
+             CAST(sum(n) OVER w AS BIGINT) AS n0,
+             CAST(sum(sv) OVER w AS BIGINT) AS s0,
+             CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_all,
+             CAST(sum(sv) OVER (PARTITION BY doc_id) AS BIGINT) AS s_all
+      FROM hist
+      WINDOW w AS (PARTITION BY doc_id ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT doc_id, v,
+             CAST({_OTSU_SCORE.replace(' div ', ' // ')} AS BIGINT)
+               AS score_x10000,
+             n0, n_all - n0 AS n1
+      FROM cum WHERE n0 < n_all
+    ),
+    best AS (
+      SELECT doc_id, v, score_x10000, n0, n1,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_x10000 DESC, v) AS rn
+      FROM scored
+    )
+    SELECT doc_id AS media_id, v AS otsu_t, score_x10000,
+           CAST(n0 AS BIGINT) AS n_below, CAST(n1 AS BIGINT) AS n_above
+    FROM best WHERE rn = 1
+    """,
+)
+def multimodal_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSU THRESHOLDING — the automatic binarization algorithm (the
+    segmentation step between multimodal_sobel_energy's edges and any
+    shape analysis: pick the gray threshold maximizing between-class
+    variance). The variance argmax is pure integer algebra on the
+    image HISTOGRAM: for each candidate threshold (a distinct pixel
+    value), between-class variance ∝ (n0·S − N·S0)² / (n0·(N−n0))
+    with cumulative count/sum prefixes — x10000 fixed-point shared
+    verbatim, argmax tie pinned to the darkest threshold; the
+    degenerate all-below candidate (the max value) is excluded, not
+    scored as zero. Pixels ride the real BMP codec round-trip
+    (image_pixels); the oracle replays histogram, prefixes, and
+    argmax from the generative hex.
+
+    Scale: Otsu touches the HISTOGRAM, never pixels twice — one
+    (image, value)-keyed partial-aggregated count (<= 256 rows per
+    image regardless of resolution), one image-partitioned ordered
+    window, one argmax. This is why Otsu at 100 TB of images is scan
+    + tiny shuffle."""
+    import numpy as np
+
+    from virapipe_spark import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+
+    @F.pandas_udf("binary")
+    def to_bmp(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mm.encode_bmp(
+                    np.repeat(
+                        np.frombuffer(s.encode(), dtype=np.uint8).reshape(
+                            8, 9, 1
+                        ),
+                        3,
+                        axis=2,
+                    )
+                )
+                for s in p
+            ]
+        )
+
+    media = d.select("media_id", to_bmp("p").alias("data"))
+    px = mm.image_pixels(media)
+    hist = px.groupBy("media_id", "v").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    wc = (
+        W.partitionBy("media_id")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wa = W.partitionBy("media_id")
+    cum = hist.select(
+        "media_id",
+        "v",
+        F.sum("n").over(wc).cast("long").alias("n0"),
+        F.sum("sv").over(wc).cast("long").alias("s0"),
+        F.sum("n").over(wa).cast("long").alias("n_all"),
+        F.sum("sv").over(wa).cast("long").alias("s_all"),
+    )
+    scored = cum.filter(F.col("n0") < F.col("n_all")).select(
+        "media_id",
+        "v",
+        F.expr(_OTSU_SCORE).cast("long").alias("score_x10000"),
+        "n0",
+        (F.col("n_all") - F.col("n0")).alias("n1"),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("media_id").orderBy(
+                F.col("score_x10000").desc(), "v"
+            )
+        ),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "media_id",
+        F.col("v").alias("otsu_t"),
+        "score_x10000",
+        F.col("n0").cast("long").alias("n_below"),
+        F.col("n1").cast("long").alias("n_above"),
+    )

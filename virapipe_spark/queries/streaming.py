@@ -4472,3 +4472,123 @@ def events_matched_pairs_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("att_mcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency over sessionized intervals (sweep-line max)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             t
+      FROM marked
+    ),
+    iv AS (
+      SELECT CAST(min(t) AS BIGINT) AS s, CAST(max(t) AS BIGINT) AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    ev AS (
+      SELECT s AS pos, 1 AS d FROM iv
+      UNION ALL
+      SELECT e + 1, -1 FROM iv
+    ),
+    ag AS (SELECT pos, CAST(sum(d) AS BIGINT) AS delta
+           FROM ev GROUP BY pos),
+    sweep AS (
+      SELECT pos,
+             CAST(sum(delta) OVER (ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS conc
+      FROM ag
+    ),
+    best AS (
+      SELECT pos, conc,
+             row_number() OVER (ORDER BY conc DESC, pos) AS rn
+      FROM sweep
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM iv)
+    SELECT n.n_sessions, best.conc AS peak_concurrent,
+           best.pos AS peak_at_us
+    FROM best, n WHERE best.rn = 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY — 'how many sessions were open at once, and
+    when?', the capacity-planning number a sessionized log exists to
+    answer: sessions (the {_GAP_US // 3_600_000_000}-hour-gap rule
+    shared with sessionize_events) become [first, last+1) microsecond
+    intervals, and the sweep-line diff-array (the depth-histogram
+    machinery pointed at TIME instead of genome position) yields
+    exact concurrency at every breakpoint; the report row carries the
+    session count, the maximum, and the earliest instant it was
+    reached (argmax tie pinned to the earliest — peaks are plateaus).
+
+    Scale: sessionization is the standard user-keyed window; the
+    sweep is O(session breakpoints) — 2 rows per session, delta
+    pre-aggregation makes positions unique so the ordered window
+    needs no tiebreak; the argmax is one reduce. Per-day or per-shard
+    peaks partition the same sweep by bucket and merge by re-basing
+    offsets."""
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("unix_micros(ts)")
+    gap = t - F.lag(t).over(wu)
+    marked = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("new_s")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("t")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("sid"),
+        "t",
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("t").cast("long").alias("s"), F.max("t").cast("long").alias("e")
+    )
+    iv = iv.persist()
+    evp = iv.select(F.col("s").alias("pos"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("e") + 1).alias("pos"), F.lit(-1).alias("d"))
+    )
+    ag = evp.groupBy("pos").agg(F.sum("d").alias("delta"))
+    sweep = ag.select(
+        "pos",
+        F.sum("delta")
+        .over(W.orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("conc"),
+    )
+    best = sweep.select(
+        "pos",
+        "conc",
+        F.row_number().over(W.orderBy(F.col("conc").desc(), "pos")).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    n = iv.agg(F.count("*").cast("long").alias("n_sessions"))
+    return n.crossJoin(F.broadcast(best)).select(
+        "n_sessions",
+        F.col("conc").alias("peak_concurrent"),
+        F.col("pos").alias("peak_at_us"),
+    )
