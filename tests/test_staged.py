@@ -279,6 +279,8 @@ def test_r9_staging_state_matches_round():
         "reads_gc_skew_origin",
         "multimodal_otsu_threshold",
         "events_peak_concurrency",
+        "events_ks_test",
+        "events_k_anonymity",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

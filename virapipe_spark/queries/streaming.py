@@ -4592,3 +4592,201 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conc").alias("peak_concurrent"),
         F.col("pos").alias("peak_at_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (integer cross-multiplied)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_b
+      FROM s GROUP BY cents
+    ),
+    c AS (
+      SELECT cents,
+             CAST(sum(cnt_a) OVER w AS BIGINT) AS cum_a,
+             CAST(sum(cnt_b) OVER w AS BIGINT) AS cum_b,
+             CAST(sum(cnt_a) OVER () AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) OVER () AS BIGINT) AS n_b
+      FROM g
+      WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+    ),
+    d AS (
+      SELECT cents, n_a, n_b,
+             CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS d_scaled
+      FROM c
+    ),
+    best AS (
+      SELECT cents, n_a, n_b, d_scaled,
+             row_number() OVER (ORDER BY d_scaled DESC, cents) AS rn
+      FROM d
+    )
+    SELECT n_a, n_b, d_scaled,
+           CAST(d_scaled * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm,
+           cents AS at_cents
+    FROM best WHERE rn = 1
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV distance between the click and
+    purchase value distributions — the drift family's third member:
+    Wasserstein-1 integrates the ECDF gap, KS takes its MAXIMUM (the
+    statistic behind 'did the distribution shift anywhere, and where
+    exactly?'). ECDFs never materialize as floats: at each distinct
+    cents value |F_a - F_b| is the cross-multiplied integer
+    |cum_a*n_b - cum_b*n_a| (exact, denominator-free), the argmax tie
+    pins to the smallest value, and only the final ppm is one
+    truncating division. The oracle replays the identical prefix
+    walk.
+
+    Scale: the (cents)-keyed partial aggregation collapses event
+    volume to the value domain before the single ordered window (the
+    events_mannwhitney_u formulation); the argmax is one reduce.
+    int64 holds through n_a*n_b ~ 9e18 — beyond ~3e9 rows per side,
+    pre-scale counts to ppm per shard and merge."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy()
+    c = g.select(
+        "cents",
+        F.sum("cnt_a").over(wc).cast("long").alias("cum_a"),
+        F.sum("cnt_b").over(wc).cast("long").alias("cum_b"),
+        F.sum("cnt_a").over(wa).cast("long").alias("n_a"),
+        F.sum("cnt_b").over(wa).cast("long").alias("n_b"),
+    )
+    d = c.select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .cast("long")
+        .alias("d_scaled"),
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.col("d_scaled").desc(), "cents")),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "n_a",
+        "n_b",
+        "d_scaled",
+        F.expr("d_scaled * 1000000 div (n_a * n_b)")
+        .cast("long")
+        .alias("d_ppm"),
+        F.col("cents").alias("at_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier equivalence classes
+# ---------------------------------------------------------------------------
+
+#: The k in k-anonymity: equivalence classes smaller than this are
+#: re-identification risks.
+_K_ANON = 5
+
+
+@staged_r9(
+    "events_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS dow,
+             CAST(round(value * 100) AS BIGINT) // 2000 AS band
+      FROM events
+    ),
+    cls AS (
+      SELECT event_type, dow, band, CAST(count(*) AS BIGINT) AS size
+      FROM q GROUP BY event_type, dow, band
+    )
+    SELECT CAST({_K_ANON} AS BIGINT) AS k,
+           CAST(sum(size) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN size < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS risky_classes,
+           CAST(sum(CASE WHEN size < {_K_ANON} THEN size ELSE 0 END)
+                AS BIGINT) AS risky_rows,
+           CAST(sum(CASE WHEN size < {_K_ANON} THEN size ELSE 0 END)
+                * 1000000 // sum(size) AS BIGINT) AS risk_ppm,
+           CAST(min(size) AS BIGINT) AS min_class_size
+    FROM cls
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit — the privacy gate a release pipeline runs
+    before publishing event data: bucket every row into its
+    quasi-identifier equivalence class (event type x day-of-week x
+    value band — the attacker-joinable attributes after direct
+    identifiers are dropped) and measure how much of the table sits
+    in classes smaller than k=5, where individuals are
+    re-identifiable by intersection. Day-of-week is epoch-day mod 7
+    (engine-neutral integer arithmetic — the engines' dayofweek()
+    functions disagree on week origin), bands are truncating integer
+    division, and the report row is exact counts plus one ppm.
+
+    Scale: one partial-aggregated group-by (class count is bounded
+    by the quasi-identifier domain, not row volume) and a one-row
+    fold; the 100 TB audit is a scan plus a tiny shuffle. Suppression
+    or generalization then FILTERS on the same class frame."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 86400000000") % 7).alias("dow"),
+        F.expr(
+            "cast(round(value * 100) as bigint) div 2000"
+        ).alias("band"),
+    )
+    cls = q.groupBy("event_type", "dow", "band").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    risky = F.when(F.col("size") < _K_ANON, F.col("size")).otherwise(0)
+    agg = cls.agg(
+        F.lit(_K_ANON).cast("long").alias("k"),
+        F.sum("size").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("size") < _K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("risky_classes"),
+        F.sum(risky).cast("long").alias("risky_rows"),
+        F.min("size").cast("long").alias("min_class_size"),
+    )
+    return agg.select(
+        "k",
+        "n_rows",
+        "n_classes",
+        "risky_classes",
+        "risky_rows",
+        F.expr("risky_rows * 1000000 div n_rows")
+        .cast("long")
+        .alias("risk_ppm"),
+        "min_class_size",
+    )
