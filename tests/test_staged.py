@@ -281,6 +281,9 @@ def test_r9_staging_state_matches_round():
         "events_peak_concurrency",
         "events_ks_test",
         "events_k_anonymity",
+        "graph_link_prediction",
+        "events_bitmap_retention",
+        "interval_closest_feature",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

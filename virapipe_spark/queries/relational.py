@@ -3760,3 +3760,128 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cc_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common neighbors + Jaccard over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "graph_link_prediction",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb, pa FROM und
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM edges GROUP BY src
+    ),
+    cn AS (
+      SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common_n
+      FROM edges e1 JOIN edges e2
+        ON e2.src = e1.src AND e1.dst < e2.dst
+      GROUP BY e1.dst, e2.dst
+    ),
+    cand AS (
+      SELECT cn.a, cn.b, cn.common_n
+      FROM cn LEFT JOIN und ON und.pa = cn.a AND und.pb = cn.b
+      WHERE und.pa IS NULL
+    ),
+    scored AS (
+      SELECT cand.a, cand.b, cand.common_n,
+             da.degree AS deg_a, db.degree AS deg_b,
+             CAST(cand.common_n * 1000000
+                  // (da.degree + db.degree - cand.common_n) AS BIGINT)
+               AS jaccard_ppm
+      FROM cand
+      JOIN deg da ON da.node = cand.a
+      JOIN deg db ON db.node = cand.b
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY common_n DESC, jaccard_ppm DESC, a, b) AS rank
+      FROM scored
+    )
+    SELECT a AS node_a, b AS node_b, common_n, deg_a, deg_b, jaccard_ppm,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor count and neighborhood
+    Jaccard — the classic 'who should be connected next' scorer
+    (Liben-Nowell & Kleinberg) over the co-purchase graph: for every
+    NON-adjacent part pair sharing at least one neighbor, the number
+    of shared neighbors and |Γa∩Γb| / |Γa∪Γb| in exact ppm, global
+    top-50. This is the complement of graph_clustering_coeff (which
+    scores edges that exist) — the recommendation surface scores
+    edges that do not. The union denominator is deg_a + deg_b −
+    common_n (inclusion-exclusion; the pair itself is non-adjacent so
+    no self-term), an integer, and the ranking is fully pinned
+    (count desc, jaccard desc, then ids).
+
+    Scale: shared-neighbor pairs enumerate from the symmetrized edge
+    list as wedges centered on the common neighbor (volume Σ deg² —
+    the triangle-count bound; degree-capping hubs bounds it at
+    100 TB), shuffle on vertex keys only; the existing-edge removal
+    is one anti-join; the top-50 is a TakeOrdered reduce, not a
+    global sort."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = (
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    und = truncate_lineage(und, eager=False)
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("x2"), F.col("dst").alias("b"))
+    cn = (
+        e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common_n"))
+    )
+    cand = cn.join(
+        und,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "deg_a"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "deg_b"), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common_n",
+            "deg_a",
+            "deg_b",
+            F.expr("common_n * 1000000 div (deg_a + deg_b - common_n)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    order = [
+        F.col("common_n").desc(),
+        F.col("jaccard_ppm").desc(),
+        F.col("node_a"),
+        F.col("node_b"),
+    ]
+    top = scored.orderBy(*order).limit(50)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(*order)).cast("long")
+    )

@@ -815,3 +815,165 @@ def interval_reciprocal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ov_len * 1000 div len_b").cast("long").alias("frac_b_x1000"),
         )
     )
+
+@staged_r9(
+    "interval_closest_feature",
+    oracle=f"""
+    WITH genes AS ({_GENES_SQL}), reads AS ({_READS_SQL}),
+    a AS (
+      SELECT r.id, r.seqid,
+             min(CASE WHEN g.start <= r."end" AND g."end" >= r.start
+                      THEN 0 END) AS ov,
+             min(CASE WHEN g."end" < r.start
+                      THEN r.start - g."end" END) AS ld,
+             min(CASE WHEN g.start > r."end"
+                      THEN g.start - r."end" END) AS rd
+      FROM reads r
+      LEFT JOIN genes g ON g.seqid = r.seqid
+      GROUP BY r.id, r.seqid
+    )
+    SELECT id, seqid,
+           CAST(CASE WHEN ov = 0 THEN 0
+                     ELSE least(coalesce(ld, rd), coalesce(rd, ld))
+                END AS BIGINT) AS closest_dist,
+           CASE WHEN ov = 0 THEN 'overlap'
+                WHEN ld IS NOT NULL AND (rd IS NULL OR ld <= rd) THEN 'left'
+                WHEN rd IS NOT NULL THEN 'right'
+                ELSE 'none' END AS side
+    FROM a
+    """,
+)
+def interval_closest_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSEST-feature assignment (`bedtools closest`) — for every
+    read, the distance to the nearest gene on its seqid (0 on
+    overlap, else the positive gap to the nearer flank, ties pinned
+    to 'left') — the annotation step for intergenic features that the
+    overlap join by definition cannot place. The Spark side is the
+    UNION-SWEEP, not a join: genes and reads interleave into two
+    boundary-ordered frames and three running window aggregates
+    answer every read at once — max gene end among starts <= read.end
+    (overlap witness), min gene start beyond read.end (right flank),
+    max gene end before read.start (left flank). Strict-vs-inclusive
+    boundaries are encoded purely in the interleave tiebreak column.
+    The oracle is the naive per-pair theta aggregate — same answer,
+    quadratic plan — which is exactly why the sweep is the entry.
+
+    Scale: no pair blowup anywhere — two sorts of |genes|+|reads|
+    rows partitioned by seqid and one read-keyed join-back; at 100 TB
+    the frames range-partition by (seqid, pos) and the sweep carries
+    one scalar of state per boundary, the same discipline as
+    interval_depth_histogram's prefix sum."""
+    from pyspark.sql import Window as W
+
+    genes = _genes(spark, sf_dir)
+    reads = _reads(spark, sf_dir)
+    # frame A: gene STARTs interleaved with read ENDs
+    ga = genes.select(
+        "seqid",
+        F.col("start").alias("pos"),
+        F.lit(1).alias("is_gene"),
+        F.col("start").alias("g_start"),
+        F.col("end").alias("g_end"),
+        F.lit(None).cast("string").alias("rid"),
+        F.lit(None).cast("long").alias("r_start"),
+        F.lit(None).cast("long").alias("r_end"),
+    )
+    ra = reads.select(
+        "seqid",
+        F.col("end").alias("pos"),
+        F.lit(0).alias("is_gene"),
+        F.lit(None).cast("long").alias("g_start"),
+        F.lit(None).cast("long").alias("g_end"),
+        F.col("id").alias("rid"),
+        F.col("start").alias("r_start"),
+        F.col("end").alias("r_end"),
+    )
+    fa = ga.unionByName(ra)
+    # genes at pos == read.end are INCLUDED (start <= end inclusive):
+    # gene rows sort before read rows at equal pos
+    w_le = (
+        W.partitionBy("seqid")
+        .orderBy("pos", (1 - F.col("is_gene")))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # genes at pos == read.end are EXCLUDED (strictly greater): in the
+    # descending order read rows sort first at equal pos
+    w_gt = (
+        W.partitionBy("seqid")
+        .orderBy(F.col("pos").desc(), F.col("is_gene"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    reads_a = (
+        fa.select(
+            "seqid",
+            "rid",
+            "r_start",
+            "r_end",
+            "is_gene",
+            F.max("g_end").over(w_le).alias("max_end_le"),
+            F.min("g_start").over(w_gt).alias("next_start_gt"),
+        )
+        .filter(F.col("is_gene") == 0)
+        .drop("is_gene")
+    )
+    # frame B: gene ENDs interleaved with read STARTs; strict < means
+    # gene rows at equal pos sort AFTER the read row
+    gb = genes.select(
+        "seqid",
+        F.col("end").alias("pos"),
+        F.lit(1).alias("is_gene"),
+        F.col("end").alias("g_end"),
+        F.col("id").alias("rid"),
+    ).select("seqid", "pos", "is_gene", "g_end", F.lit(None).cast("string").alias("rid2"))
+    rb = reads.select(
+        "seqid",
+        F.col("start").alias("pos"),
+        F.lit(0).alias("is_gene"),
+        F.lit(None).cast("long").alias("g_end"),
+        F.col("id").alias("rid2"),
+    )
+    fb = gb.unionByName(rb)
+    w_lt = (
+        W.partitionBy("seqid")
+        .orderBy("pos", "is_gene")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    reads_b = (
+        fb.select(
+            "rid2",
+            "is_gene",
+            F.max("g_end").over(w_lt).alias("prev_end_lt"),
+        )
+        .filter(F.col("is_gene") == 0)
+        .select("rid2", "prev_end_lt")
+    )
+    joined = reads_a.join(
+        reads_b, reads_a.rid == reads_b.rid2
+    ).select(
+        F.col("rid").alias("id"),
+        "seqid",
+        (F.col("max_end_le") >= F.col("r_start")).alias("ov"),
+        (F.col("r_start") - F.col("prev_end_lt")).alias("ld"),
+        (F.col("next_start_gt") - F.col("r_end")).alias("rd"),
+    )
+    return joined.select(
+        "id",
+        "seqid",
+        F.when(F.col("ov"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.coalesce("ld", "rd"), F.coalesce("rd", "ld")
+            )
+        )
+        .cast("long")
+        .alias("closest_dist"),
+        F.when(F.col("ov"), F.lit("overlap"))
+        .when(
+            F.col("ld").isNotNull()
+            & (F.col("rd").isNull() | (F.col("ld") <= F.col("rd"))),
+            F.lit("left"),
+        )
+        .when(F.col("rd").isNotNull(), F.lit("right"))
+        .otherwise(F.lit("none"))
+        .alias("side"),
+    )

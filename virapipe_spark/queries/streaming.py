@@ -4790,3 +4790,94 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risk_ppm"),
         "min_class_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index day-over-day retention (bit_or words + popcount AND)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_bitmap_retention",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day,
+             CAST(user_id // 62 AS BIGINT) AS word,
+             1::BIGINT << CAST(user_id % 62 AS INT) AS mask
+      FROM events
+    ),
+    w AS (SELECT day, word, bit_or(mask) AS bits FROM q GROUP BY day, word),
+    a AS (
+      SELECT day, CAST(sum(bit_count(bits)) AS BIGINT) AS actives
+      FROM w GROUP BY day
+    ),
+    r AS (
+      SELECT x.day, CAST(sum(bit_count(x.bits & y.bits)) AS BIGINT) AS retained
+      FROM w x JOIN w y ON y.day = x.day + 1 AND y.word = x.word
+      GROUP BY x.day
+    )
+    SELECT a.day, a.actives,
+           CAST(coalesce(r.retained, 0) AS BIGINT) AS retained_next,
+           CAST(coalesce(r.retained, 0) * 1000000 // a.actives AS BIGINT)
+             AS retained_ppm
+    FROM a LEFT JOIN r ON r.day = a.day
+    """,
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX retention — day-over-day retained users computed
+    the way a 100 TB store actually does it: each day's active-user
+    set compresses into 62-bit words (word = uid div 62, one bit per
+    user — the roaring-bitmap layout flattened to int64), daily sets
+    reduce by bit_or, and retention is popcount(AND) between
+    consecutive days' words. The result is EXACT distinct-user
+    retention (a bitmap is a lossless set), but the expensive
+    count(DISTINCT user_id) re-scan per day-pair is replaced by a
+    word-keyed equi-join over data that is ~|users|/62 rows per day.
+    Bit 62/63 stay clear so the sign bit never participates (engine
+    shift semantics at bit 63 differ). The last day reports 0
+    retained by construction (no next day), kept for the complete
+    spine.
+
+    Scale: the word table is the retention CUBE's input — any
+    day-pair lag re-joins the same words without touching raw events;
+    bit_or is map-side combinable; the join shuffles ~actives/62
+    rows. This is the operator that makes 90-day retention matrices
+    tractable."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        F.expr("user_id div 62").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(user_id % 62 as int))").alias(
+            "mask"
+        ),
+    )
+    w = q.groupBy("day", "word").agg(F.expr("bit_or(mask)").alias("bits"))
+    w = truncate_lineage(w, eager=False)
+    a = w.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("actives")
+    )
+    y = w.select(
+        (F.col("day") - 1).alias("pday"),
+        F.col("word").alias("pword"),
+        F.col("bits").alias("nbits"),
+    )
+    r = (
+        w.join(y, (F.col("day") == F.col("pday")) & (F.col("word") == F.col("pword")))
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("bits").bitwiseAND(F.col("nbits"))))
+            .cast("long")
+            .alias("retained")
+        )
+    )
+    return (
+        a.join(r, "day", "left")
+        .select(
+            "day",
+            "actives",
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained_next"),
+            F.expr("coalesce(retained, 0) * 1000000 div actives")
+            .cast("long")
+            .alias("retained_ppm"),
+        )
+    )
