@@ -284,6 +284,9 @@ def test_r9_staging_state_matches_round():
         "graph_link_prediction",
         "events_bitmap_retention",
         "interval_closest_feature",
+        "multimodal_integral_boxsum",
+        "multimodal_hist_equalize",
+        "multimodal_haar_energy",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

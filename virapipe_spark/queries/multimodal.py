@@ -1919,3 +1919,405 @@ def multimodal_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("long").alias("n_below"),
         F.col("n1").cast("long").alias("n_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Integral image (summed-area table) box-filter response
+# ---------------------------------------------------------------------------
+
+_SAT_SRC = """
+      SELECT doc_id AS media_id,
+             substr(md5(text) || md5(text || 'x') || md5(text || 'y'),
+                    1, 72) AS p
+      FROM documents
+"""
+
+
+@staged_r9(
+    "multimodal_integral_boxsum",
+    oracle=f"""
+    WITH s AS ({_SAT_SRC}),
+    px AS (
+      SELECT media_id,
+             CAST((g - 1) // 9 AS BIGINT) AS r,
+             CAST((g - 1) % 9 AS BIGINT) AS c,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT media_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    box AS (
+      SELECT a.media_id, a.r + d.dr AS cr, a.c + d.dc AS cc,
+             CAST(sum(a.v) AS BIGINT) AS box_sum
+      FROM px a
+      JOIN (SELECT dr, dc
+            FROM unnest(generate_series(-1, 1)) t1(dr),
+                 unnest(generate_series(-1, 1)) t2(dc)) d ON TRUE
+      WHERE a.r + d.dr BETWEEN 1 AND 6 AND a.c + d.dc BETWEEN 1 AND 7
+      GROUP BY a.media_id, cr, cc
+    ),
+    tot AS (
+      SELECT media_id, CAST(sum(v) AS BIGINT) AS img_total FROM px
+      GROUP BY media_id
+    ),
+    best AS (
+      SELECT media_id, cr, cc, box_sum,
+             row_number() OVER (PARTITION BY media_id
+                                ORDER BY box_sum DESC, cr, cc) AS rn
+      FROM box
+    )
+    SELECT b.media_id, CAST(b.cr AS BIGINT) AS best_r,
+           CAST(b.cc AS BIGINT) AS best_c, b.box_sum, t.img_total
+    FROM best b JOIN tot t ON t.media_id = b.media_id
+    WHERE b.rn = 1
+    """,
+)
+def multimodal_integral_boxsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGRAL-IMAGE (summed-area table) box filter — the Viola-
+    Jones primitive: one 2-D prefix-sum pass makes ANY axis-aligned
+    box sum four lookups, independent of kernel size. Per 8x9
+    fixture image: the brightest 3x3 box (its center and sum, argmax
+    tie pinned top-left) plus the image total. The Spark side
+    actually builds the SAT — a row-wise cumulative window then a
+    column-wise one — and evaluates each box by the 4-corner signed
+    identity SAT(r2,c2)−SAT(r0−1,c2)−SAT(r2,c0−1)+SAT(r0−1,c0−1),
+    with out-of-range corners contributing an implicit zero (each SAT
+    cell scatters to the ≤4 centers that reference it, so missing
+    corner rows are simply absent addends). The ORACLE computes the
+    same boxes by naive 9-neighbor expansion — an independent
+    construction, which is what makes the corner algebra a real
+    check and not a mirror.
+
+    Scale: the SAT is two windowed passes partitioned by (image,
+    line) — for megapixel frames the standard block-decomposed
+    prefix-sum refinement applies; box evaluation is O(1) per box vs
+    O(k²) for the naive sum, the entire reason detectors precompute
+    integral images."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+    px = d.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.lit(72))).alias("g"),
+        "p",
+    ).select(
+        "media_id",
+        F.expr("(g - 1) div 9").cast("long").alias("r"),
+        ((F.col("g") - 1) % 9).cast("long").alias("c"),
+        F.expr("ascii(substr(p, g, 1))").cast("long").alias("v"),
+    )
+    rowpref = px.select(
+        "media_id",
+        "r",
+        "c",
+        F.sum("v")
+        .over(
+            W.partitionBy("media_id", "r")
+            .orderBy("c")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("rp"),
+    )
+    sat = rowpref.select(
+        "media_id",
+        "r",
+        "c",
+        F.sum("rp")
+        .over(
+            W.partitionBy("media_id", "c")
+            .orderBy("r")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    # scatter each SAT cell to the centers whose 4-corner identity
+    # references it: (i,j) appears as +S at centers (i-1,j-1),(i+2,j+2)
+    # and -S at (i+2,j-1),(i-1,j+2)
+    corners = sat.select(
+        "media_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("r") - 1).alias("cr"),
+                    (F.col("c") - 1).alias("cc"),
+                    F.col("s").alias("t"),
+                ),
+                F.struct(
+                    (F.col("r") + 2).alias("cr"),
+                    (F.col("c") + 2).alias("cc"),
+                    F.col("s").alias("t"),
+                ),
+                F.struct(
+                    (F.col("r") + 2).alias("cr"),
+                    (F.col("c") - 1).alias("cc"),
+                    (-F.col("s")).alias("t"),
+                ),
+                F.struct(
+                    (F.col("r") - 1).alias("cr"),
+                    (F.col("c") + 2).alias("cc"),
+                    (-F.col("s")).alias("t"),
+                ),
+            )
+        ).alias("e"),
+    ).select("media_id", "e.cr", "e.cc", "e.t")
+    box = (
+        corners.filter(
+            F.col("cr").between(1, 6) & F.col("cc").between(1, 7)
+        )
+        .groupBy("media_id", "cr", "cc")
+        .agg(F.sum("t").cast("long").alias("box_sum"))
+    )
+    tot = px.groupBy("media_id").agg(
+        F.sum("v").cast("long").alias("img_total")
+    )
+    best = box.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("media_id").orderBy(
+                F.col("box_sum").desc(), "cr", "cc"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.join(tot, "media_id").select(
+        "media_id",
+        F.col("cr").cast("long").alias("best_r"),
+        F.col("cc").cast("long").alias("best_c"),
+        "box_sum",
+        "img_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization (integer CDF remap)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "multimodal_hist_equalize",
+    oracle=f"""
+    WITH s AS ({_SAT_SRC}),
+    px AS (
+      SELECT media_id, CAST(g AS BIGINT) AS g,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT media_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    hist AS (
+      SELECT media_id, v, CAST(count(*) AS BIGINT) AS n
+      FROM px GROUP BY media_id, v
+    ),
+    cdf AS (
+      SELECT media_id, v,
+             CAST(sum(n) OVER (PARTITION BY media_id ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(first_value(n) OVER (PARTITION BY media_id ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf_min,
+             CAST(sum(n) OVER (PARTITION BY media_id) AS BIGINT) AS n_all
+      FROM hist
+    ),
+    eq AS (
+      SELECT media_id, v,
+             CASE WHEN n_all = cdf_min THEN 0
+                  ELSE CAST((cum - cdf_min) * 255 // (n_all - cdf_min)
+                            AS BIGINT) END AS ev
+      FROM cdf
+    )
+    SELECT px.media_id,
+           CAST(min(eq.ev) AS BIGINT) AS eq_min,
+           CAST(max(eq.ev) AS BIGINT) AS eq_max,
+           CAST(count(DISTINCT eq.ev) AS BIGINT) AS n_levels,
+           CAST(sum(eq.ev * px.g) AS BIGINT) AS checksum
+    FROM px JOIN eq ON eq.media_id = px.media_id AND eq.v = px.v
+    GROUP BY px.media_id
+    """,
+)
+def multimodal_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM EQUALIZATION — the contrast-normalization remap
+    (OpenCV equalizeHist): stretch each image's intensity CDF to the
+    full 0..255 range with h(v) = (cdf(v) − cdf_min)·255 / (N −
+    cdf_min), all in truncating integer arithmetic (the division is
+    the textbook formula's floor). Per image the output is the
+    remapped extrema (min lands on 0 and max on 255 by construction —
+    a visible self-check), the distinct level count (equalization
+    never merges distinct input levels: CDF is strictly increasing on
+    occupied values), and a position-weighted checksum that pins
+    every remapped pixel, not just the summary. The all-identical
+    image degenerate (N = cdf_min) is guarded to 0 explicitly — under
+    ANSI the bare session would otherwise divide by zero.
+
+    Scale: the remap table is per-(image, distinct value) — bounded
+    by 256 rows per image whatever the resolution — built from one
+    histogram aggregate and one ordered window; pixels join the tiny
+    table on (image, value). Same plan family as Otsu: scan + tiny
+    shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+    px = d.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.lit(72))).alias("g"),
+        "p",
+    ).select(
+        "media_id",
+        F.col("g").cast("long").alias("g"),
+        F.expr("ascii(substr(p, g, 1))").cast("long").alias("v"),
+    )
+    hist = px.groupBy("media_id", "v").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wv = (
+        W.partitionBy("media_id")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = hist.select(
+        "media_id",
+        "v",
+        F.sum("n").over(wv).cast("long").alias("cum"),
+        F.first("n").over(wv).cast("long").alias("cdf_min"),
+        F.sum("n").over(W.partitionBy("media_id")).cast("long").alias("n_all"),
+    )
+    eq = cdf.select(
+        "media_id",
+        "v",
+        F.when(F.col("n_all") == F.col("cdf_min"), F.lit(0))
+        .otherwise(
+            F.expr("(cum - cdf_min) * 255 div (n_all - cdf_min)")
+        )
+        .cast("long")
+        .alias("ev"),
+    )
+    return (
+        px.join(eq, ["media_id", "v"])
+        .groupBy("media_id")
+        .agg(
+            F.min("ev").cast("long").alias("eq_min"),
+            F.max("ev").cast("long").alias("eq_max"),
+            F.countDistinct("ev").cast("long").alias("n_levels"),
+            F.sum(F.col("ev") * F.col("g")).cast("long").alias("checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet band energy (unnormalized, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def _haar_oracle(levels: int = 6) -> str:
+    """Chained pair-halving construction: level l sums/differences the
+    level l-1 approximations — deliberately a DIFFERENT shape than the
+    Spark side's one-shot signed block sums, so the algebraic identity
+    between the two is what the hash verifies."""
+    src = f"""
+    WITH s AS ({_SAT_SRC}),
+    a0 AS (
+      SELECT media_id, CAST(g - 1 AS BIGINT) AS pos,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS a
+      FROM (SELECT media_id, p, unnest(generate_series(1, 64)) AS g FROM s)
+    )"""
+    parts = []
+    for l in range(1, levels + 1):
+        parts.append(f"""
+    l{l} AS (
+      SELECT media_id, CAST(pos // 2 AS BIGINT) AS pos,
+             CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN pos % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS d
+      FROM {"a0" if l == 1 else f"l{l - 1}"}
+      GROUP BY media_id, pos // 2
+    )""")
+    unions = " UNION ALL ".join(
+        f"""
+      SELECT media_id, CAST({l} AS BIGINT) AS level,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_coeffs
+      FROM l{l} GROUP BY media_id"""
+        for l in range(1, levels + 1)
+    )
+    return src + "," + ",".join(parts) + unions
+
+
+@staged_r9("multimodal_haar_energy", oracle=_haar_oracle())
+def multimodal_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET band energy over 64-sample audio frames — the
+    multi-resolution spectral summary (the transform behind dHash's
+    big sibling pHash and every wavelet audio fingerprinter): per
+    frame and per decomposition level 1..6, the sum of squared
+    unnormalized detail coefficients — how much signal variance lives
+    at each time scale. Exact integers end to end: an unnormalized
+    Haar detail is an integer linear form of the samples, so no
+    sqrt(2) normalization ever appears (energies are a fixed 2^l
+    rescale of the orthonormal ones — a report convention, not a
+    loss). The Spark side computes each level's details DIRECTLY as
+    signed block sums (+1 on the first half of each 2^l block, −1 on
+    the second); the oracle builds the classic recursive pair-halving
+    pyramid — two different constructions of the same algebra.
+
+    Scale: the explode is bounded (64 samples x 6 levels per frame)
+    and every level is one map-side-combinable keyed aggregate — no
+    windows, no joins; real audio shards by (media, frame) and the
+    pyramid depth stays log(frame), the same plan at any corpus
+    size."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            64,
+        ).alias("p"),
+    )
+    samples = d.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("g"),
+        "p",
+    ).select(
+        "media_id",
+        (F.col("g") - 1).cast("long").alias("pos"),
+        F.expr("ascii(substr(p, g, 1))").cast("long").alias("x"),
+    )
+    lv = samples.select(
+        "media_id",
+        "pos",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("level"),
+    )
+    coeffs = (
+        lv.select(
+            "media_id",
+            "level",
+            F.expr("pos div (1 << level)").alias("block"),
+            F.when(
+                F.expr("pos % (1 << level) < (1 << (level - 1))"),
+                F.col("x"),
+            )
+            .otherwise(-F.col("x"))
+            .alias("sx"),
+        )
+        .groupBy("media_id", "level", "block")
+        .agg(F.sum("sx").cast("long").alias("d"))
+    )
+    return coeffs.groupBy("media_id", F.col("level").cast("long").alias("level")).agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+        F.count("*").cast("long").alias("n_coeffs"),
+    )
