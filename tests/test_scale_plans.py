@@ -194,6 +194,9 @@ class TestPlanProperties:
             # r7 (staged r9): the ONE-ROW session-count x ONE-ROW
             # argmax-peak crossJoin assembling the report row
             "events_peak_concurrency",
+            # r7 (staged r9): the day-pair theta join — both sides the
+            # calendar-bounded DAILY aggregate (Theil-Sen precedent)
+            "events_kendall_tau",
             # (embed_dim_truncation_recall needs no exemption: its
             # 10-row query broadcast — the embed_knn_bruteforce
             # precedent — sits behind the union's lineage truncation,

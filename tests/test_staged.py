@@ -287,6 +287,9 @@ def test_r9_staging_state_matches_round():
         "multimodal_integral_boxsum",
         "multimodal_hist_equalize",
         "multimodal_haar_energy",
+        "events_kendall_tau",
+        "lineitem_zonemap_prune",
+        "embed_centroid_separation",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

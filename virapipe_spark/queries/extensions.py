@@ -7011,3 +7011,138 @@ def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_x1000").desc(), "phrase")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid separation audit (between-distance vs within-scatter)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "embed_centroid_separation",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    dims AS (
+      SELECT label, CAST(i AS BIGINT) AS d, q[i] AS qx
+      FROM q, UNNEST(generate_series(1, 64)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, d,
+             CAST(sum(qx) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(qx) AS BIGINT) // CAST(count(*) AS BIGINT)
+                  AS BIGINT) AS c
+      FROM dims GROUP BY label, d
+    ),
+    scat AS (
+      SELECT m.label, CAST(sum((m.qx - c.c) * (m.qx - c.c)) AS BIGINT)
+               AS scatter,
+             CAST(count(*) // 64 AS BIGINT) AS n_members
+      FROM dims m JOIN cent c ON c.label = m.label AND c.d = m.d
+      GROUP BY m.label
+    ),
+    dist AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+      FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b, d.dist2,
+           CAST(sa.scatter // sa.n_members AS BIGINT) AS within_a,
+           CAST(sb.scatter // sb.n_members AS BIGINT) AS within_b,
+           CAST(d.dist2 * 1000000
+                // greatest(sa.scatter // sa.n_members
+                            + sb.scatter // sb.n_members, 1) AS BIGINT)
+             AS separation_ppm
+    FROM dist d
+    JOIN scat sa ON sa.label = d.label_a
+    JOIN scat sb ON sb.label = d.label_b
+    """,
+)
+def embed_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-CENTROID separation audit — the Davies-Bouldin /
+    Calinski-Harabasz question ('are these classes actually separated
+    in embedding space, and which pair is confusable?') as exact
+    integer data: per label-pair, squared distance between truncated
+    integer centroids vs each side's mean within-scatter around that
+    same centroid, ratio in ppm (low = the pair a linear probe will
+    confuse). Centroids are sum-div-count in TRUNCATING integer
+    arithmetic on the x10000 quantized grid — a pinned convention
+    both engines replay exactly (both truncate toward zero, QUIRKS
+    0), trading ~1e-4 centroid precision for a hash-stable result;
+    the scatter is then exact around that pinned centroid. Complements
+    embed_cluster_purity (label agreement of FOUND clusters) by
+    auditing the GIVEN labels' geometry.
+
+    Scale: one dim-exploded aggregate builds all centroids (64 x
+    |labels| rows — tiny); the scatter pass re-joins members to the
+    centroid table on (label, dim) — broadcast; centroid PAIRS join
+    on the dim equi-key (never a cross join) and reduce per pair.
+    Nothing here grows with corpus size except the two linear
+    passes."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _QUANT).cast("long"),
+            )
+        ).alias("d0", "qx"),
+    ).select("label", (F.col("d0") + 1).cast("long").alias("d"), "qx")
+    cent = dims.groupBy("label", "d").agg(
+        F.sum("qx").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "label",
+        "d",
+        F.expr("s div n").cast("long").alias("c"),
+    )
+    cent = truncate_lineage(cent, eager=False)
+    scat = (
+        dims.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c")))
+            .cast("long")
+            .alias("scatter"),
+            F.expr("count(*) div 64").cast("long").alias("n_members"),
+        )
+        .select(
+            "label",
+            F.expr("scatter div n_members").cast("long").alias("within"),
+        )
+    )
+    cb = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    dist = (
+        cent.join(
+            cb,
+            (F.col("d") == F.col("db")) & (F.col("label") < F.col("label_b")),
+        )
+        .groupBy(F.col("label").alias("label_a"), "label_b")
+        .agg(
+            F.sum((F.col("c") - F.col("cb")) * (F.col("c") - F.col("cb")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    sa = scat.select(F.col("label").alias("label_a"), F.col("within").alias("within_a"))
+    sb = scat.select(F.col("label").alias("label_b"), F.col("within").alias("within_b"))
+    return (
+        dist.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dist2",
+            "within_a",
+            "within_b",
+            F.expr("dist2 * 1000000 div greatest(within_a + within_b, 1)")
+            .cast("long")
+            .alias("separation_ppm"),
+        )
+    )

@@ -3885,3 +3885,135 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(W.orderBy(*order)).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max statistics) pruning audit: insertion vs date layout
+# ---------------------------------------------------------------------------
+
+_ZONE_ROWS = 600  # natural-layout zone width in orderkeys (file proxy)
+_ZM_LO = "DATE '1994-03-01'"
+_ZM_HI = "DATE '1994-04-30'"
+
+
+@staged_r9(
+    "lineitem_zonemap_prune",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(l_orderkey // {_ZONE_ROWS} AS BIGINT) AS zone_natural,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               // 32 AS zone_clustered,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem
+    ),
+    lim AS (
+      SELECT CAST({_ZM_LO} - DATE '1970-01-01' AS BIGINT) AS lo,
+             CAST({_ZM_HI} - DATE '1970-01-01' AS BIGINT) AS hi
+    ),
+    both_ AS (
+      SELECT 'natural' AS layout, zone_natural AS zone,
+             CAST(d - DATE '1970-01-01' AS BIGINT) AS ed FROM rows_
+      UNION ALL
+      SELECT 'clustered', zone_clustered,
+             CAST(d - DATE '1970-01-01' AS BIGINT) FROM rows_
+    ),
+    zones AS (
+      SELECT layout, zone, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(ed) AS BIGINT) AS min_d,
+             CAST(max(ed) AS BIGINT) AS max_d,
+             CAST(sum(CASE WHEN ed BETWEEN (SELECT lo FROM lim)
+                                       AND (SELECT hi FROM lim)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM both_ GROUP BY layout, zone
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_zones,
+           CAST(sum(CASE WHEN max_d >= (SELECT lo FROM lim)
+                          AND min_d <= (SELECT hi FROM lim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN max_d >= (SELECT lo FROM lim)
+                          AND min_d <= (SELECT hi FROM lim)
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matched,
+           CAST(sum(CASE WHEN max_d >= (SELECT lo FROM lim)
+                          AND min_d <= (SELECT hi FROM lim)
+                         THEN n_rows ELSE 0 END) * 1000000
+                // greatest(sum(n_match), 1) AS BIGINT)
+             AS amplification_ppm
+    FROM zones GROUP BY layout
+    """,
+)
+def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP pruning audit — min/max data-skipping statistics (the
+    parquet row-group / Delta file-stats mechanism) MEASURED as data:
+    partition lineitem into zones two ways — 'natural' (insertion
+    order: contiguous orderkey ranges, the layout an append-only
+    ingest produces) and 'clustered' (32-day shipdate buckets, the
+    layout a date-partitioned table produces) — compute each zone's
+    min/max shipdate, and replay a two-month range predicate against
+    the zone map alone. Reported per layout: zones scanned vs total,
+    rows the zone map FAILS to skip (rows_scanned), truly matching
+    rows, and the scan amplification in ppm (1e6 = perfect skipping).
+    The natural layout scans nearly everything — shipdate is
+    uncorrelated with insertion order, every zone's [min,max]
+    straddles the predicate — which is precisely the measured
+    argument for the clustered/Z-ordered layout twin
+    (events_zorder_layout). Dates are epoch-day integers end to end.
+
+    Scale: one pass builds both zone maps (two map-side-combinable
+    aggregates over a union), the audit runs on ZONE COUNT rows, and
+    nothing here shuffles more than #zones — exactly how a table
+    -format maintenance job scores whether a re-cluster is worth it."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {_ZONE_ROWS}").alias("zone_natural"),
+        F.expr("datediff(cast(l_shipdate as date), DATE '1970-01-01')")
+        .cast("long")
+        .alias("ed"),
+    ).select(
+        "zone_natural",
+        F.expr("ed div 32").alias("zone_clustered"),
+        "ed",
+    )
+    both = li.select(
+        F.lit("natural").alias("layout"),
+        F.col("zone_natural").alias("zone"),
+        "ed",
+    ).unionByName(
+        li.select(
+            F.lit("clustered").alias("layout"),
+            F.col("zone_clustered").alias("zone"),
+            "ed",
+        )
+    )
+    lo = F.expr(f"datediff({_ZM_LO}, DATE '1970-01-01')").cast("long")
+    hi = F.expr(f"datediff({_ZM_HI}, DATE '1970-01-01')").cast("long")
+    zones = both.groupBy("layout", "zone").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("ed").cast("long").alias("min_d"),
+        F.max("ed").cast("long").alias("max_d"),
+        F.sum(F.when(F.col("ed").between(lo, hi), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+    )
+    scanned = (F.col("max_d") >= lo) & (F.col("min_d") <= hi)
+    return zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_zones"),
+        F.sum(F.when(scanned, 1).otherwise(0))
+        .cast("long")
+        .alias("zones_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matched"),
+        F.expr(
+            "sum(CASE WHEN max_d >= "
+            f"datediff({_ZM_LO}, DATE '1970-01-01') AND min_d <= "
+            f"datediff({_ZM_HI}, DATE '1970-01-01') THEN n_rows ELSE 0 END)"
+            " * 1000000 div greatest(sum(n_match), 1)"
+        )
+        .cast("long")
+        .alias("amplification_ppm"),
+    )

@@ -4881,3 +4881,119 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retained_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank correlation (tau-a / tau-b pieces) over daily aggregates
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_kendall_tau",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    pairs AS (
+      SELECT (a.x - b.x) AS dx, (a.y - b.y) AS dy
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS concordant,
+        CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS discordant,
+        CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_x,
+        CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_y,
+        CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_both,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    )
+    SELECT concordant, discordant, ties_x, ties_y, ties_both, n_pairs,
+           CAST((concordant - discordant) * 1000000 // n_pairs AS BIGINT)
+             AS tau_a_ppm
+    FROM agg
+    """,
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL rank correlation between daily event volume and daily
+    revenue — the third rank-association member (Spearman correlates
+    rank positions; Mann-Whitney compares two groups; Kendall counts
+    PAIR ORDER AGREEMENT, the most robust and the one with a direct
+    probabilistic reading: P(concordant) − P(discordant)). Emitted as
+    exact integer pair counts — concordant, discordant, x-ties,
+    y-ties, both-ties — plus tau-a in ppm ((C−D)/n_pairs, one
+    truncating division). Tau-b's tie-corrected denominator needs a
+    sqrt, so it ships as its exact integer PIECES rather than a
+    rounded float — the honest-claims convention (callers compute
+    (C−D)/sqrt((n0−tx−tb)(n0−ty−tb)) at report time).
+
+    Scale: the pair stage is over the DAY domain, not events — the
+    raw volume collapses to <=366 rows/year via one
+    map-side-combinable aggregate first, so the quadratic step is
+    calendar-bounded (a year is ~67k pairs) and broadcast-joins;
+    inversion-count formulations only matter when correlating at the
+    raw-row grain, which this entry deliberately does not do."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("long")
+        .alias("y"),
+    )
+    daily = truncate_lineage(daily, eager=False)
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = daily.join(
+        F.broadcast(b), F.col("day") < F.col("day_b")
+    ).select(
+        (F.col("x") - F.col("xb")).alias("dx"),
+        (F.col("y") - F.col("yb")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(
+            F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("ties_y"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("ties_both"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        "ties_both",
+        "n_pairs",
+        F.expr("(concordant - discordant) * 1000000 div n_pairs")
+        .cast("long")
+        .alias("tau_a_ppm"),
+    )
