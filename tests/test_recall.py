@@ -826,3 +826,63 @@ class TestBootstrapIndependent:
         row = events_bootstrap_ci(spark, sf).collect()[0]
         assert (row["lo_sum"], row["hi_sum"]) == (lo, hi)
         assert row["observed_sum"] == sum(xs) and row["n_days"] == n
+
+
+class TestBoruvkaMSF:
+    """Independent verification of the Borůvka forest (honest-claims
+    rule for iterative operators): the SAME fixture's unique MSF
+    recomputed by pure-python KRUSKAL with union-find — a third
+    construction, sharing nothing with either the Spark Borůvka or the
+    DuckDB cycle-property oracle."""
+
+    def test_matches_kruskal_exactly(self, spark):
+        import duckdb
+
+        from virapipe_spark import catalog
+
+        catalog.load_all()
+        from virapipe_spark.queries.relational import graph_mst_boruvka
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.pa, r.pb, r.cost)
+            for r in graph_mst_boruvka(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        edges = con.execute(
+            """
+            WITH pairs AS (
+              SELECT a.l_partkey pa, b.l_partkey pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            und AS (SELECT pa, pb, count(*) s FROM pairs
+                    GROUP BY pa, pb HAVING count(*) >= 2)
+            SELECT pa, pb,
+                   (1000000 // s) * 17179869184 + pa * 131072 + pb
+            FROM und
+            """
+        ).fetchall()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        want = set()
+        for pa, pb, cost in sorted(edges, key=lambda r: r[2]):
+            ra, rb = find(pa), find(pb)
+            if ra != rb:
+                parent[ra] = rb
+                want.add((pa, pb, cost))
+        assert got == want
+        # forest invariant: |MSF| = |V| - #components
+        nodes = {v for e in edges for v in e[:2]}
+        roots = {find(v) for v in nodes}
+        assert len(got) == len(nodes) - len(roots)

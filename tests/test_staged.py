@@ -290,6 +290,7 @@ def test_r9_staging_state_matches_round():
         "events_kendall_tau",
         "lineitem_zonemap_prune",
         "embed_centroid_separation",
+        "graph_mst_boruvka",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

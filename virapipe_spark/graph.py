@@ -567,3 +567,156 @@ def sssp(
         if frontier.count() == 0:
             break
     return dist
+
+
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Minimum spanning FOREST via distributed Borůvka.
+
+    ``edges`` must have columns ``a``, ``b``, ``cost`` (undirected, one
+    row per unordered pair) with UNIQUE costs — uniqueness makes the
+    MSF unique, hence deterministic output (callers embed a tiebreak
+    into the cost; see graph_mst_boruvka's bit-packed cost). Returns
+    the chosen ``(a, b, cost)`` rows.
+
+    Borůvka is THE spanning-tree algorithm with a distributed shape
+    (Kruskal sorts globally then unions sequentially; Prim grows one
+    frontier): every round each component picks its minimum outgoing
+    edge — all components in parallel, one relabel join plus one
+    per-component min — and the picked edges merge components, at
+    least halving the component count, so ``ceil(log2 V)`` rounds
+    always suffice.
+
+    The contraction exploits Borůvka's pointer structure instead of a
+    general CC call: picking gives a FUNCTION p(component) = other
+    endpoint of its min edge, and because an incident edge bounds the
+    neighbor's min, costs strictly decrease along pointer chains —
+    every pseudotree terminates in exactly one mutual-min 2-cycle.
+    Rooting the 2-cycle at its smaller id turns the structure into a
+    proper forest, and ``ceil(log2 V)`` LAZY pointer-doubling hops
+    resolve every component to its root. No action runs inside the
+    doubling loop — the whole contraction is one composed plan,
+    materialized once per outer round at the lineage checkpoint (the
+    lesson from profiling the general-CC variant: per-hop
+    materialization cost 20x more than the joins themselves).
+
+    The per-round emptiness probe and the initial node count are
+    driver control flow only (the CC convergence-count precedent).
+    Raises ``RuntimeError`` if cross-component edges survive
+    ``max_rounds`` (default log2(V) + 2): a partial forest is silent
+    data loss.
+    """
+    import math
+
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    e = edges.select("a", "b", "cost").persist()
+    comp = nodes.select("node", F.col("node").alias("comp"))
+    comp = truncate_lineage(comp, reliable=True)
+    v0 = comp.count()
+    if v0 == 0:
+        e.unpersist()
+        return e.limit(0)
+    hops = max(1, math.ceil(math.log2(max(v0, 2))))
+    if max_rounds is None:
+        max_rounds = hops + 2
+    chosen_all: DataFrame | None = None
+    done = False
+    for rnd in range(max_rounds):
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        e2 = (
+            e.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .persist()
+        )
+        if e2.isEmpty():
+            e2.unpersist()
+            done = True
+            break
+        cand = e2.select(
+            F.col("ca").alias("c"), "cost", "a", "b", F.col("cb").alias("oc")
+        ).union(
+            e2.select(
+                F.col("cb").alias("c"), "cost", "a", "b", F.col("ca").alias("oc")
+            )
+        )
+        from pyspark.sql import Window as W
+
+        best = (
+            cand.withColumn(
+                "__rn", F.row_number().over(W.partitionBy("c").orderBy("cost"))
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        best = truncate_lineage(best, reliable=True)
+        picked = best.select("a", "b", "cost").distinct()
+        chosen_all = (
+            picked if chosen_all is None else chosen_all.union(picked)
+        )
+        # pointer p: component -> other side of its min edge; root each
+        # mutual-min 2-cycle at its smaller id so p becomes a forest
+        p0 = best.select(F.col("c"), F.col("oc"))
+        mirror = p0.select(
+            F.col("c").alias("mc"), F.col("oc").alias("moc")
+        )
+        p = (
+            p0.join(mirror, p0["oc"] == mirror["mc"], "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("moc") == F.col("c")) & (F.col("c") < F.col("oc")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("oc"))
+                .alias("t"),
+            )
+        )
+        # pointer doubling: t <- p(t). Each hop references p TWICE, so
+        # composing lazily doubles the logical plan per hop (2^hops
+        # nodes — measured 20x round cost in Catalyst alone); the LAZY
+        # localCheckpoint cuts the plan to a LogicalRDD at every hop
+        # while deferring computation to the round's single
+        # materialization. Hop count shrinks with the halving
+        # invariant: after r rounds <= V/2^r components survive.
+        hops_rnd = max(1, hops - rnd)
+        for _hop in range(hops_rnd):
+            p = truncate_lineage(p, eager=False)
+            nxt = p.select(F.col("c").alias("jc"), F.col("t").alias("jt"))
+            p = (
+                p.join(nxt, p["t"] == nxt["jc"], "left")
+                .select("c", F.coalesce("jt", "t").alias("t"))
+            )
+        comp_new = (
+            comp.join(p, comp["comp"] == p["c"], "left")
+            .select("node", F.coalesce("t", "comp").alias("comp"))
+        )
+        comp_new = truncate_lineage(comp_new, reliable=True)
+        comp_new.count()
+        e2.unpersist()
+        comp = comp_new
+    if not done:
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        left = (
+            e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
+        )
+        if not left.isEmpty():
+            raise RuntimeError(
+                f"boruvka_msf did not converge after {max_rounds} rounds"
+            )
+    if chosen_all is not None:
+        chosen_all = truncate_lineage(chosen_all, reliable=True)
+    e.unpersist()
+    if chosen_all is None:
+        return edges.select("a", "b", "cost").limit(0)
+    return chosen_all

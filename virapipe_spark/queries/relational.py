@@ -4017,3 +4017,90 @@ def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("amplification_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (distributed Boruvka) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "graph_mst_boruvka",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT pa, pb, CAST(count(*) AS BIGINT) AS support
+      FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    e AS (
+      SELECT pa, pb, support,
+             (1000000 // support) * 17179869184 + pa * 131072 + pb AS cost
+      FROM und
+    ),
+    r AS (
+      SELECT e.cost AS ecost, e.pb AS target, e.pa AS node FROM e
+      UNION
+      SELECT r.ecost, r.target,
+             CASE WHEN g.pa = r.node THEN g.pb ELSE g.pa END AS node
+      FROM r JOIN e g
+        ON (g.pa = r.node OR g.pb = r.node) AND g.cost < r.ecost
+      WHERE r.node <> r.target
+    )
+    SELECT pa, pb, support, CAST(cost AS BIGINT) AS cost
+    FROM e WHERE NOT EXISTS (
+      SELECT 1 FROM r WHERE r.ecost = e.cost AND r.node = e.pb
+    )
+    """,
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM SPANNING FOREST by distributed BORUVKA over the
+    co-purchase graph — the clustering backbone (single-linkage
+    dendrograms, network design, and the cheapest-connection summary
+    of any similarity graph are all MSF questions). Edge cost packs
+    (inverse support, pa, pb) into one bigint — rarer co-purchases
+    cost more, and the id tiebreak makes every cost UNIQUE, so the
+    forest is unique and hash-checkable. The Spark side is real
+    Boruvka (graph.boruvka_msf): every component picks its min
+    outgoing edge in parallel, picked edges contract via
+    pointer-doubling CC, component count at least halves per round.
+    The ORACLE never runs Boruvka — it applies the CYCLE PROPERTY
+    (an edge is in the unique MSF iff its endpoints are NOT connected
+    by strictly lighter edges), expanding lighter-edge reachability
+    as a recursive fixpoint — two independent constructions of the
+    same unique object, the strongest oracle shape in the catalog.
+
+    Scale: per round a constant number of vertex-keyed equi-joins +
+    one per-component min (window on the component key); rounds <=
+    ceil(log2 V) by the halving invariant; lineage checkpoint-
+    truncated per round (the PageRank discipline). The oracle's
+    quadratic reachability is the sf0.01-scale check only — the
+    cluster-side algorithm never materializes pairs beyond the edge
+    list."""
+    from virapipe_spark.graph import boruvka_msf
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = _order_pair_counts(li).filter(F.col("support") >= 2)
+    e = und.select(
+        F.col("pa").alias("a"),
+        F.col("pb").alias("b"),
+        "support",
+        (
+            F.expr("1000000 div support") * F.lit(17179869184).cast("long")
+            + F.col("pa") * 131072
+            + F.col("pb")
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    e = truncate_lineage(e, reliable=True)
+    msf = boruvka_msf(e.select("a", "b", "cost"))
+    return msf.join(e.select("a", "b", "support"), ["a", "b"]).select(
+        F.col("a").alias("pa"),
+        F.col("b").alias("pb"),
+        F.col("support").cast("long").alias("support"),
+        F.col("cost").cast("long").alias("cost"),
+    )
