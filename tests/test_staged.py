@@ -291,6 +291,18 @@ def test_r9_staging_state_matches_round():
         "lineitem_zonemap_prune",
         "embed_centroid_separation",
         "graph_mst_boruvka",
+        "lineitem_weighted_median",
+        "orders_queue_waiting",
+        "docs_readability_fk",
+        "lineitem_merkle_tree",
+        "parts_phonetic_blocking",
+        "graph_bipartite_check",
+        "docs_rank_fusion_rrf",
+        "docs_rice_postings",
+        "events_sax_motifs",
+        "multimodal_morph_open",
+        "multimodal_image_moments",
+        "events_hilbert_layout",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

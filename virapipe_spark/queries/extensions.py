@@ -7146,3 +7146,311 @@ def embed_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("separation_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-Kincaid grade in exact scaled integers)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "docs_readability_fk",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS w,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  + len(regexp_extract_all(
+                        lower(text), '\\b[b-df-hj-np-tv-xz0-9]+\\b'))
+                  AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+           CAST(39 * w * w + 1180 * y * s - 1559 * s * w AS BIGINT)
+             AS grade_num,
+           CAST(100 * s * w AS BIGINT) AS grade_den,
+           CAST(39 * w * w + 1180 * y * s - 1559 * s * w AS BIGINT)
+             / CAST(100 * s * w AS BIGINT) AS fk_grade
+    FROM m WHERE w >= 10
+    """,
+)
+def docs_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-KINCAID readability grading — the classic corpus-quality
+    signal (pretraining filters routinely band documents by grade
+    level). Grade = 0.39·(words/sentences) + 11.8·(syllables/words) −
+    15.59, with syllables approximated by the standard vowel-group
+    heuristic (maximal [aeiouy]+ runs, floor one per word — the
+    vowel-free-word correction is counted explicitly). The float
+    formula is cleared to exact integers by multiplying through by
+    100·S·W: grade_num = 39W² + 1180YS − 1559SW over grade_den =
+    100SW, so the hash check covers the counts and the scaled grade
+    exactly, and the one output double is a single division of two
+    exact integers — bit-identical IEEE in both engines.
+
+    Scale: three regexp passes inside the scan stage — zero shuffles,
+    zero Python, runs at parquet scan speed; the regex classes are
+    ASCII-simple so Java and RE2 agree by construction (the same
+    cross-engine contract the text-stats battery relies on)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+    )
+    y = (
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        + F.size(
+            F.expr(
+                r"regexp_extract_all(lower(text),"
+                r" '\\b[b-df-hj-np-tv-xz0-9]+\\b', 0)"
+            )
+        )
+    ).cast("long")
+    m = d.select(
+        "doc_id", w.alias("w"), s.alias("s"), y.alias("y")
+    ).filter(F.col("w") >= 10)
+    num = (
+        39 * F.col("w") * F.col("w")
+        + 1180 * F.col("y") * F.col("s")
+        - 1559 * F.col("s") * F.col("w")
+    ).cast("long")
+    den = (100 * F.col("s") * F.col("w")).cast("long")
+    return m.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        num.alias("grade_num"),
+        den.alias("grade_den"),
+        (num / den).alias("fk_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (integer-exact multi-ranker combination)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "docs_rank_fusion_rrf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t[g] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS g
+            FROM documents)
+      WHERE t[g] <> ''
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY term),
+    qterms AS (
+      SELECT term, df FROM df, n_docs
+      WHERE df * 2 < n ORDER BY df DESC, term LIMIT 3
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS s1,
+             CAST(sum((SELECT n FROM n_docs) - q.df) AS BIGINT) AS s2
+      FROM toks t JOIN qterms q USING (term)
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, s1, s2,
+             CAST(row_number() OVER (ORDER BY s1 DESC, doc_id) AS BIGINT)
+               AS r1,
+             CAST(row_number() OVER (ORDER BY s2 DESC, doc_id) AS BIGINT)
+               AS r2
+      FROM scored
+    )
+    SELECT doc_id, r1, r2,
+           CAST(120 + r1 + r2 AS BIGINT) AS rrf_num,
+           CAST((60 + r1) * (60 + r2) AS BIGINT) AS rrf_den,
+           CAST(120 + r1 + r2 AS BIGINT)
+             / CAST((60 + r1) * (60 + r2) AS BIGINT) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def docs_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION — the standard way hybrid search merges
+    rankers with incomparable score scales (BM25 + dense retrieval;
+    every "hybrid" RAG stack ships it): score(d) = sum over rankers of
+    1/(k + rank_r(d)), k = 60 per the original Cormack et al. setting.
+    Two integer scorers rank the same candidate set (raw query-term
+    frequency, and rarity-weighted frequency — deliberately different
+    orderings), ranks come from deterministic (score DESC, doc_id)
+    row_numbers, and the fused score is kept EXACT: with two rankers
+    1/(60+r1) + 1/(60+r2) = (120+r1+r2) / ((60+r1)(60+r2)), emitted as
+    exact integer numerator/denominator plus the one-division double.
+    The top-20 ordering ties break by doc_id, so the selected set is
+    deterministic in both engines even where distinct rationals round
+    to equal doubles.
+
+    Scale: candidate set = docs containing a query term (inverted-
+    index semantics, not corpus size); the global rank windows run
+    over that bounded set — for web-scale candidates the standard
+    top-K-per-partition + merge refinement replaces the single-
+    partition window (the window_topk_salted pattern)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    qterms = (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 < F.col("n"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(3)
+        .select("term", "df")
+    )
+    scored = (
+        toks.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("s1"),
+            F.sum(F.col("n") - F.col("df")).cast("long").alias("s2"),
+        )
+    )
+    r1 = F.row_number().over(W.orderBy(F.col("s1").desc(), "doc_id"))
+    r2 = F.row_number().over(W.orderBy(F.col("s2").desc(), "doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        r1.cast("long").alias("r1"),
+        r2.cast("long").alias("r2"),
+    )
+    num = (120 + F.col("r1") + F.col("r2")).cast("long")
+    den = ((60 + F.col("r1")) * (60 + F.col("r2"))).cast("long")
+    return (
+        ranked.select(
+            "doc_id",
+            "r1",
+            "r2",
+            num.alias("rrf_num"),
+            den.alias("rrf_den"),
+            (num / den).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rice-coded posting-list size accounting (index compression)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "docs_rice_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t[g] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS g
+            FROM documents)
+      WHERE regexp_matches(t[g], '^[a-z]{4,}$')
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM toks GROUP BY term),
+    picked AS (
+      SELECT term, df FROM df WHERE df >= 2
+      ORDER BY df DESC, term LIMIT 50
+    ),
+    gaps AS (
+      SELECT t.term, p.df,
+             COALESCE(t.doc_id - lag(t.doc_id)
+                        OVER (PARTITION BY t.term ORDER BY t.doc_id),
+                      t.doc_id + 1) AS g
+      FROM toks t JOIN picked p USING (term)
+    ),
+    kparam AS (
+      SELECT term, df, CAST(length(bin(sum(g) // df)) - 1 AS BIGINT) AS k,
+             CAST(max(g) AS BIGINT) AS max_gap
+      FROM gaps GROUP BY term, df
+    )
+    SELECT g.term, k.df, k.k, k.max_gap,
+           CAST(sum((g.g - 1) // (1 << k.k) + 1 + k.k) AS BIGINT)
+             AS rice_bits,
+           CAST(k.df * length(bin(k.max_gap)) AS BIGINT) AS fixed_bits
+    FROM gaps g JOIN kparam k USING (term)
+    GROUP BY g.term, k.df, k.k, k.max_gap
+    """,
+)
+def docs_rice_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICE/GOLOMB POSTING-LIST compression accounting — the
+    d-gap coding math every inverted index (Lucene, web search)
+    lives on: sorted doc ids become gaps, each gap g encodes as
+    unary(q)+binary(r) with q = (g-1) >> k, and the per-term Rice
+    parameter k = floor(log2(mean gap)) — the optimal power-of-two
+    Golomb divisor for geometric gaps. floor(log2) is computed
+    WITHOUT floats as length(bin(m)) - 1 (exact at powers of two,
+    where float log2 famously rounds wrong), and every bit count is
+    an exact integer. Per term: df, chosen k, the Rice-coded size,
+    and the fixed-width-delta size it beats — the measured
+    compression win as data, same shape as docs_minhash_recall's
+    measured-quality contract.
+
+    Scale: gaps are a per-term lag window (shuffle on term, the
+    inverted index's natural key); k and the bit totals are plain
+    aggregates. Term selection bounds output at 50 rows; the same
+    pipeline unbounded is the index-build cost model."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").rlike("^[a-z]{4,}$"))
+        .distinct()
+    )
+    df = toks.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    picked = (
+        df.filter(F.col("df") >= 2)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )
+    gaps = (
+        toks.join(F.broadcast(picked), "term")
+        .select(
+            "term",
+            "df",
+            F.coalesce(
+                F.col("doc_id")
+                - F.lag("doc_id").over(
+                    W.partitionBy("term").orderBy("doc_id")
+                ),
+                F.col("doc_id") + 1,
+            ).alias("g"),
+        )
+    )
+    kparam = gaps.groupBy("term", "df").agg(
+        (F.length(F.bin(F.expr("sum(g) div df"))) - 1)
+        .cast("long")
+        .alias("k"),
+        F.max("g").cast("long").alias("max_gap"),
+    )
+    return (
+        gaps.join(kparam.drop("df"), "term")
+        .groupBy("term", "df", "k", "max_gap")
+        .agg(
+            F.sum(
+                F.expr("(g - 1) div shiftleft(1, k)") + 1 + F.col("k")
+            )
+            .cast("long")
+            .alias("rice_bits"),
+            (F.col("df") * F.length(F.bin(F.col("max_gap"))))
+            .cast("long")
+            .alias("fixed_bits"),
+        )
+        .select(
+            "term", "df", "k", "max_gap", "rice_bits", "fixed_bits"
+        )
+    )

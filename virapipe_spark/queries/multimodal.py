@@ -2321,3 +2321,273 @@ def multimodal_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
         F.count("*").cast("long").alias("n_coeffs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary morphology: 3x3 opening (erosion then dilation)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "multimodal_morph_open",
+    oracle=f"""
+    WITH s AS ({_SAT_SRC}),
+    px AS (
+      SELECT media_id,
+             CAST((g - 1) // 9 AS BIGINT) AS r,
+             CAST((g - 1) % 9 AS BIGINT) AS c,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT media_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    fg AS (SELECT media_id, r, c FROM px WHERE v >= 80),
+    offs AS (
+      SELECT dr, dc
+      FROM unnest(generate_series(-1, 1)) t1(dr),
+           unnest(generate_series(-1, 1)) t2(dc)
+    ),
+    er AS (
+      SELECT f.media_id, f.r + o.dr AS r, f.c + o.dc AS c
+      FROM fg f JOIN offs o ON TRUE
+      WHERE f.r + o.dr BETWEEN 0 AND 7 AND f.c + o.dc BETWEEN 0 AND 8
+      GROUP BY f.media_id, f.r + o.dr, f.c + o.dc
+      HAVING count(*) = 9
+    ),
+    op AS (
+      SELECT e.media_id, e.r + o.dr AS r, e.c + o.dc AS c
+      FROM er e JOIN offs o ON TRUE
+      WHERE e.r + o.dr BETWEEN 0 AND 7 AND e.c + o.dc BETWEEN 0 AND 8
+      GROUP BY e.media_id, e.r + o.dr, e.c + o.dc
+    ),
+    nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_fg
+           FROM fg GROUP BY media_id),
+    ne AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_eroded,
+                  CAST(sum(r * 9 + c) AS BIGINT) AS eroded_checksum
+           FROM er GROUP BY media_id),
+    no_ AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_opened,
+                   CAST(sum(r * 9 + c) AS BIGINT) AS opened_checksum
+            FROM op GROUP BY media_id)
+    SELECT nf.media_id, nf.n_fg,
+           COALESCE(ne.n_eroded, 0) AS n_eroded,
+           COALESCE(no_.n_opened, 0) AS n_opened,
+           COALESCE(ne.eroded_checksum, 0) AS eroded_checksum,
+           COALESCE(no_.opened_checksum, 0) AS opened_checksum
+    FROM nf
+    LEFT JOIN ne ON ne.media_id = nf.media_id
+    LEFT JOIN no_ ON no_.media_id = nf.media_id
+    """,
+)
+def multimodal_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY MORPHOLOGY — 3x3 OPENING (erosion then dilation), the
+    despeckle/denoise primitive of every binary-image pipeline (OCR
+    cleanup, mask post-processing, blob filtering): erosion keeps a
+    pixel only when its full 3x3 neighborhood is foreground, dilation
+    grows the survivors back, and the composition removes any
+    component thinner than the structuring element while preserving
+    bulk shapes. Both passes are the same relational kernel as the
+    box filter: scatter each foreground pixel to the 9 windows that
+    see it, aggregate per center — erosion is count()==9 (out-of-
+    bounds neighbors contribute nothing, so borders erode away, the
+    zero-padding convention), dilation is bare membership. Per image:
+    foreground population before/after each stage and position
+    checksums that pin every surviving pixel exactly.
+
+    Scale: two scatter-aggregate rounds, each shuffling 9 rows per
+    foreground pixel on the (image, pixel) key — embarrassingly
+    parallel across images, and within an image the standard tiled
+    decomposition (ghost borders one pixel wide) applies unchanged at
+    megapixel sizes. No Python, no codec boundary: pixels here come
+    from the deterministic hex fixture, decoupling the morphology
+    from the decode stage (the real-codec entries own that)."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+    px = d.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.lit(72))).alias("g"),
+        "p",
+    ).select(
+        "media_id",
+        F.expr("(g - 1) div 9").cast("long").alias("r"),
+        ((F.col("g") - 1) % 9).cast("long").alias("c"),
+        F.expr("ascii(substr(p, g, 1))").cast("long").alias("v"),
+    )
+    fg = px.filter(F.col("v") >= 80).select("media_id", "r", "c")
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dr"),
+        (F.expr("id div 3") - 1).cast("long").alias("dc"),
+    )
+
+    def scatter(src: DataFrame) -> DataFrame:
+        return (
+            src.crossJoin(F.broadcast(offs))
+            .select(
+                "media_id",
+                (F.col("r") + F.col("dr")).alias("r"),
+                (F.col("c") + F.col("dc")).alias("c"),
+            )
+            .filter(
+                F.col("r").between(0, 7) & F.col("c").between(0, 8)
+            )
+        )
+
+    er = (
+        scatter(fg)
+        .groupBy("media_id", "r", "c")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == 9)
+        .select("media_id", "r", "c")
+    )
+    op = scatter(er).groupBy("media_id", "r", "c").agg(
+        F.lit(1).alias("one")
+    ).select("media_id", "r", "c")
+    nf = fg.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_fg")
+    )
+    ne = er.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_eroded"),
+        F.sum(F.col("r") * 9 + F.col("c"))
+        .cast("long")
+        .alias("eroded_checksum"),
+    )
+    no = op.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_opened"),
+        F.sum(F.col("r") * 9 + F.col("c"))
+        .cast("long")
+        .alias("opened_checksum"),
+    )
+    return (
+        nf.join(ne, "media_id", "left")
+        .join(no, "media_id", "left")
+        .select(
+            "media_id",
+            "n_fg",
+            F.coalesce("n_eroded", F.lit(0)).cast("long").alias("n_eroded"),
+            F.coalesce("n_opened", F.lit(0)).cast("long").alias("n_opened"),
+            F.coalesce("eroded_checksum", F.lit(0))
+            .cast("long")
+            .alias("eroded_checksum"),
+            F.coalesce("opened_checksum", F.lit(0))
+            .cast("long")
+            .alias("opened_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image moments (exact A^2-scaled central moments + orientation class)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "multimodal_image_moments",
+    oracle=f"""
+    WITH s AS ({_SAT_SRC}),
+    px AS (
+      SELECT media_id,
+             CAST((g - 1) // 9 AS BIGINT) AS r,
+             CAST((g - 1) % 9 AS BIGINT) AS c,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT media_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    m AS (
+      SELECT media_id,
+             CAST(sum(v) AS BIGINT) AS m00,
+             CAST(sum(r * v) AS BIGINT) AS m10,
+             CAST(sum(c * v) AS BIGINT) AS m01,
+             CAST(sum(r * r * v) AS BIGINT) AS m20,
+             CAST(sum(r * c * v) AS BIGINT) AS m11,
+             CAST(sum(c * c * v) AS BIGINT) AS m02
+      FROM px GROUP BY media_id
+    )
+    SELECT media_id, m00, m10, m01,
+           CAST(m00 * m20 - m10 * m10 AS BIGINT) AS mu20s,
+           CAST(m00 * m11 - m10 * m01 AS BIGINT) AS mu11s,
+           CAST(m00 * m02 - m01 * m01 AS BIGINT) AS mu02s,
+           CAST(CASE WHEN m00 * m11 - m10 * m01 >= 0 THEN 1 ELSE -1 END
+                * CASE WHEN (m00 * m20 - m10 * m10)
+                            >= (m00 * m02 - m01 * m01)
+                       THEN 2 ELSE 1 END AS BIGINT) AS orient_class
+    FROM m
+    """,
+)
+def multimodal_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE MOMENTS — the shape-descriptor aggregate behind blob
+    analytics (centroid, spread, orientation; the raw ingredients of
+    Hu invariants): raw moments Mpq = sum r^p c^q v accumulate in one
+    pass, and the translation-invariant CENTRAL moments come out
+    EXACTLY by clearing the centroid division — mu20·M00² = M00·M20 −
+    M10² (and likewise mu11, mu02), so no float enters the pipeline at
+    all. The orientation quadrant (sign of the covariance term ×
+    which axis dominates) is emitted as an integer class — the
+    discretized version of the 0.5·atan2(2mu11, mu20−mu02) angle,
+    chosen over the angle itself because atan2 ULP behavior is
+    engine-specific while the sign tests are exact.
+
+    Scale: a single scan-stage aggregate (six sums, map-side
+    combinable) — the cheapest possible shape: no window, no join, no
+    shuffle beyond the per-image combine. Moments over megapixel
+    frames accumulate in int64 comfortably (bounded by
+    rows²·cols²·255 per term)."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+    px = d.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.lit(72))).alias("g"),
+        "p",
+    ).select(
+        "media_id",
+        F.expr("(g - 1) div 9").cast("long").alias("r"),
+        ((F.col("g") - 1) % 9).cast("long").alias("c"),
+        F.expr("ascii(substr(p, g, 1))").cast("long").alias("v"),
+    )
+    m = px.groupBy("media_id").agg(
+        F.sum("v").cast("long").alias("m00"),
+        F.sum(F.col("r") * F.col("v")).cast("long").alias("m10"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("m01"),
+        F.sum(F.col("r") * F.col("r") * F.col("v"))
+        .cast("long")
+        .alias("m20"),
+        F.sum(F.col("r") * F.col("c") * F.col("v"))
+        .cast("long")
+        .alias("m11"),
+        F.sum(F.col("c") * F.col("c") * F.col("v"))
+        .cast("long")
+        .alias("m02"),
+    )
+    mu20s = F.col("m00") * F.col("m20") - F.col("m10") * F.col("m10")
+    mu11s = F.col("m00") * F.col("m11") - F.col("m10") * F.col("m01")
+    mu02s = F.col("m00") * F.col("m02") - F.col("m01") * F.col("m01")
+    return m.select(
+        "media_id",
+        "m00",
+        "m10",
+        "m01",
+        mu20s.cast("long").alias("mu20s"),
+        mu11s.cast("long").alias("mu11s"),
+        mu02s.cast("long").alias("mu02s"),
+        (
+            F.when(mu11s >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.when(mu20s >= mu02s, F.lit(2)).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("orient_class"),
+    )

@@ -4104,3 +4104,595 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("support").cast("long").alias("support"),
         F.col("cost").cast("long").alias("cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted quantiles (quantity-weighted price percentiles)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY flag, cents
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM v
+    )
+    SELECT flag AS l_returnflag,
+           CAST(min(tot) AS BIGINT) AS tot_weight,
+           CAST(min(CASE WHEN 4 * cum >= tot THEN cents END) AS BIGINT) AS wp25,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT) AS wp50,
+           CAST(min(CASE WHEN 4 * cum >= 3 * tot THEN cents END) AS BIGINT)
+             AS wp75
+    FROM c GROUP BY flag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED QUANTILES — the unit-weighted percentile family
+    (`percentile(x)` weights every row equally; pricing, inventory and
+    sampling analyses weight by QUANTITY, so the median "unit shipped"
+    is not the median line). Per return flag: the quantity-weighted
+    p25/p50/p75 of line price in exact cents, by the textbook
+    definition — the smallest value whose cumulative weight reaches
+    p·total — with the crossing test cleared of division
+    (4·cum ≥ p4·tot over exact integer weights), so every output is an
+    exact integer and the hash check is airtight. Spark has no
+    weighted percentile built-in; this is the canonical distributed
+    construction: collapse to (group, value) partial weights (map-side
+    combinable), one ordered window for the running weight, and a
+    conditional min per crossing.
+
+    Scale: the aggregate collapses rows to distinct (group, value)
+    pairs before any ordered pass, so the window sees bounded input at
+    any row count; with a monstrous value domain the same crossing
+    test runs over the equi-depth histogram instead (the
+    lineitem_equidepth_histogram primitive) — the algebra is
+    unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    v = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    )
+    win = W.partitionBy("flag").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = v.select(
+        "flag",
+        "cents",
+        F.sum("w").over(win).cast("long").alias("cum"),
+        F.sum("w").over(W.partitionBy("flag")).cast("long").alias("tot"),
+    )
+    return c.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min("tot").cast("long").alias("tot_weight"),
+        F.min(F.when(4 * F.col("cum") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wp25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wp50"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wp75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queueing-delay reconstruction (Lindley recurrence via reflection)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "orders_queue_waiting",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderkey % 8 AS worker,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               * 86400 + o_orderkey % 86400 AS t,
+             CAST(round(o_totalprice * 100) AS BIGINT) % 540 + 60 AS s,
+             o_orderkey AS k
+      FROM orders
+    ),
+    x AS (
+      SELECT worker, t, s, k,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             COALESCE(lag(s) OVER w - (t - lag(t) OVER w), 0) AS dx
+      FROM q WINDOW w AS (PARTITION BY worker ORDER BY t, k)
+    ),
+    pre_t AS (
+      SELECT worker, i, s,
+             CAST(SUM(dx) OVER (PARTITION BY worker ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+      FROM x
+    ),
+    p AS (
+      SELECT worker, i, s, pre,
+             CAST(MIN(pre) OVER (PARTITION BY worker ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lo
+      FROM pre_t
+    )
+    SELECT worker, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(pre - lo) AS BIGINT) AS max_wait,
+           CAST(sum(pre - lo) AS BIGINT) AS total_wait,
+           CAST(sum((pre - lo) * i) AS BIGINT) AS wait_checksum,
+           CAST(sum(s) AS BIGINT) AS busy_seconds
+    FROM p GROUP BY worker
+    """,
+)
+def orders_queue_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUEUE-WAITING-TIME reconstruction — the single-server Lindley
+    recurrence W(n+1) = max(0, W(n) + S(n) − A(n+1)+A(n)) that prices
+    backlog in any work-queue (order fulfilment, ticket desks, message
+    consumers). The recurrence looks inherently sequential, but the
+    REFLECTION PRINCIPLE solves it in closed form: with X(i) = prior
+    service − interarrival gap and P its prefix sum, W(i) = P(i) −
+    min(P(1..i)) — a reflected random walk — so two ordered windows
+    (running sum, running min) replace the per-row loop and the whole
+    computation distributes per worker. Arrivals and integer-second
+    service times are synthesized deterministically from order key and
+    price cents; every intermediate is an exact integer, and the
+    index-weighted checksum pins each individual wait, not just the
+    per-worker summary.
+
+    Scale: one shuffle on the worker key, two window passes over each
+    worker's timeline; workers are independent so the partition count
+    matches the server fleet. A worker whose history exceeds one
+    partition splits by time range: P and min(P) both merge across
+    chunks with one boundary value per chunk (prefix sums are
+    associative), the standard segmented-scan refinement."""
+    o = table(spark, sf_dir, "orders")
+    q = o.select(
+        (F.col("o_orderkey") % 8).alias("worker"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+            * 86400
+            + F.col("o_orderkey") % 86400
+        ).alias("t"),
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long") % 540 + 60
+        ).alias("s"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = W.partitionBy("worker").orderBy("t", "k")
+    x = q.select(
+        "worker",
+        "s",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.coalesce(
+            F.lag("s").over(w) - (F.col("t") - F.lag("t").over(w)), F.lit(0)
+        ).alias("dx"),
+    )
+    vwin = W.partitionBy("worker").orderBy("i").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = x.select(
+        "worker",
+        "i",
+        "s",
+        F.sum("dx").over(vwin).cast("long").alias("pre"),
+    ).select(
+        "worker",
+        "i",
+        "s",
+        "pre",
+        F.min("pre").over(vwin).cast("long").alias("lo"),
+    )
+    wait = (F.col("pre") - F.col("lo"))
+    return p.groupBy("worker").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.max(wait).cast("long").alias("max_wait"),
+        F.sum(wait).cast("long").alias("total_wait"),
+        F.sum(wait * F.col("i")).cast("long").alias("wait_checksum"),
+        F.sum("s").cast("long").alias("busy_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-tree dataset digest (hierarchical integrity commitment)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "lineitem_merkle_tree",
+    oracle="""
+    WITH rows_h AS (
+      SELECT CAST('0x' || substr(md5(concat_ws('|',
+               l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT),
+               l_returnflag, l_linestatus)), 1, 15) AS BIGINT) AS h
+      FROM lineitem
+    ),
+    buckets AS (
+      SELECT h % 64 AS idx, CAST(bit_xor(h) AS BIGINT) AS xd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM rows_h GROUP BY idx
+    ),
+    l6 AS (
+      SELECT CAST(g.idx AS BIGINT) AS idx,
+             md5(COALESCE(CAST(b.xd AS VARCHAR) || ':'
+                          || CAST(b.n AS VARCHAR),
+                          'empty:' || CAST(g.idx AS VARCHAR))) AS digest
+      FROM (SELECT unnest(generate_series(0, 63)) AS idx) g
+      LEFT JOIN buckets b ON b.idx = g.idx
+    ),
+    l5 AS (SELECT idx // 2 AS idx,
+                  md5(min(CASE WHEN idx % 2 = 0 THEN digest END)
+                      || min(CASE WHEN idx % 2 = 1 THEN digest END)) AS digest
+           FROM l6 GROUP BY idx // 2),
+    l4 AS (SELECT idx // 2 AS idx,
+                  md5(min(CASE WHEN idx % 2 = 0 THEN digest END)
+                      || min(CASE WHEN idx % 2 = 1 THEN digest END)) AS digest
+           FROM l5 GROUP BY idx // 2),
+    l3 AS (SELECT idx // 2 AS idx,
+                  md5(min(CASE WHEN idx % 2 = 0 THEN digest END)
+                      || min(CASE WHEN idx % 2 = 1 THEN digest END)) AS digest
+           FROM l4 GROUP BY idx // 2),
+    l2 AS (SELECT idx // 2 AS idx,
+                  md5(min(CASE WHEN idx % 2 = 0 THEN digest END)
+                      || min(CASE WHEN idx % 2 = 1 THEN digest END)) AS digest
+           FROM l3 GROUP BY idx // 2),
+    l1 AS (SELECT idx // 2 AS idx,
+                  md5(min(CASE WHEN idx % 2 = 0 THEN digest END)
+                      || min(CASE WHEN idx % 2 = 1 THEN digest END)) AS digest
+           FROM l2 GROUP BY idx // 2),
+    l0 AS (SELECT idx // 2 AS idx,
+                  md5(min(CASE WHEN idx % 2 = 0 THEN digest END)
+                      || min(CASE WHEN idx % 2 = 1 THEN digest END)) AS digest
+           FROM l1 GROUP BY idx // 2)
+    SELECT CAST(6 AS BIGINT) AS level, idx, digest FROM l6
+    UNION ALL SELECT 5, idx, digest FROM l5
+    UNION ALL SELECT 4, idx, digest FROM l4
+    UNION ALL SELECT 3, idx, digest FROM l3
+    UNION ALL SELECT 2, idx, digest FROM l2
+    UNION ALL SELECT 1, idx, digest FROM l1
+    UNION ALL SELECT 0, idx, digest FROM l0
+    """,
+)
+def lineitem_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE TREE over the dataset — the hierarchical commitment that
+    upgrades the flat bucketed fingerprint
+    (lineitem_bucket_fingerprint) to LOGARITHMIC DIFF LOCALIZATION:
+    two replicas compare roots (level 0); on mismatch they walk down
+    only the differing subtree, touching log2(64) digests instead of
+    re-shipping all 64 buckets — the anti-entropy protocol shape
+    (Dynamo/Cassandra replica repair) and the dataset-versioning
+    audit trail. Leaves are the order-independent per-bucket XOR
+    digests rendered through md5; parents are md5(left || right); all
+    64 leaf slots exist (empty buckets commit to a pinned sentinel)
+    so the tree shape is fixed and every level is hash-checked — 127
+    rows pin the entire tree, and both engines construct it
+    independently.
+
+    Scale: the leaf pass is the fingerprint aggregate (map-side
+    combinable XOR, constant 64 groups); the six reduction rounds
+    each aggregate a constant-size table — driver-free, shuffle cost
+    O(1). Wider tables just mean a wider leaf fan-out constant."""
+    li = table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    buckets = (
+        li.select(h.alias("h"))
+        .groupBy((F.col("h") % 64).alias("idx"))
+        .agg(
+            F.expr("bit_xor(h)").cast("long").alias("xd"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    grid = spark.range(64).select(F.col("id").cast("long").alias("idx"))
+    # NB: concat_ws skips nulls, so the empty-slot sentinel uses an
+    # explicit when/otherwise rather than coalesce-over-concat_ws
+    level = grid.join(buckets, "idx", "left").select(
+        "idx",
+        F.md5(
+            F.when(
+                F.col("xd").isNotNull(),
+                F.concat(
+                    F.col("xd").cast("string"),
+                    F.lit(":"),
+                    F.col("n").cast("string"),
+                ),
+            ).otherwise(
+                F.concat(F.lit("empty:"), F.col("idx").cast("string"))
+            )
+        ).alias("digest"),
+    )
+    out = level.select(F.lit(6).cast("long").alias("level"), "idx", "digest")
+    cur = level
+    for lvl in range(5, -1, -1):
+        cur = (
+            cur.groupBy(F.expr("idx div 2").alias("idx"))
+            .agg(
+                F.md5(
+                    F.concat(
+                        F.min(
+                            F.when(F.col("idx") % 2 == 0, F.col("digest"))
+                        ),
+                        F.min(
+                            F.when(F.col("idx") % 2 == 1, F.col("digest"))
+                        ),
+                    )
+                ).alias("digest")
+            )
+        )
+        out = out.unionAll(
+            cur.select(
+                F.lit(lvl).cast("long").alias("level"), "idx", "digest"
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (Soundex synthesized in relational expressions)
+# ---------------------------------------------------------------------------
+
+#: American Soundex letter->digit table over a..z (vowels/h/w -> 0).
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def _soundex_sql(word: str) -> str:
+    """DuckDB rendering of the Soundex pipeline over ``word`` (RE2 has
+    no backreferences, so run-collapse is one pass per digit)."""
+    t = (
+        f"translate(substr({word}, 1, 1) ||"
+        f" replace(replace(substr({word}, 2), 'h', ''), 'w', ''),"
+        f" 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')"
+    )
+    for d in "0123456":
+        t = f"regexp_replace({t}, '{d}{{2,}}', '{d}', 'g')"
+    return (
+        f"upper(substr({word}, 1, 1)) ||"
+        f" substr(replace(substr({t}, 2), '0', '') || '000', 1, 3)"
+    )
+
+
+@staged_r9(
+    "parts_phonetic_blocking",
+    oracle=f"""
+    WITH w AS (
+      SELECT p_partkey, lower(split_part(p_name, ' ', 1)) AS word
+      FROM part
+    ),
+    coded AS (
+      SELECT p_partkey, word, {_soundex_sql("word")} AS sdx FROM w
+    )
+    SELECT sdx AS soundex,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs,
+           CAST(min(p_partkey) AS BIGINT) AS min_part,
+           CAST(max(p_partkey) AS BIGINT) AS max_part
+    FROM coded GROUP BY sdx
+    """,
+)
+def parts_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING for record linkage — the Soundex pass that
+    entity-resolution pipelines run before any pairwise comparison:
+    names that SOUND alike land in one block, and the expensive fuzzy
+    matcher (parts_fuzzy_pairs) runs only within blocks. The classic
+    American Soundex is synthesized entirely in relational
+    expressions — translate() maps letters to the 6 phonetic classes,
+    adjacent equal codes collapse (one regexp pass per digit: RE2 has
+    no backreferences, so the portable form avoids them), vowels drop
+    after collapsing (they separate codes but emit none), h/w are
+    transparent within the tail, and the code pads to letter+3. Both
+    engines build the code independently, so the hash check proves
+    the encoding itself, not just the block stats. Per block: member
+    and distinct-word counts, the candidate-pair count the blocker
+    admits (the n(n-1)/2 the matcher would score), and the key range.
+
+    Scale: one projection + one aggregate on the code — blocking IS
+    the scale strategy (candidate pairs drop from N²/2 to
+    sum-of-block²), and the code is a pure scan-stage expression, so
+    the blocker adds nothing beyond the shuffle it saves."""
+    p = table(spark, sf_dir, "part")
+    word = F.lower(F.element_at(F.split(F.col("p_name"), " "), 1))
+    t = F.translate(
+        F.concat(
+            F.substring(word, 1, 1),
+            F.translate(F.expr("substr(lower(element_at(split(p_name, ' '), 1)), 2)"), "hw", ""),
+        ),
+        "abcdefghijklmnopqrstuvwxyz",
+        _SOUNDEX_MAP,
+    )
+    for d in "0123456":
+        t = F.regexp_replace(t, f"{d}{{2,}}", d)
+    coded = p.select(
+        "p_partkey", word.alias("word"), t.alias("x")
+    ).select(
+        "p_partkey",
+        "word",
+        F.concat(
+            F.upper(F.substring(F.col("word"), 1, 1)),
+            F.substring(
+                F.concat(
+                    F.translate(F.expr("substr(x, 2)"), "0", ""),
+                    F.lit("000"),
+                ),
+                1,
+                3,
+            ),
+        ).alias("sdx"),
+    )
+    n = F.count("*")
+    return coded.groupBy(F.col("sdx").alias("soundex")).agg(
+        n.cast("long").alias("n_parts"),
+        F.countDistinct("word").cast("long").alias("n_words"),
+        F.expr("count(*) * (count(*) - 1) div 2")
+        .cast("long")
+        .alias("n_pairs"),
+        F.min("p_partkey").cast("long").alias("min_part"),
+        F.max("p_partkey").cast("long").alias("max_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartiteness audit (BFS 2-coloring + odd-cycle witness count)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "graph_bipartite_check",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 600 AND b.l_partkey < 600
+    ),
+    e AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    reach AS (
+      SELECT src AS node, src AS m FROM sym
+      UNION
+      SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, CAST(min(m) AS BIGINT) AS comp
+             FROM reach GROUP BY node),
+    roots AS (SELECT node FROM comp WHERE node = comp),
+    walk AS (
+      SELECT node, CAST(0 AS BIGINT) AS d FROM roots
+      UNION
+      SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.node
+      WHERE w.d < 24
+    ),
+    dist AS (SELECT node, CAST(min(d) AS BIGINT) AS d
+             FROM walk GROUP BY node),
+    marked AS (
+      SELECT c.comp, e.a, e.b,
+             CASE WHEN da.d = db.d THEN 1 ELSE 0 END AS conflict
+      FROM e
+      JOIN comp c ON c.node = e.a
+      JOIN dist da ON da.node = e.a
+      JOIN dist db ON db.node = e.b
+    ),
+    nstat AS (
+      SELECT c.comp, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(max(d.d) AS BIGINT) AS max_dist
+      FROM comp c JOIN dist d ON d.node = c.node GROUP BY c.comp
+    )
+    SELECT n.comp, n.n_nodes, n.max_dist,
+           CAST(count(m.a) AS BIGINT) AS n_edges,
+           CAST(sum(m.conflict) AS BIGINT) AS n_conflicts,
+           CAST(CASE WHEN sum(m.conflict) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_bipartite
+    FROM nstat n JOIN marked m ON m.comp = n.comp
+    GROUP BY n.comp, n.n_nodes, n.max_dist
+    """,
+)
+def graph_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITENESS audit by distributed BFS 2-COLORING — the
+    structural pre-check for every bipartite-only algorithm in the
+    catalog (HITS, bipartite matching, two-mode projections): color
+    each node by the PARITY of its shortest hop distance from its
+    component's root, and count the ODD-CYCLE WITNESSES — edges whose
+    endpoints share a BFS layer (for an edge the layer gap is at most
+    1, so equal parity means equal layer, and each such edge closes
+    an odd cycle). Parity of the SHORTEST distance is traversal-order
+    independent, which is what makes the conflict count deterministic
+    and hash-checkable — no arbitrary 2-coloring tiebreaks. Per
+    component: size, eccentricity bound, edge count, conflict count,
+    and the verdict. Roots are the component minima from
+    pointer-doubling connected components; the fixture clips to
+    part keys < 600 so the oracle's quadratic reachability closure
+    stays bounded at every scale (the Boruvka discipline) — the
+    Spark side (doubling CC + frontier BFS, graph.py) is the
+    cluster-scale path.
+
+    Scale: CC converges in O(log diameter) doubling rounds; BFS
+    expands only frontiers (the fringe shuffle, not whole-graph);
+    the conflict count is two vertex-keyed hash joins against the
+    distance table. All joins are equi-joins on node ids."""
+    from virapipe_spark.graph import bfs_hops, connected_components_doubling
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 600)
+    )
+    e = (
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    e = truncate_lineage(e, reliable=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comp = connected_components_doubling(
+        e, nodes, node_col="node", label_col="comp"
+    ).select("node", F.col("comp").cast("long").alias("comp"))
+    roots = comp.filter(F.col("node") == F.col("comp")).select("node")
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    dist = bfs_hops(sym, roots, max_hops=24).select(
+        "node", F.col("dist").cast("long").alias("d")
+    )
+    marked = (
+        e.join(comp.withColumnRenamed("node", "a"), "a")
+        .join(
+            dist.select(F.col("node").alias("a"), F.col("d").alias("da")),
+            "a",
+        )
+        .join(
+            dist.select(F.col("node").alias("b"), F.col("d").alias("db")),
+            "b",
+        )
+        .select(
+            "comp",
+            "a",
+            "b",
+            F.when(F.col("da") == F.col("db"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("conflict"),
+        )
+    )
+    nstat = (
+        comp.join(dist, "node")
+        .groupBy("comp")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max("d").cast("long").alias("max_dist"),
+        )
+    )
+    return (
+        nstat.join(marked, "comp")
+        .groupBy("comp", "n_nodes", "max_dist")
+        .agg(
+            F.count("a").cast("long").alias("n_edges"),
+            F.sum("conflict").cast("long").alias("n_conflicts"),
+            F.when(F.sum("conflict") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_bipartite"),
+        )
+    )

@@ -4997,3 +4997,324 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tau_a_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization + motif mining (time-series pattern discovery)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, day
+    ),
+    weekly AS (
+      SELECT user_id, day // 7 AS week,
+             CAST(sum(cents) AS BIGINT) AS seg
+      FROM daily GROUP BY user_id, day // 7
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(sum(seg) AS BIGINT) AS tot,
+             CAST(max(week) - min(week) + 1 AS BIGINT) AS span,
+             CAST(count(*) AS BIGINT) AS n_weeks
+      FROM weekly GROUP BY user_id HAVING count(*) >= 4
+    ),
+    sym AS (
+      SELECT w.user_id, w.week,
+             CASE WHEN 2 * w.seg * u.span < u.tot THEN 'a'
+                  WHEN 2 * w.seg * u.span < 2 * u.tot THEN 'b'
+                  WHEN 2 * w.seg * u.span < 3 * u.tot THEN 'c'
+                  ELSE 'd' END AS s
+      FROM weekly w JOIN u USING (user_id)
+    ),
+    words AS (
+      SELECT user_id, week, s,
+             lead(s, 1) OVER w AS s1, lead(s, 2) OVER w AS s2,
+             lead(week, 1) OVER w AS w1, lead(week, 2) OVER w AS w2
+      FROM sym WINDOW w AS (PARTITION BY user_id ORDER BY week)
+    )
+    SELECT s || s1 || s2 AS motif,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM words
+    WHERE w1 = week + 1 AND w2 = week + 2
+    GROUP BY motif
+    """,
+)
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX SYMBOLIZATION + MOTIF MINING — the time-series pattern-
+    discovery pipeline (Lin/Keogh SAX): reduce each user's weekly
+    spend series by PAA (piecewise aggregate segments = calendar
+    weeks), quantize each segment against that user's own mean level,
+    and mine recurring 3-symbol WORDS (motifs) across the population —
+    "who shows the low-low-spike shape, and how often". The float
+    quantization is cleared to integers: segment mean vs c·(user
+    mean)/2 thresholds becomes 2·seg·span < c·total with every
+    operand an exact integer (cents, week counts), so symbols — and
+    therefore motif counts — are exactly reproducible. Words form
+    only over three CONSECUTIVE calendar weeks (adjacency checked with
+    lead(), not assumed), so activity gaps never fabricate patterns.
+
+    Scale: two aggregates collapse raw events to user-weeks (map-side
+    combinable), one per-user ordered window forms words, one 64-key
+    aggregate counts motifs. The alphabet bounds the output at
+    4³ = 64 rows regardless of scale — sketch-sized, like the
+    retention and funnel tables."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(_DAY_US)).cast("long").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    weekly = daily.groupBy(
+        "user_id", F.expr("day div 7").alias("week")
+    ).agg(F.sum("cents").cast("long").alias("seg"))
+    u = (
+        weekly.groupBy("user_id")
+        .agg(
+            F.sum("seg").cast("long").alias("tot"),
+            (F.max("week") - F.min("week") + 1).cast("long").alias("span"),
+            F.count("*").cast("long").alias("n_weeks"),
+        )
+        .filter(F.col("n_weeks") >= 4)
+    )
+    lvl = 2 * F.col("seg") * F.col("span")
+    sym = weekly.join(u, "user_id").select(
+        "user_id",
+        "week",
+        F.when(lvl < F.col("tot"), "a")
+        .when(lvl < 2 * F.col("tot"), "b")
+        .when(lvl < 3 * F.col("tot"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    w = W.partitionBy("user_id").orderBy("week")
+    words = sym.select(
+        "user_id",
+        "week",
+        "s",
+        F.lead("s", 1).over(w).alias("s1"),
+        F.lead("s", 2).over(w).alias("s2"),
+        F.lead("week", 1).over(w).alias("w1"),
+        F.lead("week", 2).over(w).alias("w2"),
+    ).filter(
+        (F.col("w1") == F.col("week") + 1)
+        & (F.col("w2") == F.col("week") + 2)
+    )
+    return words.groupBy(
+        F.concat("s", "s1", "s2").alias("motif")
+    ).agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout vs Z-order: measured scan locality
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_hilbert_layout",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id % 16 AS x0,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) % 16 AS y0,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY x0, y0
+    ),
+    h1 AS (
+      SELECT x0, y0, n,
+             CASE WHEN (y0 // 8) = 1 THEN (x0 - (x0 // 8) * 8)
+                  WHEN (x0 // 8) = 1 THEN 8 - 1 - (y0 - (y0 // 8) * 8)
+                  ELSE (y0 - (y0 // 8) * 8) END AS x1,
+             CASE WHEN (y0 // 8) = 1 THEN (y0 - (y0 // 8) * 8)
+                  WHEN (x0 // 8) = 1 THEN 8 - 1 - (x0 - (x0 // 8) * 8)
+                  ELSE (x0 - (x0 // 8) * 8) END AS y1,
+             0 + 64 * (CASE
+                 WHEN (x0 // 8) = 0 AND (y0 // 8) = 0 THEN 0
+                 WHEN (x0 // 8) = 0 AND (y0 // 8) = 1 THEN 1
+                 WHEN (x0 // 8) = 1 AND (y0 // 8) = 1 THEN 2
+                 ELSE 3 END) AS d1
+      FROM cells
+    ),
+    h2 AS (
+      SELECT x0, y0, n,
+             CASE WHEN (y1 // 4) = 1 THEN (x1 - (x1 // 4) * 4)
+                  WHEN (x1 // 4) = 1 THEN 4 - 1 - (y1 - (y1 // 4) * 4)
+                  ELSE (y1 - (y1 // 4) * 4) END AS x2,
+             CASE WHEN (y1 // 4) = 1 THEN (y1 - (y1 // 4) * 4)
+                  WHEN (x1 // 4) = 1 THEN 4 - 1 - (x1 - (x1 // 4) * 4)
+                  ELSE (x1 - (x1 // 4) * 4) END AS y2,
+             d1 + 16 * (CASE
+                 WHEN (x1 // 4) = 0 AND (y1 // 4) = 0 THEN 0
+                 WHEN (x1 // 4) = 0 AND (y1 // 4) = 1 THEN 1
+                 WHEN (x1 // 4) = 1 AND (y1 // 4) = 1 THEN 2
+                 ELSE 3 END) AS d2
+      FROM h1
+    ),
+    h3 AS (
+      SELECT x0, y0, n,
+             CASE WHEN (y2 // 2) = 1 THEN (x2 - (x2 // 2) * 2)
+                  WHEN (x2 // 2) = 1 THEN 2 - 1 - (y2 - (y2 // 2) * 2)
+                  ELSE (y2 - (y2 // 2) * 2) END AS x3,
+             CASE WHEN (y2 // 2) = 1 THEN (y2 - (y2 // 2) * 2)
+                  WHEN (x2 // 2) = 1 THEN 2 - 1 - (x2 - (x2 // 2) * 2)
+                  ELSE (x2 - (x2 // 2) * 2) END AS y3,
+             d2 + 4 * (CASE
+                 WHEN (x2 // 2) = 0 AND (y2 // 2) = 0 THEN 0
+                 WHEN (x2 // 2) = 0 AND (y2 // 2) = 1 THEN 1
+                 WHEN (x2 // 2) = 1 AND (y2 // 2) = 1 THEN 2
+                 ELSE 3 END) AS d3
+      FROM h2
+    ),
+    h4 AS (
+      SELECT x0, y0, n,
+             d3 + (CASE WHEN x3 = 0 AND y3 = 0 THEN 0
+                        WHEN x3 = 0 AND y3 = 1 THEN 1
+                        WHEN x3 = 1 AND y3 = 1 THEN 2
+                        ELSE 3 END) AS d
+      FROM h3
+    ),
+    zo AS (
+      SELECT x0, y0, n,
+             (x0 % 2) * 2 + (y0 % 2)
+             + ((x0 // 2) % 2) * 8 + ((y0 // 2) % 2) * 4
+             + ((x0 // 4) % 2) * 32 + ((y0 // 4) % 2) * 16
+             + ((x0 // 8) % 2) * 128 + ((y0 // 8) % 2) * 64 AS d
+      FROM cells
+    ),
+    curves AS (
+      SELECT 'hilbert' AS curve, x0, y0, CAST(d AS BIGINT) AS idx, n FROM h4
+      UNION ALL
+      SELECT 'zorder', x0, y0, CAST(d AS BIGINT), n FROM zo
+    ),
+    steps AS (
+      SELECT curve,
+             abs(x0 - lag(x0) OVER w) + abs(y0 - lag(y0) OVER w) AS sd
+      FROM curves WINDOW w AS (PARTITION BY curve ORDER BY idx)
+    )
+    SELECT curve, CAST(sd AS BIGINT) AS step_dist,
+           CAST(count(*) AS BIGINT) AS n_steps
+    FROM steps WHERE sd IS NOT NULL GROUP BY curve, sd
+    """,
+)
+def events_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE data layout vs Z-ORDER — the space-filling-curve
+    clustering decision behind multi-dimensional table layout
+    (Delta/Iceberg OPTIMIZE ZORDER vs Databricks liquid's Hilbert
+    preference), MEASURED rather than asserted: map the occupied
+    (user-bucket, day-bucket) grid cells through both curves and
+    histogram the grid Manhattan distance between curve-consecutive
+    occupied cells. A perfect Hilbert walk moves distance 1 per step
+    (every adjacent index pair is grid-adjacent — the property that
+    turns an index-range scan into a spatially tight block read);
+    Z-order pays distance-2+ jumps at every power-of-two seam. The
+    Hilbert transform is the classic 4-round bit-staircase
+    (quadrant digit + sub-square rotation, xy2d), fully unrolled into
+    integer CASE algebra — no recursion, no floats; Z-order is plain
+    bit interleaving. The existing events_zorder_layout entry owns
+    the write-path clustering; this one owns the curve-choice
+    evidence.
+
+    Scale: one 256-key aggregate over the event scan, constant-size
+    curve algebra per cell, one ordered window over <=256 rows per
+    curve. At real grid resolutions (2^20 cells) the same unrolled
+    staircase is 10 rounds of the identical CASE block — still pure
+    scan-stage expression work."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 16).alias("x0"),
+        (
+            F.floor(F.unix_micros("ts") / F.lit(_DAY_US)).cast("long") % 16
+        ).alias("y0"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+    def hilbert_step(df: DataFrame, s: int, xi: str, yi: str, di, tag: str):
+        # inputs live in [0, 2s); reduce into the subsquare FIRST so the
+        # rotation algebra never leaves [0, s) — the negative-coordinate
+        # variant of the classic loop has engine-specific div/mod
+        # semantics and is deliberately avoided
+        rx = F.expr(f"{xi} div {s}")
+        ry = F.expr(f"{yi} div {s}")
+        xr = F.col(xi) - rx * s
+        yr = F.col(yi) - ry * s
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when((rx == 0) & (ry == 1), 1)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(3)
+        )
+        nx = F.when(ry == 1, xr).when(rx == 1, s - 1 - yr).otherwise(yr)
+        ny = F.when(ry == 1, yr).when(rx == 1, s - 1 - xr).otherwise(xr)
+        return df.select(
+            "x0",
+            "y0",
+            "n",
+            nx.alias("x" + tag),
+            ny.alias("y" + tag),
+            (di + s * s * quad).alias("d" + tag),
+        )
+
+    h = cells
+    h = hilbert_step(h, 8, "x0", "y0", F.lit(0), "1")
+    h = hilbert_step(h, 4, "x1", "y1", F.col("d1"), "2")
+    h = hilbert_step(h, 2, "x2", "y2", F.col("d2"), "3")
+    h = h.select(
+        "x0",
+        "y0",
+        "n",
+        (
+            F.col("d3")
+            + F.when((F.col("x3") == 0) & (F.col("y3") == 0), 0)
+            .when((F.col("x3") == 0) & (F.col("y3") == 1), 1)
+            .when((F.col("x3") == 1) & (F.col("y3") == 1), 2)
+            .otherwise(3)
+        ).alias("d4"),
+    )
+    hil = h.select(
+        F.lit("hilbert").alias("curve"),
+        "x0",
+        "y0",
+        F.col("d4").cast("long").alias("idx"),
+        "n",
+    )
+    x, y = F.col("x0"), F.col("y0")
+    z = (
+        (x % 2) * 2
+        + (y % 2)
+        + ((x / 2).cast("long") % 2) * 8
+        + ((y / 2).cast("long") % 2) * 4
+        + ((x / 4).cast("long") % 2) * 32
+        + ((y / 4).cast("long") % 2) * 16
+        + ((x / 8).cast("long") % 2) * 128
+        + ((y / 8).cast("long") % 2) * 64
+    )
+    zo = cells.select(
+        F.lit("zorder").alias("curve"),
+        "x0",
+        "y0",
+        z.cast("long").alias("idx"),
+        "n",
+    )
+    curves = hil.unionAll(zo)
+    w = W.partitionBy("curve").orderBy("idx")
+    steps = curves.select(
+        "curve",
+        (
+            F.abs(F.col("x0") - F.lag("x0").over(w))
+            + F.abs(F.col("y0") - F.lag("y0").over(w))
+        ).alias("sd"),
+    ).filter(F.col("sd").isNotNull())
+    return steps.groupBy(
+        "curve", F.col("sd").cast("long").alias("step_dist")
+    ).agg(F.count("*").cast("long").alias("n_steps"))
