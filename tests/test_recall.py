@@ -886,3 +886,324 @@ class TestBoruvkaMSF:
         nodes = {v for e in edges for v in e[:2]}
         roots = {find(v) for v in nodes}
         assert len(got) == len(nodes) - len(roots)
+
+
+class TestSoundexClassicVectors:
+    """The Soundex rendering must reproduce the canonical NARA coding
+    examples — pinning the ALGORITHM itself (the oracle gate only
+    proves the two engines agree with each other)."""
+
+    VECTORS = {
+        "robert": "R163",
+        "rupert": "R163",
+        "ashcraft": "A261",
+        "ashcroft": "A261",
+        "tymczak": "T522",
+        "pfister": "P236",
+        "jackson": "J250",
+        "washington": "W252",
+        "lee": "L000",
+        "gutierrez": "G362",
+    }
+
+    def test_duckdb_rendering_matches_nara(self):
+        import duckdb
+
+        from virapipe_spark.queries.relational import _soundex_sql
+
+        con = duckdb.connect()
+        vals = ", ".join(f"('{w}')" for w in self.VECTORS)
+        rows = con.execute(
+            f"SELECT word, {_soundex_sql('word')} FROM (VALUES {vals})"
+            " t(word)"
+        ).fetchall()
+        got = dict(rows)
+        assert got == self.VECTORS
+
+
+class TestQueueWaitingIndependent:
+    """Third construction for orders_queue_waiting: the literal
+    SEQUENTIAL Lindley recurrence W(i) = max(0, W(i-1) + S(i-1) -
+    (A(i) - A(i-1))) in pure python — proves the reflection-principle
+    closed form the distributed version uses is the same function."""
+
+    def test_matches_sequential_lindley(self, spark):
+        import duckdb
+
+        from virapipe_spark.queries.relational import orders_queue_waiting
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.worker: (r.n_orders, r.max_wait, r.total_wait, r.wait_checksum)
+            for r in orders_queue_waiting(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT o_orderkey % 8,
+                   CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                        AS BIGINT) * 86400 + o_orderkey % 86400,
+                   CAST(round(o_totalprice * 100) AS BIGINT) % 540 + 60,
+                   o_orderkey
+            FROM '{sf}/orders.parquet'
+            """
+        ).fetchall()
+        per: dict[int, list] = {}
+        for w, t, s, k in rows:
+            per.setdefault(w, []).append((t, k, s))
+        want = {}
+        for w, lst in per.items():
+            lst.sort()
+            wait = 0
+            prev_t = prev_s = None
+            mx = tot = chk = 0
+            for i, (t, _k, s) in enumerate(lst, start=1):
+                if prev_t is not None:
+                    wait = max(0, wait + prev_s - (t - prev_t))
+                mx = max(mx, wait)
+                tot += wait
+                chk += wait * i
+                prev_t, prev_s = t, s
+            want[w] = (len(lst), mx, tot, chk)
+        assert got == want
+
+
+class TestIntervalSchedulingIndependent:
+    """Third construction: the textbook sequential earliest-end-first
+    greedy loop per user, vs the as-of + pointer-doubling entry."""
+
+    def test_matches_sequential_greedy(self, spark):
+        import duckdb
+
+        from virapipe_spark.queries.streaming import (
+            events_interval_scheduling,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.user_id: (r.n_intervals, r.greedy_count)
+            for r in events_interval_scheduling(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT user_id, event_id,
+                   epoch_us(ts) // 1000000,
+                   epoch_us(ts) // 1000000 + (event_id % 7 + 1) * 60
+            FROM '{sf}/events.parquet'
+            """
+        ).fetchall()
+        per: dict[int, list] = {}
+        for u, _i, s, e in rows:
+            per.setdefault(u, []).append((e, s))
+        want = {}
+        for u, lst in per.items():
+            lst.sort()
+            cnt = 0
+            cur_end = None
+            for e, s in lst:
+                if cur_end is None or s >= cur_end:
+                    cnt += 1
+                    cur_end = e
+            want[u] = (len(lst), cnt)
+        assert got == want
+
+
+class TestDtwIndependent:
+    """Third construction: the row-by-row O(N^2) DP loop in pure
+    python (hashlib envelopes), vs the wavefront entry."""
+
+    def test_matches_sequential_dp(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.multimodal import (
+            _DTW_N,
+            multimodal_dtw_distance,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.pair_id: r.dtw
+            for r in multimodal_dtw_distance(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+                " WHERE doc_id < 401"
+            ).fetchall()
+        )
+
+        def env(txt: str) -> list[int]:
+            h = hashlib.md5(txt.encode()).hexdigest()
+            return [ord(ch) for ch in h[:_DTW_N]]
+
+        want = {}
+        for a in sorted(docs):
+            if a % 2 or a >= 400 or a + 1 not in docs:
+                continue
+            ea, eb = env(docs[a]), env(docs[a + 1])
+            n = len(ea)
+            INF = 1 << 60
+            dp = [[INF] * n for _ in range(n)]
+            for i in range(n):
+                for j in range(n):
+                    c = abs(ea[i] - eb[j])
+                    if i == 0 and j == 0:
+                        dp[i][j] = c
+                        continue
+                    best = INF
+                    if i > 0:
+                        best = min(best, dp[i - 1][j])
+                    if j > 0:
+                        best = min(best, dp[i][j - 1])
+                    if i > 0 and j > 0:
+                        best = min(best, dp[i - 1][j - 1])
+                    dp[i][j] = c + best
+            want[a] = dp[n - 1][n - 1]
+        assert got == want
+
+
+class TestRegionLabelIndependent:
+    """Third construction: stack-based flood fill in pure python over
+    hashlib-recomputed fixtures, vs the pointer-doubling CC entry."""
+
+    def test_matches_flood_fill(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.multimodal import multimodal_region_label
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.media_id, r.label): (
+                r.area,
+                r.min_r,
+                r.max_r,
+                r.min_c,
+                r.max_c,
+                r.pid_checksum,
+            )
+            for r in multimodal_region_label(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        want = {}
+        for did, txt in docs:
+            h = (
+                hashlib.md5(txt.encode()).hexdigest()
+                + hashlib.md5((txt + "x").encode()).hexdigest()
+                + hashlib.md5((txt + "y").encode()).hexdigest()
+            )[:72]
+            fgset = {
+                (g // 9, g % 9)
+                for g in range(72)
+                if ord(h[g]) >= 97
+            }
+            seen = set()
+            for start in sorted(fgset):
+                if start in seen:
+                    continue
+                comp = []
+                stack = [start]
+                seen.add(start)
+                while stack:
+                    r, c = stack.pop()
+                    comp.append((r, c))
+                    for nr, nc in (
+                        (r - 1, c),
+                        (r + 1, c),
+                        (r, c - 1),
+                        (r, c + 1),
+                    ):
+                        if (nr, nc) in fgset and (nr, nc) not in seen:
+                            seen.add((nr, nc))
+                            stack.append((nr, nc))
+                pids = [r * 9 + c for r, c in comp]
+                want[(did, min(pids))] = (
+                    len(comp),
+                    min(r for r, _ in comp),
+                    max(r for r, _ in comp),
+                    min(c for _, c in comp),
+                    max(c for _, c in comp),
+                    sum(pids),
+                )
+        assert got == want
+
+
+class TestHilbertIndependent:
+    """Third construction: the validated pure-python xy2d staircase
+    recomputes the occupied-cell step histogram; plus the curve
+    invariants (bijectivity; Hilbert full-grid steps are all
+    distance 1)."""
+
+    @staticmethod
+    def _xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx, ry = x // s, y // s
+            d += s * s * ((3 * rx) ^ ry)
+            x -= rx * s
+            y -= ry * s
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def test_curve_invariants(self):
+        pos = {}
+        for x in range(16):
+            for y in range(16):
+                pos[self._xy2d(16, x, y)] = (x, y)
+        assert len(pos) == 256
+        assert all(
+            abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1])
+            == 1
+            for d in range(255)
+        )
+
+    def test_matches_python_histogram(self, spark):
+        import duckdb
+        from collections import Counter
+
+        from virapipe_spark.queries.streaming import events_hilbert_layout
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.curve, r.step_dist): r.n_steps
+            for r in events_hilbert_layout(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        cells = con.execute(
+            f"""
+            SELECT DISTINCT user_id % 16,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) % 16
+            FROM '{sf}/events.parquet'
+            """
+        ).fetchall()
+
+        def zorder(x, y):
+            z = 0
+            for i in range(4):
+                z += ((x >> i) & 1) * 2 * 4**i + ((y >> i) & 1) * 4**i
+            return z
+
+        want: dict = {}
+        for name, fn in (
+            ("hilbert", lambda x, y: self._xy2d(16, x, y)),
+            ("zorder", zorder),
+        ):
+            ordered = sorted(cells, key=lambda c: fn(*c))
+            hist = Counter(
+                abs(a[0] - b[0]) + abs(a[1] - b[1])
+                for a, b in zip(ordered, ordered[1:])
+            )
+            for sd, n in hist.items():
+                want[(name, sd)] = n
+        assert got == want

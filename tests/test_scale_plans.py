@@ -201,6 +201,18 @@ class TestPlanProperties:
             # 10-row query broadcast — the embed_knn_bruteforce
             # precedent — sits behind the union's lineage truncation,
             # so the visible plan starts at the checkpoint scan)
+            # r7 (staged r9): two ONE-ROW corpus-size broadcasts (the
+            # scalar-subquery pattern) feeding query-term selection and
+            # the rarity-weighted score
+            "docs_rank_fusion_rrf",
+            # r7 (staged r9): the CONSTANT 9-row structuring-element
+            # offsets broadcast, scattered against foreground pixels in
+            # both morphology passes (the boxsum corner-offset
+            # precedent)
+            "multimodal_morph_open",
+            # r7 (staged r9): ONE-ROW broadcasts — the pre/post period
+            # midpoint and the theta moment frame (CUPED scalars)
+            "events_cuped_adjustment",
         }
         from virapipe_spark.queries.staged import pending_staged
 

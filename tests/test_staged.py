@@ -303,6 +303,11 @@ def test_r9_staging_state_matches_round():
         "multimodal_morph_open",
         "multimodal_image_moments",
         "events_hilbert_layout",
+        "events_cuped_adjustment",
+        "lineitem_simpson_reversal",
+        "events_interval_scheduling",
+        "multimodal_region_label",
+        "multimodal_dtw_distance",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     armed = glob.glob(os.path.join(root, "CORRECTNESS_r0[8-9].json")) or glob.glob(

@@ -7454,3 +7454,103 @@ def docs_rice_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term", "df", "k", "max_gap", "rice_bits", "fixed_bits"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (pooled-vs-stratified trend reversal)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "lineitem_simpson_reversal",
+    oracle="""
+    WITH x AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS d,
+             CAST(l.l_quantity AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(d * q) AS BIGINT) AS sdq
+      FROM x GROUP BY brand
+    ),
+    t AS (
+      SELECT brand, n,
+             CAST(n * sdq - sd * sq AS BIGINT) AS slope_num,
+             CAST(sum(n) OVER () * sum(sdq) OVER ()
+                  - sum(sd) OVER () * sum(sq) OVER () AS BIGINT)
+               AS pooled_num
+      FROM g
+    )
+    SELECT brand, n, slope_num, pooled_num,
+           CAST(CASE WHEN (slope_num > 0) = (pooled_num > 0)
+                       OR slope_num = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS agrees_with_pooled
+    FROM t
+    """,
+)
+def lineitem_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX audit — the confounding check any metrics
+    platform should run before trusting a pooled trend: does the
+    discount→quantity relationship hold WITHIN each part brand, or is
+    the pooled slope an artifact of brand mix? The trend test is the
+    OLS slope SIGN with the division and variance denominator
+    algebraically cleared — sign(nΣdq − ΣdΣq) over exact integer
+    discount points and quantities (the events_user_trend moment
+    identity, repurposed as a stratified-vs-pooled comparison) — so
+    every comparison is exact and the reversal flags are
+    deterministic. Output: per-brand slope numerator, the pooled
+    numerator (identical on every row — the audit's reference
+    column), and the agreement flag; a 0 row is a stratum whose trend
+    contradicts the headline number.
+
+    Scale: one fact-dim equi-join (part side broadcastable), one
+    25-group aggregate; the pooled moments are window totals OVER the
+    25-row aggregate — summing per-stratum moment sums IS the pooled
+    moment sum, so no second pass over the fact table and no scalar
+    crossJoin at all."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    g = x.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("d") * F.col("q")).cast("long").alias("sdq"),
+    )
+    w = W.partitionBy()
+    t = g.select(
+        "brand",
+        "n",
+        (F.col("n") * F.col("sdq") - F.col("sd") * F.col("sq"))
+        .cast("long")
+        .alias("slope_num"),
+        (
+            F.sum("n").over(w) * F.sum("sdq").over(w)
+            - F.sum("sd").over(w) * F.sum("sq").over(w)
+        )
+        .cast("long")
+        .alias("pooled_num"),
+    )
+    return t.select(
+        "brand",
+        "n",
+        "slope_num",
+        "pooled_num",
+        F.when(
+            ((F.col("slope_num") > 0) == (F.col("pooled_num") > 0))
+            | (F.col("slope_num") == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("agrees_with_pooled"),
+    )

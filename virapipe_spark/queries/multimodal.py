@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
+from virapipe_spark.scale import truncate_lineage
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2590,4 +2591,312 @@ def multimodal_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("orient_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component region labeling + region statistics
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "multimodal_region_label",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_SAT_SRC}),
+    px AS (
+      SELECT media_id,
+             CAST((g - 1) // 9 AS BIGINT) AS r,
+             CAST((g - 1) % 9 AS BIGINT) AS c,
+             CAST(ascii(substr(p, g, 1)) AS BIGINT) AS v
+      FROM (SELECT media_id, p, unnest(generate_series(1, 72)) AS g FROM s)
+    ),
+    fg AS (
+      SELECT media_id, r, c, r * 9 + c AS pid FROM px WHERE v >= 97
+    ),
+    ed AS (
+      SELECT a.media_id, a.pid AS p, b.pid AS q
+      FROM fg a JOIN fg b ON b.media_id = a.media_id
+       AND ((b.r = a.r AND b.c = a.c + 1) OR (b.r = a.r + 1 AND b.c = a.c))
+    ),
+    sym AS (
+      SELECT media_id, p, q FROM ed
+      UNION ALL SELECT media_id, q, p FROM ed
+    ),
+    reach AS (
+      SELECT media_id, pid, pid AS m FROM fg
+      UNION
+      SELECT e.media_id, e.q, r.m
+      FROM reach r JOIN sym e ON e.media_id = r.media_id AND e.p = r.pid
+    ),
+    lab AS (
+      SELECT media_id, pid, CAST(min(m) AS BIGINT) AS label
+      FROM reach GROUP BY media_id, pid
+    )
+    SELECT l.media_id, l.label,
+           CAST(count(*) AS BIGINT) AS area,
+           CAST(min(f.r) AS BIGINT) AS min_r,
+           CAST(max(f.r) AS BIGINT) AS max_r,
+           CAST(min(f.c) AS BIGINT) AS min_c,
+           CAST(max(f.c) AS BIGINT) AS max_c,
+           CAST(sum(f.pid) AS BIGINT) AS pid_checksum
+    FROM lab l JOIN fg f ON f.media_id = l.media_id AND f.pid = l.pid
+    GROUP BY l.media_id, l.label
+    """,
+)
+def multimodal_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED-COMPONENT region LABELING — the blob-extraction step
+    between thresholding (multimodal_otsu_threshold) and per-region
+    measurement (multimodal_image_moments): 4-connected foreground
+    pixels form regions, each labeled by its minimum pixel index, with
+    area, bounding box and an exact membership checksum per region —
+    the cv2.connectedComponentsWithStats contract. The Spark side
+    treats EVERY image's pixels as one global graph (node id =
+    media·72 + pid) and runs the pointer-doubling connected-components
+    engine across all images in a single pass — labeling a million
+    frames is the same O(log diameter) round count as labeling one,
+    because the doubling bound depends on the largest region's
+    diameter (<= pixel count), not on how many disjoint images ride
+    along. The ORACLE recurses reachability per image and labels by
+    min — an independent flood-fill construction. Foreground = hex
+    letter digits (v >= 97, density 6/16), safely below the square-
+    lattice site-percolation threshold, so regions stay small and the
+    oracle's closure stays bounded.
+
+    Scale: the grid-neighbor edge build is an equi-join on (image,
+    row-offset) pairs; the CC rounds shuffle on node/label keys only.
+    Megapixel frames: same pipeline, with the label table sharded by
+    the node key — the engine is shared with docs dedup clustering
+    (graph.connected_components_doubling), one implementation serving
+    both modalities."""
+    from virapipe_spark.graph import connected_components_doubling
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+            1,
+            72,
+        ).alias("p"),
+    )
+    px = d.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.lit(72))).alias("g"),
+        "p",
+    ).select(
+        "media_id",
+        F.expr("(g - 1) div 9").cast("long").alias("r"),
+        ((F.col("g") - 1) % 9).cast("long").alias("c"),
+        F.expr("ascii(substr(p, g, 1))").cast("long").alias("v"),
+    )
+    fg = px.filter(F.col("v") >= 97).select(
+        "media_id",
+        "r",
+        "c",
+        (F.col("r") * 9 + F.col("c")).alias("pid"),
+        (F.col("media_id") * 72 + F.col("r") * 9 + F.col("c")).alias("nid"),
+    )
+    fg = truncate_lineage(fg, reliable=True)
+    # two pure equi-joins (right neighbor, down neighbor) — the OR-form
+    # would reduce the join key to media_id alone and go per-image
+    # quadratic at real resolutions
+    tgt = fg.select(
+        F.col("media_id").alias("tm"),
+        F.col("r").alias("tr"),
+        F.col("c").alias("tc"),
+        F.col("nid").alias("b"),
+    )
+    right = fg.join(
+        tgt,
+        (F.col("tm") == F.col("media_id"))
+        & (F.col("tr") == F.col("r"))
+        & (F.col("tc") == F.col("c") + 1),
+    ).select(F.col("nid").alias("a"), "b")
+    down = fg.join(
+        tgt,
+        (F.col("tm") == F.col("media_id"))
+        & (F.col("tr") == F.col("r") + 1)
+        & (F.col("tc") == F.col("c")),
+    ).select(F.col("nid").alias("a"), "b")
+    ed = right.unionAll(down)
+    labels = connected_components_doubling(
+        ed,
+        fg.select(F.col("nid").alias("node")),
+        node_col="node",
+        label_col="lbl",
+        # converges in ~log2(largest region diameter) rounds and exits
+        # early; 20 is headroom observed necessary at sf0.1 (one
+        # serpentine region needed >12)
+        max_rounds=20,
+    )
+    lab = fg.join(labels, fg["nid"] == labels["node"]).select(
+        "media_id",
+        "r",
+        "c",
+        "pid",
+        (F.col("lbl") % 72).cast("long").alias("label"),
+    )
+    return lab.groupBy("media_id", "label").agg(
+        F.count("*").cast("long").alias("area"),
+        F.min("r").cast("long").alias("min_r"),
+        F.max("r").cast("long").alias("max_r"),
+        F.min("c").cast("long").alias("min_c"),
+        F.max("c").cast("long").alias("max_c"),
+        F.sum("pid").cast("long").alias("pid_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping (anti-diagonal wavefront DP)
+# ---------------------------------------------------------------------------
+
+_DTW_N = 10
+
+
+def _dtw_oracle() -> str:
+    """Unrolled 2N-2 anti-diagonal DP in plain (non-recursive) SQL —
+    recursive CTEs cannot re-aggregate the working table, so each
+    diagonal is its own CTE computing min over the scattered
+    predecessor moves (the same scatter shape the Spark side uses,
+    constructed independently over the same recurrence)."""
+    n = _DTW_N
+    parts = [
+        """d0 AS MATERIALIZED (
+      SELECT pair, i, j, cost AS dp FROM cells WHERE i = 0 AND j = 0
+    )"""
+    ]
+    for d in range(1, 2 * n - 1):
+        scat = [
+            f"SELECT pair, i + 1 AS i, j, dp FROM d{d - 1}",
+            f"SELECT pair, i, j + 1 AS j, dp FROM d{d - 1}",
+        ]
+        if d >= 2:
+            scat.append(
+                f"SELECT pair, i + 1 AS i, j + 1 AS j, dp FROM d{d - 2}"
+            )
+        u = "\n        UNION ALL ".join(scat)
+        parts.append(
+            f"""d{d} AS MATERIALIZED (
+      SELECT c.pair, c.i, c.j, c.cost + min(s.dp) AS dp
+      FROM cells c
+      JOIN ({u}) s
+        ON s.pair = c.pair AND s.i = c.i AND s.j = c.j
+      WHERE c.i + c.j = {d}
+      GROUP BY c.pair, c.i, c.j, c.cost
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH ea AS (
+      SELECT doc_id AS pair, g - 1 AS i,
+             CAST(ascii(substr(md5(text), g, 1)) AS BIGINT) AS v
+      FROM documents, unnest(generate_series(1, {n})) t(g)
+      WHERE doc_id < 400 AND doc_id % 2 = 0
+    ),
+    eb AS (
+      SELECT doc_id - 1 AS pair, g - 1 AS j,
+             CAST(ascii(substr(md5(text), g, 1)) AS BIGINT) AS v
+      FROM documents, unnest(generate_series(1, {n})) t(g)
+      WHERE doc_id < 401 AND doc_id % 2 = 1
+    ),
+    cells AS MATERIALIZED (
+      SELECT a.pair, a.i, b.j, abs(a.v - b.v) AS cost
+      FROM ea a JOIN eb b ON b.pair = a.pair
+    ),
+    {body}
+    SELECT pair AS pair_id, CAST(dp AS BIGINT) AS dtw
+    FROM d{2 * n - 2}
+    """
+
+
+@staged_r9("multimodal_dtw_distance", oracle=_dtw_oracle())
+def multimodal_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING — the elastic alignment distance for
+    series that drift in tempo (audio fingerprint matching, sensor
+    alignment, query-by-humming), where Euclidean frame-by-frame
+    comparison breaks. The O(N²) recurrence dp(i,j) = |a_i − b_j| +
+    min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1)) looks sequential, but its
+    TRUE dependency order is by ANTI-DIAGONAL: every cell on diagonal
+    d depends only on diagonals d−1 and d−2, so the classic wavefront
+    parallelization computes one diagonal per round — each round a
+    pure scatter (each dp cell feeds its ≤3 successor moves) +
+    min-aggregate + cost join, all equi-keyed, across ALL pairs at
+    once. Integer frame envelopes (deterministic md5 fixture) keep
+    every dp exact. The ORACLE unrolls the same recurrence as 2N−2
+    chained non-recursive CTEs — an independent construction
+    (recursive SQL cannot re-aggregate its working set, which is
+    itself evidence this operator genuinely exceeds single-pass SQL).
+
+    Scale: rounds = 2N−2 regardless of pair count — a million pair
+    comparisons cost the same round count as 200, each round shuffling
+    |pairs|·diag rows on (pair, i, j). For long series the standard
+    Sakoe-Chiba band bounds each diagonal's width; the fixture clips
+    pairs at doc_id < 400 to bound the oracle, not the engine."""
+    n = _DTW_N
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 401)
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("g"),
+        F.md5("text").alias("h"),
+    ).select(
+        "doc_id",
+        (F.col("g") - 1).alias("t"),
+        F.expr("ascii(substr(h, g, 1))").cast("long").alias("v"),
+    )
+    ea = frames.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400)
+    ).select(
+        F.col("doc_id").alias("pair"), F.col("t").alias("i"),
+        F.col("v").alias("va"),
+    )
+    eb = frames.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair"), F.col("t").alias("j"),
+        F.col("v").alias("vb"),
+    )
+    cells = ea.join(eb, "pair").select(
+        "pair", "i", "j", F.abs(F.col("va") - F.col("vb")).alias("cost")
+    )
+    cells = truncate_lineage(cells, reliable=True)
+    dp_prev2 = None
+    dp_prev = cells.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        "pair", "i", "j", F.col("cost").alias("dp")
+    )
+    for diag in range(1, 2 * n - 1):
+        moves = dp_prev.select(
+            "pair", (F.col("i") + 1).alias("i"), "j", "dp"
+        ).unionAll(
+            dp_prev.select("pair", "i", (F.col("j") + 1).alias("j"), "dp")
+        )
+        if dp_prev2 is not None:
+            moves = moves.unionAll(
+                dp_prev2.select(
+                    "pair",
+                    (F.col("i") + 1).alias("i"),
+                    (F.col("j") + 1).alias("j"),
+                    "dp",
+                )
+            )
+        nxt = (
+            moves.groupBy("pair", "i", "j")
+            .agg(F.min("dp").alias("m"))
+            .join(
+                cells.filter(F.col("i") + F.col("j") == diag),
+                ["pair", "i", "j"],
+            )
+            .select(
+                "pair", "i", "j", (F.col("cost") + F.col("m")).alias("dp")
+            )
+        )
+        # each diagonal references dp_prev twice and dp_prev2 once, so
+        # the composed plan grows ~2.4x per round — truncate EAGERLY
+        # (a lazy checkpoint leaves the fat plan in place until the
+        # final action and analysis itself OOMs around diag 15)
+        if diag % 3 == 0:
+            nxt = truncate_lineage(nxt, eager=True, reliable=True)
+        dp_prev2, dp_prev = dp_prev, nxt
+    return dp_prev.select(
+        F.col("pair").alias("pair_id"), F.col("dp").cast("long").alias("dtw")
     )

@@ -5318,3 +5318,286 @@ def events_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.groupBy(
         "curve", F.col("sd").cast("long").alias("step_dist")
     ).agg(F.count("*").cast("long").alias("n_steps"))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduction adjustment (experimentation)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_cuped_adjustment",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(round(value) AS BIGINT) AS v
+      FROM events
+    ),
+    mid AS (SELECT min(day) + 183 AS m FROM d),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CAST(sum(CASE WHEN day < (SELECT m FROM mid) THEN v
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN day >= (SELECT m FROM mid) THEN v
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM d GROUP BY user_id
+    ),
+    theta AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS tn,
+             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS td
+      FROM per_user
+    )
+    SELECT g.grp,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(g.x) AS BIGINT) AS sum_x,
+           CAST(sum(g.y) AS BIGINT) AS sum_y,
+           CAST(min(t.tn) AS BIGINT) AS theta_num,
+           CAST(min(t.td) AS BIGINT) AS theta_den,
+           (CAST(sum(g.y) AS BIGINT) / CAST(count(*) AS BIGINT))
+             - (CAST(min(t.tn) AS BIGINT) / CAST(min(t.td) AS BIGINT))
+               * ((CAST(sum(g.x) AS BIGINT) / CAST(count(*) AS BIGINT))
+                  - (CAST(min(t.sx) AS BIGINT) / CAST(min(t.n) AS BIGINT)))
+             AS adj_mean
+    FROM per_user g, theta t
+    GROUP BY g.grp
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — Controlled-experiment Using Pre-Experiment Data, the
+    variance-reduction adjustment every large A/B platform applies
+    (Deng et al., WSDM'13): Y' = Y − θ(X − mean(X)) with X the
+    pre-period covariate and θ = cov(X,Y)/var(X), shrinking metric
+    variance by the pre/post correlation² and cutting experiment
+    runtimes proportionally. Per-user pre and post spend accumulate
+    as exact integers, θ's numerator and denominator come from the
+    exact moment identity (nΣXY − ΣXΣY over nΣX² − (ΣX)²) — emitted
+    as integer columns so the hash pins them — and the per-arm
+    adjusted mean is a FIXED parenthesized expression over exact-
+    integer ratios: identical IEEE operation sequence in both
+    engines, hence bit-identical doubles (the strict dtype gate
+    proves it). Pairs with events_ab_test_zscore (the unadjusted
+    test) and events_matched_pairs_att (the matched estimator).
+
+    Scale: one aggregate to user grain (map-side combinable), one
+    one-row θ frame broadcast back — no per-user window, no shuffle
+    beyond the user-key combine. The θ crossJoin is the house
+    one-row-scalar pattern."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(_DAY_US)).cast("long").alias("day"),
+        F.round("value").cast("long").alias("v"),
+    )
+    mid = d.agg((F.min("day") + 183).alias("m"))
+    per_user = (
+        d.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("day") >= F.col("m"), F.col("v")).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select("user_id", (F.col("user_id") % 2).alias("grp"), "x", "y")
+    )
+    theta = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("tn"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("long")
+        .alias("td"),
+    )
+    g = per_user.crossJoin(F.broadcast(theta)).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.min("tn").cast("long").alias("theta_num"),
+        F.min("td").cast("long").alias("theta_den"),
+        F.min("sx").cast("long").alias("g_sx"),
+        F.min("n").cast("long").alias("g_n"),
+    )
+    adj = (F.col("sum_y") / F.col("n_users")) - (
+        F.col("theta_num") / F.col("theta_den")
+    ) * (
+        (F.col("sum_x") / F.col("n_users"))
+        - (F.col("g_sx") / F.col("g_n"))
+    )
+    return g.select(
+        "grp",
+        "n_users",
+        "sum_x",
+        "sum_y",
+        "theta_num",
+        "theta_den",
+        adj.alias("adj_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy interval scheduling (earliest-end-first via pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+@staged_r9(
+    "events_interval_scheduling",
+    oracle="""
+    WITH RECURSIVE iv AS (
+      SELECT user_id, event_id AS id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + (event_id % 7 + 1) * 60 AS e
+      FROM events
+    ),
+    nxt AS (
+      SELECT i.user_id, i.id,
+             (SELECT min(j.e * 16777216 + j.id) FROM iv j
+              WHERE j.user_id = i.user_id AND j.s >= i.e) AS np
+      FROM iv i
+    ),
+    firsts AS (
+      SELECT user_id, min(e * 16777216 + id) AS fp
+      FROM iv GROUP BY user_id
+    ),
+    walk AS (
+      SELECT f.user_id, f.fp % 16777216 AS id, CAST(1 AS BIGINT) AS cnt
+      FROM firsts f
+      UNION ALL
+      SELECT w.user_id, n.np % 16777216, w.cnt + 1
+      FROM walk w JOIN nxt n ON n.user_id = w.user_id AND n.id = w.id
+      WHERE n.np IS NOT NULL
+    ),
+    nn AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals
+      FROM iv GROUP BY user_id
+    )
+    SELECT nn.user_id, nn.n_intervals,
+           CAST(max(w.cnt) AS BIGINT) AS greedy_count,
+           CAST(min(f.fp // 16777216) AS BIGINT) AS first_end
+    FROM nn
+    JOIN firsts f ON f.user_id = nn.user_id
+    JOIN walk w ON w.user_id = nn.user_id
+    GROUP BY nn.user_id, nn.n_intervals
+    """,
+)
+def events_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY INTERVAL SCHEDULING — earliest-end-first, the provably
+    optimal maximum set of non-overlapping intervals (meeting-room
+    capacity, ad-slot packing, one-worker job acceptance), distributed
+    without its sequential scan. Two classical reductions replace the
+    loop: (1) the greedy SUCCESSOR of an interval depends only on its
+    end — the candidate with minimal (end, id) among starts >= e —
+    computed for ALL intervals at once by the AS-OF pattern (builds at
+    start, probes at end, one descending running-min window per user,
+    inclusive touch-is-compatible semantics); (2) the selection chain
+    is then a FUNCTIONAL POINTER GRAPH, and its length comes from
+    POINTER DOUBLING — ptr and hop-count square each round, so 10
+    rounds cover chains of 1024 (per-user interval counts here are
+    <=100; the bound is asserted by construction, not hoped). The
+    (end, id) packing into one int64 makes every min deterministic.
+    The ORACLE never runs the as-of or the doubling: successors come
+    from the direct set-definition (a correlated min over starts >=
+    end) and the chain from a recursive single-pointer walk — an
+    independent construction of the same unique greedy solution.
+
+    Scale: the as-of is one shuffle on user + one ordered window
+    (events_asof's plan family); each doubling round is a self-equi-
+    join on the interval id, log2(longest chain) rounds total — the
+    connected-components discipline. Nothing is quadratic: the
+    oracle's correlated subquery is the sf-bounded check only."""
+    e = table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    iv = e.select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        sec.alias("s"),
+        (sec + (F.col("event_id") % 7 + 1) * 60).alias("e"),
+    )
+    iv = truncate_lineage(iv, reliable=True)
+    pack = (F.col("e") * 16777216 + F.col("id")).cast("long")
+    builds = iv.select(
+        "user_id",
+        F.col("s").alias("t"),
+        F.lit(0).alias("kind"),
+        pack.alias("val"),
+        F.lit(None).cast("long").alias("iid"),
+    )
+    probes = iv.select(
+        "user_id",
+        F.col("e").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("val"),
+        F.col("id").alias("iid"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("kind").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asof = (
+        builds.unionAll(probes)
+        .select("user_id", "kind", "iid", F.min("val").over(w).alias("np"))
+        .filter(F.col("kind") == 1)
+    )
+    state = asof.select(
+        F.col("iid").alias("id"),
+        (F.col("np") % 16777216).cast("long").alias("ptr"),
+        F.when(F.col("np").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("acc"),
+    )
+    for r in range(10):
+        j = state.alias("l").join(
+            state.select(
+                F.col("id").alias("rid"),
+                F.col("ptr").alias("rptr"),
+                F.col("acc").alias("racc"),
+            ),
+            F.col("l.ptr") == F.col("rid"),
+            "left",
+        )
+        state = j.select(
+            F.col("l.id").alias("id"),
+            F.col("rptr").alias("ptr"),
+            (F.col("l.acc") + F.coalesce(F.col("racc"), F.lit(0)))
+            .cast("long")
+            .alias("acc"),
+        )
+        if r % 3 == 2:
+            state = truncate_lineage(state, eager=False, reliable=True)
+    firsts = iv.groupBy("user_id").agg(
+        F.min(pack).alias("fp"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )
+    return (
+        firsts.select(
+            "user_id",
+            "n_intervals",
+            (F.col("fp") % 16777216).cast("long").alias("fid"),
+            F.expr("fp div 16777216").cast("long").alias("first_end"),
+        )
+        .join(state.select(F.col("id").alias("fid"), "acc"), "fid")
+        .select(
+            "user_id",
+            "n_intervals",
+            (F.col("acc") + 1).cast("long").alias("greedy_count"),
+            "first_end",
+        )
+    )
