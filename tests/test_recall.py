@@ -1207,3 +1207,88 @@ class TestHilbertIndependent:
             for sd, n in hist.items():
                 want[(name, sd)] = n
         assert got == want
+
+
+class TestLubyMisIndependent:
+    """Third construction for graph_mis_luby: with priorities fixed
+    once, synchronous Luby computes the lexicographically-first MIS —
+    recomputed here by the sequential greedy-by-priority loop."""
+
+    def test_matches_sequential_greedy(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.relational import graph_mis_luby
+
+        sf = "/root/testdata/sf0.001"
+        rows = graph_mis_luby(spark, sf).collect()
+        assert all(r.status != "undecided" for r in rows), (
+            "round budget must converge on the tiny fixture"
+        )
+        got_mis = {r.node for r in rows if r.status == "mis"}
+        # the verified-as-data columns, re-asserted
+        assert all(
+            (r.status == "mis") == (r.mis_neighbors == 0) for r in rows
+        )
+        con = duckdb.connect()
+        edges = con.execute(
+            f"""
+            WITH pairs AS (
+              SELECT a.l_partkey pa, b.l_partkey pb
+              FROM '{sf}/lineitem.parquet' a
+              JOIN '{sf}/lineitem.parquet' b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+            """
+        ).fetchall()
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        def pri(v: int) -> int:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            return int(h[:10], 16) * 1048576 + v
+
+        want = set()
+        for v in sorted(adj, key=pri):
+            if not (adj[v] & want):
+                want.add(v)
+        assert got_mis == want
+
+
+class TestMisraGriesIndependent:
+    """Third construction for events_misra_gries: the per-item
+    guarantee columns re-derived in python from exact counts, plus
+    the superset property (every item above N/(k+1) must survive)."""
+
+    def test_guarantee_and_superset(self, spark):
+        import duckdb
+
+        from virapipe_spark.queries.streaming import (
+            _MG_K,
+            events_misra_gries,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = events_misra_gries(spark, sf).collect()
+        assert rows
+        assert all(r.guarantee_ok == 1 for r in rows)
+        con = duckdb.connect()
+        exact = dict(
+            con.execute(
+                f"SELECT user_id, count(*) FROM '{sf}/events.parquet'"
+                " GROUP BY user_id"
+            ).fetchall()
+        )
+        n = sum(exact.values())
+        survivors = {r.user_id for r in rows}
+        must_survive = {
+            u for u, c in exact.items() if c * (_MG_K + 1) > n
+        }
+        assert must_survive <= survivors
+        for r in rows:
+            assert r.exact_cnt == exact[r.user_id]
+            assert 0 <= r.undercount

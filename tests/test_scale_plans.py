@@ -213,7 +213,18 @@ class TestPlanProperties:
             # r7 (staged r9): ONE-ROW broadcasts — the pre/post period
             # midpoint and the theta moment frame (CUPED scalars)
             "events_cuped_adjustment",
+            # r7 (staged r10): ONE-ROW broadcast — the same pre/post
+            # midpoint scalar as CUPED (score = pre-period spend)
+            "events_qini_uplift",
+            # r7 (staged r10): ONE-ROW broadcasts — the N total and
+            # the summary-mass scalar in the guarantee columns
+            "events_misra_gries",
         }
+        # multimodal_median_cut: level-1's box key constant-folds to 0
+        # (every pixel starts in box 0), so the one-row ch/med frames
+        # join as one-row NLJ broadcasts — but the per-level lineage
+        # cut hides them behind the checkpoint boundary, so the
+        # RETURNED plan is NLJ-free and it needs no exemption.
         from virapipe_spark.queries.staged import pending_staged
 
         audited = dict(catalog.QUERIES)

@@ -356,3 +356,57 @@ def test_r8_window_exactly_fits_after_flip():
     flips... concretely: |STAGED_R8| <= 50."""
     assert len(STAGED_R8) <= 50
     assert len(STAGED_R9) <= 50
+    assert len(STAGED_R10) <= 50
+
+
+from virapipe_spark.queries.staged import STAGED_R10  # noqa: E402
+
+
+def test_r10_staging_state_matches_round():
+    """Rounds 7-9: r10-staged entries stay out of queries(). Round
+    10+ (a CORRECTNESS_r09+ artifact exists): load_all self-promotes.
+    Membership is pinned by the plan sweeps (pending_staged) rather
+    than an exhaustive name list here; the count cap and flip state
+    are the invariants."""
+    import glob
+    import os
+
+    catalog.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    armed = glob.glob(os.path.join(root, "CORRECTNESS_r09.json")) or glob.glob(
+        os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+    )
+    if armed:
+        assert set(STAGED_R10) <= set(catalog.QUERIES)
+    else:
+        assert not set(STAGED_R10) & set(catalog.QUERIES)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, o) in sorted(STAGED_R10.items()) if o is not None]
+)
+def test_r10_staged_entry_matches_oracle(spark, con, name):
+    """The driver-exact compare on every oracle-backed r10 entry
+    pre-flip (the two-scale strict gate runs via check_oracle)."""
+    fn, oracle = STAGED_R10[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = con.execute(oracle).df()
+    assert len(sdf) > 0, f"{name}: empty result passes trivially"
+    problems = compare_frames(sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_r10_promote_flips_them_live():
+    from virapipe_spark.queries import staged as st
+
+    if not STAGED_R10:
+        pytest.skip("r10 generation empty")
+    st.promote_r10()
+    try:
+        assert set(STAGED_R10) <= set(catalog.QUERIES)
+        st.promote_r10()  # idempotent
+    finally:
+        for n in STAGED_R10:
+            catalog.QUERIES.pop(n, None)
+            catalog.ORACLES.pop(n, None)
+        st.R10_PROMOTED = False

@@ -60,6 +60,8 @@ def main() -> int:
             staged_mod.promote_r8()
         if not staged_mod.R9_PROMOTED:
             staged_mod.promote_r9()
+        if not staged_mod.R10_PROMOTED:
+            staged_mod.promote_r10()
 
     if bare:
         from pyspark.sql import SparkSession

@@ -247,6 +247,17 @@ def load_all() -> None:
             os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
         ):
             staged.promote_r9()
+    # Round-10 flip, SELF-ARMING on the round-9 artifacts (same
+    # pattern; the third round-7 overflow generation).
+    if not staged.R10_PROMOTED:
+        import glob
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if glob.glob(os.path.join(root, "CORRECTNESS_r09.json")) or glob.glob(
+            os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
+        ):
+            staged.promote_r10()
 
 
 def _verified_rounds(root: str | None = None) -> dict[str, int]:

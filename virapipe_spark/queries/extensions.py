@@ -7554,3 +7554,174 @@ def lineitem_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("agrees_with_pooled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization ANN (sign bits + Hamming funnel + exact rerank)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import staged_r10  # noqa: E402
+
+_BQ_PACK_SQL_1 = (
+    "list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN"
+    " q[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END))"
+)
+_BQ_PACK_SQL_2 = (
+    "list_sum(list_transform(generate_series(33, 64), i -> CASE WHEN"
+    " q[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END))"
+)
+
+
+@staged_r10(
+    "embed_knn_binary",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    qq AS (
+      SELECT vec_id, q,
+             sqrt(list_sum(list_transform(q, x -> x * x))) AS qnorm,
+             {_BQ_PACK_SQL_1} AS h1,
+             {_BQ_PACK_SQL_2} AS h2
+      FROM q
+    ),
+    ham AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(bit_count(xor(a.h1, b.h1))
+                  + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming,
+             round({_DOT_SQL} / (a.qnorm * b.qnorm), 6) AS cosine
+      FROM qq a JOIN qq b ON a.vec_id < {_N_QUERIES}
+       AND b.vec_id <> a.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, hamming, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS hrn
+      FROM ham
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM cand WHERE hrn <= 20
+    ),
+    approx AS (SELECT query_id, neighbor_id, hamming FROM rer
+               WHERE rn <= {_TOP_K}),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                     AS rn
+            FROM ham) WHERE rn <= {_TOP_K}
+    )
+    SELECT a.query_id,
+           CAST(count(*) AS BIGINT) AS k_returned,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 100 // {_TOP_K} AS BIGINT) AS recall_pct,
+           CAST(max(a.hamming) AS BIGINT) AS max_hamming
+    FROM approx a
+    LEFT JOIN exact e ON e.query_id = a.query_id
+     AND e.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id
+    """,
+)
+def embed_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY QUANTIZATION ANN — the 1-bit-per-dimension funnel modern
+    vector stores lead with (sign bits -> 64x memory cut; Hamming
+    distance via XOR+popcount at register speed; exact rerank only on
+    survivors): candidates come from the top-20 by Hamming between
+    packed sign words, the final top-{_TOP_K} from exact cosine on
+    that 20-element shortlist, and — the entry's contract — measured
+    RECALL against the brute-force exact top-{_TOP_K} is emitted AS
+    DATA per query (the docs_minhash_recall/embed_ivf_recall pattern:
+    the approximation layer itself is what the oracle gate proves).
+    Completes the quantization family: SQ8 (embed_norm_quantize), PQ
+    (embed_knn_pq), and now the 1-bit extreme.
+
+    Scale: sign packing is two 32-term integer folds per vector at
+    scan time; the Hamming scan is 2 XOR+popcount ops per pair — the
+    cheapest possible pair filter, SIMD-friendly by construction —
+    and exact cosine touches only 20 candidates per query. The
+    query-side broadcast is the embed_knn_bruteforce precedent; at
+    corpus scale the Hamming stage drops behind an IVF cell key
+    exactly as PQ does."""
+    qdf = _quantized(spark, sf_dir)
+    pack1 = F.expr(
+        "aggregate(sequence(1, 32), 0L, (acc, i) -> acc +"
+        " CASE WHEN element_at(q, i) >= 0"
+        " THEN shiftleft(1L, i - 1) ELSE 0L END)"
+    )
+    pack2 = F.expr(
+        "aggregate(sequence(33, 64), 0L, (acc, i) -> acc +"
+        " CASE WHEN element_at(q, i) >= 0"
+        " THEN shiftleft(1L, i - 33) ELSE 0L END)"
+    )
+    qq = qdf.select(
+        "vec_id", "q", "qnorm", pack1.alias("h1"), pack2.alias("h2")
+    )
+    queries = qq.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    corpus = qq.alias("b")
+    ham = (
+        F.broadcast(queries)
+        .join(corpus, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("a.h1 ^ b.h1"))
+                + F.bit_count(F.expr("a.h2 ^ b.h2"))
+            )
+            .cast("long")
+            .alias("hamming"),
+            F.round(_cosine("a", "b"), 6).alias("cosine"),
+        )
+    )
+    ham = truncate_lineage(ham, reliable=True)
+    hw = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cw = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    approx = (
+        ham.withColumn("hrn", F.row_number().over(hw))
+        .filter(F.col("hrn") <= 20)
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    exact = (
+        ham.withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= _TOP_K)
+        # rename BOTH keys: approx and exact share ham's lineage, and
+        # same-attribute join conditions silently collapse (the
+        # region-label lesson)
+        .select(
+            F.col("query_id").alias("eq"),
+            F.col("neighbor_id").alias("en"),
+        )
+    )
+    return (
+        approx.join(
+            exact,
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("neighbor_id") == F.col("en")),
+            "left",
+        )
+        .drop("eq")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k_returned"),
+            F.sum(
+                F.when(F.col("en").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits"),
+            F.expr(
+                f"sum(CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END)"
+                f" * 100 div {_TOP_K}"
+            )
+            .cast("long")
+            .alias("recall_pct"),
+            F.max("hamming").cast("long").alias("max_hamming"),
+        )
+    )

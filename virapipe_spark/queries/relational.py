@@ -4696,3 +4696,327 @@ def graph_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_bipartite"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality from pinned sources (exact rational distances)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import staged_r10  # noqa: E402
+
+#: lcm(1..16): every 1/d with d <= 16 is exact as _HC_LCM // d
+_HC_LCM = 720720
+
+
+@staged_r10(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    roots AS (
+      SELECT DISTINCT src AS s FROM sym ORDER BY s LIMIT 4
+    ),
+    walk AS (
+      SELECT s, s AS node, CAST(0 AS BIGINT) AS d FROM roots
+      UNION
+      SELECT w.s, g.dst, w.d + 1
+      FROM walk w JOIN sym g ON g.src = w.node
+      WHERE w.d < 16
+    ),
+    dist AS (
+      SELECT s, node, CAST(min(d) AS BIGINT) AS d
+      FROM walk GROUP BY s, node
+    )
+    SELECT s AS source,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN d > 0 THEN {_HC_LCM} // d ELSE 0 END)
+                AS BIGINT) AS harmonic_scaled,
+           CAST(max(d) AS BIGINT) AS max_dist
+    FROM dist GROUP BY s
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CENTRALITY from pinned sources — the closeness variant
+    that stays WELL-DEFINED on disconnected graphs (Boldi-Vigna:
+    unreached nodes contribute 1/inf = 0 instead of poisoning the
+    mean), the standard "how central is this hub" measure for
+    influence and placement questions. H(s) = sum over reachable
+    nodes of 1/d(s,v), kept EXACT by scaling through lcm(1..16) =
+    {_HC_LCM} — every 1/d is an exact integer {_HC_LCM}//d, so the
+    centrality ranking is hash-checkable with no float summation
+    order to pin. Sources are the four smallest vertex ids (always
+    present, scale-stable); distances come from a multi-source
+    frontier BFS keyed by (source, node) — the bfs_hops engine
+    generalized to per-source sheets — capped at 16 hops (documented;
+    beyond-cap nodes count 0, exactly the harmonic convention for
+    far/unreachable). The ORACLE recurses (source, node, hop) closure
+    with UNION dedup and takes min — construction independent of the
+    frontier mechanics.
+
+    Scale: per round the frontier's out-edges shuffle on the vertex
+    key; the (source, node) keying multiplies state by a CONSTANT 4
+    (pinned sources), not by |V| — the standard trick for exact
+    multi-source centrality at scale (HyperBall replaces the sheets
+    with HLL counters when sources = all nodes)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    e = truncate_lineage(e, reliable=True)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    roots = (
+        sym.select(F.col("src").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(4)
+    )
+    dist = roots.select(
+        "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    for h in range(1, 17):
+        frontier = dist.filter(F.col("d") == h - 1)
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("s", F.col("dst").alias("node"),
+                    F.lit(h).cast("long").alias("d"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+        )
+        if h % 5 == 0:
+            dist = truncate_lineage(dist, eager=False, reliable=True)
+    return dist.groupBy(F.col("s").alias("source")).agg(
+        (F.count("*") - 1).cast("long").alias("n_reached"),
+        F.sum(
+            F.when(
+                F.col("d") > 0, F.expr(f"{_HC_LCM} div d")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("harmonic_scaled"),
+        F.max("d").cast("long").alias("max_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (derandomized Luby, fixed hash priorities)
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 10
+
+
+def _mis_oracle() -> str:
+    """Unrolled synchronous Luby rounds in plain SQL. With priorities
+    FIXED once (not re-drawn per round), the algorithm computes the
+    lexicographically-first MIS by priority order — a unique object,
+    so the unrolled mirror plus the python greedy twin give three
+    constructions."""
+    parts = [
+        """a0 AS MATERIALIZED (SELECT node, pri FROM nodes)"""
+    ]
+    for r in range(1, _MIS_ROUNDS + 1):
+        parts.append(
+            f"""nb{r} AS MATERIALIZED (
+      SELECT a.node, min(b.pri) AS mn
+      FROM a{r - 1} a
+      JOIN sym s ON s.src = a.node
+      JOIN a{r - 1} b ON b.node = s.dst
+      GROUP BY a.node
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT a.node FROM a{r - 1} a
+      LEFT JOIN nb{r} n ON n.node = a.node
+      WHERE n.mn IS NULL OR a.pri < n.mn
+    ),
+    rm{r} AS MATERIALIZED (
+      SELECT node FROM c{r}
+      UNION
+      SELECT s.dst FROM c{r} c JOIN sym s ON s.src = c.node
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT a.node, a.pri FROM a{r - 1} a
+      LEFT JOIN rm{r} r ON r.node = a.node
+      WHERE r.node IS NULL
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    mis_union = "\n      UNION ALL ".join(
+        f"SELECT node, {r} AS rnd FROM c{r}"
+        for r in range(1, _MIS_ROUNDS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    nodes AS MATERIALIZED (
+      SELECT node,
+             CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 10)
+                  AS BIGINT) * 1048576 + node AS pri
+      FROM (SELECT DISTINCT src AS node FROM sym)
+    ),
+    {body},
+    mis AS MATERIALIZED ({mis_union}),
+    status AS (
+      SELECT n.node,
+             CASE WHEN m.node IS NOT NULL THEN 'mis'
+                  WHEN a.node IS NOT NULL THEN 'undecided'
+                  ELSE 'dominated' END AS status,
+             COALESCE(m.rnd, 0) AS rnd
+      FROM nodes n
+      LEFT JOIN mis m ON m.node = n.node
+      LEFT JOIN a{_MIS_ROUNDS} a ON a.node = n.node
+    ),
+    misnb AS (
+      SELECT st.node, CAST(count(m2.node) AS BIGINT) AS mis_neighbors
+      FROM status st
+      JOIN sym s ON s.src = st.node
+      LEFT JOIN (SELECT node FROM mis) m2 ON m2.node = s.dst
+      GROUP BY st.node
+    )
+    SELECT st.node, st.status, CAST(st.rnd AS BIGINT) AS rnd,
+           COALESCE(m.mis_neighbors, 0) AS mis_neighbors
+    FROM status st LEFT JOIN misnb m ON m.node = st.node
+    """
+
+
+@staged_r10("graph_mis_luby", oracle=_mis_oracle())
+def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL INDEPENDENT SET by DERANDOMIZED LUBY — the symmetry-
+    breaking primitive behind parallel graph coloring, scheduling and
+    landmark selection: each round, every still-active node whose
+    fixed hash priority beats all active neighbors joins the MIS, and
+    it plus its neighbors leave the graph; rounds shrink the active
+    set geometrically (Luby's classic O(log n) bound). Priorities are
+    drawn ONCE (md5 of the node id, node-id tiebreak appended in the
+    low bits, so they are distinct by construction) — that
+    derandomization makes the result the UNIQUE lexicographically-
+    first MIS, hence hash-checkable, and equal to the sequential
+    greedy-by-priority set (the pytest twin proves exactly that).
+    Output per node: status, the round it entered, and — the
+    verified-as-data contract — its count of MIS neighbors, which the
+    MIS/dominated definitions force to 0 / >= 1; any 'undecided'
+    rows (round budget exhausted) are emitted honestly and counted
+    identically by both engines.
+
+    Scale: each round is two vertex-keyed equi-joins (neighbor-min,
+    removal) over the ACTIVE subgraph only, which Luby's analysis
+    shrinks by a constant factor per round in expectation — the
+    textbook Pregel workload. Priorities are scan-stage hashes; no
+    global ordering is ever materialized (that is the whole point vs
+    the sequential greedy)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    e = truncate_lineage(e, reliable=True)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sym = truncate_lineage(sym, reliable=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct().select(
+        "node",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("node").cast("string")), 1, 10),
+                16,
+                10,
+            ).cast("long")
+            * 1048576
+            + F.col("node")
+        ).alias("pri"),
+    )
+    active = nodes
+    mis = None
+    for r in range(1, _MIS_ROUNDS + 1):
+        nb = (
+            active.join(sym, active["node"] == sym["src"])
+            .select(F.col("dst").alias("node2"), "node")
+            .join(
+                active.select(
+                    F.col("node").alias("node2"), F.col("pri").alias("p2")
+                ),
+                "node2",
+            )
+            .groupBy("node")
+            .agg(F.min("p2").alias("mn"))
+        )
+        cand = (
+            active.join(nb, "node", "left")
+            .filter(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
+            .select("node")
+        )
+        misr = cand.select("node", F.lit(r).cast("long").alias("rnd"))
+        mis = misr if mis is None else mis.unionAll(misr)
+        removed = cand.unionAll(
+            cand.join(sym, cand["node"] == sym["src"]).select(
+                F.col("dst").alias("node")
+            )
+        ).distinct()
+        active = (
+            active.join(removed, "node", "left_anti")
+        )
+        if r % 3 == 0:
+            active = truncate_lineage(active, eager=False, reliable=True)
+            mis = truncate_lineage(mis, eager=False, reliable=True)
+    status = (
+        nodes.join(mis, "node", "left")
+        .join(
+            active.select("node", F.lit(1).alias("still")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(F.col("rnd").isNotNull(), "mis")
+            .when(F.col("still").isNotNull(), "undecided")
+            .otherwise("dominated")
+            .alias("status"),
+            F.coalesce("rnd", F.lit(0)).cast("long").alias("rnd"),
+        )
+    )
+    misnb = (
+        status.join(sym, status["node"] == sym["src"])
+        .select("node", F.col("dst").alias("node2"))
+        .join(
+            mis.select(F.col("node").alias("node2"), F.lit(1).alias("im")),
+            "node2",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.sum(F.coalesce("im", F.lit(0))).cast("long").alias("mn"))
+    )
+    return status.join(misnb, "node", "left").select(
+        "node",
+        "status",
+        "rnd",
+        F.coalesce("mn", F.lit(0)).cast("long").alias("mis_neighbors"),
+    )

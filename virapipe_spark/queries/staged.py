@@ -633,11 +633,51 @@ def pending_staged() -> dict[str, QueryFn]:
     the pandas-UDF sweep skipped staged entries and went red the moment
     the self-arming promotion fired."""
     out: dict[str, QueryFn] = {}
-    for gen in (STAGED_R7, STAGED_R8, STAGED_R9):
+    for gen in (STAGED_R7, STAGED_R8, STAGED_R9, STAGED_R10):
         for n, (fn, _o) in gen.items():
             if n not in catalog.QUERIES:
                 out[n] = fn
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-7 third overflow, staged for the round-10 window
+# ---------------------------------------------------------------------------
+
+#: Fourth staging generation: the round-9 window is exactly full at 50
+#: (STAGED_R9), so further round-7 authoring waits two rounds and flips
+#: on the round-9 driver artifacts. Identical mechanism, same four
+#: pre-flip sweeps (all iterate pending_staged).
+STAGED_R10: dict[str, tuple[QueryFn, str | None]] = {}
+
+R10_PROMOTED = False
+
+
+def staged_r10(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if (
+            name in STAGED_R10
+            or name in STAGED_R9
+            or name in STAGED_R8
+            or name in STAGED_R7
+            or name in catalog.QUERIES
+        ):
+            raise ValueError(f"duplicate staged query name: {name}")
+        STAGED_R10[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote_r10() -> None:
+    """Register the third round-7 overflow into the live catalog
+    (armed by catalog.load_all once CORRECTNESS_r09+ exists)."""
+    global R10_PROMOTED
+    if R10_PROMOTED:
+        return
+    for name, (fn, oracle) in STAGED_R10.items():
+        catalog.query(name, oracle)(fn)
+    R10_PROMOTED = True
 
 
 

@@ -5601,3 +5601,298 @@ def events_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_end",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (incremental-impact evaluation by targeting decile)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import staged_r10  # noqa: E402
+
+
+@staged_r10(
+    "events_qini_uplift",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(round(value) AS BIGINT) AS v
+      FROM events
+    ),
+    mid AS (SELECT min(day) + 183 AS m FROM d),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS t,
+             CAST(sum(CASE WHEN day < (SELECT m FROM mid) THEN v
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN day >= (SELECT m FROM mid) THEN v
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM d GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT t, y, ntile(10) OVER (ORDER BY x DESC, user_id) AS decile
+      FROM per_user
+    ),
+    byd AS (
+      SELECT decile,
+             CAST(sum(t) AS BIGINT) AS n_t,
+             CAST(sum(1 - t) AS BIGINT) AS n_c,
+             CAST(sum(t * y) AS BIGINT) AS sy_t,
+             CAST(sum((1 - t) * y) AS BIGINT) AS sy_c
+      FROM ranked GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(sum(n_t) OVER w AS BIGINT) AS n_t_cum,
+             CAST(sum(n_c) OVER w AS BIGINT) AS n_c_cum,
+             CAST(sum(sy_t) OVER w AS BIGINT) AS sy_t_cum,
+             CAST(sum(sy_c) OVER w AS BIGINT) AS sy_c_cum
+      FROM byd WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, n_t_cum, n_c_cum, sy_t_cum, sy_c_cum,
+           CAST(sy_t_cum * n_c_cum - sy_c_cum * n_t_cum AS BIGINT)
+             AS qini_num,
+           n_c_cum AS qini_den,
+           CAST(sy_t_cum * n_c_cum - sy_c_cum * n_t_cum AS BIGINT)
+             / n_c_cum AS qini
+    FROM cum
+    """,
+)
+def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI CURVE — the uplift-model evaluation standard (Radcliffe):
+    rank the population by a targeting score (pre-period spend — the
+    CUPED covariate doubling as the model), cut into deciles, and at
+    each cumulative depth measure INCREMENTAL outcome: treated total
+    minus the control total scaled to treated exposure. A model that
+    finds persuadables bows above the random-targeting diagonal; this
+    is the curve that decides whether a targeting model earns its
+    compute. The continuous-outcome Qini at depth k is cleared to one
+    exact integer ratio: qini_num = Σy_t·n_c − Σy_c·n_t (cumulative),
+    qini_den = n_c — the output carries both exact integers plus the
+    single-division double. Deciles come from ntile over the total
+    (score DESC, user_id) order, so bucket boundaries are
+    deterministic in both engines. Completes the experimentation
+    family: z-test (effect), CUPED (variance), matched pairs
+    (selection), diff-in-diff (trends), Qini (targeting).
+
+    Scale: one aggregate to user grain, one global ntile over users
+    (rank-by-score at population scale uses the equi-depth histogram
+    refinement — lineitem_equidepth_histogram — instead of a single-
+    partition window), one 10-row cumulative pass."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(_DAY_US)).cast("long").alias("day"),
+        F.round("value").cast("long").alias("v"),
+    )
+    mid = d.agg((F.min("day") + 183).alias("m"))
+    per_user = (
+        d.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("day") >= F.col("m"), F.col("v")).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("t"),
+            "x",
+            "y",
+            F.ntile(10)
+            .over(W.orderBy(F.col("x").desc(), "user_id"))
+            .alias("decile"),
+        )
+    )
+    byd = per_user.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sy_t"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("sy_c"),
+    )
+    cw = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = byd.select(
+        "decile",
+        F.sum("n_t").over(cw).cast("long").alias("n_t_cum"),
+        F.sum("n_c").over(cw).cast("long").alias("n_c_cum"),
+        F.sum("sy_t").over(cw).cast("long").alias("sy_t_cum"),
+        F.sum("sy_c").over(cw).cast("long").alias("sy_c_cum"),
+    )
+    num = (
+        F.col("sy_t_cum") * F.col("n_c_cum")
+        - F.col("sy_c_cum") * F.col("n_t_cum")
+    ).cast("long")
+    return cum.select(
+        "decile",
+        "n_t_cum",
+        "n_c_cum",
+        "sy_t_cum",
+        "sy_c_cum",
+        num.alias("qini_num"),
+        F.col("n_c_cum").alias("qini_den"),
+        (num / F.col("n_c_cum")).alias("qini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summary (pinned merge tree)
+# ---------------------------------------------------------------------------
+
+_MG_K = 8
+_MG_LEVELS = 9  # 2^9 = 512 >= any day span in the fixtures
+
+
+def _mg_oracle() -> str:
+    """Level-by-level Misra-Gries merge tree in plain SQL: at each
+    level, sibling buckets' counters add, the (k+1)-th largest value
+    subtracts from every counter (one subtraction suffices: survivors
+    are exactly the counters strictly above it, at most k), and
+    non-positive counters drop. Every CTE is MATERIALIZED: l{{r}}
+    references m{{r}} twice (threshold + subtraction), and without
+    the hint DuckDB inlines the chain so the plan doubles per level —
+    2^{_MG_LEVELS} copies of the base scan (measured: minutes at
+    sf0.01 vs sub-second materialized)."""
+    k = _MG_K
+    parts = [
+        f"""l0 AS MATERIALIZED (
+      SELECT day AS bucket, item, cnt FROM day_counts
+    )"""
+    ]
+    for r in range(1, _MG_LEVELS + 1):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT bucket // 2 AS bucket, item, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM l{r - 1} GROUP BY bucket // 2, item
+    ),
+    t{r} AS MATERIALIZED (
+      SELECT bucket,
+             COALESCE(max(CASE WHEN rn = {k + 1} THEN cnt END), 0) AS thr
+      FROM (SELECT bucket, cnt,
+                   row_number() OVER (PARTITION BY bucket
+                                      ORDER BY cnt DESC, item) AS rn
+            FROM m{r})
+      GROUP BY bucket
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT m.bucket, m.item, CAST(m.cnt - t.thr AS BIGINT) AS cnt
+      FROM m{r} m JOIN t{r} t ON t.bucket = m.bucket
+      WHERE m.cnt - t.thr > 0
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH day_counts AS MATERIALIZED (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             user_id AS item, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY day, item
+    ),
+    {body},
+    final AS MATERIALIZED (SELECT item, cnt FROM l{_MG_LEVELS}),
+    exact AS (SELECT user_id AS item, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM events GROUP BY item),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT f.item AS user_id, f.cnt AS mg_count, e.exact_cnt,
+           t.n AS n_total,
+           CAST(e.exact_cnt - f.cnt AS BIGINT) AS undercount,
+           CAST(CASE WHEN e.exact_cnt >= f.cnt
+                      AND (e.exact_cnt - f.cnt) * {_MG_K + 1}
+                          <= t.n - (SELECT sum(cnt) FROM final)
+                     THEN 1 ELSE 0 END AS BIGINT) AS guarantee_ok
+    FROM final f JOIN exact e ON e.item = f.item, tot t
+    """
+
+
+@staged_r10("events_misra_gries", oracle=_mg_oracle())
+def events_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISRA-GRIES heavy hitters — the deterministic frequency sketch
+    with the guaranteed-superset property (every item with frequency
+    > N/(k+1) survives; undercount bounded by the total decrement),
+    completing the mergeable-sketch family: HLL/KMV/theta (distinct),
+    count-min (frequency, probabilistic), t-digest (quantiles), and
+    now the DETERMINISTIC frequency summary. Merging MG summaries is
+    where this entry earns its keep at 100 TB: per-day summaries
+    merge PAIRWISE UP A PINNED BINARY TREE over the day index (the
+    Merkle shape) — add counters, subtract the (k+1)-th largest,
+    drop non-positives; a single subtraction suffices because the
+    survivors are exactly the counters strictly above it, provably
+    at most k. The pinned tree makes the (order-sensitive) merge
+    deterministic, so the final counters hash-check exactly; the
+    per-item GUARANTEE — exact ≥ mg and (exact − mg)·(k+1) ≤ N − M —
+    is emitted as a verified data column, not a docstring claim.
+
+    Scale: the day grain bounds level-0 state; each of the 9 levels
+    is one aggregate + one per-bucket top-(k+1) window over ≤ 2k
+    counters per bucket — sketch-sized shuffles throughout. With
+    hourly or per-shard base summaries the same tree covers any span
+    by adding levels logarithmically."""
+    e = table(spark, sf_dir, "events")
+    k = _MG_K
+    summ = e.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(_DAY_US))
+        .cast("long")
+        .alias("bucket"),
+        F.col("user_id").alias("item"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    for r in range(_MG_LEVELS):
+        m = summ.groupBy(
+            F.expr("bucket div 2").alias("bucket"), "item"
+        ).agg(F.sum("cnt").cast("long").alias("cnt"))
+        # single-consumer form: the (k+1)-th-largest threshold comes
+        # from a per-bucket window over the SAME shuffle as the rank,
+        # not a groupBy+join second consumer of m — the two-consumer
+        # form re-evaluates the whole merge cascade (measured 477 s at
+        # sf0.1 vs ~20 s for this shape)
+        rn = F.row_number().over(
+            W.partitionBy("bucket").orderBy(F.col("cnt").desc(), "item")
+        )
+        thr = F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))).over(
+                W.partitionBy("bucket")
+            ),
+            F.lit(0),
+        )
+        summ = (
+            m.select("bucket", "item", "cnt", rn.alias("rn"))
+            .select(
+                "bucket",
+                "item",
+                (F.col("cnt") - thr).cast("long").alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        if r % 4 == 3:
+            summ = truncate_lineage(summ, eager=False, reliable=True)
+    final = summ.select("item", "cnt")
+    exact = e.groupBy(F.col("user_id").alias("item")).agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    tot = e.agg(F.count("*").cast("long").alias("n"))
+    msum = final.agg(F.sum("cnt").cast("long").alias("m"))
+    return (
+        final.join(exact, "item")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(msum))
+        .select(
+            F.col("item").alias("user_id"),
+            F.col("cnt").alias("mg_count"),
+            "exact_cnt",
+            F.col("n").alias("n_total"),
+            (F.col("exact_cnt") - F.col("cnt"))
+            .cast("long")
+            .alias("undercount"),
+            F.when(
+                (F.col("exact_cnt") >= F.col("cnt"))
+                & (
+                    (F.col("exact_cnt") - F.col("cnt")) * (k + 1)
+                    <= F.col("n") - F.col("m")
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("guarantee_ok"),
+        )
+    )
