@@ -1292,3 +1292,95 @@ class TestMisraGriesIndependent:
         for r in rows:
             assert r.exact_cnt == exact[r.user_id]
             assert 0 <= r.undercount
+
+
+class TestStableMatchingIndependent:
+    """Third construction for supplier_stable_matching: with
+    preferences fixed, sequential one-proposal-at-a-time deferred
+    acceptance (the McVitie-Wilson schedule) must produce the SAME
+    proposer-optimal matching as the batch-synchronous Spark rounds —
+    run to completion here in plain python, plus the stability
+    theorem (zero blocking pairs) re-derived from exact ranks."""
+
+    @staticmethod
+    def _pri(p: int, s: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"pr|{p}|{s}".encode()).hexdigest()
+        return int(h[:10], 16) * 1048576 + s
+
+    def test_matches_sequential_gale_shapley(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.relational import (
+            _GS_K,
+            supplier_stable_matching,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = supplier_stable_matching(spark, sf).collect()
+        assert rows
+        assert all(r.status != "undecided" for r in rows), (
+            "round budget must converge on the tiny fixture"
+        )
+        # the stability theorem, emitted as data, re-asserted: deferred
+        # acceptance admits no blocking pair over the truncated lists
+        assert all(r.blocking_pairs == 0 for r in rows)
+
+        con = duckdb.connect()
+        sups = [
+            r[0]
+            for r in con.execute(
+                f"SELECT s_suppkey FROM '{sf}/supplier.parquet'"
+                " ORDER BY s_suppkey"
+            ).fetchall()
+        ]
+        parts = [
+            r[0]
+            for r in con.execute(
+                f"SELECT p_partkey FROM '{sf}/part.parquet'"
+                " ORDER BY p_partkey"
+            ).fetchall()
+        ]
+        m = max(len(sups) // 2, 3)
+        parts = parts[:m]
+
+        def home(s_idx: int) -> int:
+            h = hashlib.md5(f"gs|{s_idx}".encode()).hexdigest()
+            return int(h[:10], 16) % m
+
+        # sequential deferred acceptance: one free proposer at a time,
+        # any order (we take lowest index first); pos advances on every
+        # proposal, matching the batch rounds' accounting
+        pos = {i: 1 for i in range(len(sups))}
+        held: dict[int, tuple[int, int]] = {}  # p_idx -> (rank, s_idx)
+        matched: dict[int, int] = {}
+        free = sorted(pos, reverse=True)
+        while free:
+            s = free.pop()
+            while pos[s] <= _GS_K and s not in matched:
+                target = (home(s) + pos[s] - 1) % m
+                rnk = self._pri(target, s)
+                pos[s] += 1
+                cur = held.get(target)
+                if cur is None or rnk < cur[0]:
+                    if cur is not None:
+                        loser = cur[1]
+                        del matched[loser]
+                        free.append(loser)
+                    held[target] = (rnk, s)
+                    matched[s] = target
+        want = {
+            sups[s]: (
+                ("matched", parts[p], (p - home(s)) % m + 1)
+                if (p := matched.get(s)) is not None
+                else ("exhausted", -1, 0)
+            )
+            for s in range(len(sups))
+        }
+        got = {
+            r.s_suppkey: (r.status, r.matched_partkey, r.pref_rank)
+            for r in rows
+        }
+        assert got == want

@@ -219,6 +219,10 @@ class TestPlanProperties:
             # r7 (staged r10): ONE-ROW broadcasts — the N total and
             # the summary-mass scalar in the guarantee columns
             "events_misra_gries",
+            # r7 (staged r10): the ONE-ROW slot-count scalar (m)
+            # crossJoined into the part index; the round-state copy of
+            # the same broadcast sits behind the eager lineage cut
+            "supplier_stable_matching",
         }
         # multimodal_median_cut: level-1's box key constant-folds to 0
         # (every pixel starts in box 0), so the one-row ch/med frames

@@ -5020,3 +5020,350 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnd",
         F.coalesce("mn", F.lit(0)).cast("long").alias("mis_neighbors"),
     )
+
+# ---------------------------------------------------------------------------
+# Stable matching (batch Gale-Shapley deferred acceptance)
+# ---------------------------------------------------------------------------
+
+_GS_ROUNDS = 16
+_GS_K = 4  # preference-list length
+
+
+def _gs_oracle() -> str:
+    """Unrolled batch deferred-acceptance rounds in plain SQL. With
+    preferences fixed, every proposal order (sequential, batch) yields
+    the SAME proposer-optimal stable matching (McVitie-Wilson), so the
+    unrolled mirror plus the python sequential twin give three
+    constructions. MATERIALIZED throughout, and claims come from a
+    SINGLE pass over the state (held part or next proposal, one CASE)
+    with the winner picked by a per-part row_number — the
+    single-consumer shape the misra-gries cascade taught."""
+    k = _GS_K
+    rank = (
+        "CAST('0x' || substr(md5('pr|' || CAST({p} AS VARCHAR) || '|'"
+        " || CAST({s} AS VARCHAR)), 1, 10) AS BIGINT) * 1048576 + {s}"
+    )
+    parts = []
+    for r in range(1, _GS_ROUNDS + 1):
+        pr_rank = rank.format(p="target", s="s_idx")
+        parts.append(
+            f"""cl{r} AS MATERIALIZED (
+      SELECT s_idx, target,
+             CASE WHEN held = 1 THEN prank ELSE {pr_rank} END AS rnk
+      FROM (
+        SELECT s_idx, prank,
+               CASE WHEN part IS NOT NULL THEN part
+                    WHEN pos <= {k} THEN (h + pos - 1) % m END AS target,
+               CASE WHEN part IS NOT NULL THEN 1 ELSE 0 END AS held
+        FROM st{r - 1}
+      ) WHERE target IS NOT NULL
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT s_idx, target, rnk FROM (
+        SELECT s_idx, target, rnk,
+               row_number() OVER (PARTITION BY target ORDER BY rnk) AS rn
+        FROM cl{r}
+      ) WHERE rn = 1
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT s.s_idx, s.h, s.m,
+             s.pos + CASE WHEN s.part IS NULL AND s.pos <= {k}
+                          THEN 1 ELSE 0 END AS pos,
+             w.target AS part, w.rnk AS prank
+      FROM st{r - 1} s LEFT JOIN w{r} w ON w.s_idx = s.s_idx
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    R = _GS_ROUNDS
+    blk_rank = rank.format(p="b.target", s="b.s_idx")
+    return f"""
+    WITH sup AS MATERIALIZED (
+      SELECT s_suppkey,
+             row_number() OVER (ORDER BY s_suppkey) - 1 AS s_idx
+      FROM supplier
+    ),
+    msc AS (SELECT CAST(greatest(count(*) // 2, 3) AS BIGINT) AS m
+            FROM supplier),
+    pidx AS MATERIALIZED (
+      SELECT p_partkey,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS p_idx
+      FROM part QUALIFY p_idx < (SELECT m FROM msc)
+    ),
+    st0 AS MATERIALIZED (
+      SELECT s_idx,
+             CAST('0x' || substr(md5('gs|' || CAST(s_idx AS VARCHAR)),
+                                 1, 10) AS BIGINT) % m AS h,
+             m, CAST(1 AS BIGINT) AS pos,
+             CAST(NULL AS BIGINT) AS part, CAST(NULL AS BIGINT) AS prank
+      FROM sup, msc
+    ),
+    {body},
+    fin AS MATERIALIZED (
+      SELECT s_idx, h, m, pos, part, prank,
+             CASE WHEN part IS NOT NULL THEN 'matched'
+                  WHEN pos > {_GS_K} THEN 'exhausted'
+                  ELSE 'undecided' END AS status,
+             CASE WHEN part IS NOT NULL
+                  THEN (part - h + m) % m + 1 ELSE 0 END AS pref_rank
+      FROM st{R}
+    ),
+    holders AS MATERIALIZED (
+      SELECT part, prank FROM fin WHERE part IS NOT NULL
+    ),
+    blk AS MATERIALIZED (
+      SELECT b.s_idx, count(*) AS nblk
+      FROM (
+        SELECT f.s_idx, (f.h + i.i - 1) % f.m AS target, i.i
+        FROM fin f, unnest(generate_series(1, {_GS_K})) i(i)
+        WHERE f.status <> 'matched' OR i.i < f.pref_rank
+      ) b
+      LEFT JOIN holders hd ON hd.part = b.target
+      WHERE hd.part IS NULL OR ({blk_rank}) < hd.prank
+      GROUP BY b.s_idx
+    )
+    SELECT sup.s_suppkey,
+           fin.status,
+           COALESCE(p.p_partkey, -1) AS matched_partkey,
+           CAST(fin.pref_rank AS BIGINT) AS pref_rank,
+           CAST(COALESCE(blk.nblk, 0) AS BIGINT) AS blocking_pairs
+    FROM fin
+    JOIN sup ON sup.s_idx = fin.s_idx
+    LEFT JOIN pidx p ON p.p_idx = fin.part
+    LEFT JOIN blk ON blk.s_idx = fin.s_idx
+    """
+
+
+@staged_r10("supplier_stable_matching", oracle=_gs_oracle())
+def supplier_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STABLE MATCHING by BATCH GALE-SHAPLEY deferred acceptance — the
+    two-sided market-assignment primitive (residency match, ad
+    auctions, storage placement): suppliers hold hash-derived
+    preference lists over a deliberately SCARCE part pool (m = n/2
+    slots for n suppliers, so contention and honest exhaustion are
+    exercised, not just first-choice trivia); each round every free
+    supplier proposes to its next-preferred part and each part keeps
+    the proposer it ranks best (md5 rank, supplier-id low bits =>
+    distinct by construction). With preferences fixed, EVERY proposal
+    schedule — one-at-a-time or batch-synchronous — produces the SAME
+    proposer-optimal stable matching (McVitie-Wilson '71), which makes
+    the result a unique hash-checkable object; the sequential-greedy
+    pytest twin proves exactly that equivalence. The stability theorem
+    itself is emitted AS DATA: per supplier, the count of blocking
+    pairs over its preference list (a part it prefers whose holder
+    ranks worse, or an unheld preferred part) — forced to 0 by
+    deferred acceptance, recomputed independently by both engines.
+    Any round-budget leftovers surface honestly as 'undecided'
+    (identical in both engines — the MIS precedent).
+
+    Scale: each round is one sketch-sized aggregate (min rank per
+    part) plus two supplier-keyed equi-joins over the FREE subset,
+    which deferred acceptance shrinks every round; preference lists
+    are O(1) arithmetic over scan-stage hashes, never materialized
+    n x m. The dimension-table row_number and the one-row m scalar
+    are dim-bounded (the qini ntile note applies).
+
+    Reference capability class: ClusterDeploy-style resource
+    assignment (SURVEY.md section 2 engine extras)."""
+    k = _GS_K
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey")
+    s_idx = sup.select(
+        "s_suppkey",
+        (F.row_number().over(W.orderBy("s_suppkey")) - 1)
+        .cast("long")
+        .alias("s_idx"),
+    )
+    msc = sup.agg(
+        F.greatest(F.expr("count(*) div 2"), F.lit(3))
+        .cast("long")
+        .alias("m")
+    )
+    pidx = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey")
+        .select(
+            "p_partkey",
+            (F.row_number().over(W.orderBy("p_partkey")) - 1)
+            .cast("long")
+            .alias("p_idx"),
+        )
+        .crossJoin(F.broadcast(msc))
+        .filter(F.col("p_idx") < F.col("m"))
+        .select("p_partkey", "p_idx")
+    )
+
+    def _rank(p, s):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pr|"),
+                            p.cast("string"),
+                            F.lit("|"),
+                            s.cast("string"),
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 1048576
+            + s
+        )
+
+    st = (
+        s_idx.crossJoin(F.broadcast(msc))
+        .select(
+            "s_idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("gs|"), F.col("s_idx").cast("string"))
+                        ),
+                        1,
+                        10,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("m")
+            ).alias("h"),
+            "m",
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(None).cast("long").alias("part"),
+            F.lit(None).cast("long").alias("prank"),
+        )
+    )
+    # the state feeds TWO consumers per round (claims + rebuild); an
+    # eager cut at the top keeps every round's plan free of the dim
+    # row_number scans, and the per-2-round cuts stop the 2^r
+    # re-expansion (the misra-gries single-consumer lesson: claims is
+    # ONE pass over the state — held part or next proposal in a CASE —
+    # and the per-part winner is a row_number over the same shuffle)
+    st = truncate_lineage(st, reliable=True)
+    for r in range(1, _GS_ROUNDS + 1):
+        claims = (
+            st.select(
+                "s_idx",
+                "prank",
+                F.when(F.col("part").isNotNull(), F.col("part"))
+                .when(
+                    F.col("pos") <= k,
+                    (F.col("h") + F.col("pos") - 1) % F.col("m"),
+                )
+                .alias("target"),
+                F.col("part").isNotNull().alias("held"),
+            )
+            .filter(F.col("target").isNotNull())
+            .select(
+                "s_idx",
+                "target",
+                F.when(F.col("held"), F.col("prank"))
+                .otherwise(_rank(F.col("target"), F.col("s_idx")))
+                .alias("rnk"),
+            )
+        )
+        winners = (
+            claims.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("target").orderBy("rnk")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "s_idx",
+                F.col("target").alias("wpart"),
+                F.col("rnk").alias("wrank"),
+            )
+        )
+        st = (
+            st.select(
+                "s_idx",
+                "h",
+                "m",
+                (
+                    F.col("pos")
+                    + F.when(
+                        F.col("part").isNull() & (F.col("pos") <= k), 1
+                    ).otherwise(0)
+                ).alias("pos"),
+            )
+            .join(
+                winners.select(
+                    "s_idx",
+                    F.col("wpart").alias("part"),
+                    F.col("wrank").alias("prank"),
+                ),
+                "s_idx",
+                "left",
+            )
+        )
+        if r % 2 == 0:
+            st = truncate_lineage(st, reliable=True)
+    fin = st.select(
+        "s_idx",
+        "h",
+        "m",
+        "pos",
+        "part",
+        "prank",
+        F.when(F.col("part").isNotNull(), "matched")
+        .when(F.col("pos") > k, "exhausted")
+        .otherwise("undecided")
+        .alias("status"),
+        F.when(
+            F.col("part").isNotNull(),
+            (F.col("part") - F.col("h") + F.col("m")) % F.col("m") + 1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("pref_rank"),
+    )
+    fin = truncate_lineage(fin, reliable=True)
+    holders = fin.filter(F.col("part").isNotNull()).select(
+        F.col("part").alias("hpart"), F.col("prank").alias("hrank")
+    )
+    cand = (
+        fin.select(
+            "s_idx",
+            "h",
+            "m",
+            "status",
+            "pref_rank",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i"),
+        )
+        .filter(
+            (F.col("status") != "matched") | (F.col("i") < F.col("pref_rank"))
+        )
+        .select(
+            "s_idx",
+            ((F.col("h") + F.col("i") - 1) % F.col("m")).alias("target"),
+        )
+    )
+    blk = (
+        cand.join(holders, cand["target"] == holders["hpart"], "left")
+        .filter(
+            F.col("hpart").isNull()
+            | (_rank(F.col("target"), F.col("s_idx")) < F.col("hrank"))
+        )
+        .groupBy("s_idx")
+        .agg(F.count("*").cast("long").alias("nblk"))
+    )
+    return (
+        fin.join(s_idx, "s_idx")
+        .join(pidx, fin["part"] == pidx["p_idx"], "left")
+        .join(blk, "s_idx", "left")
+        .select(
+            "s_suppkey",
+            "status",
+            F.coalesce("p_partkey", F.lit(-1)).cast("long").alias(
+                "matched_partkey"
+            ),
+            "pref_rank",
+            F.coalesce("nblk", F.lit(0)).cast("long").alias("blocking_pairs"),
+        )
+    )
