@@ -1384,3 +1384,62 @@ class TestStableMatchingIndependent:
             for r in rows
         }
         assert got == want
+
+
+class TestGridNnIndependent:
+    """Third construction for events_grid_nn_join: brute force over
+    ALL click x view pairs (no grid) — proves the 3x3 ring pruning
+    loses nothing, per the cell-width >= radius argument."""
+
+    def test_matches_bruteforce(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.streaming import (
+            _GRID_R,
+            _GRID_SIDE,
+            events_grid_nn_join,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = events_grid_nn_join(spark, sf).collect()
+        assert rows
+
+        def coord(tag: str, eid: int) -> int:
+            h = hashlib.md5(f"{tag}|{eid}".encode()).hexdigest()
+            return int(h[:10], 16) % _GRID_SIDE
+
+        con = duckdb.connect()
+        ids = {
+            t: [
+                r[0]
+                for r in con.execute(
+                    f"SELECT event_id FROM '{sf}/events.parquet'"
+                    f" WHERE event_type = '{t}'"
+                ).fetchall()
+            ]
+            for t in ("click", "view")
+        }
+        pts = {
+            t: [(e, coord("gx", e), coord("gy", e)) for e in ids[t]]
+            for t in ("click", "view")
+        }
+        r2 = _GRID_R * _GRID_R
+        want = {}
+        for aid, ax, ay in pts["click"]:
+            inr = sorted(
+                ((ax - bx) ** 2 + (ay - by) ** 2, bid)
+                for bid, bx, by in pts["view"]
+                if (ax - bx) ** 2 + (ay - by) ** 2 <= r2
+            )
+            want[aid] = (
+                (inr[0][1], inr[0][0], len(inr)) if inr else (-1, -1, 0)
+            )
+        got = {
+            r.event_id: (r.matched_id, r.sq_dist, r.n_radius) for r in rows
+        }
+        assert got == want
+        # the honesty pair: examined >= in-radius, strictly more
+        # somewhere (the ring is a superset of the disk)
+        assert all(r.n_ring >= r.n_radius for r in rows)
+        assert len(want) == len(got)
