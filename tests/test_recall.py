@@ -1443,3 +1443,69 @@ class TestGridNnIndependent:
         # somewhere (the ring is a superset of the disk)
         assert all(r.n_ring >= r.n_radius for r in rows)
         assert len(want) == len(got)
+
+
+class TestOlsCramerIndependent:
+    """Third construction for events_ols_cramer: solve the same normal
+    equations with Fraction-exact Gaussian elimination (no Cramer, no
+    floats) and check the determinant ratios agree exactly; then
+    verify the defining property — residual orthogonality X'(y-Xb)=0 —
+    holds as exact rationals."""
+
+    def test_matches_fraction_solve(self, spark):
+        import duckdb
+        from fractions import Fraction
+
+        from virapipe_spark.queries.streaming import events_ols_cramer
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.coef: r for r in events_ols_cramer(spark, sf).collect()}
+        assert set(rows) == {"intercept", "trend", "weekend"}
+        det = {r.det_den for r in rows.values()}
+        assert len(det) == 1 and 0 not in det
+
+        con = duckdb.connect()
+        data = con.execute(
+            f"""
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                     CAST(round(value) AS BIGINT) AS v
+              FROM '{sf}/events.parquet'
+            ), byday AS (SELECT day, sum(v) AS y FROM d GROUP BY day)
+            SELECT day - (SELECT min(day) FROM byday) AS x,
+                   CASE WHEN day % 7 IN (2,3) THEN 1 ELSE 0 END AS w,
+                   y
+            FROM byday
+            """
+        ).fetchall()
+        X = [(1, x, w) for x, w, _ in data]
+        y = [v for _, _, v in data]
+        A = [
+            [
+                Fraction(sum(r[i] * r[j] for r in X))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        b = [Fraction(sum(r[i] * v for r, v in zip(X, y)))
+             for i in range(3)]
+        # exact Gaussian elimination with partial pivoting
+        M = [A[i] + [b[i]] for i in range(3)]
+        for col in range(3):
+            piv = max(range(col, 3), key=lambda r: abs(M[r][col]))
+            M[col], M[piv] = M[piv], M[col]
+            for r in range(3):
+                if r != col and M[r][col]:
+                    f = M[r][col] / M[col][col]
+                    M[r] = [a - f * c for a, c in zip(M[r], M[col])]
+        beta = [M[i][3] / M[i][i] for i in range(3)]
+        for name, i in (("intercept", 0), ("trend", 1), ("weekend", 2)):
+            got = Fraction(rows[name].det_num, rows[name].det_den)
+            assert got == beta[i], name
+        # residual orthogonality, exactly
+        resid = [
+            Fraction(v) - sum(beta[i] * r[i] for i in range(3))
+            for r, v in zip(X, y)
+        ]
+        for i in range(3):
+            assert sum(r[i] * e for r, e in zip(X, resid)) == 0

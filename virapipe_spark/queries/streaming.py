@@ -6082,3 +6082,178 @@ def events_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_radius", F.lit(0)).cast("long").alias("n_radius"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS by Cramer's rule (integer-exact normal equations)
+# ---------------------------------------------------------------------------
+
+
+def _ols_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(round(value) AS BIGINT) AS v
+      FROM events
+    ),
+    byday AS (
+      SELECT day, CAST(sum(v) AS BIGINT) AS y FROM d GROUP BY day
+    ),
+    feat AS (
+      SELECT y,
+             day - min(day) OVER () AS x,
+             CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END AS w
+      FROM byday
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * w) AS BIGINT) AS sww,
+             CAST(sum(x * w) AS BIGINT) AS sxw,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(w * y) AS BIGINT) AS swy
+      FROM feat
+    ),
+    dets AS (
+      SELECT
+        n * (sxx * sww - sxw * sxw) - sx * (sx * sww - sxw * sw)
+          + sw * (sx * sxw - sxx * sw) AS det,
+        sy * (sxx * sww - sxw * sxw) - sx * (sxy * sww - sxw * swy)
+          + sw * (sxy * sxw - sxx * swy) AS det0,
+        n * (sxy * sww - sxw * swy) - sy * (sx * sww - sxw * sw)
+          + sw * (sx * swy - sxy * sw) AS det1,
+        n * (sxx * swy - sxy * sxw) - sx * (sx * swy - sxy * sw)
+          + sy * (sx * sxw - sxx * sw) AS det2
+      FROM m
+    )
+    SELECT u.coef,
+           CAST(CASE u.coef WHEN 'intercept' THEN det0
+                            WHEN 'trend' THEN det1
+                            ELSE det2 END AS BIGINT) AS det_num,
+           CAST(det AS BIGINT) AS det_den,
+           CASE WHEN det = 0 THEN 0.0
+                ELSE CAST(CASE u.coef WHEN 'intercept' THEN det0
+                                      WHEN 'trend' THEN det1
+                                      ELSE det2 END AS DOUBLE) / det
+           END AS beta
+    FROM dets, unnest(['intercept', 'trend', 'weekend']) u(coef)
+    """
+
+
+@staged_r10("events_ols_cramer", oracle=_ols_oracle())
+def events_ols_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-FORM MULTIPLE REGRESSION — ordinary least squares fit of
+    daily revenue on [intercept, day trend, weekend indicator], solved
+    EXACTLY by Cramer's rule on the 3x3 normal equations: every X'X
+    and X'y moment is one distributed integer aggregate, every
+    determinant an exact bigint polynomial in those moments, and each
+    coefficient one final division (the single exactly-rounded float
+    op, the HHI lesson). No gradient steps, no numpy, no float
+    accumulation order anywhere — two engines computing bigint
+    determinants MUST agree bit-for-bit, which is what makes a
+    regression hash-checkable at all. Completes the trend family with
+    the parametric member: Theil-Sen (robust slope), Mann-Kendall-ish
+    rank trends (Spearman/Kendall), CUPED (covariate adjustment), and
+    now the textbook multi-feature OLS those methods are usually
+    benchmarked against.
+
+    Scale: ONE aggregate pass over the day grain computes all nine
+    moments map-side-combined (the moments are the sufficient
+    statistic — this is exactly how MLlib's normal-equation solver
+    summarizes 100 TB into k^2 numbers); the determinant algebra and
+    the 3-row unpivot are constant work on a one-row frame. The day
+    dimension window (x = day - min day) runs on the calendar-bounded
+    daily aggregate, the Theil-Sen precedent. Determinant magnitudes:
+    with 30 days and daily sums ~1e12, |det_j| <= ~1e16 — int64-safe
+    with two orders of headroom.
+
+    Reference capability class: aggregate statistics over events
+    (SURVEY.md section 2 engine extras; the experimentation family).
+    """
+    e = table(spark, sf_dir, "events")
+    byday = (
+        e.select(
+            F.floor(F.unix_micros("ts") / F.lit(_DAY_US))
+            .cast("long")
+            .alias("day"),
+            F.round("value").cast("long").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("long").alias("y"))
+    )
+    feat = byday.select(
+        "y",
+        (F.col("day") - F.min("day").over(W.orderBy().rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        ))).alias("x"),
+        (F.col("day") % 7).isin(2, 3).cast("long").alias("w"),
+    )
+    m = feat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sww"),
+        F.sum(F.col("x") * F.col("w")).cast("long").alias("sxw"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("swy"),
+    )
+    c = {k: F.col(k) for k in ("n", "sx", "sxx", "sw", "sww", "sxw",
+                               "sy", "sxy", "swy")}
+    dets = m.select(
+        (
+            c["n"] * (c["sxx"] * c["sww"] - c["sxw"] * c["sxw"])
+            - c["sx"] * (c["sx"] * c["sww"] - c["sxw"] * c["sw"])
+            + c["sw"] * (c["sx"] * c["sxw"] - c["sxx"] * c["sw"])
+        ).alias("det"),
+        (
+            c["sy"] * (c["sxx"] * c["sww"] - c["sxw"] * c["sxw"])
+            - c["sx"] * (c["sxy"] * c["sww"] - c["sxw"] * c["swy"])
+            + c["sw"] * (c["sxy"] * c["sxw"] - c["sxx"] * c["swy"])
+        ).alias("det0"),
+        (
+            c["n"] * (c["sxy"] * c["sww"] - c["sxw"] * c["swy"])
+            - c["sy"] * (c["sx"] * c["sww"] - c["sxw"] * c["sw"])
+            + c["sw"] * (c["sx"] * c["swy"] - c["sxy"] * c["sw"])
+        ).alias("det1"),
+        (
+            c["n"] * (c["sxx"] * c["swy"] - c["sxy"] * c["sxw"])
+            - c["sx"] * (c["sx"] * c["swy"] - c["sxy"] * c["sw"])
+            + c["sy"] * (c["sx"] * c["sxw"] - c["sxx"] * c["sw"])
+        ).alias("det2"),
+    )
+    return (
+        dets.select(
+            "det",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("intercept").alias("coef"),
+                        F.col("det0").alias("det_num"),
+                    ),
+                    F.struct(
+                        F.lit("trend").alias("coef"),
+                        F.col("det1").alias("det_num"),
+                    ),
+                    F.struct(
+                        F.lit("weekend").alias("coef"),
+                        F.col("det2").alias("det_num"),
+                    ),
+                )
+            ).alias("u"),
+        )
+        .select(
+            F.col("u.coef").alias("coef"),
+            F.col("u.det_num").cast("long").alias("det_num"),
+            F.col("det").cast("long").alias("det_den"),
+            F.when(F.col("det") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("u.det_num").cast("double") / F.col("det")
+            )
+            .alias("beta"),
+        )
+    )
