@@ -1509,3 +1509,94 @@ class TestOlsCramerIndependent:
         ]
         for i in range(3):
             assert sum(r[i] * e for r, e in zip(X, resid)) == 0
+
+
+class TestDebruijnUnitigsIndependent:
+    """Third construction for reads_debruijn_unitigs: sequential chain
+    walking (the textbook unitig algorithm — start at every
+    branch-adjacent node and walk the unique successor) instead of
+    pointer-doubling CC."""
+
+    def test_matches_chain_walk(self, spark):
+        import duckdb
+        import hashlib
+        from collections import Counter, defaultdict
+
+        from virapipe_spark.queries.genomics import (
+            _DB_K,
+            reads_debruijn_unitigs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = reads_debruijn_unitigs(spark, sf).collect()
+        assert rows
+
+        hexmap = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+        con = duckdb.connect()
+        texts = [
+            r[0]
+            for r in con.execute(
+                f"SELECT text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        k = _DB_K
+        ecnt: Counter = Counter()
+        for t in texts:
+            s = (
+                hashlib.md5(t.encode()).hexdigest()
+                + hashlib.md5((t + "2").encode()).hexdigest()
+            ).translate(hexmap)
+            for i in range(64 - k):
+                ecnt[(s[i : i + k], s[i + 1 : i + 1 + k])] += 1
+        outd: Counter = Counter()
+        ind: Counter = Counter()
+        for u, v in ecnt:
+            outd[u] += 1
+            ind[v] += 1
+        lin = {
+            (u, v): m
+            for (u, v), m in ecnt.items()
+            if outd[u] == 1 and ind[v] == 1
+        }
+        nodes = {u for u, _ in ecnt} | {v for _, v in ecnt}
+        succ = {u: v for u, v in lin}
+        pred = {v: u for u, v in lin}
+        seen: set = set()
+        want = {}
+        for n in sorted(nodes):
+            if n in seen:
+                continue
+            # walk back to the chain start (or around the cycle)
+            start, guard = n, 0
+            while start in pred and pred[start] not in (n,) and guard <= len(
+                nodes
+            ):
+                start = pred[start]
+                guard += 1
+                if start == n:  # pure cycle
+                    break
+            chain = [start]
+            seen.add(start)
+            cur = start
+            while cur in succ and succ[cur] not in seen:
+                cur = succ[cur]
+                chain.append(cur)
+                seen.add(cur)
+            edges = [
+                (a, b) for a, b in zip(chain, chain[1:])
+            ] + ([(chain[-1], chain[0])] if succ.get(chain[-1]) == chain[0]
+                 else [])
+            uid = min(chain)
+            want[uid] = (
+                len(chain),
+                len(edges),
+                sum(lin[e] for e in edges),
+                1 if len(edges) == len(chain) else 0,
+            )
+        got = {
+            r.unitig_id: (r.n_kmers, r.n_edges, r.mult_total, r.is_cycle)
+            for r in rows
+        }
+        assert got == want
+        # the sparse regime must actually produce compacted chains
+        assert max(r.n_kmers for r in rows) > 1

@@ -1474,3 +1474,162 @@ def reads_gc_skew_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("skew").alias("min_skew"),
         "final_skew",
     )
+
+
+# ---------------------------------------------------------------------------
+# de Bruijn graph unitig compaction (the assembly-graph primitive)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import staged_r10  # noqa: E402
+from virapipe_spark.graph import connected_components_doubling  # noqa: E402
+from virapipe_spark.scale import truncate_lineage  # noqa: E402
+
+_DB_K = 7  # de Bruijn k-mer size (4^7 = 16384 possible nodes)
+
+
+def _debruijn_oracle() -> str:
+    k = _DB_K
+    return f"""
+    WITH RECURSIVE seqs AS (
+      SELECT translate(md5(text) || md5(text || '2'),
+                       '0123456789abcdef', 'ACGTACGTACGTACGT') AS s
+      FROM documents
+    ),
+    inst AS (
+      SELECT substr(s, i, {k}) AS u, substr(s, i + 1, {k}) AS v
+      FROM seqs, unnest(generate_series(1, 64 - {k})) t(i)
+    ),
+    ecnt AS (SELECT u, v, CAST(count(*) AS BIGINT) AS mult
+             FROM inst GROUP BY u, v),
+    outd AS (SELECT u, count(*) AS od FROM ecnt GROUP BY u),
+    ind  AS (SELECT v, count(*) AS dg FROM ecnt GROUP BY v),
+    lin AS (
+      SELECT e.u AS a, e.v AS b, e.mult
+      FROM ecnt e
+      JOIN outd o ON o.u = e.u AND o.od = 1
+      JOIN ind i ON i.v = e.v AND i.dg = 1
+    ),
+    nodes AS (SELECT u AS n FROM ecnt UNION SELECT v FROM ecnt),
+    sym AS (SELECT a, b FROM lin UNION ALL SELECT b AS a, a AS b FROM lin),
+    reach(src, node) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.node
+    ),
+    comp AS (SELECT src AS n, min(node) AS uid FROM reach GROUP BY src),
+    estat AS (
+      SELECT c.uid,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(l.mult) AS BIGINT) AS mult_total
+      FROM lin l JOIN comp c ON c.n = l.a
+      GROUP BY c.uid
+    ),
+    nstat AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS n_kmers FROM comp GROUP BY uid
+    )
+    SELECT ns.uid AS unitig_id,
+           ns.n_kmers,
+           COALESCE(es.n_edges, 0) AS n_edges,
+           COALESCE(es.mult_total, 0) AS mult_total,
+           CAST(CASE WHEN COALESCE(es.n_edges, 0) = ns.n_kmers
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_cycle
+    FROM nstat ns LEFT JOIN estat es ON es.uid = ns.uid
+    """
+
+
+@staged_r10("reads_debruijn_unitigs", oracle=_debruijn_oracle())
+def reads_debruijn_unitigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DE BRUIJN UNITIG COMPACTION — the assembly-graph primitive under
+    MegaHit/SPAdes (the reference shells out to MegaHit,
+    reference/AssembleSpark-style pipe; this is the piece of that
+    assembler a data engine can own): shred sequences into k-mer nodes
+    with observed-successor edges, keep only the LINEAR edges
+    (out-degree 1 source, in-degree 1 target — the non-branching
+    subgraph, whose components are exactly the maximal unitig paths
+    and isolated cycles), and compact each chain to one row via the
+    shared pointer-doubling connected-components engine (graph.py —
+    O(log chain) rounds, so kilobase unitigs cost ~10 rounds, not
+    ~1000). Per unitig: canonical id (min k-mer), k-mer count, linear
+    edge count, edge multiplicity mass, and the cycle flag (a path has
+    n-1 internal edges, a cycle n — the flag is pure arithmetic).
+    Sequences are the 64-base md5 fixtures (gc_skew precedent); the
+    two data scales land on opposite graph regimes — sparse/chain-like
+    (long unitigs) at sf0.001, dense/branchy (short unitigs) at sf0.1
+    — so both code paths are exercised by the same entry.
+
+    Scale: shred+count is one fused explode->aggregate (k-mer count
+    band precedent); degree tables are two aggregates over distinct
+    edges (bounded by min(4^k, data)); the doubling CC shuffles on
+    node/label keys only. No step touches instance-level data after
+    the first aggregate — the graph, not the corpus, is the working
+    set, exactly how a 100 TB read set compacts (the k-mer spectrum is
+    corpus-bounded, 4^k-capped).
+
+    Reference capability class: AssembleSpark/MegaHit stage
+    (SURVEY.md section 2.9) re-expressed as native graph compaction.
+    """
+    k = _DB_K
+    d = table(spark, sf_dir, "documents")
+    seqs = d.select(
+        F.translate(
+            F.concat(
+                F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("2")))
+            ),
+            _HEX,
+            _DNA16,
+        ).alias("s")
+    )
+    inst = seqs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(64 - k))).alias("i"), "s"
+    ).select(
+        F.col("s").substr(F.col("i"), F.lit(k)).alias("u"),
+        F.col("s").substr(F.col("i") + 1, F.lit(k)).alias("v"),
+    )
+    ecnt = inst.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("mult")
+    )
+    # the edge table feeds four consumers (degrees, linear cut, node
+    # set); cut lineage once so the shred+count subtree runs once
+    ecnt = truncate_lineage(ecnt, reliable=True)
+    outd = ecnt.groupBy("u").agg(F.count("*").alias("od"))
+    ind = ecnt.groupBy("v").agg(F.count("*").alias("dg"))
+    lin = (
+        ecnt.join(outd.filter(F.col("od") == 1), "u")
+        .join(ind.filter(F.col("dg") == 1), "v")
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), "mult")
+    )
+    lin = truncate_lineage(lin, reliable=True)
+    nodes = (
+        ecnt.select(F.col("u").alias("n"))
+        .union(ecnt.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    comp = connected_components_doubling(
+        lin, nodes, node_col="n", label_col="uid"
+    )
+    estat = (
+        lin.join(comp, lin["a"] == comp["n"])
+        .groupBy("uid")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("mult").cast("long").alias("mult_total"),
+        )
+    )
+    nstat = comp.groupBy("uid").agg(F.count("*").cast("long").alias("n_kmers"))
+    return (
+        nstat.join(estat, "uid", "left")
+        .select(
+            F.col("uid").alias("unitig_id"),
+            "n_kmers",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("mult_total", F.lit(0)).cast("long").alias(
+                "mult_total"
+            ),
+            F.when(
+                F.coalesce("n_edges", F.lit(0)) == F.col("n_kmers"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_cycle"),
+        )
+    )
