@@ -1600,3 +1600,59 @@ class TestDebruijnUnitigsIndependent:
         assert got == want
         # the sparse regime must actually produce compacted chains
         assert max(r.n_kmers for r in rows) > 1
+
+
+class TestSmithWatermanIndependent:
+    """Third construction for reads_smith_waterman: the textbook
+    row-by-row sequential DP matrix, argmax with the same (h DESC,
+    i, j) tie-break."""
+
+    def test_matches_sequential_dp(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.genomics import (
+            _SW_GAP,
+            _SW_MATCH,
+            _SW_MISMATCH,
+            _SW_N,
+            reads_smith_waterman,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = reads_smith_waterman(spark, sf).collect()
+        assert rows
+        hexmap = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+                " WHERE doc_id < 401"
+            ).fetchall()
+        )
+        n = _SW_N
+
+        def seq(doc_id: int) -> str:
+            return hashlib.md5(docs[doc_id].encode()).hexdigest().translate(
+                hexmap
+            )[:n]
+
+        want = {}
+        for pair in range(0, 400, 2):
+            a, b = seq(pair), seq(pair + 1)
+            H = [[0] * n for _ in range(n)]
+            best_h, best_i, best_j = -1, -1, -1
+            for i in range(n):
+                for j in range(n):
+                    s = _SW_MATCH if a[i] == b[j] else _SW_MISMATCH
+                    diag = H[i - 1][j - 1] if i and j else 0
+                    up = H[i - 1][j] if i else 0
+                    left = H[i][j - 1] if j else 0
+                    h = max(0, diag + s, up - _SW_GAP, left - _SW_GAP)
+                    H[i][j] = h
+                    if h > best_h:
+                        best_h, best_i, best_j = h, i, j
+            want[pair] = (best_h, best_i, best_j)
+        got = {r.pair_id: (r.sw_score, r.best_i, r.best_j) for r in rows}
+        assert got == want
+        assert max(h for h, _, _ in want.values()) >= 2  # non-trivial

@@ -1633,3 +1633,239 @@ def reads_debruijn_unitigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_cycle"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Smith-Waterman local alignment (anti-diagonal wavefront)
+# ---------------------------------------------------------------------------
+
+_SW_N = 12  # sequence length (22 wavefront rounds)
+_SW_MATCH = 2
+_SW_MISMATCH = -1
+_SW_GAP = 1  # subtracted
+
+
+def _sw_oracle() -> str:
+    """The Smith-Waterman recurrence unrolled as one CTE per
+    anti-diagonal (the DTW precedent: recursive SQL cannot
+    re-aggregate its working set). Missing predecessors coalesce to
+    the 0 the local-alignment floor supplies anyway."""
+    n = _SW_N
+    parts = [
+        """h0 AS MATERIALIZED (
+      SELECT pair, i, j, greatest(0, s) AS h
+      FROM cells WHERE i = 0 AND j = 0
+    )"""
+    ]
+    for d in range(1, 2 * n - 1):
+        scat = [
+            f"SELECT pair, i + 1 AS i, j, 'g' AS typ, h - {_SW_GAP} AS val"
+            f" FROM h{d - 1}",
+            f"SELECT pair, i, j + 1 AS j, 'g' AS typ, h - {_SW_GAP} AS val"
+            f" FROM h{d - 1}",
+        ]
+        if d >= 2:
+            scat.append(
+                f"SELECT pair, i + 1 AS i, j + 1 AS j, 'd' AS typ, h AS val"
+                f" FROM h{d - 2}"
+            )
+        u = "\n        UNION ALL ".join(scat)
+        parts.append(
+            f"""h{d} AS MATERIALIZED (
+      SELECT c.pair, c.i, c.j,
+             greatest(0,
+                      c.s + coalesce(max(CASE WHEN s.typ = 'd'
+                                              THEN s.val END), 0),
+                      coalesce(max(CASE WHEN s.typ = 'g'
+                                        THEN s.val END), 0)) AS h
+      FROM cells c
+      JOIN ({u}) s
+        ON s.pair = c.pair AND s.i = c.i AND s.j = c.j
+      WHERE c.i + c.j = {d}
+      GROUP BY c.pair, c.i, c.j, c.s
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    allh = "\n      UNION ALL ".join(
+        f"SELECT pair, i, j, h FROM h{d}" for d in range(2 * n - 1)
+    )
+    return f"""
+    WITH sa AS (
+      SELECT doc_id AS pair, g - 1 AS i,
+             substr(translate(md5(text), '0123456789abcdef',
+                              'ACGTACGTACGTACGT'), g, 1) AS c
+      FROM documents, unnest(generate_series(1, {n})) t(g)
+      WHERE doc_id < 400 AND doc_id % 2 = 0
+    ),
+    sb AS (
+      SELECT doc_id - 1 AS pair, g - 1 AS j,
+             substr(translate(md5(text), '0123456789abcdef',
+                              'ACGTACGTACGTACGT'), g, 1) AS c
+      FROM documents, unnest(generate_series(1, {n})) t(g)
+      WHERE doc_id < 401 AND doc_id % 2 = 1
+    ),
+    cells AS MATERIALIZED (
+      SELECT a.pair, a.i, b.j,
+             CAST(CASE WHEN a.c = b.c THEN {_SW_MATCH}
+                       ELSE {_SW_MISMATCH} END AS BIGINT) AS s
+      FROM sa a JOIN sb b ON b.pair = a.pair
+    ),
+    {body},
+    allcells AS (
+      {allh}
+    )
+    SELECT pair AS pair_id,
+           CAST(h AS BIGINT) AS sw_score,
+           CAST(i AS BIGINT) AS best_i,
+           CAST(j AS BIGINT) AS best_j
+    FROM (
+      SELECT pair, h, i, j,
+             row_number() OVER (PARTITION BY pair
+                                ORDER BY h DESC, i, j) AS rn
+      FROM allcells
+    ) WHERE rn = 1
+    """
+
+
+@staged_r10("reads_smith_waterman", oracle=_sw_oracle())
+def reads_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMITH-WATERMAN LOCAL ALIGNMENT — the scoring core of BLAST's
+    final phase and of every aligner the reference shells out to
+    (reference BlastN/BWA pipes, SURVEY.md section 2.9): H(i,j) =
+    max(0, H(i-1,j-1)+s(a_i,b_j), H(i-1,j)-gap, H(i,j-1)-gap), the
+    0-floor turning global edit distance into best-local-region
+    scoring. Like DTW the true dependency order is the ANTI-DIAGONAL:
+    one wavefront round per diagonal, each a scatter (every H cell
+    feeds its three successor moves, gap moves pre-decremented, diag
+    moves tagged to receive the substitution score at the target) +
+    conditional max-aggregate + cells join — all equi-keyed across
+    every pair simultaneously. Missing predecessors coalesce to 0,
+    which IS the Smith-Waterman boundary condition, so no edge-case
+    row fabrication. Result per pair: the best local score and its
+    exact end cell (deterministic (h DESC, i, j) tie-break). Integer
+    match/mismatch/gap scores keep every H exact; the brute-force DP
+    twin test re-derives the full matrix sequentially.
+
+    Scale: rounds = 2N-2 independent of pair count — a billion read
+    pairs wavefront together, each round shuffling |pairs| x diagonal
+    rows on (pair, i, j); banding (X-drop / Sakoe-Chiba) bounds long
+    sequences exactly as in the DTW entry. The fixture clips pairs at
+    doc_id < 400 to bound the unrolled ORACLE, not the engine.
+
+    Reference capability class: per-read alignment scoring
+    (SURVEY.md section 2.9) re-expressed as set-oriented wavefront DP.
+    """
+    n = _SW_N
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 401)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("g"),
+        F.translate(F.md5("text"), _HEX, _DNA16).alias("h"),
+    ).select(
+        "doc_id",
+        (F.col("g") - 1).alias("t"),
+        F.expr("substr(h, g, 1)").alias("c"),
+    )
+    sa = chars.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400)
+    ).select(
+        F.col("doc_id").alias("pair"),
+        F.col("t").alias("i"),
+        F.col("c").alias("ca"),
+    )
+    sb = chars.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair"),
+        F.col("t").alias("j"),
+        F.col("c").alias("cb"),
+    )
+    cells = sa.join(sb, "pair").select(
+        "pair",
+        "i",
+        "j",
+        F.when(F.col("ca") == F.col("cb"), F.lit(_SW_MATCH))
+        .otherwise(F.lit(_SW_MISMATCH))
+        .cast("long")
+        .alias("s"),
+    )
+    cells = truncate_lineage(cells, reliable=True)
+    frames = []
+    h_prev2 = None
+    h_prev = cells.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        "pair", "i", "j", F.greatest(F.lit(0), F.col("s")).alias("h")
+    )
+    frames.append(h_prev)
+    for diag in range(1, 2 * n - 1):
+        moves = h_prev.select(
+            "pair",
+            (F.col("i") + 1).alias("i"),
+            "j",
+            F.lit("g").alias("typ"),
+            (F.col("h") - _SW_GAP).alias("val"),
+        ).unionAll(
+            h_prev.select(
+                "pair",
+                "i",
+                (F.col("j") + 1).alias("j"),
+                F.lit("g").alias("typ"),
+                (F.col("h") - _SW_GAP).alias("val"),
+            )
+        )
+        if h_prev2 is not None:
+            moves = moves.unionAll(
+                h_prev2.select(
+                    "pair",
+                    (F.col("i") + 1).alias("i"),
+                    (F.col("j") + 1).alias("j"),
+                    F.lit("d").alias("typ"),
+                    F.col("h").alias("val"),
+                )
+            )
+        nxt = (
+            moves.groupBy("pair", "i", "j")
+            .agg(
+                F.max(F.when(F.col("typ") == "d", F.col("val"))).alias(
+                    "dmax"
+                ),
+                F.max(F.when(F.col("typ") == "g", F.col("val"))).alias(
+                    "gmax"
+                ),
+            )
+            .join(
+                cells.filter(F.col("i") + F.col("j") == diag),
+                ["pair", "i", "j"],
+            )
+            .select(
+                "pair",
+                "i",
+                "j",
+                F.greatest(
+                    F.lit(0),
+                    F.col("s") + F.coalesce("dmax", F.lit(0)),
+                    F.coalesce("gmax", F.lit(0)),
+                ).alias("h"),
+            )
+        )
+        # DTW's 2.4x/round growth is worse here: every diagonal feeds
+        # the next round's moves AND the final all-cells union (two
+        # consumers), so a lazy segment re-expands multiplicatively
+        # into the union plan — truncate EVERY diagonal eagerly (each
+        # is a tiny |pairs| x diag frame; measured: lazy every-3 OOMs
+        # the driver during analysis, eager every-1 runs in seconds)
+        nxt = truncate_lineage(nxt, eager=True, reliable=True)
+        h_prev2, h_prev = h_prev, nxt
+        frames.append(h_prev)
+    allh = frames[0]
+    for f in frames[1:]:
+        allh = allh.unionAll(f)
+    best = allh.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("pair").orderBy(F.col("h").desc(), "i", "j")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("pair").alias("pair_id"),
+        F.col("h").cast("long").alias("sw_score"),
+        F.col("i").cast("long").alias("best_i"),
+        F.col("j").cast("long").alias("best_j"),
+    )
