@@ -1656,3 +1656,62 @@ class TestSmithWatermanIndependent:
         got = {r.pair_id: (r.sw_score, r.best_i, r.best_j) for r in rows}
         assert got == want
         assert max(h for h, _, _ in want.values()) >= 2  # non-trivial
+
+
+class TestIsotonicIndependent:
+    """Third construction for events_isotonic_daily: actual
+    pool-adjacent-violators with Fraction-exact block averages must
+    reproduce the minimax fit."""
+
+    def test_matches_pava(self, spark):
+        import duckdb
+        from fractions import Fraction
+
+        from virapipe_spark.queries.streaming import events_isotonic_daily
+
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            events_isotonic_daily(spark, sf).collect(), key=lambda r: r.x
+        )
+        assert rows
+        con = duckdb.connect()
+        ys = [
+            r[0]
+            for r in con.execute(
+                f"""
+                WITH d AS (
+                  SELECT CAST(floor(epoch_us(ts)/86400000000) AS BIGINT)
+                           AS day,
+                         CAST(round(value) AS BIGINT) AS v
+                  FROM '{sf}/events.parquet'
+                )
+                SELECT sum(v) FROM d GROUP BY day ORDER BY day
+                """
+            ).fetchall()
+        ]
+        assert [r.y for r in rows] == ys
+        # PAVA: pool blocks while a violator exists
+        blocks = [[Fraction(y), 1] for y in ys]  # [sum, count]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[
+                i + 1
+            ][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                if i:
+                    i -= 1
+            else:
+                i += 1
+        want = []
+        for s, c in blocks:
+            want.extend([s / c] * c)
+        # fits are single-division doubles of exact rationals: compare
+        # against the exact PAVA value through the same one rounding
+        for g, w, rf in zip(
+            [r.fit for r in rows], want, range(len(want))
+        ):
+            assert g == float(w), rf
+        # monotone by construction
+        assert all(a.fit <= b.fit for a, b in zip(rows, rows[1:]))

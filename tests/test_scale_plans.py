@@ -223,6 +223,10 @@ class TestPlanProperties:
             # crossJoined into the part index; the round-state copy of
             # the same broadcast sits behind the eager lineage cut
             "supplier_stable_matching",
+            # r7 (staged r10): the minimax triple's j<=i<=k theta join —
+            # both sides calendar-bounded day frames (Theil-Sen/Kendall
+            # precedent, one order higher, days^3/6 rows)
+            "events_isotonic_daily",
         }
         # multimodal_median_cut: level-1's box key constant-folds to 0
         # (every pixel starts in box 0), so the one-row ch/med frames

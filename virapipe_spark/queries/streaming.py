@@ -6257,3 +6257,128 @@ def events_ols_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("beta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (minimax closed form over the daily series)
+# ---------------------------------------------------------------------------
+
+
+def _iso_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(round(value) AS BIGINT) AS v
+      FROM events
+    ),
+    byday AS (
+      SELECT day, CAST(sum(v) AS BIGINT) AS y FROM d GROUP BY day
+    ),
+    idx AS (
+      SELECT day, y,
+             row_number() OVER (ORDER BY day) - 1 AS x
+      FROM byday
+    ),
+    pre AS (
+      SELECT x, day, y,
+             CAST(sum(y) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS s
+      FROM idx
+    ),
+    seg AS (
+      SELECT j.x AS j, k.x AS k,
+             CAST(k.s - j.s + j.y AS DOUBLE) / (k.x - j.x + 1) AS a
+      FROM pre j JOIN pre k ON k.x >= j.x
+    ),
+    inner_min AS (
+      SELECT i.x AS i, s.j, min(s.a) AS m
+      FROM idx i JOIN seg s ON s.j <= i.x AND s.k >= i.x
+      GROUP BY i.x, s.j
+    ),
+    fit AS (
+      SELECT i, max(m) AS fit FROM inner_min GROUP BY i
+    )
+    SELECT idx.day, CAST(idx.x AS BIGINT) AS x, idx.y, f.fit
+    FROM idx JOIN fit f ON f.i = idx.x
+    """
+
+
+@staged_r10("events_isotonic_daily", oracle=_iso_oracle())
+def events_isotonic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION — the shape-constrained fit (monotone
+    calibration of model scores, dose-response curves, conversion-vs-
+    spend monotonization) solved by its CLOSED FORM instead of the
+    sequential pool-adjacent-violators loop: the minimax identity
+    fit(i) = max_{{j<=i}} min_{{k>=i}} avg(y[j..k]) (Ayer et al. 1955;
+    the PAVA twin test re-derives the same fit by actual pooling).
+    Segment averages come from one exact-bigint prefix sum; min and
+    max are order-insensitive aggregates of per-segment doubles (each
+    a single division of exact integers), so the fit is deterministic
+    without any float-accumulation-order caveat — the only float ops
+    are one division per segment and comparisons.
+
+    Scale: runs on the calendar-bounded DAILY aggregate — the segment
+    frame is days^2 and the minimax triple days^3/6 (the Theil-Sen
+    day-pair precedent, one order higher but still calendar-bounded:
+    30 days -> 4.5k rows; even a decade of days is ~8e9 spread over
+    the cluster, and the standard refinement — PAVA on per-shard
+    pre-pooled blocks — drops it to days^2). The theta join (j <= i
+    <= k) broadcasts the 30-row day index, the exempted
+    calendar-bounded NLJ shape.
+
+    Reference capability class: ordered analytics over the events
+    stream (SURVEY.md section 2 engine extras; the trend family's
+    shape-constrained member)."""
+    e = table(spark, sf_dir, "events")
+    byday = (
+        e.select(
+            F.floor(F.unix_micros("ts") / F.lit(_DAY_US))
+            .cast("long")
+            .alias("day"),
+            F.round("value").cast("long").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("long").alias("y"))
+    )
+    idx = byday.select(
+        "day", "y", (F.row_number().over(W.orderBy("day")) - 1).alias("x")
+    )
+    pre = idx.select(
+        "x",
+        "day",
+        "y",
+        F.sum("y")
+        .over(W.orderBy("x").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("s"),
+    )
+    pre = truncate_lineage(pre, reliable=True)
+    j = pre.select(
+        F.col("x").alias("j"), F.col("s").alias("sj"), F.col("y").alias("yj")
+    )
+    k = pre.select(F.col("x").alias("k"), F.col("s").alias("sk"))
+    seg = (
+        j.join(k, F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("sk") - F.col("sj") + F.col("yj")).cast("double")
+                / (F.col("k") - F.col("j") + 1)
+            ).alias("a"),
+        )
+    )
+    i = pre.select(F.col("x").alias("i"))
+    inner = (
+        i.join(
+            F.broadcast(seg),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("a").alias("m"))
+    )
+    fit = inner.groupBy("i").agg(F.max("m").alias("fit"))
+    return (
+        idx.join(fit, idx["x"] == fit["i"])
+        .select("day", F.col("x").cast("long").alias("x"), "y", "fit")
+    )
