@@ -1715,3 +1715,55 @@ class TestIsotonicIndependent:
             assert g == float(w), rf
         # monotone by construction
         assert all(a.fit <= b.fit for a, b in zip(rows, rows[1:]))
+
+
+class TestBwtIndependent:
+    """Third construction for reads_bwt_runs: INVERT every BWT via
+    LF-mapping and recover the original sequence — the invertibility
+    theorem exercised per row (strictly stronger than re-deriving the
+    forward transform)."""
+
+    def test_lf_inversion_recovers_sequences(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.genomics import _BWT_N, reads_bwt_runs
+
+        sf = "/root/testdata/sf0.001"
+        rows = reads_bwt_runs(spark, sf).collect()
+        assert rows
+        hexmap = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        assert len(rows) == len(docs)
+        for r in rows:
+            orig = (
+                hashlib.md5(docs[r.doc_id].encode())
+                .hexdigest()
+                .translate(hexmap)[:_BWT_N]
+                + "$"
+            )
+            bwt = r.bwt
+            assert sorted(bwt) == sorted(orig)  # permutation property
+            # textbook iterated-sort inversion: prepend the L column
+            # and re-sort, n times — the matrix of sorted rotations
+            # reassembles and the row ending in '$' is the original
+            mat = [""] * len(bwt)
+            for _ in range(len(bwt)):
+                mat = sorted(c + row for c, row in zip(bwt, mat))
+            rec = next(row for row in mat if row.endswith("$"))
+            assert rec == orig, r.doc_id
+            # run accounting re-derived
+            runs = 1 + sum(1 for a, b in zip(bwt, bwt[1:]) if a != b)
+            oruns = 1 + sum(
+                1 for a, b in zip(orig, orig[1:]) if a != b
+            )
+            assert (r.bwt_runs, r.orig_runs, r.run_gain) == (
+                runs,
+                oruns,
+                oruns - runs,
+            )

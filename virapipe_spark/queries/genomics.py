@@ -1869,3 +1869,196 @@ def reads_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("best_i"),
         F.col("j").cast("long").alias("best_j"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows-Wheeler transform per read (rotation sort, run compressibility)
+# ---------------------------------------------------------------------------
+
+_BWT_N = 16  # sequence length before the '$' sentinel
+
+
+def _bwt_oracle() -> str:
+    n1 = _BWT_N + 1
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             substr(translate(md5(text), '0123456789abcdef',
+                              'ACGTACGTACGTACGT'), 1, {_BWT_N}) || '$' AS sq
+      FROM documents
+    ),
+    rot AS (
+      SELECT doc_id,
+             substr(sq, p, {n1} - p + 1) || substr(sq, 1, p - 1) AS r
+      FROM s, unnest(generate_series(1, {n1})) t(p)
+    ),
+    ranked AS (
+      SELECT doc_id, substr(r, {n1}, 1) AS ch,
+             row_number() OVER (PARTITION BY doc_id ORDER BY r) AS rn
+      FROM rot
+    ),
+    bwt AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY rn) AS bwt
+      FROM ranked GROUP BY doc_id
+    ),
+    bruns AS (
+      SELECT doc_id,
+             1 + CAST(sum(CASE WHEN prev IS NOT NULL AND ch <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS bwt_runs
+      FROM (
+        SELECT doc_id, ch,
+               lag(ch) OVER (PARTITION BY doc_id ORDER BY rn) AS prev
+        FROM ranked
+      ) GROUP BY doc_id
+    ),
+    oruns AS (
+      SELECT doc_id,
+             1 + CAST(sum(CASE WHEN prev IS NOT NULL AND c <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS orig_runs
+      FROM (
+        SELECT doc_id, c,
+               lag(c) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM (
+          SELECT doc_id, p, substr(sq, p, 1) AS c
+          FROM s, unnest(generate_series(1, {n1})) t(p)
+        )
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.bwt, br.bwt_runs, o.orig_runs,
+           CAST(o.orig_runs - br.bwt_runs AS BIGINT) AS run_gain
+    FROM bwt b
+    JOIN bruns br ON br.doc_id = b.doc_id
+    JOIN oruns o ON o.doc_id = b.doc_id
+    """
+
+
+@staged_r10("reads_bwt_runs", oracle=_bwt_oracle())
+def reads_bwt_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS-WHEELER TRANSFORM per read — the index core of BWA and
+    bowtie (the aligners behind the reference's DistributedBWA pipe)
+    and of bzip-family compression: sort all rotations of seq+'$', read
+    off the last column. Embarrassingly parallel at the read grain —
+    each read explodes into its n+1 rotations, sorts WITHIN its own
+    partition-local window, and re-aggregates; no cross-read traffic
+    at all, the ideal 100 TB shape. The transform is verified two
+    ways: the oracle re-derives it from the same rotation sort in SQL,
+    and the twin test INVERTS each BWT via LF-mapping back to the
+    original sequence — the full invertibility theorem, exercised
+    per row. Run-length accounting (orig_runs vs bwt_runs, the
+    clustering gain that makes BWT compress) rides along as exact
+    integer columns computed relationally (lag + change count), not by
+    engine-specific regex.
+
+    Scale: explode x(n+1) fuses into the scan; the rotation sort is a
+    per-doc window (doc-keyed shuffle, bounded width n+1); string ops
+    are all JVM-side. Chromosome-scale BWT needs suffix-array
+    construction (SA-IS) instead — stated, not hidden; the per-READ
+    transform is what a read-level pipeline actually indexes.
+
+    Reference capability class: alignment indexing prerequisites
+    (SURVEY.md section 2.9)."""
+    n1 = _BWT_N + 1
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.translate(F.md5("text"), _HEX, _DNA16), 1, _BWT_N),
+            F.lit("$"),
+        ).alias("sq"),
+    )
+    rot = s.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n1))).alias("p"),
+        "sq",
+    ).select(
+        "doc_id",
+        "p",
+        F.concat(
+            F.expr(f"substr(sq, p, {n1} - p + 1)"),
+            F.expr("substr(sq, 1, p - 1)"),
+        ).alias("r"),
+        F.col("sq"),
+    )
+    ranked = rot.select(
+        "doc_id",
+        F.expr(f"substr(r, {n1}, 1)").alias("ch"),
+        F.row_number().over(W.partitionBy("doc_id").orderBy("r")).alias("rn"),
+    )
+    ranked = truncate_lineage(ranked, reliable=True)
+    bwt = ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("bwt")
+    )
+    bruns = (
+        ranked.select(
+            "doc_id",
+            "rn",
+            "ch",
+            F.lag("ch").over(W.partitionBy("doc_id").orderBy("rn")).alias(
+                "prev"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("ch") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("bwt_runs")
+        )
+    )
+    chars = s.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n1))).alias("p"),
+        "sq",
+    ).select("doc_id", "p", F.expr("substr(sq, p, 1)").alias("c"))
+    oruns = (
+        chars.select(
+            "doc_id",
+            "p",
+            "c",
+            F.lag("c").over(W.partitionBy("doc_id").orderBy("p")).alias(
+                "prev"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("c") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("orig_runs")
+        )
+    )
+    return (
+        bwt.join(bruns, "doc_id")
+        .join(oruns, "doc_id")
+        .select(
+            "doc_id",
+            "bwt",
+            "bwt_runs",
+            "orig_runs",
+            (F.col("orig_runs") - F.col("bwt_runs"))
+            .cast("long")
+            .alias("run_gain"),
+        )
+    )
