@@ -1767,3 +1767,69 @@ class TestBwtIndependent:
                 oruns,
                 oruns - runs,
             )
+
+
+class TestHoughLinesIndependent:
+    """Third construction for multimodal_hough_lines: recompute the
+    point cloud + full accumulator in python AND assert the detector
+    actually finds each planted line."""
+
+    def test_detects_planted_lines(self, spark):
+        import duckdb
+        import hashlib
+        from collections import Counter
+
+        from virapipe_spark.queries.multimodal import (
+            _HOUGH_DIRS,
+            _HOUGH_PTS,
+            multimodal_hough_lines,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in multimodal_hough_lines(
+            spark, sf).collect()}
+        assert rows
+
+        def h(tag: str) -> int:
+            return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        assert set(ids) == set(rows)
+        n = _HOUGH_PTS
+        n_exact = 0
+        for doc in ids:
+            hd = h(f"hd|{doc}") % 8
+            a, b = _HOUGH_DIRS[hd]
+            x0, y0 = h(f"hx|{doc}") % 16, h(f"hy|{doc}") % 16
+            pts = [(x0 + k * a, y0 + k * b) for k in range(n)] + [
+                (h(f"nx|{doc}|{k}") % 64, h(f"ny|{doc}|{k}") % 64)
+                for k in range(n, 2 * n)
+            ]
+            acc: Counter = Counter()
+            for da, db in _HOUGH_DIRS:
+                for x, y in pts:
+                    acc[(da, db, da * y - db * x)] += 1
+            best = min(
+                acc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            r = rows[doc]
+            assert (r.dir_a, r.dir_b, r.c, r.votes) == (
+                best[0][0],
+                best[0][1],
+                best[0][2],
+                best[1],
+            ), doc
+            # detection quality: the winner must carry at least the
+            # planted line's mass
+            assert r.votes >= n, doc
+            if (r.dir_a, r.dir_b) == (a, b) and r.c == a * y0 - b * x0:
+                n_exact += 1
+        # noise can occasionally out-vote via overlap ties, but the
+        # planted line must be recovered in the overwhelming majority
+        assert n_exact >= int(0.9 * len(ids)), n_exact

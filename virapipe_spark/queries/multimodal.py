@@ -3093,3 +3093,183 @@ def multimodal_median_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("g").cast("long") / F.count("*").cast("long")).alias("avg_g"),
         (F.sum("b").cast("long") / F.count("*").cast("long")).alias("avg_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer Hough transform (digital line detection by direction voting)
+# ---------------------------------------------------------------------------
+
+# eight integer directions (a, b): a line through direction (a, b) has
+# invariant a*y - b*x = c with integer c — the division-free digital
+# Hough parameterization (no cos/sin floats to disagree across engines)
+_HOUGH_DIRS = [(1, 0), (0, 1), (1, 1), (1, -1), (2, 1), (1, 2), (2, -1),
+               (1, -2)]
+_HOUGH_PTS = 16  # planted collinear points, and noise points, per image
+
+
+def _hough_px() -> str:
+    """SQL for the deterministic point cloud: 16 points planted on a
+    md5-chosen line (direction d in 0..7, anchor in [0,16)^2, step by
+    the direction vector so collinearity is exact) + 16 md5 noise
+    points anywhere in [0,64)^2."""
+    return f"""
+    pts AS (
+      SELECT doc_id,
+             CASE WHEN t.k < {_HOUGH_PTS}
+                  THEN hx % 16 + t.k * CASE hd
+                         WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 1
+                         WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 1
+                         WHEN 6 THEN 2 ELSE 1 END
+                  ELSE CAST('0x' || substr(md5('nx|' || CAST(doc_id AS
+                       VARCHAR) || '|' || CAST(t.k AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 64 END AS x,
+             CASE WHEN t.k < {_HOUGH_PTS}
+                  THEN hy % 16 + t.k * CASE hd
+                         WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+                         WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN 2
+                         WHEN 6 THEN -1 ELSE -2 END
+                  ELSE CAST('0x' || substr(md5('ny|' || CAST(doc_id AS
+                       VARCHAR) || '|' || CAST(t.k AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 64 END AS y
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('hd|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 8 AS hd,
+               CAST('0x' || substr(md5('hx|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) AS hx,
+               CAST('0x' || substr(md5('hy|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) AS hy
+        FROM documents
+      ), unnest(generate_series(0, {2 * _HOUGH_PTS - 1})) t(k)
+    )"""
+
+
+def _hough_oracle() -> str:
+    dirs = ", ".join(f"({a}, {b})" for a, b in _HOUGH_DIRS)
+    return f"""
+    WITH {_hough_px()},
+    dirs(a, b) AS (VALUES {dirs}),
+    votes AS (
+      SELECT p.doc_id, d.a, d.b, d.a * p.y - d.b * p.x AS c,
+             CAST(count(*) AS BIGINT) AS votes
+      FROM pts p, dirs d
+      GROUP BY p.doc_id, d.a, d.b, c
+    )
+    SELECT doc_id, CAST(a AS BIGINT) AS dir_a, CAST(b AS BIGINT) AS dir_b,
+           CAST(c AS BIGINT) AS c, votes
+    FROM (
+      SELECT doc_id, a, b, c, votes,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY votes DESC, a, b, c) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """
+
+
+@staged_r10("multimodal_hough_lines", oracle=_hough_oracle())
+def multimodal_hough_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOUGH TRANSFORM line detection — the classical vote-in-parameter-
+    space detector (lane finding, document deskew, PCB inspection) in
+    its DIVISION-FREE integer form: a digital line with direction
+    (a, b) satisfies a*y - b*x = c exactly, so each edge point votes
+    once per direction for the integer bin (a, b, c) — no cos/sin, no
+    rho quantization, no float disagreement between engines. The
+    fixture plants 16 exactly-collinear points per image (md5-chosen
+    direction and anchor) among 16 md5 noise points; the top
+    accumulator bin per image (votes DESC, then direction/offset
+    tie-break) recovers the planted line, which the twin test asserts
+    independently — detection, not just bookkeeping, is what's
+    verified.
+
+    Scale: voting is one generator explode (8 constant directions) +
+    one groupBy — the pure scatter-aggregate shape, map-side combined;
+    the top-1 per image is a doc-keyed window. Accumulator size is
+    bounded by directions x offsets, never by pixel count: the same
+    reason the real Hough scales to video streams.
+
+    Reference capability class: image feature extraction beyond the
+    reference (SURVEY.md section 2 multimodal extras; Sobel/Otsu/
+    moments precedents)."""
+    n = _HOUGH_PTS
+
+    def _h(tag: str, extra=None):
+        parts = [F.lit(tag + "|"), F.col("doc_id").cast("string")]
+        if extra is not None:
+            parts += [F.lit("|"), extra.cast("string")]
+        return F.conv(
+            F.substring(F.md5(F.concat(*parts)), 1, 8), 16, 10
+        ).cast("long")
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    base = d.select(
+        "doc_id",
+        (_h("hd") % 8).alias("hd"),
+        _h("hx").alias("hx"),
+        _h("hy").alias("hy"),
+    )
+    sx = F.array(*[F.lit(a) for a, _ in _HOUGH_DIRS])
+    sy = F.array(*[F.lit(b) for _, b in _HOUGH_DIRS])
+    pts = base.select(
+        "doc_id",
+        "hd",
+        "hx",
+        "hy",
+        F.explode(F.sequence(F.lit(0), F.lit(2 * n - 1))).alias("k"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("k") < n,
+            F.col("hx") % 16
+            + F.col("k") * F.element_at(sx, F.col("hd").cast("int") + 1),
+        )
+        .otherwise(_h("nx", F.col("k")) % 64)
+        .alias("x"),
+        F.when(
+            F.col("k") < n,
+            F.col("hy") % 16
+            + F.col("k") * F.element_at(sy, F.col("hd").cast("int") + 1),
+        )
+        .otherwise(_h("ny", F.col("k")) % 64)
+        .alias("y"),
+    )
+    da = F.array(*[F.lit(a) for a, _ in _HOUGH_DIRS])
+    db = F.array(*[F.lit(b) for _, b in _HOUGH_DIRS])
+    votes = (
+        pts.select(
+            "doc_id",
+            "x",
+            "y",
+            F.explode(F.sequence(F.lit(1), F.lit(len(_HOUGH_DIRS)))).alias(
+                "di"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.element_at(da, F.col("di").cast("int")).alias("a"),
+            F.element_at(db, F.col("di").cast("int")).alias("b"),
+            (
+                F.element_at(da, F.col("di").cast("int")) * F.col("y")
+                - F.element_at(db, F.col("di").cast("int")) * F.col("x")
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "a", "b", "c")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    return (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("votes").desc(), "a", "b", "c"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("a").cast("long").alias("dir_a"),
+            F.col("b").cast("long").alias("dir_b"),
+            F.col("c").cast("long").alias("c"),
+            "votes",
+        )
+    )
