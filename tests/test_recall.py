@@ -1833,3 +1833,59 @@ class TestHoughLinesIndependent:
         # noise can occasionally out-vote via overlap ties, but the
         # planted line must be recovered in the overwhelming majority
         assert n_exact >= int(0.9 * len(ids)), n_exact
+
+
+class TestHuffmanIndependent:
+    """Third construction for docs_huffman_lengths: python heapq
+    Huffman on the same frequencies — code-length multisets per
+    frequency class can differ between valid optimal trees, so the
+    invariants checked are the ones every optimal prefix code shares:
+    equal total weighted length (minimality), Kraft equality, and
+    sibling-pairing consistency; plus our deterministic tie-break
+    makes the length assignment itself reproducible, which the mirror
+    merge loop re-derives exactly."""
+
+    def test_optimal_and_kraft(self, spark):
+        import duckdb
+        import hashlib
+        import heapq
+        from collections import Counter
+
+        from virapipe_spark.queries.extensions import docs_huffman_lengths
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.sym: r for r in docs_huffman_lengths(spark, sf).collect()}
+        assert len(rows) == 16
+        assert all(r.kraft_ok == 1 for r in rows.values())
+        assert sum(2 ** (20 - r.code_len) for r in rows.values()) == 2**20
+        con = duckdb.connect()
+        texts = [
+            t[0]
+            for t in con.execute(
+                f"SELECT text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        freq: Counter = Counter()
+        for t in texts:
+            freq.update(hashlib.md5(t.encode()).hexdigest())
+        assert {s: r.freq for s, r in rows.items()} == {
+            s: freq.get(s, 0) for s in "0123456789abcdef"
+        }
+        # heapq Huffman (any valid tie-breaking): minimal weighted length
+        heap = [(freq.get(s, 0), s, 0) for s in "0123456789abcdef"]
+        # element: (weight, min_sym, ...) with member lists tracked aside
+        lens: Counter = Counter()
+        h = [(w, s, [s]) for w, s, _ in heap]
+        heapq.heapify(h)
+        while len(h) > 1:
+            w1, s1, m1 = heapq.heappop(h)
+            w2, s2, m2 = heapq.heappop(h)
+            for s in m1 + m2:
+                lens[s] += 1
+            heapq.heappush(h, (w1 + w2, min(s1, s2), m1 + m2))
+        got_cost = sum(r.freq * r.code_len for r in rows.values())
+        opt_cost = sum(freq.get(s, 0) * lens[s] for s in lens)
+        assert got_cost == opt_cost
+        # the deterministic (freq, min-symbol) tie-break IS the heapq
+        # order here, so lengths must match symbol-for-symbol too
+        assert {s: r.code_len for s, r in rows.items()} == dict(lens)

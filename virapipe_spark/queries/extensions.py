@@ -7725,3 +7725,169 @@ def embed_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hamming").cast("long").alias("max_hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (distributed frequencies, 15 exact merges)
+# ---------------------------------------------------------------------------
+
+_HUF_ROUNDS = 15  # 16 symbols -> 1 cluster
+
+
+def _huffman_oracle() -> str:
+    parts = []
+    for r in range(1, _HUF_ROUNDS + 1):
+        parts.append(
+            f"""cf{r} AS MATERIALIZED (
+      SELECT cluster, sum(f) AS cf, min(sym) AS msym
+      FROM st{r - 1} GROUP BY cluster
+    ),
+    pk{r} AS MATERIALIZED (
+      SELECT cluster, min(cluster) OVER () AS newc
+      FROM (
+        SELECT cluster,
+               row_number() OVER (ORDER BY cf, msym) AS rn
+        FROM cf{r}
+      ) WHERE rn <= 2
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT s.sym, s.f,
+             CASE WHEN p.cluster IS NOT NULL THEN p.newc
+                  ELSE s.cluster END AS cluster,
+             s.len + CASE WHEN p.cluster IS NOT NULL THEN 1 ELSE 0 END
+               AS len
+      FROM st{r - 1} s LEFT JOIN pk{r} p ON p.cluster = s.cluster
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH syms AS (
+      SELECT unnest(string_split('0123456789abcdef', '')) AS sym
+    ),
+    freq AS (
+      SELECT h.sym, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT substr(md5(text), i, 1) AS sym
+        FROM documents, unnest(generate_series(1, 32)) t(i)
+      ) h GROUP BY h.sym
+    ),
+    st0 AS MATERIALIZED (
+      SELECT s.sym, COALESCE(fr.f, 0) AS f, s.sym AS cluster,
+             CAST(0 AS BIGINT) AS len
+      FROM syms s LEFT JOIN freq fr ON fr.sym = s.sym
+    ),
+    {body},
+    fin AS (
+      SELECT sym, f, len,
+             CAST(1 AS BIGINT) << (20 - CAST(len AS INTEGER)) AS kraft_term
+      FROM st{_HUF_ROUNDS}
+    )
+    SELECT sym, f AS freq, CAST(len AS BIGINT) AS code_len,
+           kraft_term,
+           CAST(CASE WHEN sum(kraft_term) OVER () = 1048576
+                     THEN 1 ELSE 0 END AS BIGINT) AS kraft_ok
+    FROM fin
+    """
+
+
+@staged_r10("docs_huffman_lengths", oracle=_huffman_oracle())
+def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUFFMAN CODE CONSTRUCTION — the optimal-prefix-code primitive
+    under DEFLATE/zstd literal tables and every entropy-coding stage:
+    symbol frequencies are ONE distributed aggregate over the corpus
+    (the 100 TB part — this is the pass a real encoder fans out), and
+    the tree build is the textbook 15-merge loop over a 16-symbol
+    alphabet, run IN-PLAN on a 16-row frame (the BPE merge-step
+    precedent, chained): per round one cluster-sum, one deterministic
+    two-smallest pick ((freq, min-symbol) tie-break, so equal-weight
+    merges are engine-independent), one conditional relabel; a
+    symbol's code length is exactly the number of merges its cluster
+    survived. The KRAFT EQUALITY — sum over symbols of 2^-len = 1,
+    the theorem a valid complete prefix code must satisfy — is
+    emitted as exact shifted integers (kraft_term = 2^(20-len),
+    kraft_ok = their sum hitting 2^20 exactly), so optimality
+    bookkeeping is itself hash-checked; the twin test additionally
+    proves minimality against python heapq Huffman (equal weighted
+    length, the canonical-ambiguity-free invariant).
+
+    Scale: frequency counting is a fused explode->groupBy with
+    map-side combine (alphabet-bounded result); the merge loop's
+    per-round work is O(alphabet) rows regardless of corpus size —
+    byte alphabets mean 255 rounds of 256-row frames, still
+    control-plane-sized. Eager lineage cuts every 3 rounds (the
+    wavefront lesson).
+
+    Reference capability class: corpus statistics / compression
+    modeling (docs_compression_ratio's analytical counterpart)."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.sequence(F.lit(1), F.lit(32))).alias("i"),
+            F.md5("text").alias("h"),
+        )
+        .select(F.expr("substr(h, i, 1)").alias("sym"))
+        .groupBy("sym")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    syms = spark.createDataFrame(
+        [(c,) for c in "0123456789abcdef"], "sym string"
+    )
+    st = syms.join(freq, "sym", "left").select(
+        "sym",
+        F.coalesce("f", F.lit(0)).cast("long").alias("f"),
+        F.col("sym").alias("cluster"),
+        F.lit(0).cast("long").alias("len"),
+    )
+    st = truncate_lineage(st, eager=True, reliable=True)
+    for r in range(1, _HUF_ROUNDS + 1):
+        cf = st.groupBy("cluster").agg(
+            F.sum("f").alias("cf"), F.min("sym").alias("msym")
+        )
+        pk = (
+            cf.withColumn(
+                "rn", F.row_number().over(W.orderBy("cf", "msym"))
+            )
+            .filter(F.col("rn") <= 2)
+            .select(
+                "cluster",
+                F.min("cluster")
+                .over(
+                    W.orderBy().rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
+                    )
+                )
+                .alias("newc"),
+            )
+        )
+        st = st.join(pk, "cluster", "left").select(
+            "sym",
+            "f",
+            F.coalesce("newc", F.col("cluster")).alias("cluster"),
+            (
+                F.col("len")
+                + F.when(F.col("newc").isNotNull(), 1).otherwise(0)
+            ).alias("len"),
+        )
+        if r % 3 == 0:
+            st = truncate_lineage(st, eager=True, reliable=True)
+    return st.select(
+        "sym",
+        F.col("f").alias("freq"),
+        F.col("len").cast("long").alias("code_len"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - len AS INT))")
+        .cast("long")
+        .alias("kraft_term"),
+    ).withColumn(
+        "kraft_ok",
+        F.when(
+            F.sum("kraft_term").over(
+                W.orderBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            == 1048576,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
