@@ -1889,3 +1889,58 @@ class TestHuffmanIndependent:
         # the deterministic (freq, min-symbol) tie-break IS the heapq
         # order here, so lengths must match symbol-for-symbol too
         assert {s: r.code_len for s, r in rows.items()} == dict(lens)
+
+
+class TestRcPalindromesIndependent:
+    """Third construction for reads_rc_palindromes: direct
+    center-expansion in python, plus a substring-level re-check that
+    every reported best site really is its own reverse complement."""
+
+    COMP = str.maketrans("ACGT", "TGCA")
+
+    def test_matches_center_expansion(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.genomics import (
+            _RCP_N,
+            reads_rc_palindromes,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in reads_rc_palindromes(
+            spark, sf).collect()}
+        assert rows
+        hexmap = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        n = _RCP_N
+        for doc_id, text in docs.items():
+            sq = hashlib.md5(text.encode()).hexdigest().translate(hexmap)
+            best = []
+            sites4 = 0
+            for c in range(1, n):  # 1-based gap position c|c+1
+                limit = min(c, n - c)
+                r = 0
+                while r < limit and sq[c - r - 1] == sq[c + r].translate(
+                    self.COMP
+                ):
+                    r += 1
+                best.append((r, c))
+                if 2 * r >= 4:
+                    sites4 += 1
+            r, c = max(best, key=lambda t: (t[0], -t[1]))
+            got = rows[doc_id]
+            assert (got.best_center, got.best_len, got.n_sites4) == (
+                c,
+                2 * r,
+                sites4,
+            ), doc_id
+            # substring-level: the winning site IS its own revcomp
+            if r:
+                seg = sq[c - r : c + r]
+                assert seg == seg.translate(self.COMP)[::-1], doc_id

@@ -2062,3 +2062,126 @@ def reads_bwt_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("run_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reverse-complement palindromes (hairpin / restriction-site detection)
+# ---------------------------------------------------------------------------
+
+_RCP_N = 32  # sequence length
+
+
+def _rcp_oracle() -> str:
+    n = _RCP_N
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             translate(md5(text), '0123456789abcdef',
+                       'ACGTACGTACGTACGT') AS sq
+      FROM documents
+    ),
+    ck AS (
+      SELECT doc_id, c.c, k.k,
+             CASE substr(sq, c.c - k.k, 1)
+               WHEN 'A' THEN 'T' WHEN 'T' THEN 'A'
+               WHEN 'C' THEN 'G' ELSE 'C' END
+               = substr(sq, c.c + 1 + k.k, 1) AS m
+      FROM s,
+           unnest(generate_series(1, {n - 1})) c(c),
+           unnest(generate_series(0, {n // 2 - 1})) k(k)
+      WHERE k.k < least(c.c, {n} - c.c)
+    ),
+    rad AS (
+      SELECT doc_id, c,
+             COALESCE(min(CASE WHEN NOT m THEN k END),
+                      least(c, {n} - c)) AS r
+      FROM ck GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(min(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS best_center,
+           CAST(max(2 * r) AS BIGINT) AS best_len,
+           CAST(sum(CASE WHEN 2 * r >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sites4
+    FROM (
+      SELECT doc_id, c, r,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY r DESC, c) AS rn
+      FROM rad
+    ) GROUP BY doc_id
+    """
+
+
+@staged_r10("reads_rc_palindromes", oracle=_rcp_oracle())
+def reads_rc_palindromes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE-COMPLEMENT PALINDROME detection — the hairpin/cruciform
+    and restriction-site pattern (EcoRI's GAATTC reads the same as its
+    reverse complement): a segment is an RC palindrome iff
+    s[c-k] = complement(s[c+1+k]) for every k below the radius, so the
+    longest site per read reduces to a center-radius scan made fully
+    relational: explode all (center, offset) pairs (n^2/4 per read,
+    scan-fused), compute the match flag per pair, and the radius per
+    center is min(first mismatch offset) with the boundary as default
+    — one aggregate, no sequential expansion loop. Per read: the
+    longest site (radius-desc, center tie-break), its center, and the
+    count of >=4 bp sites (the restriction-enzyme length class).
+
+    Scale: per-read work is a constant n^2/4 explode fused into the
+    scan followed by two doc-keyed aggregates — zero cross-read
+    traffic (the BWT shape). For chromosome-length sequences the same
+    scan block-partitions with (k < block overlap) carried margins —
+    the depth-histogram refinement.
+
+    Reference capability class: motif/site scanning over reads
+    (SURVEY.md section 2.8 sequence functions; revcomp's analytical
+    sibling — and revcomp itself is the k=full special case)."""
+    n = _RCP_N
+    s = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.translate(F.md5("text"), _HEX, _DNA16).alias("sq"),
+    )
+    ck = (
+        s.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(n - 1))).alias("c"),
+            "sq",
+        )
+        .select(
+            "doc_id",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(n // 2 - 1))).alias("k"),
+            "sq",
+        )
+        .filter(F.col("k") < F.least(F.col("c"), F.lit(n) - F.col("c")))
+        .select(
+            "doc_id",
+            "c",
+            "k",
+            (
+                F.translate(
+                    F.expr("substr(sq, c - k, 1)"), "ACGT", "TGCA"
+                )
+                == F.expr("substr(sq, c + 1 + k, 1)")
+            ).alias("m"),
+        )
+    )
+    rad = ck.groupBy("doc_id", "c").agg(
+        F.coalesce(
+            F.min(F.when(~F.col("m"), F.col("k"))),
+            F.least(F.first("c"), F.lit(n) - F.first("c")),
+        ).alias("r")
+    )
+    ranked = rad.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("r").desc(), "c")
+        ),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("c")))
+        .cast("long")
+        .alias("best_center"),
+        F.max(2 * F.col("r")).cast("long").alias("best_len"),
+        F.sum(F.when(2 * F.col("r") >= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sites4"),
+    )
