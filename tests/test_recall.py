@@ -1944,3 +1944,62 @@ class TestRcPalindromesIndependent:
             if r:
                 seg = sq[c - r : c + r]
                 assert seg == seg.translate(self.COMP)[::-1], doc_id
+
+
+class TestPerCycleQualityIndependent:
+    """Third construction for reads_percycle_quality: numpy-free exact
+    quartiles from sorted python lists per cycle."""
+
+    def test_matches_sorted_quartiles(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.genomics import (
+            _PCQ_CYCLES,
+            reads_percycle_quality,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.cycle: r for r in reads_percycle_quality(
+            spark, sf).collect()}
+        assert len(rows) == _PCQ_CYCLES
+        con = duckdb.connect()
+        texts = [
+            t[0]
+            for t in con.execute(
+                f"SELECT text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        for p in range(1, _PCQ_CYCLES + 1):
+            qvs = sorted(
+                (
+                    int(
+                        hashlib.md5((t + "q").encode()).hexdigest()[
+                            2 * p - 2 : 2 * p
+                        ],
+                        16,
+                    )
+                )
+                % 41
+                for t in texts
+            )
+            n = len(qvs)
+
+            def pick(kn, kd):  # min qv with kd*cum >= kn*n
+                cum = 0
+                last = None
+                from collections import Counter
+
+                for v, c in sorted(Counter(qvs).items()):
+                    cum += c
+                    if kd * cum >= kn * n:
+                        return v
+                return last
+
+            r = rows[p]
+            assert (r.n, r.qsum) == (n, sum(qvs))
+            assert r.q1 == pick(1, 4)
+            assert r.median == pick(1, 2)
+            assert r.q3 == pick(3, 4)
+            assert r.n_below20 == sum(1 for v in qvs if v < 20)
+            assert r.q1 <= r.median <= r.q3

@@ -2185,3 +2185,132 @@ def reads_rc_palindromes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sites4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-cycle quality statistics (the FastQC signature plot, exact)
+# ---------------------------------------------------------------------------
+
+_PCQ_CYCLES = 16
+
+
+def _pcq_oracle() -> str:
+    n = _PCQ_CYCLES
+    return f"""
+    WITH q AS (
+      SELECT p,
+             (CAST('0x' || substr(h, 2 * p - 1, 1) AS BIGINT) * 16
+              + CAST('0x' || substr(h, 2 * p, 1) AS BIGINT)) % 41 AS qv
+      FROM (SELECT md5(text || 'q') AS h FROM documents),
+           unnest(generate_series(1, {n})) t(p)
+    ),
+    hist AS (
+      SELECT p, qv, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY p, qv
+    ),
+    cum AS (
+      SELECT p, qv, c,
+             CAST(sum(c) OVER (PARTITION BY p ORDER BY qv
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY p) AS BIGINT) AS n,
+             CAST(sum(qv * c) OVER (PARTITION BY p) AS BIGINT) AS qsum
+      FROM hist
+    )
+    SELECT CAST(p AS BIGINT) AS cycle, n, qsum,
+           CAST(min(CASE WHEN 4 * cc >= n THEN qv END) AS BIGINT) AS q1,
+           CAST(min(CASE WHEN 2 * cc >= n THEN qv END) AS BIGINT) AS median,
+           CAST(min(CASE WHEN 4 * cc >= 3 * n THEN qv END) AS BIGINT) AS q3,
+           CAST(sum(CASE WHEN qv < 20 THEN c ELSE 0 END) AS BIGINT)
+             AS n_below20
+    FROM cum GROUP BY p, n, qsum
+    """
+
+
+@staged_r10("reads_percycle_quality", oracle=_pcq_oracle())
+def reads_percycle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CYCLE QUALITY DISTRIBUTION — FastQC's signature
+    per-base-quality boxplot (the first QC artifact every sequencing
+    run produces; the reference's avgQuality/lowQCount functions are
+    the per-READ marginal of this per-CYCLE view): for every cycle
+    position, exact quartiles of the phred distribution plus the
+    below-20 mass (FastQC's warn band). Quartiles are EXACT and
+    engine-independent because phred scores live on a 41-value
+    alphabet: one (cycle, qv) histogram aggregate, one cumulative
+    window, and each quartile is min(qv where 4*cum >= k*n) — the
+    lineitem_histogram_median integer-crossing trick, no
+    approx_percentile, no interpolation convention to disagree on.
+
+    Scale: the histogram IS the reduction — 16 cycles x 41 values =
+    656 cells regardless of read count, map-side combined; windows run
+    on the 656-row frame. This is how per-cycle QC on a 100 TB run
+    actually aggregates (FastQC itself streams exactly this
+    histogram).
+
+    Reference capability class: quality statistics
+    (SURVEY.md section 2.8: avgQuality/lowQCount, lifted from read
+    grain to cycle grain)."""
+    n = _PCQ_CYCLES
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        F.md5(F.concat(F.col("text"), F.lit("q"))).alias("h")
+    ).select(
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("p"), "h"
+    ).select(
+        "p",
+        (
+            (
+                F.conv(F.expr("substr(h, 2 * p - 1, 1)"), 16, 10).cast(
+                    "long"
+                )
+                * 16
+                + F.conv(F.expr("substr(h, 2 * p, 1)"), 16, 10).cast(
+                    "long"
+                )
+            )
+            % 41
+        ).alias("qv"),
+    )
+    hist = q.groupBy("p", "qv").agg(F.count("*").cast("long").alias("c"))
+    wp = W.partitionBy("p")
+    cum = hist.select(
+        "p",
+        "qv",
+        "c",
+        F.sum("c")
+        .over(wp.orderBy("qv").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cc"),
+        F.sum("c")
+        .over(wp.orderBy().rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        ))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.col("qv") * F.col("c"))
+        .over(wp.orderBy().rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        ))
+        .cast("long")
+        .alias("qsum"),
+    )
+    return cum.groupBy("p", "n", "qsum").agg(
+        F.min(F.when(4 * F.col("cc") >= F.col("n"), F.col("qv")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("qv")))
+        .cast("long")
+        .alias("median"),
+        F.min(F.when(4 * F.col("cc") >= 3 * F.col("n"), F.col("qv")))
+        .cast("long")
+        .alias("q3"),
+        F.sum(F.when(F.col("qv") < 20, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_below20"),
+    ).select(
+        F.col("p").cast("long").alias("cycle"),
+        "n",
+        "qsum",
+        "q1",
+        "median",
+        "q3",
+        "n_below20",
+    )
