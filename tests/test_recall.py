@@ -2003,3 +2003,69 @@ class TestPerCycleQualityIndependent:
             assert r.q3 == pick(3, 4)
             assert r.n_below20 == sum(1 for v in qvs if v < 20)
             assert r.q1 <= r.median <= r.q3
+
+
+class TestFmCountIndependent:
+    """Third construction for reads_fm_count: run the textbook
+    backward search in python (suffix-array ranks instead of BWT
+    joins) and check counts, plus re-assert the theorem column."""
+
+    def test_matches_python_backward_search(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.genomics import _FM_N, reads_fm_count
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in reads_fm_count(spark, sf).collect()}
+        assert rows
+        assert all(r.theorem_ok == 1 for r in rows.values())
+        hexmap = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        n = _FM_N
+        for doc_id, text in docs.items():
+            sq = (
+                hashlib.md5(text.encode()).hexdigest().translate(hexmap)[:n]
+                + "$"
+            )
+            pp = (
+                int(
+                    hashlib.md5(f"fm|{doc_id}".encode()).hexdigest()[:8], 16
+                )
+                % (n - 2)
+            )
+            p = sq[pp : pp + 3]
+            rots = sorted(sq[i:] + sq[:i] for i in range(len(sq)))
+            bwt = "".join(r[-1] for r in rots)
+
+            def C(ch):
+                return sum(1 for c in sq if c < ch)
+
+            def occ(ch, i):
+                return bwt[:i].count(ch)
+
+            lo, hi = C(p[2]) + 1, C(p[2]) + sq.count(p[2])
+            for ch in (p[1], p[0]):
+                if hi < lo:
+                    break
+                lo, hi = (
+                    C(ch) + occ(ch, lo - 1) + 1,
+                    C(ch) + occ(ch, hi),
+                )
+            fm = max(0, hi - lo + 1)
+            naive = sum(
+                1 for i in range(n - 2) if sq[i : i + 3] == p
+            )
+            r = rows[doc_id]
+            assert (r.pattern, r.fm_count, r.naive_count) == (
+                p,
+                fm,
+                naive,
+            ), doc_id
+            assert fm == naive  # the FM theorem, independently
+            assert naive >= 1  # pattern drawn from the read itself

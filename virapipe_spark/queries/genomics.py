@@ -2314,3 +2314,311 @@ def reads_percycle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q3",
         "n_below20",
     )
+
+
+# ---------------------------------------------------------------------------
+# FM-index backward search (BWT rank/select, count theorem as data)
+# ---------------------------------------------------------------------------
+
+_FM_N = 16  # text length before '$'
+
+
+def _fm_oracle() -> str:
+    n = _FM_N
+    n1 = n + 1
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             substr(translate(md5(text), '0123456789abcdef',
+                              'ACGTACGTACGTACGT'), 1, {n}) || '$' AS sq,
+             1 + CAST('0x' || substr(md5('fm|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) % {n - 2} AS pp
+      FROM documents
+    ),
+    pat AS (
+      SELECT doc_id, sq, substr(sq, pp, 3) AS p,
+             substr(sq, pp, 1) AS p1, substr(sq, pp + 1, 1) AS p2,
+             substr(sq, pp + 2, 1) AS p3
+      FROM s
+    ),
+    rot AS (
+      SELECT doc_id,
+             substr(sq, g, {n1} - g + 1) || substr(sq, 1, g - 1) AS r
+      FROM s, unnest(generate_series(1, {n1})) t(g)
+    ),
+    bwt AS (
+      SELECT doc_id, substr(r, {n1}, 1) AS ch,
+             row_number() OVER (PARTITION BY doc_id ORDER BY r) AS rn
+      FROM rot
+    ),
+    alpha(ch) AS (VALUES ('A'), ('C'), ('G'), ('T')),
+    occ AS (
+      SELECT d.doc_id, a.ch, i.i, CAST(count(w.rn) AS BIGINT) AS o
+      FROM (SELECT DISTINCT doc_id FROM s) d
+      CROSS JOIN alpha a
+      CROSS JOIN unnest(generate_series(0, {n1})) i(i)
+      LEFT JOIN bwt w ON w.doc_id = d.doc_id AND w.ch = a.ch
+                     AND w.rn <= i.i
+      GROUP BY d.doc_id, a.ch, i.i
+    ),
+    ctab AS (
+      SELECT o.doc_id, o.ch,
+             CAST(sum(CASE WHEN b.ch < o.ch THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN b.ch = o.ch THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt
+      FROM (SELECT DISTINCT doc_id, ch FROM occ) o
+      JOIN bwt b ON b.doc_id = o.doc_id
+      GROUP BY o.doc_id, o.ch
+    ),
+    s1 AS (
+      SELECT p.doc_id, p.p, p.p1, p.p2,
+             c.c + 1 AS lo, c.c + c.cnt AS hi
+      FROM pat p JOIN ctab c ON c.doc_id = p.doc_id AND c.ch = p.p3
+    ),
+    s2 AS (
+      SELECT s.doc_id, s.p, s.p1,
+             CASE WHEN s.hi < s.lo THEN 1
+                  ELSE c.c + ol.o + 1 END AS lo,
+             CASE WHEN s.hi < s.lo THEN 0
+                  ELSE c.c + oh.o END AS hi
+      FROM s1 s
+      JOIN ctab c ON c.doc_id = s.doc_id AND c.ch = s.p2
+      JOIN occ ol ON ol.doc_id = s.doc_id AND ol.ch = s.p2
+                 AND ol.i = s.lo - 1
+      JOIN occ oh ON oh.doc_id = s.doc_id AND oh.ch = s.p2
+                 AND oh.i = s.hi
+    ),
+    s3 AS (
+      SELECT s.doc_id, s.p,
+             CASE WHEN s.hi < s.lo THEN 1
+                  ELSE c.c + ol.o + 1 END AS lo,
+             CASE WHEN s.hi < s.lo THEN 0
+                  ELSE c.c + oh.o END AS hi
+      FROM s2 s
+      JOIN ctab c ON c.doc_id = s.doc_id AND c.ch = s.p1
+      JOIN occ ol ON ol.doc_id = s.doc_id AND ol.ch = s.p1
+                 AND ol.i = s.lo - 1
+      JOIN occ oh ON oh.doc_id = s.doc_id AND oh.ch = s.p1
+                 AND oh.i = s.hi
+    ),
+    direct AS (
+      SELECT p.doc_id,
+             CAST(count(CASE WHEN substr(p.sq, g, 3) = p.p THEN 1 END)
+                  AS BIGINT) AS naive
+      FROM pat p, unnest(generate_series(1, {n - 2})) t(g)
+      GROUP BY p.doc_id
+    )
+    SELECT s3.doc_id, s3.p AS pattern,
+           CAST(greatest(0, s3.hi - s3.lo + 1) AS BIGINT) AS fm_count,
+           d.naive AS naive_count,
+           CAST(CASE WHEN greatest(0, s3.hi - s3.lo + 1) = d.naive
+                     THEN 1 ELSE 0 END AS BIGINT) AS theorem_ok
+    FROM s3 JOIN direct d ON d.doc_id = s3.doc_id
+    """
+
+
+@staged_r10("reads_fm_count", oracle=_fm_oracle())
+def reads_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-INDEX BACKWARD SEARCH — the exact query BWA answers a
+    billion times per run (Ferragina-Manzini 2000): count a pattern's
+    occurrences WITHOUT scanning the text, by three rank lookups per
+    pattern character over the BWT. Per read: build the BWT (rotation
+    sort, the reads_bwt_runs machinery), the C table (chars smaller
+    than c) and the dense Occ(ch, i) rank table — all relational —
+    then unroll the 3-step backward search as three equi-joins, each
+    narrowing [lo, hi] by C[ch] + Occ(ch, boundary). The FM THEOREM —
+    backward-search count equals the naive substring count — is
+    recomputed independently by both engines and emitted as the
+    theorem_ok column; patterns are drawn FROM each read (md5-chosen
+    offset) so every search must find at least one hit, making a
+    silent all-zeros regression impossible.
+
+    Scale: everything is per-read and alphabet-bounded — BWT n+1 rows,
+    Occ (n+2) x 4 rows, three join rounds independent of read count;
+    cross-read traffic zero (the BWT/RC-palindrome shape). A
+    genome-scale FM index replaces the dense Occ with sampled
+    checkpoints — same joins, coarser key.
+
+    Reference capability class: the index query inside the aligner the
+    reference pipes to (SURVEY.md section 2.9)."""
+    n = _FM_N
+    n1 = n + 1
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.translate(F.md5("text"), _HEX, _DNA16), 1, n),
+            F.lit("$"),
+        ).alias("sq"),
+        (
+            1
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("fm|"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (n - 2)
+        ).alias("pp"),
+    )
+    s = truncate_lineage(s, reliable=True)
+    pat = s.select(
+        "doc_id",
+        "sq",
+        F.expr("substr(sq, pp, 3)").alias("p"),
+        F.expr("substr(sq, pp, 1)").alias("p1"),
+        F.expr("substr(sq, pp + 1, 1)").alias("p2"),
+        F.expr("substr(sq, pp + 2, 1)").alias("p3"),
+    )
+    rot = s.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n1))).alias("g"),
+        "sq",
+    ).select(
+        "doc_id",
+        F.concat(
+            F.expr(f"substr(sq, g, {n1} - g + 1)"),
+            F.expr("substr(sq, 1, g - 1)"),
+        ).alias("r"),
+    )
+    bwt = rot.select(
+        "doc_id",
+        F.expr(f"substr(r, {n1}, 1)").alias("ch"),
+        F.row_number().over(W.partitionBy("doc_id").orderBy("r")).alias("rn"),
+    )
+    bwt = truncate_lineage(bwt, reliable=True)
+    alpha = F.array(*[F.lit(c) for c in "ACGT"])
+    frame = s.select(
+        "doc_id", F.explode(alpha).alias("ch")
+    ).select(
+        "doc_id",
+        "ch",
+        F.explode(F.sequence(F.lit(0), F.lit(n1))).alias("i"),
+    )
+    occ = (
+        frame.join(bwt.withColumnRenamed("ch", "bch"), "doc_id")
+        .groupBy("doc_id", "ch", "i")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rn") <= F.col("i"))
+                    & (F.col("bch") == F.col("ch")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("o")
+        )
+    )
+    occ = truncate_lineage(occ, reliable=True)
+    ctab = (
+        s.select("doc_id", F.explode(alpha).alias("ch"))
+        .join(bwt.withColumnRenamed("ch", "bch"), "doc_id")
+        .groupBy("doc_id", "ch")
+        .agg(
+            F.sum(F.when(F.col("bch") < F.col("ch"), 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(F.col("bch") == F.col("ch"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt"),
+        )
+    )
+    ctab = truncate_lineage(ctab, reliable=True)
+    st = pat.join(
+        ctab.withColumnRenamed("ch", "c3"),
+        (pat["doc_id"] == ctab["doc_id"]) & (F.col("c3") == F.col("p3")),
+    ).select(
+        pat["doc_id"],
+        "p",
+        "p1",
+        "p2",
+        (F.col("c") + 1).alias("lo"),
+        (F.col("c") + F.col("cnt")).alias("hi"),
+    )
+    for pc in ("p2", "p1"):
+        cx = ctab.select(
+            F.col("doc_id").alias("cdoc"),
+            F.col("ch").alias("cch"),
+            F.col("c").alias("cc"),
+        )
+        ol = occ.select(
+            F.col("doc_id").alias("ldoc"),
+            F.col("ch").alias("lch"),
+            F.col("i").alias("li"),
+            F.col("o").alias("olo"),
+        )
+        oh = occ.select(
+            F.col("doc_id").alias("hdoc"),
+            F.col("ch").alias("hch"),
+            F.col("i").alias("hi_i"),
+            F.col("o").alias("ohi"),
+        )
+        keep = [c for c in st.columns if c not in ("lo", "hi")]
+        st = (
+            st.join(
+                cx,
+                (st["doc_id"] == cx["cdoc"]) & (cx["cch"] == st[pc]),
+            )
+            .join(
+                ol,
+                (st["doc_id"] == ol["ldoc"])
+                & (ol["lch"] == st[pc])
+                & (ol["li"] == st["lo"] - 1),
+            )
+            .join(
+                oh,
+                (st["doc_id"] == oh["hdoc"])
+                & (oh["hch"] == st[pc])
+                & (oh["hi_i"] == st["hi"]),
+            )
+            .select(
+                *[st[c] for c in keep if c != pc],
+                F.when(st["hi"] < st["lo"], F.lit(1))
+                .otherwise(F.col("cc") + F.col("olo") + 1)
+                .alias("lo"),
+                F.when(st["hi"] < st["lo"], F.lit(0))
+                .otherwise(F.col("cc") + F.col("ohi"))
+                .alias("hi"),
+            )
+        )
+    direct = (
+        pat.select(
+            "doc_id",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(n - 2))).alias("g"),
+            "sq",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.expr("substr(sq, g, 3)") == F.col("p"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("naive")
+        )
+    )
+    fm = st.select(
+        "doc_id",
+        F.col("p").alias("pattern"),
+        F.greatest(F.lit(0), F.col("hi") - F.col("lo") + 1)
+        .cast("long")
+        .alias("fm_count"),
+    )
+    return fm.join(direct, "doc_id").select(
+        "doc_id",
+        "pattern",
+        "fm_count",
+        F.col("naive").cast("long").alias("naive_count"),
+        F.when(F.col("fm_count") == F.col("naive"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("theorem_ok"),
+    )
