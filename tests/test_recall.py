@@ -2069,3 +2069,56 @@ class TestFmCountIndependent:
             ), doc_id
             assert fm == naive  # the FM theorem, independently
             assert naive >= 1  # pattern drawn from the read itself
+
+
+class TestDistanceTransformIndependent:
+    """Third construction for multimodal_distance_transform:
+    multi-source BFS on the grid graph re-derives the full field."""
+
+    def test_matches_bfs(self, spark):
+        import duckdb
+        import hashlib
+        from collections import deque
+
+        from virapipe_spark.queries.multimodal import (
+            _DT_SEEDS,
+            _DT_W,
+            multimodal_distance_transform,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in multimodal_distance_transform(
+            spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        w = _DT_W
+
+        def h(tag: str) -> int:
+            return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % w
+
+        for doc in ids:
+            seeds = {
+                (h(f"sx|{doc}|{k}"), h(f"sy|{doc}|{k}"))
+                for k in range(_DT_SEEDS)
+            }
+            dist = {s: 0 for s in seeds}
+            dq = deque(seeds)
+            while dq:
+                x, y = dq.popleft()
+                for nx, ny in ((x+1, y), (x-1, y), (x, y+1), (x, y-1)):
+                    if 0 <= nx < w and 0 <= ny < w and (nx, ny) not in dist:
+                        dist[(nx, ny)] = dist[(x, y)] + 1
+                        dq.append((nx, ny))
+            r = rows[doc]
+            assert r.n_seeds == len(seeds), doc
+            assert r.dt_sum == sum(dist.values()), doc
+            assert r.dt_max == max(dist.values()), doc
+            assert r.dt_checksum == sum(
+                d * (x * w + y + 1) for (x, y), d in dist.items()
+            ), doc

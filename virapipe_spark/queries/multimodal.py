@@ -3273,3 +3273,190 @@ def multimodal_hough_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "votes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Manhattan distance transform (separable closed-form window passes)
+# ---------------------------------------------------------------------------
+
+_DT_W = 16  # grid side
+_DT_SEEDS = 8
+_DT_INF = 9999
+
+
+def _dt_oracle() -> str:
+    w, inf = _DT_W, _DT_INF
+    seed_eq = " OR ".join(
+        f"(x = CAST('0x' || substr(md5('sx|' || CAST(doc_id AS VARCHAR)"
+        f" || '|{k}'), 1, 8) AS BIGINT) % {w}"
+        f" AND y = CAST('0x' || substr(md5('sy|' || CAST(doc_id AS VARCHAR)"
+        f" || '|{k}'), 1, 8) AS BIGINT) % {w})"
+        for k in range(_DT_SEEDS)
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id, gx.x, gy.y,
+             CASE WHEN {seed_eq} THEN 0 ELSE {inf} END AS src
+      FROM documents,
+           unnest(generate_series(0, {w - 1})) gx(x),
+           unnest(generate_series(0, {w - 1})) gy(y)
+    ),
+    rowd AS (
+      SELECT doc_id, x, y,
+             least(
+               x + min(src - x) OVER (PARTITION BY doc_id, y ORDER BY x
+                                      ROWS UNBOUNDED PRECEDING),
+               -x + min(src + x) OVER (PARTITION BY doc_id, y
+                                       ORDER BY x DESC
+                                       ROWS UNBOUNDED PRECEDING)
+             ) AS g
+      FROM px
+    ),
+    dt AS (
+      SELECT doc_id, x, y,
+             least(
+               y + min(g - y) OVER (PARTITION BY doc_id, x ORDER BY y
+                                    ROWS UNBOUNDED PRECEDING),
+               -y + min(g + y) OVER (PARTITION BY doc_id, x
+                                     ORDER BY y DESC
+                                     ROWS UNBOUNDED PRECEDING)
+             ) AS d
+      FROM rowd
+    )
+    SELECT doc_id,
+           CAST(sum(d) AS BIGINT) AS dt_sum,
+           CAST(max(d) AS BIGINT) AS dt_max,
+           CAST(count(CASE WHEN d = 0 THEN 1 END) AS BIGINT) AS n_seeds,
+           CAST(sum(d * (x * {w} + y + 1)) AS BIGINT) AS dt_checksum
+    FROM dt GROUP BY doc_id
+    """
+
+
+@staged_r10("multimodal_distance_transform", oracle=_dt_oracle())
+def multimodal_distance_transform(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """EXACT MANHATTAN DISTANCE TRANSFORM — the feature-proximity map
+    under morphology, skeletonization, and nearest-obstacle queries
+    (and the CPU half of signed-distance-field text rendering). The
+    recurrence d_f(x) = min(d_f(x-1)+1, src(x)) looks like a
+    sequential raster scan, but L1 distance is SEPARABLE and each 1-D
+    pass has a CLOSED FORM: min over x' of (src(x') + |x-x'|) =
+    least(x + cummin(src(x') - x'), -x + reverse-cummin(src(x') + x'))
+    — two running-min windows per axis, four windows total, every
+    value an exact integer. No iteration count tied to image diameter
+    (the iterated min-plus alternative needs D rounds; this needs
+    exactly 4 passes at ANY size — the same trick that turns the
+    sequential prefix recurrence into the depth-histogram's carried
+    offsets). Eight md5-planted seeds per image; per image the
+    transform ships as exact aggregate + position-weighted checksum
+    so every cell value participates in the hash. BFS twin test
+    re-derives the full field on the tiny fixture.
+
+    Scale: pixels explode scan-fused; windows are (doc, row)- and
+    (doc, col)-keyed — bounded partitions, zero cross-image traffic;
+    block-partitioned rows with carried margins extend the same
+    closed form to tiled gigapixel rasters.
+
+    Reference capability class: image feature geometry
+    (SURVEY.md multimodal extras; morphology/integral-image
+    precedents)."""
+    w, inf, ns = _DT_W, _DT_INF, _DT_SEEDS
+
+    def _h(tag: str, k: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{tag}|"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(f"|{k}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.select(
+        "doc_id",
+        *[_h("sx", k).alias(f"sx{k}") for k in range(ns)],
+        *[_h("sy", k).alias(f"sy{k}") for k in range(ns)],
+    )
+    px = (
+        seeds.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("x")
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("y")
+        )
+        .select(
+            "doc_id",
+            "x",
+            "y",
+            F.when(
+                sum(
+                    (
+                        (F.col("x") == F.col(f"sx{k}"))
+                        & (F.col("y") == F.col(f"sy{k}"))
+                    ).cast("int")
+                    for k in range(ns)
+                )
+                > 0,
+                0,
+            )
+            .otherwise(inf)
+            .alias("src"),
+        )
+    )
+    wy = W.partitionBy("doc_id", "y")
+    rowd = px.select(
+        "doc_id",
+        "x",
+        "y",
+        F.least(
+            F.col("x")
+            + F.min(F.col("src") - F.col("x")).over(
+                wy.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+            ),
+            -F.col("x")
+            + F.min(F.col("src") + F.col("x")).over(
+                wy.orderBy(F.col("x").desc()).rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        ).alias("g"),
+    )
+    wx = W.partitionBy("doc_id", "x")
+    dt = rowd.select(
+        "doc_id",
+        "x",
+        "y",
+        F.least(
+            F.col("y")
+            + F.min(F.col("g") - F.col("y")).over(
+                wx.orderBy("y").rowsBetween(W.unboundedPreceding, 0)
+            ),
+            -F.col("y")
+            + F.min(F.col("g") + F.col("y")).over(
+                wx.orderBy(F.col("y").desc()).rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        ).alias("d"),
+    )
+    return dt.groupBy("doc_id").agg(
+        F.sum("d").cast("long").alias("dt_sum"),
+        F.max("d").cast("long").alias("dt_max"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_seeds"),
+        F.sum(F.col("d") * (F.col("x") * w + F.col("y") + 1))
+        .cast("long")
+        .alias("dt_checksum"),
+    )
