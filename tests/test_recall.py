@@ -2122,3 +2122,41 @@ class TestDistanceTransformIndependent:
             assert r.dt_checksum == sum(
                 d * (x * w + y + 1) for (x, y), d in dist.items()
             ), doc
+
+
+class TestCrc32Independent:
+    """Third AND fourth constructions for docs_crc32_relational: the
+    standardized zlib.crc32, and Spark's built-in crc32() — three
+    implementations must produce the same 32-bit value."""
+
+    def test_matches_zlib_and_builtin(self, spark):
+        import duckdb
+        import hashlib
+        import zlib
+
+        from pyspark.sql import functions as F
+
+        from virapipe_spark.queries.extensions import docs_crc32_relational
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r.crc32 for r in docs_crc32_relational(
+            spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        assert len(rows) == len(docs)
+        for doc_id, text in docs.items():
+            payload = hashlib.md5(text.encode()).hexdigest().encode()
+            assert rows[doc_id] == zlib.crc32(payload), doc_id
+        # Spark's built-in crc32 over the same payloads
+        builtin = {
+            r.doc_id: r.b
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", F.crc32(F.md5("text").cast("binary")).alias("b"))
+            .collect()
+        }
+        assert builtin == rows

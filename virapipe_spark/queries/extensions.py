@@ -7891,3 +7891,111 @@ def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CRC32 computed relationally (table-driven fold, 32 unrolled byte rounds)
+# ---------------------------------------------------------------------------
+
+_CRC_POLY = 3988292384  # 0xEDB88320, reflected IEEE 802.3
+_CRC_LEN = 32  # payload = md5 hex digest (fixed-length ASCII)
+
+
+def _crc_oracle() -> str:
+    tparts = ["t0 AS (SELECT i, i AS c FROM range(256) r(i))"]
+    for s in range(1, 9):
+        tparts.append(
+            f"""t{s} AS (
+      SELECT i, CASE WHEN c % 2 = 1
+                     THEN xor(c >> 1, {_CRC_POLY})
+                     ELSE c >> 1 END AS c
+      FROM t{s - 1}
+    )"""
+        )
+    sparts = [
+        """st0 AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS h,
+             CAST(4294967295 AS BIGINT) AS crc
+      FROM documents
+    )"""
+    ]
+    for r in range(1, _CRC_LEN + 1):
+        sparts.append(
+            f"""st{r} AS MATERIALIZED (
+      SELECT s.doc_id, s.h,
+             xor(s.crc >> 8, t.c) AS crc
+      FROM st{r - 1} s
+      JOIN t8 t ON t.i = xor(s.crc, ascii(substr(s.h, {r}, 1))) % 256
+    )"""
+        )
+    body = ",\n    ".join(tparts + sparts)
+    return f"""
+    WITH {body}
+    SELECT doc_id, CAST(xor(crc, 4294967295) AS BIGINT) AS crc32
+    FROM st{_CRC_LEN}
+    """
+
+
+@staged_r10("docs_crc32_relational", oracle=_crc_oracle())
+def docs_crc32_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC32 AS A RELATIONAL FOLD — the integrity checksum every
+    object store and wire protocol stamps on data (S3 ETags, gzip
+    trailers, Parquet page CRCs), computed here without any bit-loop
+    UDF: the 256-entry reflected-polynomial table is eight unrolled
+    column transforms over range(256), and the byte fold is 32 rounds
+    (the payload is a fixed-length md5-hex ASCII string) of one
+    equi-join each against that table — crc' = (crc >> 8) XOR
+    T[(crc XOR byte) & 0xFF]. Two engines independently reproducing a
+    STANDARDIZED checksum is a stronger cross-check than agreeing on
+    an ad-hoc hash: any table error, shift slip, or byte-order mistake
+    lands on a different 32-bit value with probability ~1; the twin
+    test additionally pins the result to zlib.crc32 AND to Spark's
+    built-in crc32() — three implementations, one value.
+
+    Scale: per round the state is one row per document and the build
+    side a constant 256-row broadcast hash join; rounds scale with
+    payload length, not corpus size (real bulk checksumming fuses the
+    table into a scan-side expression — F.crc32 — which this entry's
+    twin proves equivalent; the relational unroll is the
+    cross-engine-verifiable form).
+
+    Reference capability class: data integrity accounting (the
+    files_listing/compaction checksum family)."""
+    tbl = spark.range(256).select(
+        F.col("id").cast("long").alias("i"),
+        F.col("id").cast("long").alias("c"),
+    )
+    for _ in range(8):
+        tbl = tbl.select(
+            "i",
+            F.expr(
+                f"CASE WHEN c % 2 = 1 THEN shiftright(c, 1) ^ {_CRC_POLY}"
+                " ELSE shiftright(c, 1) END"
+            ).alias("c"),
+        )
+    tbl = tbl.select("i", F.col("c").alias("tc"))
+    st = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.lit(4294967295).cast("long").alias("crc"),
+    )
+    for r in range(1, _CRC_LEN + 1):
+        st = (
+            st.join(
+                F.broadcast(tbl),
+                tbl["i"]
+                == F.expr(f"(crc ^ ascii(substr(h, {r}, 1))) % 256"),
+            )
+            .select(
+                "doc_id",
+                "h",
+                (F.expr("shiftright(crc, 8)").bitwiseXOR(F.col("tc")))
+                .alias("crc"),
+            )
+        )
+        if r % 8 == 0:
+            st = truncate_lineage(st, eager=True, reliable=True)
+    return st.select(
+        "doc_id",
+        F.expr("crc ^ 4294967295").cast("long").alias("crc32"),
+    )
