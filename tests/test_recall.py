@@ -2160,3 +2160,87 @@ class TestCrc32Independent:
             .collect()
         }
         assert builtin == rows
+
+
+class TestMmrIndependent:
+    """Third construction for embed_mmr_rerank: the sequential greedy
+    MMR loop in python over the same rounded-6 cosines."""
+
+    def test_matches_sequential_greedy(self, spark):
+        import duckdb
+
+        from virapipe_spark.queries.extensions import (
+            _MMR_K,
+            _MMR_LAMBDA,
+            _MMR_POOL,
+            _QUANT,
+            embed_mmr_rerank,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = embed_mmr_rerank(spark, sf).collect()
+        assert len(rows) == 4 * _MMR_K
+        con = duckdb.connect()
+        vecs = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+            ).fetchall()
+        }
+        q = {
+            vid: [round(float(x) * _QUANT) for x in v]
+            for vid, v in vecs.items()
+        }
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(q[a], q[b]))
+            na = math.sqrt(sum(x * x for x in q[a]))
+            nb = math.sqrt(sum(x * x for x in q[b]))
+            return round(d / (na * nb), 6)
+
+        want = []
+        for query in range(4):
+            pool = sorted(
+                ((cos(query, v), v) for v in q if v != query),
+                key=lambda t: (-t[0], t[1]),
+            )[:_MMR_POOL]
+            cand = {v: rel for rel, v in pool}
+            ms = {v: 0.0 for v in cand}
+            for rank in range(1, _MMR_K + 1):
+                score = {
+                    v: _MMR_LAMBDA * rel
+                    - round(1 - _MMR_LAMBDA, 1)
+                    * (0.0 if rank == 1 else ms[v])
+                    for v, rel in cand.items()
+                }
+                pick = min(score, key=lambda v: (-score[v], v))
+                want.append(
+                    (query, rank, pick, cand[pick], score[pick])
+                )
+                del cand[pick]
+                for v in cand:
+                    ms[v] = max(ms[v], cos(v, pick))
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id, r.rel, r.mmr_score)
+            for r in rows
+        )
+        assert got == sorted(want)
+        # diversity must actually bite: some query's rank-2..K pick is
+        # not the relevance-order pick (otherwise MMR degenerates)
+        rel_order = {}
+        for query in range(4):
+            pool = sorted(
+                ((cos(query, v), v) for v in q if v != query),
+                key=lambda t: (-t[0], t[1]),
+            )[:_MMR_K]
+            rel_order[query] = [v for _, v in pool]
+        mmr_order = {
+            query: [
+                r.vec_id
+                for r in sorted(rows, key=lambda r: r.rank)
+                if r.query_id == query
+            ]
+            for query in range(4)
+        }
+        assert any(mmr_order[u] != rel_order[u] for u in range(4))

@@ -7999,3 +7999,242 @@ def docs_crc32_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("crc ^ 4294967295").cast("long").alias("crc32"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (greedy diverse top-k)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    parts = []
+    for r in range(1, _MMR_K + 1):
+        ms = "0.0" if r == 1 else "ms"
+        parts.append(
+            f"""sc{r} AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, ms,
+             {lam} * rel - {1 - lam:.1f} * {ms} AS score
+      FROM rem{r - 1}
+    ),
+    pk{r} AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, score FROM (
+        SELECT query_id, vec_id, rel, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM sc{r}
+      ) WHERE rn = 1
+    ),
+    rem{r} AS MATERIALIZED (
+      SELECT s.query_id, s.vec_id, s.rel,
+             greatest(s.ms, p.sim) AS ms
+      FROM (
+        SELECT c.query_id, c.vec_id, c.rel, c.ms,
+               k.vec_id AS picked
+        FROM sc{r} c JOIN pk{r} k ON k.query_id = c.query_id
+        WHERE c.vec_id <> k.vec_id
+      ) s
+      JOIN sims p ON p.query_id = s.query_id
+                 AND p.i = s.vec_id AND p.j = s.picked
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    sel = "\n    UNION ALL ".join(
+        f"SELECT query_id, {r} AS rank, vec_id, rel, score FROM pk{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH q AS ({_Q_SQL}),
+    qn AS (
+      SELECT vec_id, q, {_NORM_SQL.format(s='q').replace('{{s}}.', '')}
+               AS qnorm
+      FROM (SELECT vec_id, q FROM q) q
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               round({_DOT_SQL} / (a.qnorm * b.qnorm), 6) AS rel,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({_DOT_SQL}
+                                    / (a.qnorm * b.qnorm), 6) DESC,
+                                  b.vec_id) AS rn
+        FROM qn a JOIN qn b ON a.vec_id < 4 AND b.vec_id <> a.vec_id
+      ) WHERE rn <= {_MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT x.query_id, x.vec_id AS i, y.vec_id AS j,
+             round({_DOT_SQL.replace('a.q', 'qa.q').replace('b.q', 'qb.q')}
+                   / (qa.qnorm * qb.qnorm), 6) AS sim
+      FROM pool x
+      JOIN pool y ON y.query_id = x.query_id AND y.vec_id <> x.vec_id
+      JOIN qn qa ON qa.vec_id = x.vec_id
+      JOIN qn qb ON qb.vec_id = y.vec_id
+    ),
+    rem0 AS (
+      SELECT query_id, vec_id, rel, 0.0 AS ms FROM pool
+    ),
+    {body}
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, rel,
+           score AS mmr_score
+    FROM ({sel})
+    """
+
+
+@staged_r10("embed_mmr_rerank", oracle=_mmr_oracle())
+def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE — the diversity re-ranker every RAG
+    retriever and search-results page runs after ANN (Carbonell &
+    Goldstein 1998): greedily pick argmax of lambda*relevance -
+    (1-lambda)*max-similarity-to-already-picked, so near-duplicate
+    hits can't monopolize the top-k (the redundancy failure SemDeDup
+    measures corpus-wide, fixed at query time). Five unrolled greedy
+    rounds over a top-20 candidate pool per query: each round one
+    per-query argmax window (score DESC, vec_id — rounded-6 cosines
+    make the comparison engine-stable) and one equi-join against the
+    precomputed pool-pairwise similarity table to fold the new
+    max-sim penalty via greatest(). Round 1's penalty term is
+    DEFINED as zero (empty selected set), not a maxsim sentinel —
+    negative similarities stay honest. The greedy-loop twin test
+    re-runs MMR sequentially in python.
+
+    Scale: the pool is the ANN output (constant k' per query) — MMR
+    cost is pool^2 pairwise sims + K argmax rounds per query,
+    independent of corpus size; pool and sims tables shuffle on
+    query_id only. The relevance stage reuses the established
+    broadcast-query brute-force shape (recall measured elsewhere —
+    embed_ivf_recall et al.).
+
+    Reference capability class: retrieval post-processing (BM25 /
+    rank-fusion family completion)."""
+    lam = _MMR_LAMBDA
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.filter(F.col("vec_id") < 4).alias("a")
+    corpus = qdf.alias("b")
+    pool = (
+        F.broadcast(queries)
+        .join(corpus, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.round(_cosine("a", "b"), 6).alias("rel"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("rel").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+    )
+    pool = truncate_lineage(pool, reliable=True)
+    qa = qdf.select(
+        F.col("vec_id").alias("i"),
+        F.col("q").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    qb = qdf.select(
+        F.col("vec_id").alias("j"),
+        F.col("q").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    x = pool.select("query_id", F.col("vec_id").alias("i"))
+    y = pool.select(
+        F.col("query_id").alias("qy"), F.col("vec_id").alias("j")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        x.join(y, (x["query_id"] == y["qy"]) & (x["i"] != y["j"]))
+        .join(qa, "i")
+        .join(qb, "j")
+        .select(
+            "query_id",
+            "i",
+            "j",
+            F.round(dot.cast("double") / (F.col("na") * F.col("nb")), 6)
+            .alias("sim"),
+        )
+    )
+    sims = truncate_lineage(sims, reliable=True)
+    rem = pool.select(
+        "query_id", "vec_id", "rel", F.lit(0.0).alias("ms")
+    )
+    picks = []
+    for r in range(1, _MMR_K + 1):
+        sc = rem.select(
+            "query_id",
+            "vec_id",
+            "rel",
+            "ms",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(round(1 - lam, 1))
+                * (F.lit(0.0) if r == 1 else F.col("ms"))
+            ).alias("score"),
+        )
+        pk = (
+            sc.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("score").desc(), "vec_id"
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("rank"),
+                "vec_id",
+                "rel",
+                "score",
+            )
+        )
+        pk = truncate_lineage(pk, eager=True, reliable=True)
+        picks.append(pk)
+        rem = (
+            sc.join(
+                pk.select(
+                    F.col("query_id").alias("pq"),
+                    F.col("vec_id").alias("picked"),
+                ),
+                (F.col("query_id") == F.col("pq"))
+                & (F.col("vec_id") != F.col("picked")),
+            )
+            .join(
+                sims.select(
+                    F.col("query_id").alias("sq"),
+                    F.col("i"),
+                    F.col("j"),
+                    "sim",
+                ),
+                (F.col("query_id") == F.col("sq"))
+                & (F.col("i") == F.col("vec_id"))
+                & (F.col("j") == F.col("picked")),
+            )
+            .select(
+                "query_id",
+                "vec_id",
+                "rel",
+                F.greatest("ms", "sim").alias("ms"),
+            )
+        )
+        rem = truncate_lineage(rem, eager=True, reliable=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "query_id", "rank", "vec_id", "rel", F.col("score").alias(
+            "mmr_score"
+        )
+    )
