@@ -2244,3 +2244,60 @@ class TestMmrIndependent:
             for query in range(4)
         }
         assert any(mmr_order[u] != rel_order[u] for u in range(4))
+
+
+class TestTextTilingIndependent:
+    """Third construction for docs_texttiling_segments: python
+    dict-based block vectors and the integer-cleared mean test."""
+
+    def test_matches_python_blocks(self, spark):
+        import duckdb
+        import hashlib
+        from collections import Counter
+
+        from virapipe_spark.queries.extensions import (
+            _TT_BLOCK,
+            _TT_BUCKETS,
+            docs_texttiling_segments,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = docs_texttiling_segments(spark, sf).collect()
+        assert rows
+        got = {
+            (r.doc_id, r.gap): (r.sim, r.n_gaps, r.is_boundary)
+            for r in rows
+        }
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        want = {}
+        n_bound = 0
+        for doc_id, text in docs.items():
+            toks = [t for t in text.split(" ") if t]
+            blocks: dict = {}
+            for i, t in enumerate(toks):
+                b = (
+                    int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                    % _TT_BUCKETS
+                )
+                blocks.setdefault(i // _TT_BLOCK, Counter())[b] += 1
+            nblk = len(blocks)
+            sims = {
+                g: sum(
+                    blocks[g][k] * blocks[g + 1][k] for k in blocks[g]
+                )
+                for g in range(nblk - 1)
+            }
+            if len(sims) < 2:
+                continue
+            total = sum(sims.values())
+            for g, s in sims.items():
+                bd = 1 if s * len(sims) < total else 0
+                want[(doc_id, g)] = (s, len(sims), bd)
+                n_bound += bd
+        assert got == want
+        assert n_bound > 0  # dips exist — the detector actually fires

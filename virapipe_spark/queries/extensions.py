@@ -8238,3 +8238,157 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextTiling-style topic segmentation (block-cohesion dips)
+# ---------------------------------------------------------------------------
+
+_TT_BLOCK = 8  # tokens per block
+_TT_BUCKETS = 64
+
+
+def _tt_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok, t.i
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    bl AS (
+      SELECT doc_id, (i - 1) // {_TT_BLOCK} AS blk,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+               % {_TT_BUCKETS} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, blk, bucket
+    ),
+    dots AS (
+      SELECT l.doc_id, l.blk AS gap,
+             CAST(sum(l.cnt * r.cnt) AS BIGINT) AS sim
+      FROM bl l JOIN bl r ON r.doc_id = l.doc_id
+                         AND r.blk = l.blk + 1
+                         AND r.bucket = l.bucket
+      GROUP BY l.doc_id, l.blk
+    ),
+    blocks AS (SELECT DISTINCT doc_id, blk FROM bl),
+    mx AS (SELECT doc_id, max(blk) AS m FROM blocks GROUP BY doc_id),
+    -- a zero-overlap gap is the STRONGEST boundary; an inner join on
+    -- shared buckets would silently drop it (caught by the twin test)
+    gaps AS (
+      SELECT b.doc_id, b.blk AS gap, COALESCE(d.sim, 0) AS sim
+      FROM blocks b
+      JOIN mx ON mx.doc_id = b.doc_id
+      LEFT JOIN dots d ON d.doc_id = b.doc_id AND d.gap = b.blk
+      WHERE b.blk < mx.m
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(sim) AS BIGINT) AS simsum
+      FROM gaps GROUP BY doc_id
+    )
+    SELECT g.doc_id, CAST(g.gap AS BIGINT) AS gap, g.sim, t.n_gaps,
+           CAST(CASE WHEN g.sim * t.n_gaps < t.simsum
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+    FROM gaps g JOIN tot t ON t.doc_id = g.doc_id
+    WHERE t.n_gaps >= 2
+    """
+
+
+@staged_r10("docs_texttiling_segments", oracle=_tt_oracle())
+def docs_texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC SEGMENTATION by lexical-cohesion dips — the TextTiling
+    idea (Hearst 1997) that long-document chunkers for RAG pipelines
+    reinvent: adjacent token blocks that share vocabulary belong to
+    one topic; a gap whose block-overlap score dips below the
+    document's mean is a topic boundary (the chunk_windows entry cuts
+    by SIZE; this cuts by CONTENT — the two chunking policies a
+    training-data pipeline actually chooses between). Cohesion is the
+    exact integer dot product of hashed-token count vectors of the
+    two adjacent blocks (64 buckets, md5 tokens — feature-hashing
+    precedent), and the boundary test is integer-cleared
+    (sim * n_gaps < sum(sim)), so no float appears anywhere. Gaps,
+    not documents, are the output grain: every dip is auditable.
+
+    Scale: token explode fuses into the scan; block count vectors are
+    one (doc, block, bucket) aggregate; the adjacent-block dot is one
+    self-equi-join on (doc, bucket, block+1) — the bigram-drift shape;
+    the threshold total is a doc-keyed aggregate joined back. Zero
+    cross-document traffic.
+
+    Reference capability class: corpus-construction chunking
+    (SURVEY.md LLM-pipeline extras; chunk_windows' content-aware
+    sibling)."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    )
+    bl = (
+        tok.select(
+            "doc_id",
+            ((F.col("i") - 1) / _TT_BLOCK).cast("long").alias("blk"),
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % _TT_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "blk", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    r = bl.select(
+        F.col("doc_id").alias("rdoc"),
+        F.col("blk").alias("rblk"),
+        F.col("bucket").alias("rbucket"),
+        F.col("cnt").alias("rcnt"),
+    )
+    dots = (
+        bl.join(
+            r,
+            (F.col("rdoc") == F.col("doc_id"))
+            & (F.col("rblk") == F.col("blk") + 1)
+            & (F.col("rbucket") == F.col("bucket")),
+        )
+        .groupBy("doc_id", F.col("blk").alias("gap"))
+        .agg(F.sum(F.col("cnt") * F.col("rcnt")).cast("long").alias("sim"))
+    )
+    # a zero-overlap gap is the STRONGEST boundary; an inner join on
+    # shared buckets silently dropped those gaps (caught by the twin
+    # test) — build the full gap spine and left-join the dots
+    blocks = bl.select("doc_id", "blk").distinct()
+    mx = blocks.groupBy("doc_id").agg(F.max("blk").alias("m"))
+    gaps = (
+        blocks.join(mx, "doc_id")
+        .filter(F.col("blk") < F.col("m"))
+        .select("doc_id", F.col("blk").alias("gap"))
+        .join(dots, ["doc_id", "gap"], "left")
+        .select(
+            "doc_id", "gap", F.coalesce("sim", F.lit(0)).cast("long")
+            .alias("sim")
+        )
+    )
+    tot = gaps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("sim").cast("long").alias("simsum"),
+    )
+    return (
+        gaps.join(tot, "doc_id")
+        .filter(F.col("n_gaps") >= 2)
+        .select(
+            "doc_id",
+            F.col("gap").cast("long").alias("gap"),
+            "sim",
+            "n_gaps",
+            F.when(F.col("sim") * F.col("n_gaps") < F.col("simsum"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_boundary"),
+        )
+    )
