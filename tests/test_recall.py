@@ -2301,3 +2301,77 @@ class TestTextTilingIndependent:
                 n_bound += bd
         assert got == want
         assert n_bound > 0  # dips exist — the detector actually fires
+
+
+class TestViterbiBurstIndependent:
+    """Third construction for events_viterbi_burst: classic
+    backtracking Viterbi in python; our per-day forward-backward
+    states must form a path achieving exactly the optimal cost."""
+
+    def test_achieves_optimal_cost(self, spark):
+        import duckdb
+
+        from virapipe_spark.queries.streaming import events_viterbi_burst
+
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            events_viterbi_burst(spark, sf).collect(), key=lambda r: r.day
+        )
+        assert rows
+        assert len({r.path_cost for r in rows}) == 1  # the invariant
+        con = duckdb.connect()
+        xs = [
+            r[0]
+            for r in con.execute(
+                f"""
+                SELECT count(*) FROM '{sf}/events.parquet'
+                GROUP BY CAST(floor(epoch_us(ts)/86400000000) AS BIGINT)
+                ORDER BY 1
+                """
+            ).fetchall()
+        ]
+        # exact P25/P75 by the same crossing rule
+        n = len(xs)
+        cum = 0
+        lo = hi = None
+        from collections import Counter
+
+        for v, c in sorted(Counter(xs).items()):
+            cum += c
+            if lo is None and 4 * cum >= n:
+                lo = v
+            if hi is None and 4 * cum >= 3 * n:
+                hi = v
+        tau = (hi - lo + 1) // 2
+        days = [
+            r[0]
+            for r in con.execute(
+                f"""
+                SELECT count(*) AS x FROM '{sf}/events.parquet'
+                GROUP BY CAST(floor(epoch_us(ts)/86400000000) AS BIGINT)
+                ORDER BY CAST(floor(epoch_us(ts)/86400000000) AS BIGINT)
+                """
+            ).fetchall()
+        ]
+        emis = [(abs(x - lo), abs(x - hi)) for x in days]
+        # backtracking Viterbi
+        dp = [emis[0]]
+        bk = []
+        for e in emis[1:]:
+            plo, phi = dp[-1]
+            cand_lo = (plo, phi + tau)
+            cand_hi = (phi, plo + tau)
+            bk.append(
+                (0 if cand_lo[0] <= cand_lo[1] else 1,
+                 1 if cand_hi[0] <= cand_hi[1] else 0)
+            )
+            dp.append((e[0] + min(cand_lo), e[1] + min(cand_hi)))
+        opt = min(dp[-1])
+        # our emitted sequence must cost exactly opt
+        seq = [0 if r.map_state == "lo" else 1 for r in rows]
+        cost = emis[0][seq[0]]
+        for d in range(1, len(seq)):
+            cost += emis[d][seq[d]] + (tau if seq[d] != seq[d - 1] else 0)
+        assert rows[0].path_cost == opt
+        assert cost == opt, (cost, opt)
+        assert len(set(seq)) == 2  # both states visited: bursts exist

@@ -227,6 +227,10 @@ class TestPlanProperties:
             # both sides calendar-bounded day frames (Theil-Sen/Kendall
             # precedent, one order higher, days^3/6 rows)
             "events_isotonic_daily",
+            # r7 (staged r10): the forward/backward rounds crossJoin a
+            # ONE-ROW day-emission frame per step (the GS round shape);
+            # rounds between eager cuts stay visible as 1-row NLJs
+            "events_viterbi_burst",
         }
         # multimodal_median_cut: level-1's box key constant-folds to 0
         # (every pixel starts in box 0), so the one-row ch/med frames

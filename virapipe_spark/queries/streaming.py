@@ -6382,3 +6382,242 @@ def events_isotonic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.join(fit, idx["x"] == fit["i"])
         .select("day", F.col("x").cast("long").alias("x"), "y", "fit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-state min-sum Viterbi burst decoding (forward-backward, exact)
+# ---------------------------------------------------------------------------
+
+_VIT_DAYS = 30  # calendar span of the fixture
+
+
+def _vit_oracle() -> str:
+    n = _VIT_DAYS
+    fparts = []
+    for d in range(1, n):
+        fparts.append(
+            f"""f{d} AS MATERIALIZED (
+      SELECT e.d,
+             e.e_lo + least(f.f_lo, f.f_hi + e.tau) AS f_lo,
+             e.e_hi + least(f.f_hi, f.f_lo + e.tau) AS f_hi
+      FROM f{d - 1} f JOIN ew e ON e.d = {d}
+    )"""
+        )
+    bparts = []
+    for d in range(n - 2, -1, -1):
+        bparts.append(
+            f"""b{d} AS MATERIALIZED (
+      SELECT e.d,
+             least(b.b_lo + en.e_lo, b.b_hi + en.e_hi + e.tau) AS b_lo,
+             least(b.b_hi + en.e_hi, b.b_lo + en.e_lo + e.tau) AS b_hi
+      FROM b{d + 1} b
+      JOIN ew e ON e.d = {d}
+      JOIN ew en ON en.d = {d + 1}
+    )"""
+        )
+    fu = "\n      UNION ALL ".join(
+        f"SELECT d, f_lo, f_hi FROM f{d}" for d in range(n)
+    )
+    bu = "\n      UNION ALL ".join(
+        f"SELECT d, b_lo, b_hi FROM b{d}" for d in range(n)
+    )
+    body = ",\n    ".join(fparts + bparts)
+    return f"""
+    WITH cnt AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) - 1 AS d FROM cnt
+    ),
+    hist AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM idx GROUP BY x
+    ),
+    lev AS (
+      SELECT min(CASE WHEN 4 * cc >= n THEN v END) AS lo,
+             min(CASE WHEN 4 * cc >= 3 * n THEN v END) AS hi
+      FROM (
+        SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+               sum(c) OVER () AS n
+        FROM hist
+      )
+    ),
+    ew AS MATERIALIZED (
+      SELECT i.d, i.day, i.x,
+             abs(i.x - l.lo) AS e_lo, abs(i.x - l.hi) AS e_hi,
+             (l.hi - l.lo + 1) // 2 AS tau
+      FROM idx i, lev l
+    ),
+    f0 AS MATERIALIZED (
+      SELECT d, e_lo AS f_lo, e_hi AS f_hi FROM ew WHERE d = 0
+    ),
+    b{n - 1} AS MATERIALIZED (
+      SELECT d, CAST(0 AS BIGINT) AS b_lo, CAST(0 AS BIGINT) AS b_hi
+      FROM ew WHERE d = {n - 1}
+    ),
+    {body},
+    fwd AS ({fu}),
+    bwd AS ({bu})
+    SELECT e.day, e.x,
+           CASE WHEN f.f_lo + b.b_lo <= f.f_hi + b.b_hi
+                THEN 'lo' ELSE 'hi' END AS map_state,
+           CAST(least(f.f_lo + b.b_lo, f.f_hi + b.b_hi) AS BIGINT)
+             AS path_cost
+    FROM ew e
+    JOIN fwd f ON f.d = e.d
+    JOIN bwd b ON b.d = e.d
+    """
+
+
+@staged_r10("events_viterbi_burst", oracle=_vit_oracle())
+def events_viterbi_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN-SUM VITERBI DECODING — the MAP state path of a two-state
+    burst model over the daily series (Kleinberg's burst automaton
+    with integer costs instead of Poisson log-likelihoods: emission =
+    |count - level|, levels = exact P25/P75 of the daily histogram,
+    switch penalty tau integer-derived from the spread — every cost a
+    bigint, so two engines MUST agree). Instead of decoding by
+    backtracking (a second sequential pass storing argmins), the MAP
+    state at day d comes from the FORWARD-BACKWARD min-sum identity:
+    best-path-cost-through-(d,s) = fwd(d,s) + bwd(d,s) - emis(d,s) is
+    minimized, per day, by the state the optimal path visits — and
+    least(f+b) collapses to the SAME global optimum at every day, an
+    invariant the hash check enforces 30 times over (the emitted
+    path_cost column must be constant). The state frame is ONE ROW
+    wide (dp_lo, dp_hi columns), so each of the 2(n-1) rounds is a
+    one-row join — control-plane arithmetic, the GS/misra-gries round
+    shape. The twin test runs classic backtracking Viterbi and
+    asserts our state sequence achieves exactly the optimal cost
+    (robust to ties between co-optimal paths).
+
+    Scale: the daily aggregate is the only data-sized pass; rounds
+    scale with the CALENDAR, not events (the stable-matching
+    precedent); per round one one-row equi-join on the day index.
+    Long horizons block into per-shard decodes with boundary-state
+    stitching — the standard parallel-Viterbi refinement.
+
+    Reference capability class: sequence-state analytics over events
+    (changepoint/CUSUM family — this is its MAP-decoding member)."""
+    n = _VIT_DAYS
+    e = table(spark, sf_dir, "events")
+    cnt = (
+        e.select(
+            F.floor(F.unix_micros("ts") / F.lit(_DAY_US))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    idx = cnt.select(
+        "day", "x", (F.row_number().over(W.orderBy("day")) - 1).alias("d")
+    )
+    hist = idx.groupBy(F.col("x").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wall = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.orderBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    lev = (
+        hist.select(
+            "v",
+            F.sum("c").over(wall).alias("cc"),
+            F.sum("c").over(wtot).alias("nn"),
+        )
+        .agg(
+            F.min(
+                F.when(4 * F.col("cc") >= F.col("nn"), F.col("v"))
+            ).alias("lo"),
+            F.min(
+                F.when(4 * F.col("cc") >= 3 * F.col("nn"), F.col("v"))
+            ).alias("hi"),
+        )
+    )
+    ew = idx.crossJoin(F.broadcast(lev)).select(
+        "d",
+        "day",
+        "x",
+        F.abs(F.col("x") - F.col("lo")).alias("e_lo"),
+        F.abs(F.col("x") - F.col("hi")).alias("e_hi"),
+        ((F.col("hi") - F.col("lo") + 1) / 2).cast("long").alias("tau"),
+    )
+    ew = truncate_lineage(ew, eager=True, reliable=True)
+    fwd_frames = []
+    st = ew.filter(F.col("d") == 0).select(
+        "d", F.col("e_lo").alias("f_lo"), F.col("e_hi").alias("f_hi")
+    )
+    fwd_frames.append(st)
+    for d in range(1, n):
+        ed = ew.filter(F.col("d") == d).select(
+            F.col("d").alias("nd"), "e_lo", "e_hi", "tau"
+        )
+        st = st.crossJoin(F.broadcast(ed)).select(
+            F.col("nd").alias("d"),
+            (
+                F.col("e_lo")
+                + F.least(F.col("f_lo"), F.col("f_hi") + F.col("tau"))
+            ).alias("f_lo"),
+            (
+                F.col("e_hi")
+                + F.least(F.col("f_hi"), F.col("f_lo") + F.col("tau"))
+            ).alias("f_hi"),
+        )
+        if d % 5 == 0:
+            st = truncate_lineage(st, eager=True, reliable=True)
+        fwd_frames.append(st)
+    bwd_frames = []
+    st = ew.filter(F.col("d") == n - 1).select(
+        "d",
+        F.lit(0).cast("long").alias("b_lo"),
+        F.lit(0).cast("long").alias("b_hi"),
+    )
+    bwd_frames.append(st)
+    for d in range(n - 2, -1, -1):
+        en = ew.filter(F.col("d") == d + 1).select(
+            F.col("e_lo").alias("ne_lo"),
+            F.col("e_hi").alias("ne_hi"),
+            "tau",
+        )
+        st = st.crossJoin(F.broadcast(en)).select(
+            F.lit(d).cast("long").alias("d"),
+            F.least(
+                F.col("b_lo") + F.col("ne_lo"),
+                F.col("b_hi") + F.col("ne_hi") + F.col("tau"),
+            ).alias("b_lo"),
+            F.least(
+                F.col("b_hi") + F.col("ne_hi"),
+                F.col("b_lo") + F.col("ne_lo") + F.col("tau"),
+            ).alias("b_hi"),
+        )
+        if d % 5 == 0:
+            st = truncate_lineage(st, eager=True, reliable=True)
+        bwd_frames.append(st)
+    fwd = fwd_frames[0]
+    for fr in fwd_frames[1:]:
+        fwd = fwd.unionAll(fr)
+    bwd = bwd_frames[0]
+    for fr in bwd_frames[1:]:
+        bwd = bwd.unionAll(fr)
+    return (
+        ew.join(fwd, "d")
+        .join(bwd, "d")
+        .select(
+            "day",
+            "x",
+            F.when(
+                F.col("f_lo") + F.col("b_lo")
+                <= F.col("f_hi") + F.col("b_hi"),
+                "lo",
+            )
+            .otherwise("hi")
+            .alias("map_state"),
+            F.least(
+                F.col("f_lo") + F.col("b_lo"),
+                F.col("f_hi") + F.col("b_hi"),
+            )
+            .cast("long")
+            .alias("path_cost"),
+        )
+    )
