@@ -2375,3 +2375,75 @@ class TestViterbiBurstIndependent:
         assert rows[0].path_cost == opt
         assert cost == opt, (cost, opt)
         assert len(set(seq)) == 2  # both states visited: bursts exist
+
+
+class TestConvexHullIndependent:
+    """Third construction for multimodal_convex_hull: Andrew's
+    monotone chain with exact integer arithmetic; hull corners (strict
+    turns only) must equal the is_vertex set."""
+
+    def test_matches_monotone_chain(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.multimodal import (
+            _CH_PTS,
+            _CH_SIDE,
+            multimodal_convex_hull,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = multimodal_convex_hull(spark, sf).collect()
+        assert rows
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r.doc_id, {})[(r.x, r.y)] = r.is_vertex
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+
+        def h(tag: str) -> int:
+            return (
+                int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+                % _CH_SIDE
+            )
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+                b[0] - o[0]
+            )
+
+        for doc in ids:
+            pts = sorted(
+                {
+                    (h(f"cx|{doc}|{k}"), h(f"cy|{doc}|{k}"))
+                    for k in range(_CH_PTS)
+                }
+            )
+            assert set(got[doc]) == set(pts), doc
+            if len(pts) <= 2:
+                want = set(pts)
+            else:
+                lower: list = []
+                for p in pts:
+                    while (
+                        len(lower) >= 2
+                        and cross(lower[-2], lower[-1], p) <= 0
+                    ):
+                        lower.pop()
+                    lower.append(p)
+                upper: list = []
+                for p in reversed(pts):
+                    while (
+                        len(upper) >= 2
+                        and cross(upper[-2], upper[-1], p) <= 0
+                    ):
+                        upper.pop()
+                    upper.append(p)
+                want = set(lower[:-1] + upper[:-1])
+            for p in pts:
+                assert got[doc][p] == (1 if p in want else 0), (doc, p)

@@ -3460,3 +3460,228 @@ def multimodal_distance_transform(spark: SparkSession, sf_dir: str
         .cast("long")
         .alias("dt_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Convex hull vertex identification (exact integer orientation tests)
+# ---------------------------------------------------------------------------
+
+_CH_PTS = 12
+_CH_SIDE = 1024
+
+
+def _ch_oracle() -> str:
+    side = _CH_SIDE
+
+    def h(tag):
+        return (
+            f"CAST('0x' || substr(md5('{tag}|' || CAST(doc_id AS VARCHAR)"
+            f" || '|' || CAST(k.k AS VARCHAR)), 1, 8) AS BIGINT) % {side}"
+        )
+
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, {h('cx')} AS x, {h('cy')} AS y
+      FROM documents, unnest(generate_series(0, {_CH_PTS - 1})) k(k)
+    ),
+    pts AS MATERIALIZED (
+      SELECT doc_id, x, y,
+             row_number() OVER (PARTITION BY doc_id ORDER BY x, y) AS pid
+      FROM (SELECT DISTINCT doc_id, x, y FROM raw)
+    ),
+    tri AS MATERIALIZED (
+      SELECT p.doc_id, p.pid,
+             max(CASE WHEN
+               (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <> 0
+               AND (
+                 ((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) >= 0
+                  AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) >= 0
+                  AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) >= 0)
+                 OR
+                 ((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) <= 0
+                  AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) <= 0
+                  AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) <= 0)
+               ) THEN 1 ELSE 0 END) AS in_tri
+      FROM pts p
+      JOIN pts a ON a.doc_id = p.doc_id AND a.pid <> p.pid
+      JOIN pts b ON b.doc_id = p.doc_id AND b.pid > a.pid
+               AND b.pid <> p.pid
+      JOIN pts c ON c.doc_id = p.doc_id AND c.pid > b.pid
+               AND c.pid <> p.pid
+      GROUP BY p.doc_id, p.pid
+    ),
+    seg AS MATERIALIZED (
+      SELECT p.doc_id, p.pid,
+             max(CASE WHEN
+               (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) = 0
+               AND p.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+               AND p.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)
+               THEN 1 ELSE 0 END) AS on_seg
+      FROM pts p
+      JOIN pts a ON a.doc_id = p.doc_id AND a.pid <> p.pid
+      JOIN pts b ON b.doc_id = p.doc_id AND b.pid > a.pid
+               AND b.pid <> p.pid
+      GROUP BY p.doc_id, p.pid
+    )
+    SELECT p.doc_id, p.x, p.y,
+           CAST(CASE WHEN COALESCE(t.in_tri, 0) = 0
+                      AND COALESCE(s.on_seg, 0) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_vertex
+    FROM pts p
+    LEFT JOIN tri t ON t.doc_id = p.doc_id AND t.pid = p.pid
+    LEFT JOIN seg s ON s.doc_id = p.doc_id AND s.pid = p.pid
+    """
+
+
+@staged_r10("multimodal_convex_hull", oracle=_ch_oracle())
+def multimodal_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVEX HULL VERTEX IDENTIFICATION — the computational-geometry
+    primitive (bounding shapes, outlier frontiers, collision proxies)
+    done set-at-a-time: p is a hull vertex iff p is NOT in the convex
+    hull of its peers, decided by Caratheodory — p is in the hull iff
+    some NONDEGENERATE peer triangle contains it (three orientation
+    cross products with consistent sign; boundary counts as inside) or
+    it lies ON a peer segment (the collinear case a naive triangle
+    test gets wrong: three zero crosses claim containment even outside
+    the span, so degenerate triples are excluded and segments tested
+    explicitly). Every test is an exact integer cross product — no
+    epsilon, no float orientation flips, the reason this is
+    hash-checkable at all. Per-point rows (doc, x, y, is_vertex) keep
+    the full decision auditable; sequential monotone-chain twin.
+
+    Scale: the quadruple/triple explosion is per-document and
+    CONSTANT (12 distinct points -> <=1980 triangle rows, 660 segment
+    rows), scan-fused, zero cross-document traffic. Large point sets
+    use the standard two-level refinement — hull of per-partition
+    hulls — whose inner step is exactly this operator.
+
+    Reference capability class: geometric aggregation (the skyline /
+    pareto family's exact-geometry member)."""
+    side = _CH_SIDE
+
+    def h(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{tag}|"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % side
+        )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    raw = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_CH_PTS - 1))).alias("k"),
+    ).select("doc_id", h("cx").alias("x"), h("cy").alias("y"))
+    pts = (
+        raw.distinct()
+        .withColumn(
+            "pid",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("x", "y")),
+        )
+    )
+    pts = truncate_lineage(pts, reliable=True)
+
+    def side_tbl(name):
+        return pts.select(
+            F.col("doc_id").alias(f"{name}d"),
+            F.col("pid").alias(f"{name}p"),
+            F.col("x").alias(f"{name}x"),
+            F.col("y").alias(f"{name}y"),
+        )
+
+    p, a, b, c = pts, side_tbl("a"), side_tbl("b"), side_tbl("c")
+
+    def cross(x1, y1, x2, y2, x3, y3):
+        return (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+
+    tri_rows = (
+        p.join(a, (F.col("ad") == F.col("doc_id")) & (F.col("ap") != F.col("pid")))
+        .join(
+            b,
+            (F.col("bd") == F.col("doc_id"))
+            & (F.col("bp") > F.col("ap"))
+            & (F.col("bp") != F.col("pid")),
+        )
+        .join(
+            c,
+            (F.col("cd") == F.col("doc_id"))
+            & (F.col("cp") > F.col("bp"))
+            & (F.col("cp") != F.col("pid")),
+        )
+    )
+    d1 = cross(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+               F.col("x"), F.col("y"))
+    d2 = cross(F.col("bx"), F.col("by"), F.col("cx"), F.col("cy"),
+               F.col("x"), F.col("y"))
+    d3 = cross(F.col("cx"), F.col("cy"), F.col("ax"), F.col("ay"),
+               F.col("x"), F.col("y"))
+    ori = cross(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                F.col("cx"), F.col("cy"))
+    tri = tri_rows.groupBy("doc_id", "pid").agg(
+        F.max(
+            F.when(
+                (ori != 0)
+                & (
+                    ((d1 >= 0) & (d2 >= 0) & (d3 >= 0))
+                    | ((d1 <= 0) & (d2 <= 0) & (d3 <= 0))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("in_tri")
+    )
+    segd = cross(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("x"), F.col("y"))
+    seg = (
+        p.join(a, (F.col("ad") == F.col("doc_id")) & (F.col("ap") != F.col("pid")))
+        .join(
+            b,
+            (F.col("bd") == F.col("doc_id"))
+            & (F.col("bp") > F.col("ap"))
+            & (F.col("bp") != F.col("pid")),
+        )
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.max(
+                F.when(
+                    (segd == 0)
+                    & F.col("x").between(
+                        F.least("ax", "bx"), F.greatest("ax", "bx")
+                    )
+                    & F.col("y").between(
+                        F.least("ay", "by"), F.greatest("ay", "by")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("on_seg")
+        )
+    )
+    return (
+        pts.join(tri, ["doc_id", "pid"], "left")
+        .join(seg, ["doc_id", "pid"], "left")
+        .select(
+            "doc_id",
+            "x",
+            "y",
+            F.when(
+                (F.coalesce("in_tri", F.lit(0)) == 0)
+                & (F.coalesce("on_seg", F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_vertex"),
+        )
+    )
