@@ -2447,3 +2447,64 @@ class TestConvexHullIndependent:
                 want = set(lower[:-1] + upper[:-1])
             for p in pts:
                 assert got[doc][p] == (1 if p in want else 0), (doc, p)
+
+
+class TestIntervalJaccardIndependent:
+    """Third construction for interval_jaccard: python sweep-line
+    merge + bp-level set arithmetic over explicit base sets."""
+
+    def test_matches_base_sets(self, spark):
+        from virapipe_spark.queries.staged import interval_jaccard
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.seqid: r for r in interval_jaccard(spark, sf).collect()}
+        assert rows
+        import duckdb
+
+        con = duckdb.connect()
+        genes = con.execute(
+            f"""
+            SELECT concat('c', p_partkey % 3),
+                   (p_partkey * 37) % 9000,
+                   (p_partkey * 37) % 9000 + 400
+            FROM '{sf}/part.parquet'
+            """
+        ).fetchall()
+        readsv = con.execute(
+            f"""
+            SELECT concat('c', o_orderkey % 3),
+                   (o_orderkey * 91) % 9400,
+                   (o_orderkey * 91) % 9400 + 80
+            FROM '{sf}/orders.parquet' WHERE o_orderkey < 3000
+            """
+        ).fetchall()
+        # brute force: explicit base-position sets (small coordinates)
+        from collections import defaultdict
+
+        basea: dict = defaultdict(set)
+        baseb: dict = defaultdict(set)
+        for seq, s, e in genes:
+            basea[seq].update(range(s, e + 1))
+        for seq, s, e in readsv:
+            baseb[seq].update(range(s, e + 1))
+
+        def islands(posset):
+            ps = sorted(posset)
+            n = 0
+            prev = None
+            for x in ps:
+                if prev is None or x > prev + 1:
+                    n += 1
+                prev = x
+            return n
+
+        for seq in rows:
+            a, b = basea[seq], baseb[seq]
+            r = rows[seq]
+            assert r.len_a == len(a), seq
+            assert r.len_b == len(b), seq
+            assert r.inter_bp == len(a & b), seq
+            assert r.union_bp == len(a | b), seq
+            assert r.jaccard == len(a & b) / len(a | b), seq
+            assert r.n_a == islands(a), seq
+            assert r.n_b == islands(b), seq

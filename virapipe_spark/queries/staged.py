@@ -1017,3 +1017,164 @@ def interval_closest_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-set Jaccard (bedtools jaccard parity)
+# ---------------------------------------------------------------------------
+
+
+def _merged_sql(src: str, alias: str) -> str:
+    """The merge_overlapping gaps-and-islands SQL (total-order lesson
+    from interval_merge_spans applies) parameterized by source CTE."""
+    return f"""
+    {alias}_flagged AS (
+      SELECT seqid, start, "end", id,
+             CASE WHEN max("end") OVER (
+                      PARTITION BY seqid ORDER BY start, "end", id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR start > max("end") OVER (
+                      PARTITION BY seqid ORDER BY start, "end", id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS opens
+      FROM {src}
+    ),
+    {alias} AS MATERIALIZED (
+      SELECT seqid, min(start) AS s, max("end") AS e
+      FROM (
+        SELECT seqid, start, "end",
+               sum(opens) OVER (PARTITION BY seqid
+                                ORDER BY start, "end", id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+        FROM {alias}_flagged
+      ) GROUP BY seqid, island
+    )"""
+
+
+@staged_r10(
+    "interval_jaccard",
+    oracle=f"""
+    WITH ga AS ({_GENES_SQL}),
+    rb AS ({_READS_SQL}),
+    {_merged_sql('ga', 'ma')},
+    {_merged_sql('rb', 'mb')},
+    lens AS (
+      SELECT a.seqid,
+             CAST(sum(a.e - a.s + 1) AS BIGINT) AS len_a,
+             CAST(count(*) AS BIGINT) AS n_a
+      FROM ma a GROUP BY a.seqid
+    ),
+    lensb AS (
+      SELECT b.seqid,
+             CAST(sum(b.e - b.s + 1) AS BIGINT) AS len_b,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM mb b GROUP BY b.seqid
+    ),
+    inter AS (
+      SELECT a.seqid,
+             CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1)
+                  AS BIGINT) AS inter_bp
+      FROM ma a JOIN mb b
+        ON b.seqid = a.seqid AND b.s <= a.e AND b.e >= a.s
+      GROUP BY a.seqid
+    )
+    SELECT l.seqid, l.n_a, lb.n_b, l.len_a, lb.len_b,
+           COALESCE(i.inter_bp, 0) AS inter_bp,
+           l.len_a + lb.len_b - COALESCE(i.inter_bp, 0) AS union_bp,
+           CAST(COALESCE(i.inter_bp, 0) AS DOUBLE)
+             / (l.len_a + lb.len_b - COALESCE(i.inter_bp, 0)) AS jaccard
+    FROM lens l
+    JOIN lensb lb ON lb.seqid = l.seqid
+    LEFT JOIN inter i ON i.seqid = l.seqid
+    """,
+)
+def interval_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-SET JACCARD — bedtools ``jaccard`` (Favorov et al.
+    2012), the one-number answer to "how much do these two annotation
+    tracks agree": merge each set to disjoint spans, intersect the
+    merged spans, and jaccard = inter_bp / (len_a + len_b - inter_bp),
+    all in inclusive coordinates (length = end - start + 1, stated —
+    bedtools' half-open convention differs by a constant per span).
+    Completes the interval algebra as its set-similarity member:
+    overlap join (pairs), merge (union), subtract (difference),
+    closest (distance), reciprocal overlap (pairwise gate), and now
+    track-level similarity. Exact integer bp throughout; the single
+    division is the one float.
+
+    Scale: two gaps-and-islands window passes (seqid-keyed), one
+    overlap join BETWEEN MERGED SPANS — disjointness caps the
+    candidate pairs at |A'|+|B'| per seqid (each merged A span
+    overlaps disjoint B spans in a run), so the join is linear in
+    islands, never quadratic in raw intervals; the genome-binning
+    refinement (overlap_join's grid) applies unchanged if island
+    counts explode.
+
+    Reference capability class: interval algebra
+    (SURVEY.md section 2.4 position-overlap family)."""
+    from virapipe_spark.intervals import merge_overlapping
+    from virapipe_spark.scale import truncate_lineage
+
+    ma = merge_overlapping(_genes(spark, sf_dir).drop("id")).select(
+        "seqid", F.col("start").alias("sa"), F.col("end").alias("ea")
+    )
+    mb = merge_overlapping(_reads(spark, sf_dir).drop("id")).select(
+        F.col("seqid").alias("seqb"),
+        F.col("start").alias("sb"),
+        F.col("end").alias("eb"),
+    )
+    ma = truncate_lineage(ma, reliable=True)
+    mb = truncate_lineage(mb, reliable=True)
+    lens_a = ma.groupBy("seqid").agg(
+        F.sum(F.col("ea") - F.col("sa") + 1).cast("long").alias("len_a"),
+        F.count("*").cast("long").alias("n_a"),
+    )
+    lens_b = mb.groupBy(F.col("seqb").alias("seqid")).agg(
+        F.sum(F.col("eb") - F.col("sb") + 1).cast("long").alias("len_b"),
+        F.count("*").cast("long").alias("n_b"),
+    )
+    inter = (
+        ma.join(
+            mb,
+            (F.col("seqb") == F.col("seqid"))
+            & (F.col("sb") <= F.col("ea"))
+            & (F.col("eb") >= F.col("sa")),
+        )
+        .groupBy("seqid")
+        .agg(
+            F.sum(
+                F.least("ea", "eb") - F.greatest("sa", "sb") + 1
+            )
+            .cast("long")
+            .alias("inter_bp")
+        )
+    )
+    return (
+        lens_a.join(lens_b, "seqid")
+        .join(inter, "seqid", "left")
+        .select(
+            "seqid",
+            "n_a",
+            "n_b",
+            "len_a",
+            "len_b",
+            F.coalesce("inter_bp", F.lit(0)).cast("long").alias("inter_bp"),
+            (
+                F.col("len_a")
+                + F.col("len_b")
+                - F.coalesce("inter_bp", F.lit(0))
+            )
+            .cast("long")
+            .alias("union_bp"),
+            (
+                F.coalesce("inter_bp", F.lit(0)).cast("double")
+                / (
+                    F.col("len_a")
+                    + F.col("len_b")
+                    - F.coalesce("inter_bp", F.lit(0))
+                )
+            ).alias("jaccard"),
+        )
+    )
