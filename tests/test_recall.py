@@ -2508,3 +2508,61 @@ class TestIntervalJaccardIndependent:
             assert r.jaccard == len(a & b) / len(a | b), seq
             assert r.n_a == islands(a), seq
             assert r.n_b == islands(b), seq
+
+
+class TestMutationSpectrumIndependent:
+    """Third construction for reads_mutation_spectrum: python
+    per-variant classification plus the design-expectation check
+    (uniform alt => ts share ~1/3, ratio ~0.5)."""
+
+    def test_matches_python_classification(self, spark):
+        import duckdb
+        import hashlib
+        from collections import Counter
+
+        from virapipe_spark.queries.genomics import reads_mutation_spectrum
+
+        sf = "/root/testdata/sf0.001"
+        rows = reads_mutation_spectrum(spark, sf).collect()
+        assert rows
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        bases = "ACGT"
+        spec: Counter = Counter()
+        for doc in ids:
+            chrom = f"chr{doc % 3}"
+            ri = int(hashlib.md5(f"ref|{doc}".encode()).hexdigest()[:8],
+                     16) % 4
+            ao = int(hashlib.md5(f"alt|{doc}".encode()).hexdigest()[:8],
+                     16) % 3
+            ref = bases[ri]
+            alt = bases[(ri + 1 + ao) % 4]
+            spec[(chrom, ref, alt)] += 1
+        ts_pairs = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+        got = {(r.chrom, r.ref, r.alt): r for r in rows}
+        assert set(got) == set(spec)
+        for key, n in spec.items():
+            r = got[key]
+            assert r.n == n, key
+            assert r.is_transition == (
+                1 if (key[1], key[2]) in ts_pairs else 0
+            ), key
+        for chrom in ("chr0", "chr1", "chr2"):
+            ts = sum(
+                n for (c, rf, al), n in spec.items()
+                if c == chrom and (rf, al) in ts_pairs
+            )
+            tv = sum(
+                n for (c, rf, al), n in spec.items()
+                if c == chrom and (rf, al) not in ts_pairs
+            )
+            any_row = next(r for k, r in got.items() if k[0] == chrom)
+            assert (any_row.chrom_ts, any_row.chrom_tv) == (ts, tv)
+            assert any_row.tstv == ts / tv
+            # uniform-alt design: ratio must hover near 0.5
+            assert 0.3 < ts / tv < 0.8, chrom

@@ -2622,3 +2622,146 @@ def reads_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("theorem_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutation spectrum and Ts/Tv ratio (bcftools-stats parity)
+# ---------------------------------------------------------------------------
+
+
+def _tstv_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT concat('chr', CAST(doc_id % 3 AS VARCHAR)) AS chrom,
+             substr('ACGT',
+                    CAST(1 + CAST('0x' || substr(md5('ref|'
+                      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4
+                      AS INTEGER), 1) AS ref,
+             CAST('0x' || substr(md5('alt|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 3 AS altoff
+      FROM documents
+    ),
+    vv AS (
+      SELECT chrom, ref,
+             substr('ACGT',
+                    CAST(1 + (strpos('ACGT', ref) - 1 + 1 + altoff) % 4
+                      AS INTEGER), 1) AS alt
+      FROM v
+    ),
+    typed AS (
+      SELECT chrom, ref, alt,
+             CASE WHEN (ref = 'A' AND alt = 'G')
+                    OR (ref = 'G' AND alt = 'A')
+                    OR (ref = 'C' AND alt = 'T')
+                    OR (ref = 'T' AND alt = 'C')
+                  THEN 1 ELSE 0 END AS is_ts
+      FROM vv
+    ),
+    spec AS (
+      SELECT chrom, ref, alt, CAST(max(is_ts) AS BIGINT) AS is_transition,
+             CAST(count(*) AS BIGINT) AS n
+      FROM typed GROUP BY chrom, ref, alt
+    )
+    SELECT chrom, ref, alt, is_transition, n,
+           CAST(sum(is_transition * n) OVER (PARTITION BY chrom)
+                AS BIGINT) AS chrom_ts,
+           CAST(sum((1 - is_transition) * n) OVER (PARTITION BY chrom)
+                AS BIGINT) AS chrom_tv,
+           CAST(sum(is_transition * n) OVER (PARTITION BY chrom)
+                AS DOUBLE)
+             / sum((1 - is_transition) * n) OVER (PARTITION BY chrom)
+             AS tstv
+    FROM spec
+    """
+
+
+@staged_r10("reads_mutation_spectrum", oracle=_tstv_oracle())
+def reads_mutation_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTATION SPECTRUM + Ts/Tv — the first line of bcftools stats
+    and the standard variant-call QC gate (a human WGS callset's
+    transition/transversion ratio sits near 2.0-2.1; a ratio near the
+    random 0.5 means the caller is emitting noise): classify every
+    SNV as transition (purine<->purine A<->G, pyrimidine<->pyrimidine
+    C<->T) or transversion, count the full 12-type substitution
+    spectrum per chromosome, and carry the exact integer ts/tv masses
+    plus their single-division ratio per chromosome on every spectrum
+    row. Variants are md5-synthesized (ref uniform over ACGT, alt
+    uniform over the three non-ref bases — so the expected ts share is
+    1/3 and the expected ratio 0.5, which the twin test checks the
+    observed spectrum against at coarse tolerance, plus exact
+    per-type recomputation).
+
+    Scale: one groupBy to the 36-cell spectrum (map-side combined —
+    the per-cycle-quality histogram shape: the reduction IS the
+    spectrum, independent of callset size), two chrom-keyed window
+    sums on the 36-row frame.
+
+    Reference capability class: variant QC statistics (SURVEY.md
+    section 2.8/2.10 — the VCF surface's analytical member)."""
+    d = table(spark, sf_dir, "documents")
+
+    def _h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(tag + "|"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    v = d.select(
+        F.concat(F.lit("chr"), (F.col("doc_id") % 3).cast("string")).alias(
+            "chrom"
+        ),
+        F.expr(
+            "substr('ACGT', CAST(1 + ({r}) % 4 AS INT), 1)".format(
+                r="conv(substr(md5(concat('ref|', CAST(doc_id AS STRING))),"
+                " 1, 8), 16, 10)"
+            )
+        ).alias("ref"),
+        (_h("alt") % 3).alias("altoff"),
+    ).select(
+        "chrom",
+        "ref",
+        F.expr(
+            "substr('ACGT', CAST(1 + (instr('ACGT', ref) - 1 + 1 + altoff)"
+            " % 4 AS INT), 1)"
+        ).alias("alt"),
+    )
+    typed = v.select(
+        "chrom",
+        "ref",
+        "alt",
+        F.when(
+            ((F.col("ref") == "A") & (F.col("alt") == "G"))
+            | ((F.col("ref") == "G") & (F.col("alt") == "A"))
+            | ((F.col("ref") == "C") & (F.col("alt") == "T"))
+            | ((F.col("ref") == "T") & (F.col("alt") == "C")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_ts"),
+    )
+    spec = typed.groupBy("chrom", "ref", "alt").agg(
+        F.max("is_ts").cast("long").alias("is_transition"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wc = W.partitionBy("chrom").orderBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ts = F.sum(F.col("is_transition") * F.col("n")).over(wc)
+    tv = F.sum((1 - F.col("is_transition")) * F.col("n")).over(wc)
+    return spec.select(
+        "chrom",
+        "ref",
+        "alt",
+        "is_transition",
+        "n",
+        ts.cast("long").alias("chrom_ts"),
+        tv.cast("long").alias("chrom_tv"),
+        (ts.cast("double") / tv).alias("tstv"),
+    )
