@@ -2566,3 +2566,63 @@ class TestMutationSpectrumIndependent:
             assert any_row.tstv == ts / tv
             # uniform-alt design: ratio must hover near 0.5
             assert 0.3 < ts / tv < 0.8, chrom
+
+
+class TestCigarWalkIndependent:
+    """Third construction for reads_cigar_walk: a hand-rolled python
+    CIGAR parser applying the SAM spec consume table."""
+
+    def test_matches_python_parser(self, spark):
+        import duckdb
+        import hashlib
+        import re
+
+        from virapipe_spark.queries.genomics import (
+            _CIG_OPS,
+            _CIG_SEGS,
+            reads_cigar_walk,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in reads_cigar_walk(spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+
+        def h(tag: str, width: int) -> int:
+            return int(
+                hashlib.md5(tag.encode()).hexdigest()[:width], 16
+            )
+
+        for doc in ids:
+            cigar = "".join(
+                str(1 + h(f"cl|{doc}|{k}", 4) % 30)
+                + _CIG_OPS[h(f"co|{doc}|{k}", 4) % 5]
+                for k in range(_CIG_SEGS)
+            )
+            pos = 1 + h(f"cp|{doc}", 8) % 100000
+            ref = q = clip = nops = 0
+            for ln, op in re.findall(r"(\d+)([A-Z])", cigar):
+                ln = int(ln)
+                nops += 1
+                if op in "MXD":
+                    ref += ln
+                if op in "MXIS":
+                    q += ln
+                if op == "S":
+                    clip += ln
+            r = rows[doc]
+            assert (
+                r.cigar,
+                r.pos,
+                r.ref_len,
+                r.query_len,
+                r.align_end,
+                r.n_ops,
+                r.clipped,
+            ) == (cigar, pos, ref, q, pos + ref - 1, nops, clip), doc

@@ -2765,3 +2765,142 @@ def reads_mutation_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv.cast("long").alias("chrom_tv"),
         (ts.cast("double") / tv).alias("tstv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CIGAR walk (alignment length accounting, samtools parity)
+# ---------------------------------------------------------------------------
+
+_CIG_OPS = "MIDSX"  # consumed: M/X both, I/S query-only, D ref-only
+_CIG_SEGS = 5
+
+
+def _cigar_oracle() -> str:
+    segs = ", ".join(
+        f"concat(CAST(1 + CAST('0x' || substr(md5('cl|' ||"
+        f" CAST(doc_id AS VARCHAR) || '|{k}'), 1, 4) AS BIGINT) % 30"
+        f" AS VARCHAR), substr('{_CIG_OPS}',"
+        f" CAST(1 + CAST('0x' || substr(md5('co|' ||"
+        f" CAST(doc_id AS VARCHAR) || '|{k}'), 1, 4) AS BIGINT) % 5"
+        f" AS INTEGER), 1))"
+        for k in range(_CIG_SEGS)
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id, concat({segs}) AS cigar,
+             1 + CAST('0x' || substr(md5('cp|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 100000 AS pos
+      FROM documents
+    ),
+    ops AS (
+      SELECT doc_id, cigar, pos,
+             CAST(regexp_extract(u.tok, '([0-9]+)', 1) AS BIGINT) AS len,
+             regexp_extract(u.tok, '([A-Z])', 1) AS op
+      FROM c, unnest(regexp_extract_all(cigar, '[0-9]+[A-Z]')) u(tok)
+    )
+    SELECT doc_id, cigar, CAST(pos AS BIGINT) AS pos,
+           CAST(sum(CASE WHEN op IN ('M', 'X', 'D') THEN len
+                         ELSE 0 END) AS BIGINT) AS ref_len,
+           CAST(sum(CASE WHEN op IN ('M', 'X', 'I', 'S') THEN len
+                         ELSE 0 END) AS BIGINT) AS query_len,
+           CAST(pos + sum(CASE WHEN op IN ('M', 'X', 'D') THEN len
+                               ELSE 0 END) - 1 AS BIGINT) AS align_end,
+           CAST(count(*) AS BIGINT) AS n_ops,
+           CAST(sum(CASE WHEN op = 'S' THEN len ELSE 0 END) AS BIGINT)
+             AS clipped
+    FROM ops GROUP BY doc_id, cigar, pos
+    """
+
+
+@staged_r10("reads_cigar_walk", oracle=_cigar_oracle())
+def reads_cigar_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIGAR WALK — the alignment-string accounting samtools performs
+    on every record (reference span for indexing/pileup, query span
+    for validation, soft-clip mass for QC; SAM spec section 1.4):
+    parse '10M2I3D'-style strings into (length, op) pairs with
+    regexp_extract_all (a generator, not a UDF), then one aggregate
+    per read applying the consume table — M/X consume both, I/S
+    query-only, D reference-only. align_end = pos + ref_len - 1 is
+    what BAI/CSI indexing bins on; clipped mass is the adapter/QC
+    signal. CIGARs are md5-synthesized (5 segments, lengths 1-30, ops
+    over MIDSX) so both engines parse identical strings; the twin test
+    re-walks every string with a hand-rolled python parser.
+
+    Scale: parse + aggregate fuses into the scan — zero shuffle
+    beyond the per-read groupBy (and even that folds map-side since
+    segments of one read colocate); the shape real pileup pipelines
+    feed.
+
+    Reference capability class: SAM field semantics
+    (SURVEY.md section 2.8 SAM-line extraction, deepened to the
+    alignment-geometry level the reference never parsed)."""
+    d = table(spark, sf_dir, "documents")
+
+    def _h(tag: str, k, width: int, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(tag + "|"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("|" + str(k)) if k is not None else F.lit(""),
+                        )
+                    ),
+                    1,
+                    width,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    seg_cols = [
+        F.concat(
+            (1 + _h("cl", k, 4, 30)).cast("string"),
+            F.expr(
+                f"substr('{_CIG_OPS}', CAST(1 + conv(substr(md5(concat("
+                f"'co|', CAST(doc_id AS STRING), '|{k}')), 1, 4), 16, 10)"
+                f" % 5 AS INT), 1)"
+            ),
+        )
+        for k in range(_CIG_SEGS)
+    ]
+    c = d.select(
+        "doc_id",
+        F.concat(*seg_cols).alias("cigar"),
+        (1 + _h("cp", None, 8, 100000)).alias("pos"),
+    )
+    ops = c.select(
+        "doc_id",
+        "cigar",
+        "pos",
+        F.explode(
+            F.expr("regexp_extract_all(cigar, '[0-9]+[A-Z]', 0)")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        "cigar",
+        "pos",
+        F.regexp_extract("tok", r"([0-9]+)", 1).cast("long").alias("len"),
+        F.regexp_extract("tok", r"([A-Z])", 1).alias("op"),
+    )
+    reflen = F.sum(
+        F.when(F.col("op").isin("M", "X", "D"), F.col("len")).otherwise(0)
+    )
+    return ops.groupBy("doc_id", "cigar", "pos").agg(
+        reflen.cast("long").alias("ref_len"),
+        F.sum(
+            F.when(
+                F.col("op").isin("M", "X", "I", "S"), F.col("len")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("query_len"),
+        (F.first("pos") + reflen - 1).cast("long").alias("align_end"),
+        F.count("*").cast("long").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "S", F.col("len")).otherwise(0))
+        .cast("long")
+        .alias("clipped"),
+    )
