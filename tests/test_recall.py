@@ -2626,3 +2626,70 @@ class TestCigarWalkIndependent:
                 r.n_ops,
                 r.clipped,
             ) == (cigar, pos, ref, q, pos + ref - 1, nops, clip), doc
+
+
+class TestDensestSubgraphIndependent:
+    """Third construction for graph_densest_subgraph: python batch
+    peel mirror plus TRUE sequential Charikar, with the theory
+    inequality best_batch >= best_charikar / 3."""
+
+    def test_matches_peel_and_charikar_bound(self, spark):
+        import duckdb
+        from collections import defaultdict
+
+        from virapipe_spark.queries.relational import graph_densest_subgraph
+
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            graph_densest_subgraph(spark, sf).collect(),
+            key=lambda r: r.round,
+        )
+        assert rows
+        con = duckdb.connect()
+        E = {
+            tuple(r)
+            for r in con.execute(
+                f"""
+                WITH pairs AS (
+                  SELECT a.l_partkey pa, b.l_partkey pb
+                  FROM '{sf}/lineitem.parquet' a
+                  JOIN '{sf}/lineitem.parquet' b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                )
+                SELECT pa, pb FROM pairs GROUP BY pa, pb
+                HAVING count(*) >= 2
+                """
+            ).fetchall()
+        }
+        # batch peel mirror
+        cur = set(E)
+        want = []
+        while cur:
+            deg: dict = defaultdict(int)
+            for a, b in cur:
+                deg[a] += 1
+                deg[b] += 1
+            v, ne = len(deg), len(cur)
+            want.append((len(want), v, ne, ne / v))
+            keep = {n for n in deg if deg[n] * v >= 3 * ne}
+            cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        got = [(r.round, r.n_nodes, r.n_edges, r.density) for r in rows]
+        assert got == want
+        besti = max(range(len(want)), key=lambda i: (want[i][3], -i))
+        assert [r.is_best for r in rows] == [
+            1 if i == besti else 0 for i in range(len(rows))
+        ]
+        # sequential Charikar: peel the single min-degree vertex
+        cur = set(E)
+        best_char = 0.0
+        while cur:
+            deg = defaultdict(int)
+            for a, b in cur:
+                deg[a] += 1
+                deg[b] += 1
+            best_char = max(best_char, len(cur) / len(deg))
+            victim = min(deg, key=lambda n: (deg[n], n))
+            cur = {(a, b) for a, b in cur if victim not in (a, b)}
+        best_batch = max(r.density for r in rows)
+        assert best_batch >= best_char / 3  # the (2+2eps) vs 2 theory
