@@ -231,6 +231,10 @@ class TestPlanProperties:
             # ONE-ROW day-emission frame per step (the GS round shape);
             # rounds between eager cuts stay visible as 1-row NLJs
             "events_viterbi_burst",
+            # r7 (staged r10): per peel round the ONE-ROW (|V|, |E|)
+            # totals frame crossJoins the stats/threshold paths (k-core
+            # round shape with a global threshold)
+            "graph_densest_subgraph",
         }
         # multimodal_median_cut: level-1's box key constant-folds to 0
         # (every pixel starts in box 0), so the one-row ch/med frames
