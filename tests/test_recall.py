@@ -2693,3 +2693,73 @@ class TestDensestSubgraphIndependent:
             cur = {(a, b) for a, b in cur if victim not in (a, b)}
         best_batch = max(r.density for r in rows)
         assert best_batch >= best_char / 3  # the (2+2eps) vs 2 theory
+
+
+class TestImageRegistrationIndependent:
+    """Third construction for multimodal_image_registration: python
+    correlation sweep, plus the detector claim — the planted shift is
+    recovered for (nearly) every image."""
+
+    def test_recovers_planted_shifts(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.multimodal import (
+            _REG_S,
+            _REG_W,
+            multimodal_image_registration,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in multimodal_image_registration(
+            spark, sf).collect()}
+        assert rows
+
+        def h4(tag: str) -> int:
+            return int(hashlib.md5(tag.encode()).hexdigest()[:4], 16)
+
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+                " WHERE doc_id < 1000"
+            ).fetchall()
+        ]
+        assert set(ids) == set(rows)
+        w, s = _REG_W, _REG_S
+        n_rec = 0
+        for doc in ids:
+            img = {
+                (x, y): h4(f"px|{doc}|{x},{y}") % 256
+                for x in range(w)
+                for y in range(w)
+            }
+            dx = h4(f"dx|{doc}") % (2 * s + 1) - s
+            dy = h4(f"dy|{doc}") % (2 * s + 1) - s
+            best = None
+            for ox in range(-s, s + 1):
+                for oy in range(-s, s + 1):
+                    sc = nov = 0
+                    for (x, y), v in img.items():
+                        # B[x+dx, y+dy] = A[x, y]; probe B at (x+ox, y+oy)
+                        bx, by = x + ox - dx, y + oy - dy
+                        if (bx, by) in img:
+                            sc += v * img[(bx, by)]
+                            nov += 1
+                    key = (-sc, ox, oy)
+                    if best is None or key < best[0]:
+                        best = (key, sc, nov, ox, oy)
+            r = rows[doc]
+            assert (r.est_dx, r.est_dy, r.score, r.n_overlap) == (
+                best[3],
+                best[4],
+                best[1],
+                best[2],
+            ), doc
+            assert (r.true_dx, r.true_dy) == (dx, dy)
+            assert r.recovered == (
+                1 if (best[3], best[4]) == (dx, dy) else 0
+            )
+            n_rec += r.recovered
+        assert n_rec >= int(0.95 * len(ids)), n_rec

@@ -3685,3 +3685,220 @@ def multimodal_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_vertex"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image registration by integer cross-correlation (planted shift recovery)
+# ---------------------------------------------------------------------------
+
+_REG_W = 12  # image side
+_REG_S = 3  # max |shift| searched per axis (7x7 offsets)
+
+
+def _reg_px(tag: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{tag}|' || CAST(doc_id AS VARCHAR)"
+        f" || '|' || CAST(gx.x AS VARCHAR) || ','"
+        f" || CAST(gy.y AS VARCHAR)), 1, 4) AS BIGINT) % 256"
+    )
+
+
+def _reg_oracle() -> str:
+    w, s = _REG_W, _REG_S
+    return f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+    sh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('dx|' || CAST(doc_id AS VARCHAR)),
+                                 1, 4) AS BIGINT) % {2 * s + 1} - {s} AS dx,
+             CAST('0x' || substr(md5('dy|' || CAST(doc_id AS VARCHAR)),
+                                 1, 4) AS BIGINT) % {2 * s + 1} - {s} AS dy
+      FROM docs
+    ),
+    ia AS MATERIALIZED (
+      SELECT doc_id, gx.x, gy.y, {_reg_px('px')} AS v
+      FROM docs,
+           unnest(generate_series(0, {w - 1})) gx(x),
+           unnest(generate_series(0, {w - 1})) gy(y)
+    ),
+    ib AS MATERIALIZED (
+      SELECT a.doc_id, a.x + h.dx AS x, a.y + h.dy AS y, a.v
+      FROM ia a JOIN sh h ON h.doc_id = a.doc_id
+    ),
+    offs AS (
+      SELECT ox.o AS ox, oy.o AS oy
+      FROM unnest(generate_series(-{s}, {s})) ox(o),
+           unnest(generate_series(-{s}, {s})) oy(o)
+    ),
+    corr AS MATERIALIZED (
+      SELECT a.doc_id, o.ox, o.oy,
+             CAST(sum(a.v * b.v) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_overlap
+      FROM ia a
+      CROSS JOIN offs o
+      JOIN ib b ON b.doc_id = a.doc_id
+              AND b.x = a.x + o.ox AND b.y = a.y + o.oy
+      GROUP BY a.doc_id, o.ox, o.oy
+    )
+    SELECT c.doc_id,
+           CAST(c.ox AS BIGINT) AS est_dx, CAST(c.oy AS BIGINT) AS est_dy,
+           c.score, c.n_overlap,
+           CAST(h.dx AS BIGINT) AS true_dx, CAST(h.dy AS BIGINT) AS true_dy,
+           CAST(CASE WHEN c.ox = h.dx AND c.oy = h.dy
+                     THEN 1 ELSE 0 END AS BIGINT) AS recovered
+    FROM (
+      SELECT doc_id, ox, oy, score, n_overlap,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, ox, oy) AS rn
+      FROM corr
+    ) c
+    JOIN sh h ON h.doc_id = c.doc_id
+    WHERE c.rn = 1
+    """
+
+
+@staged_r10("multimodal_image_registration", oracle=_reg_oracle())
+def multimodal_image_registration(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """IMAGE REGISTRATION by cross-correlation argmax — the alignment
+    primitive under video stabilization, burst-photo merging, and
+    stereo offset search: image B is a PLANTED integer translate of A
+    (md5-chosen shift in [-3,3]^2), and the estimator sweeps all 49
+    candidate offsets, scoring each by the exact integer correlation
+    sum(A[x,y] * B[x+ox, y+oy]) over the overlap — the argmax recovers
+    the planted shift, emitted alongside ground truth as a verified
+    `recovered` column (the Hough planted-fixture discipline: the
+    DETECTOR is what's tested, not just bookkeeping). Ties broken
+    (score DESC, ox, oy); overlap size rides along so the
+    shrinking-window bias at large offsets is visible as data.
+
+    Scale: correlation is one equi-join on (doc, shifted coordinates)
+    after a constant 49-offset explode — scatter-aggregate, zero
+    cross-image traffic; production registration FFTs this, but the
+    spatial form IS the exact one and stays integer. Per-image work is
+    constant (w^2 x 49 terms).
+
+    Reference capability class: multimodal geometry (shot-boundary /
+    DTW family — the spatial-alignment member)."""
+    w, s = _REG_W, _REG_S
+
+    def h4(tag: str, extra) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + "|"), extra)), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # doc_id < 1000 caps per-scale probe volume (1000 x w^2 x 49 rows)
+    # the same way DTW clips its pair set — bounding the ORACLE and the
+    # bare-session sort, not the engine's reach
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id")
+    )
+    sh = d.select(
+        "doc_id",
+        (h4("dx", F.col("doc_id").cast("string")) % (2 * s + 1) - s).alias(
+            "dx"
+        ),
+        (h4("dy", F.col("doc_id").cast("string")) % (2 * s + 1) - s).alias(
+            "dy"
+        ),
+    )
+    ia = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("x"),
+        )
+        .select(
+            "doc_id",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("y"),
+        )
+        .select(
+            "doc_id",
+            "x",
+            "y",
+            (
+                h4(
+                    "px",
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("x").cast("string"),
+                        F.lit(","),
+                        F.col("y").cast("string"),
+                    ),
+                )
+                % 256
+            ).alias("v"),
+        )
+    )
+    ia = truncate_lineage(ia, reliable=True)
+    ib = ia.join(sh, "doc_id").select(
+        "doc_id",
+        (F.col("x") + F.col("dx")).alias("bx"),
+        (F.col("y") + F.col("dy")).alias("by"),
+        F.col("v").alias("bv"),
+    )
+    probes = ia.select(
+        "doc_id",
+        "x",
+        "y",
+        "v",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(-s, s + 1)])
+        ).alias("ox"),
+    ).select(
+        "doc_id",
+        "x",
+        "y",
+        "v",
+        "ox",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(-s, s + 1)])
+        ).alias("oy"),
+    )
+    # the shifted-image side is ~quarter-million rows at sf0.1 — small
+    # for a cluster but over the bare 1g driver's broadcast budget;
+    # the merge hint pins SMJ so the plan works at ANY executor size
+    corr = (
+        probes.join(
+            ib.hint("merge"),
+            (probes["doc_id"] == ib["doc_id"])
+            & (F.col("bx") == F.col("x") + F.col("ox"))
+            & (F.col("by") == F.col("y") + F.col("oy")),
+        )
+        .drop(ib["doc_id"])
+        .groupBy("doc_id", "ox", "oy")
+        .agg(
+            F.sum(F.col("v") * F.col("bv")).cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_overlap"),
+        )
+    )
+    best = corr.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), "ox", "oy"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.join(sh, "doc_id").select(
+        "doc_id",
+        F.col("ox").cast("long").alias("est_dx"),
+        F.col("oy").cast("long").alias("est_dy"),
+        "score",
+        "n_overlap",
+        F.col("dx").cast("long").alias("true_dx"),
+        F.col("dy").cast("long").alias("true_dy"),
+        F.when(
+            (F.col("ox") == F.col("dx")) & (F.col("oy") == F.col("dy")), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("recovered"),
+    )
