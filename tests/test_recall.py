@@ -2763,3 +2763,64 @@ class TestImageRegistrationIndependent:
             )
             n_rec += r.recovered
         assert n_rec >= int(0.95 * len(ids)), n_rec
+
+
+class TestPriceIndexIndependent:
+    """Third construction for lineitem_price_index: python matched-
+    basket index arithmetic plus the Fisher time-reversal identity."""
+
+    def test_matches_python_and_time_reversal(self, spark):
+        import duckdb
+        import math
+        from collections import defaultdict
+
+        from virapipe_spark.queries.relational import lineitem_price_index
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.brand: r for r in lineitem_price_index(
+            spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        data = con.execute(
+            f"""
+            SELECT p.p_brand, l.l_partkey,
+                   CASE WHEN o.o_orderdate < DATE '1998-01-01'
+                        THEN 0 ELSE 1 END,
+                   CAST(round(l.l_quantity) AS BIGINT), l.l_extendedprice
+            FROM '{sf}/lineitem.parquet' l
+            JOIN '{sf}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+            JOIN '{sf}/part.parquet' p ON p.p_partkey = l.l_partkey
+            """
+        ).fetchall()
+        acc: dict = defaultdict(lambda: [0, 0.0])
+        for brand, part, per, q, r in data:
+            a = acc[(brand, part, per)]
+            a[0] += q
+            a[1] += r
+        pp = {
+            k: (v[0], round(100 * v[1] / v[0]))
+            for k, v in acc.items()
+        }
+        agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+        for (brand, part, per), (q, p) in pp.items():
+            if per == 0 and (brand, part, 1) in pp:
+                q1, p1 = pp[(brand, part, 1)]
+                a = agg[brand]
+                a[0] += 1
+                a[1] += p1 * q
+                a[2] += p * q
+                a[3] += p1 * q1
+                a[4] += p * q1
+        assert set(agg) == set(rows)
+        for brand, (n, ln, ld, pn, pd) in agg.items():
+            r = rows[brand]
+            assert (r.n_parts, r.l_num, r.l_den, r.p_num, r.p_den) == (
+                n, ln, ld, pn, pd
+            ), brand
+            assert r.laspeyres == ln / ld
+            assert r.paasche == pn / pd
+            assert r.fisher == math.sqrt((ln / ld) * (pn / pd))
+            # Fisher time-reversal: F(0->1) * F(1->0) = 1 (exact in the
+            # rational squares: (ln/ld)*(pn/pd) * (pd/pn)*(ld/ln) = 1)
+            rev = math.sqrt((pd / pn) * (ld / ln))
+            assert abs(r.fisher * rev - 1.0) < 1e-12

@@ -5527,3 +5527,138 @@ def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_best"),
     )
+
+# ---------------------------------------------------------------------------
+# Price index numbers (Laspeyres / Paasche / Fisher over a matched basket)
+# ---------------------------------------------------------------------------
+
+_PI_SPLIT = "1998-01-01"  # base period before, current period after
+
+
+def _pi_oracle() -> str:
+    return f"""
+    WITH li AS (
+      SELECT p.p_brand AS brand, l.l_partkey AS part,
+             CASE WHEN o.o_orderdate < DATE '{_PI_SPLIT}' THEN 0
+                  ELSE 1 END AS period,
+             CAST(round(l.l_quantity) AS BIGINT) AS q,
+             l.l_extendedprice AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pp AS (
+      SELECT brand, part, period,
+             CAST(sum(q) AS BIGINT) AS q,
+             CAST(round(100 * sum(r) / sum(q)) AS BIGINT) AS p_cents
+      FROM li GROUP BY brand, part, period
+    ),
+    matched AS (
+      SELECT b.brand, b.part,
+             b.q AS q0, b.p_cents AS p0, c.q AS q1, c.p_cents AS p1
+      FROM pp b JOIN pp c ON c.part = b.part AND c.brand = b.brand
+                         AND b.period = 0 AND c.period = 1
+    ),
+    agg AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(p1 * q0) AS BIGINT) AS l_num,
+             CAST(sum(p0 * q0) AS BIGINT) AS l_den,
+             CAST(sum(p1 * q1) AS BIGINT) AS p_num,
+             CAST(sum(p0 * q1) AS BIGINT) AS p_den
+      FROM matched GROUP BY brand
+    )
+    SELECT brand, n_parts, l_num, l_den, p_num, p_den,
+           CAST(l_num AS DOUBLE) / l_den AS laspeyres,
+           CAST(p_num AS DOUBLE) / p_den AS paasche,
+           sqrt((CAST(l_num AS DOUBLE) / l_den)
+                * (CAST(p_num AS DOUBLE) / p_den)) AS fisher
+    FROM agg
+    """
+
+
+@staged_r10("lineitem_price_index", oracle=_pi_oracle())
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE INDEX NUMBERS — the Laspeyres / Paasche / Fisher family
+    every statistics office and pricing team computes (CPI
+    methodology; Fisher is the "ideal index" satisfying the time-
+    reversal test): per brand, a MATCHED basket of parts sold in both
+    halves of the order history, base-period-weighted
+    (sum p1*q0 / sum p0*q0, Laspeyres), current-weighted (Paasche),
+    and their geometric mean (Fisher). Unit prices are cents —
+    round(100 * revenue / quantity), ONE exactly-rounded division per
+    (part, period), the quantized-embedding discipline — so all four
+    index numerators/denominators are exact bigints shipped alongside
+    the two division doubles and the single sqrt. Matched-basket
+    semantics (parts must trade in BOTH periods) stated, not hidden —
+    it is the standard CPI item-replacement problem made visible as
+    n_parts.
+
+    Scale: one fact-table aggregate to (brand, part, period) grain
+    with map-side combine, a self-join on the part key (period 0 x
+    period 1 — equi, never cartesian), one brand aggregate. The
+    orders/part dims broadcast.
+
+    Reference capability class: longitudinal pricing analytics
+    (TPC-H extras; the index-number member of the trend family)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("part"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_PI_SPLIT).cast("timestamp"), 0
+            )
+            .otherwise(1)
+            .alias("period"),
+            F.round("l_quantity").cast("long").alias("q"),
+            F.col("l_extendedprice").alias("r"),
+        )
+    )
+    pp = base.groupBy("brand", "part", "period").agg(
+        F.sum("q").cast("long").alias("q"),
+        F.round(100 * F.sum("r") / F.sum("q")).cast("long").alias(
+            "p_cents"
+        ),
+    )
+    b = pp.filter(F.col("period") == 0).select(
+        "brand",
+        "part",
+        F.col("q").alias("q0"),
+        F.col("p_cents").alias("p0"),
+    )
+    c = pp.filter(F.col("period") == 1).select(
+        F.col("brand").alias("cb"),
+        F.col("part").alias("cp"),
+        F.col("q").alias("q1"),
+        F.col("p_cents").alias("p1"),
+    )
+    matched = b.join(
+        c, (F.col("cp") == F.col("part")) & (F.col("cb") == F.col("brand"))
+    )
+    agg = matched.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).cast("long").alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).cast("long").alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).cast("long").alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).cast("long").alias("p_den"),
+    )
+    las = F.col("l_num").cast("double") / F.col("l_den")
+    paa = F.col("p_num").cast("double") / F.col("p_den")
+    return agg.select(
+        "brand",
+        "n_parts",
+        "l_num",
+        "l_den",
+        "p_num",
+        "p_den",
+        las.alias("laspeyres"),
+        paa.alias("paasche"),
+        F.sqrt(las * paa).alias("fisher"),
+    )
