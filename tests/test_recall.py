@@ -2824,3 +2824,51 @@ class TestPriceIndexIndependent:
             # rational squares: (ln/ld)*(pn/pd) * (pd/pn)*(ld/ln) = 1)
             rev = math.sqrt((pd / pn) * (ld / ln))
             assert abs(r.fisher * rev - 1.0) < 1e-12
+
+
+class TestLedgerReconcileIndependent:
+    """Third construction for orders_ledger_reconcile: re-derive the
+    planted break list from the generative rule and assert the
+    reconciler recovered it set-for-set."""
+
+    def test_recovers_planted_breaks(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.relational import (
+            orders_ledger_reconcile,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.o_orderkey: r for r in orders_ledger_reconcile(
+            spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        orders = con.execute(
+            f"SELECT o_orderkey, o_totalprice FROM '{sf}/orders.parquet'"
+        ).fetchall()
+
+        def h(tag: str, mod: int) -> int:
+            return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % mod
+
+        want = {}
+        for k, tp in orders:
+            cents = round(100 * tp)
+            err = h(f"err|{k}", 97) == 0
+            gap = h(f"gap|{k}", 101) == 0
+            if gap:
+                want[k] = ("missing_credit", cents + (1 if err else 0), 0)
+            elif err:
+                want[k] = ("amount_mismatch", cents + 1, cents)
+        assert set(rows) == set(want)
+        for k, (anom, d, c) in want.items():
+            r = rows[k]
+            assert (r.anomaly, r.debit_cents, r.credit_cents) == (
+                anom, d, c
+            ), k
+            assert r.diff_cents == d - c
+        # both anomaly classes must actually occur
+        assert {r.anomaly for r in rows.values()} == {
+            "missing_credit",
+            "amount_mismatch",
+        }

@@ -5662,3 +5662,130 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         paa.alias("paasche"),
         F.sqrt(las * paa).alias("fisher"),
     )
+
+# ---------------------------------------------------------------------------
+# Double-entry ledger reconciliation (planted discrepancies recovered)
+# ---------------------------------------------------------------------------
+
+
+def _ledger_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+               AS day,
+             CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+             CAST('0x' || substr(md5('err|' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 97 AS e,
+             CAST('0x' || substr(md5('gap|' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 101 AS g
+      FROM orders
+    ),
+    debits AS (
+      SELECT k, day, cents + CASE WHEN e = 0 THEN 1 ELSE 0 END AS amt
+      FROM base
+    ),
+    credits AS (
+      SELECT k, day, cents AS amt FROM base WHERE g <> 0
+    )
+    SELECT d.k AS o_orderkey, d.day,
+           d.amt AS debit_cents,
+           COALESCE(c.amt, 0) AS credit_cents,
+           d.amt - COALESCE(c.amt, 0) AS diff_cents,
+           CASE WHEN c.k IS NULL THEN 'missing_credit'
+                ELSE 'amount_mismatch' END AS anomaly
+    FROM debits d
+    LEFT JOIN credits c ON c.k = d.k
+    WHERE c.k IS NULL OR d.amt <> c.amt
+    """
+
+
+@staged_r10("orders_ledger_reconcile", oracle=_ledger_oracle())
+def orders_ledger_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE-ENTRY RECONCILIATION — the controls job every finance
+    close runs (match the AR subledger against revenue postings, list
+    every break): two ledgers are derived from orders in exact cents,
+    with PLANTED discrepancies — ~1% of debits carry a one-cent error
+    (md5 % 97), ~1% of credit postings are missing entirely (md5 %
+    101) — and the reconciler must recover exactly the planted break
+    list, classified (amount_mismatch vs missing_credit), which the
+    twin test asserts set-for-set against the generative rule (the
+    planted-ground-truth discipline of Hough/registration, applied to
+    a controls workload). Cents are round(100 * price) bigints; every
+    comparison integer-exact.
+
+    Scale: one scan, one key-keyed LEFT join (the anti-join half of
+    full reconciliation; the credit-only direction is symmetric), one
+    filter — linear, shuffle on the ledger key only. Real closes add
+    fuzzy matching (amount+date blocking) which the
+    sorted-neighborhood and fuzzy-pairs entries already provide.
+
+    Reference capability class: cross-table audit (orders_ri_audit's
+    value-level sibling)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def _h(tag: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(tag + "|"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(100 * F.col("o_totalprice")).cast("long").alias("cents"),
+        _h("err", 97).alias("e"),
+        _h("gap", 101).alias("g"),
+    )
+    debits = base.select(
+        "k",
+        "day",
+        (
+            F.col("cents") + F.when(F.col("e") == 0, 1).otherwise(0)
+        ).alias("amt"),
+    )
+    credits = base.filter(F.col("g") != 0).select(
+        F.col("k").alias("ck"), F.col("amt" if False else "cents").alias(
+            "camt"
+        )
+    )
+    return (
+        debits.join(credits, debits["k"] == credits["ck"], "left")
+        .filter(
+            F.col("ck").isNull() | (F.col("amt") != F.col("camt"))
+        )
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "day",
+            F.col("amt").alias("debit_cents"),
+            F.coalesce("camt", F.lit(0)).cast("long").alias(
+                "credit_cents"
+            ),
+            (F.col("amt") - F.coalesce("camt", F.lit(0)))
+            .cast("long")
+            .alias("diff_cents"),
+            F.when(F.col("ck").isNull(), "missing_credit")
+            .otherwise("amount_mismatch")
+            .alias("anomaly"),
+        )
+    )
