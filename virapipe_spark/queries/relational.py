@@ -5765,9 +5765,7 @@ def orders_ledger_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("amt"),
     )
     credits = base.filter(F.col("g") != 0).select(
-        F.col("k").alias("ck"), F.col("amt" if False else "cents").alias(
-            "camt"
-        )
+        F.col("k").alias("ck"), F.col("cents").alias("camt")
     )
     return (
         debits.join(credits, debits["k"] == credits["ck"], "left")
