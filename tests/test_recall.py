@@ -2872,3 +2872,58 @@ class TestLedgerReconcileIndependent:
             "missing_credit",
             "amount_mismatch",
         }
+
+
+class TestTextRankIndependent:
+    """Third construction for docs_textrank_keywords: python weighted
+    integer PageRank over the same per-doc co-occurrence graphs."""
+
+    def test_matches_python_textrank(self, spark):
+        import duckdb
+        from collections import Counter, defaultdict
+
+        from virapipe_spark.queries.extensions import (
+            _TR_TOPK,
+            docs_textrank_keywords,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = docs_textrank_keywords(spark, sf).collect()
+        assert rows
+        got: dict = defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.rn)):
+            got[r.doc_id].append((r.token, r.rank, r.rn))
+        con = duckdb.connect()
+        docs = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        )
+        for doc_id, text in docs.items():
+            toks = [t for t in text.split(" ") if t]
+            w: Counter = Counter()
+            for i, a in enumerate(toks):
+                for j in (i + 1, i + 2):
+                    if j < len(toks) and toks[j] != a:
+                        w[(a, toks[j])] += 1
+            edges: Counter = Counter()
+            for (a, b2), c in w.items():
+                edges[(a, b2)] += c
+                edges[(b2, a)] += c
+            wdeg: Counter = Counter()
+            for (a, _), c in edges.items():
+                wdeg[a] += c
+            rank = {n: 1_000_000 for n in wdeg}
+            for _ in range(2):
+                s: Counter = Counter()
+                for (a, b2), c in edges.items():
+                    s[b2] += (rank[a] * c) // wdeg[a]
+                rank = {
+                    n: 150_000 + (85 * s.get(n, 0)) // 100 for n in wdeg
+                }
+            want = sorted(
+                rank.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:_TR_TOPK]
+            assert got[doc_id] == [
+                (t, rk, i + 1) for i, (t, rk) in enumerate(want)
+            ], doc_id

@@ -8392,3 +8392,208 @@ def docs_texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_boundary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (per-doc weighted PageRank, integer-exact)
+# ---------------------------------------------------------------------------
+
+_TR_TOPK = 3
+
+
+def _textrank_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t.i, t.tok
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    co AS (
+      SELECT a.doc_id, a.tok AS ta, b.tok AS tb,
+             CAST(count(*) AS BIGINT) AS w
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.i > a.i AND b.i <= a.i + 2
+       AND b.tok <> a.tok
+      GROUP BY a.doc_id, a.tok, b.tok
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_id, ta AS src, tb AS dst, w FROM co
+      UNION ALL
+      SELECT doc_id, tb AS src, ta AS dst, w FROM co
+    ),
+    wdeg AS MATERIALIZED (
+      SELECT doc_id, src, CAST(sum(w) AS BIGINT) AS d
+      FROM edges GROUP BY doc_id, src
+    ),
+    in1 AS (
+      SELECT e.doc_id, e.dst,
+             CAST(sum((1000000 * e.w) // g.d) AS BIGINT) AS s
+      FROM edges e
+      JOIN wdeg g ON g.doc_id = e.doc_id AND g.src = e.src
+      GROUP BY e.doc_id, e.dst
+    ),
+    r1 AS MATERIALIZED (
+      SELECT g.doc_id, g.src AS node,
+             CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT)
+               AS rank,
+             g.d
+      FROM wdeg g
+      LEFT JOIN in1 i ON i.doc_id = g.doc_id AND i.dst = g.src
+    ),
+    in2 AS (
+      SELECT e.doc_id, e.dst,
+             CAST(sum((r.rank * e.w) // r.d) AS BIGINT) AS s
+      FROM edges e
+      JOIN r1 r ON r.doc_id = e.doc_id AND r.node = e.src
+      GROUP BY e.doc_id, e.dst
+    ),
+    r2 AS (
+      SELECT g.doc_id, g.src AS node,
+             CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM wdeg g
+      LEFT JOIN in2 i ON i.doc_id = g.doc_id AND i.dst = g.src
+    )
+    SELECT doc_id, node AS token, rank, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, node, rank,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY rank DESC, node) AS rn
+      FROM r2
+    ) WHERE rn <= {_TR_TOPK}
+    """
+
+
+@staged_r10("docs_textrank_keywords", oracle=_textrank_oracle())
+def docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK — graph-based keyword extraction (Mihalcea & Tarau
+    2004), the PageRank-on-co-occurrence sibling of RAKE (which ranks
+    by degree/frequency heuristics; TextRank diffuses importance, so
+    a word bridging many contexts outranks a merely frequent one):
+    per document, tokens are nodes, co-occurrences within a 2-token
+    window are weighted edges, and two unrolled rounds of WEIGHTED
+    integer PageRank (ppm ranks, contribution = rank*w // wdeg — the
+    graph_pagerank arithmetic with weights) score the nodes; top-3
+    per doc with deterministic tie-break. Per-doc graphs keep the
+    iteration embarrassingly parallel — the (doc, token) key
+    partitions every join and aggregate, no global state at all.
+
+    Scale: co-occurrence pairs are position-blocked (b.i <= a.i + 2 —
+    a self-join bounded by 2 rows per position, linear in corpus
+    tokens); each round one (doc, node)-keyed equi-join + aggregate.
+    This is the corpus-scale keyword pass a training-data pipeline
+    runs per shard.
+
+    Reference capability class: text analysis (RAKE's graph-ranking
+    sibling; SURVEY.md LLM-pipeline extras)."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("bd"),
+        F.col("i").alias("bi"),
+        F.col("tok").alias("btok"),
+    )
+    co = (
+        tok.join(
+            b,
+            (F.col("bd") == F.col("doc_id"))
+            & (F.col("bi") > F.col("i"))
+            & (F.col("bi") <= F.col("i") + 2)
+            & (F.col("btok") != F.col("tok")),
+        )
+        .groupBy(
+            "doc_id",
+            F.col("tok").alias("ta"),
+            F.col("btok").alias("tb"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = co.select(
+        "doc_id", F.col("ta").alias("src"), F.col("tb").alias("dst"), "w"
+    ).unionAll(
+        co.select(
+            "doc_id", F.col("tb").alias("src"), F.col("ta").alias("dst"),
+            "w",
+        )
+    )
+    edges = truncate_lineage(edges, reliable=True)
+    wdeg = edges.groupBy("doc_id", "src").agg(
+        F.sum("w").cast("long").alias("d")
+    )
+    rank = wdeg.select(
+        "doc_id",
+        F.col("src").alias("node"),
+        F.lit(1_000_000).cast("long").alias("rank"),
+        "d",
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(
+                rank.select(
+                    F.col("doc_id").alias("rd"),
+                    F.col("node").alias("rn_"),
+                    "rank",
+                    F.col("d").alias("rdeg"),
+                ),
+                (F.col("rd") == F.col("doc_id"))
+                & (F.col("rn_") == F.col("src")),
+            )
+            .groupBy("doc_id", "dst")
+            .agg(
+                F.sum(
+                    F.expr("CAST(rank * w AS BIGINT) div rdeg")
+                )
+                .cast("long")
+                .alias("s")
+            )
+        )
+        rank = (
+            wdeg.join(
+                contrib.select(
+                    F.col("doc_id").alias("cd"), F.col("dst"), "s"
+                ),
+                (F.col("cd") == F.col("doc_id"))
+                & (F.col("dst") == F.col("src")),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.col("src").alias("node"),
+                (
+                    150_000
+                    + F.expr(
+                        "CAST(85 * coalesce(s, 0) AS BIGINT) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+                "d",
+            )
+        )
+    return (
+        rank.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("rank").desc(), "node"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _TR_TOPK)
+        .select(
+            "doc_id",
+            F.col("node").alias("token"),
+            "rank",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
