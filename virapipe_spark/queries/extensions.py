@@ -8421,9 +8421,14 @@ def _textrank_oracle() -> str:
       GROUP BY a.doc_id, a.tok, b.tok
     ),
     edges AS MATERIALIZED (
-      SELECT doc_id, ta AS src, tb AS dst, w FROM co
-      UNION ALL
-      SELECT doc_id, tb AS src, ta AS dst, w FROM co
+      -- merge the two directed observations (x before y / y before x)
+      -- into ONE undirected edge weight: per-edge floor division makes
+      -- parallel edges arithmetically different from a merged edge
+      SELECT doc_id, src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT doc_id, ta AS src, tb AS dst, w FROM co
+        UNION ALL
+        SELECT doc_id, tb AS src, ta AS dst, w FROM co
+      ) GROUP BY doc_id, src, dst
     ),
     wdeg AS MATERIALIZED (
       SELECT doc_id, src, CAST(sum(w) AS BIGINT) AS d
@@ -8518,13 +8523,24 @@ def docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
-    edges = co.select(
-        "doc_id", F.col("ta").alias("src"), F.col("tb").alias("dst"), "w"
-    ).unionAll(
+    # merge the two directed observations into ONE undirected edge
+    # weight — per-edge floor division makes parallel edges
+    # arithmetically different from a merged edge (caught by the twin)
+    edges = (
         co.select(
-            "doc_id", F.col("tb").alias("src"), F.col("ta").alias("dst"),
+            "doc_id", F.col("ta").alias("src"), F.col("tb").alias("dst"),
             "w",
         )
+        .unionAll(
+            co.select(
+                "doc_id",
+                F.col("tb").alias("src"),
+                F.col("ta").alias("dst"),
+                "w",
+            )
+        )
+        .groupBy("doc_id", "src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
     )
     edges = truncate_lineage(edges, reliable=True)
     wdeg = edges.groupBy("doc_id", "src").agg(
