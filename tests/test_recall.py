@@ -2927,3 +2927,60 @@ class TestTextRankIndependent:
             assert got[doc_id] == [
                 (t, rk, i + 1) for i, (t, rk) in enumerate(want)
             ], doc_id
+
+
+class TestMedianFilterIndependent:
+    """Third construction for multimodal_median_filter: python sorted
+    neighborhood medians with the same lower-median convention."""
+
+    def test_matches_python_medians(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.multimodal import (
+            _MF_W,
+            multimodal_median_filter,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in multimodal_median_filter(
+            spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        w = _MF_W
+        for doc in ids:
+            img = {
+                (x, y): int(
+                    hashlib.md5(f"mf|{doc}|{x},{y}".encode()).hexdigest()[
+                        :4
+                    ],
+                    16,
+                )
+                % 256
+                for x in range(w)
+                for y in range(w)
+            }
+            msum = chk = chg = 0
+            for (x, y), v in img.items():
+                vals = sorted(
+                    img[(x + dx, y + dy)]
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if (x + dx, y + dy) in img
+                )
+                # lower median: min v with 2*cum >= n
+                m = vals[(len(vals) - 1) // 2]
+                msum += m
+                chk += m * (x * w + y + 1)
+                chg += 1 if m != v else 0
+            r = rows[doc]
+            assert (r.med_sum, r.checksum, r.n_changed) == (
+                msum, chk, chg
+            ), doc
+            assert r.n_changed > 0  # smoothing actually does something

@@ -3902,3 +3902,183 @@ def multimodal_image_registration(spark: SparkSession, sf_dir: str
         .cast("long")
         .alias("recovered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3x3 median filter (rank-order smoothing, exact bounded-alphabet median)
+# ---------------------------------------------------------------------------
+
+_MF_W = 16
+
+
+def _mf_oracle() -> str:
+    w = _MF_W
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT doc_id, gx.x, gy.y,
+             CAST('0x' || substr(md5('mf|' || CAST(doc_id AS VARCHAR)
+               || '|' || CAST(gx.x AS VARCHAR) || ','
+               || CAST(gy.y AS VARCHAR)), 1, 4) AS BIGINT) % 256 AS v
+      FROM documents,
+           unnest(generate_series(0, {w - 1})) gx(x),
+           unnest(generate_series(0, {w - 1})) gy(y)
+    ),
+    scat AS (
+      SELECT p.doc_id, p.x + ox.o AS x, p.y + oy.o AS y, p.v
+      FROM px p,
+           unnest(generate_series(-1, 1)) ox(o),
+           unnest(generate_series(-1, 1)) oy(o)
+      WHERE p.x + ox.o BETWEEN 0 AND {w - 1}
+        AND p.y + oy.o BETWEEN 0 AND {w - 1}
+    ),
+    hist AS (
+      SELECT doc_id, x, y, v, CAST(count(*) AS BIGINT) AS c
+      FROM scat GROUP BY doc_id, x, y, v
+    ),
+    med AS (
+      SELECT doc_id, x, y,
+             CAST(min(CASE WHEN 2 * cc >= n THEN v END) AS BIGINT) AS m
+      FROM (
+        SELECT doc_id, x, y, v,
+               sum(c) OVER (PARTITION BY doc_id, x, y ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               sum(c) OVER (PARTITION BY doc_id, x, y) AS n
+        FROM hist
+      ) GROUP BY doc_id, x, y
+    )
+    SELECT m.doc_id,
+           CAST(sum(m.m) AS BIGINT) AS med_sum,
+           CAST(sum(m.m * (m.x * {w} + m.y + 1)) AS BIGINT) AS checksum,
+           CAST(sum(CASE WHEN m.m <> p.v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed
+    FROM med m
+    JOIN px p ON p.doc_id = m.doc_id AND p.x = m.x AND p.y = m.y
+    GROUP BY m.doc_id
+    """
+
+
+@staged_r10("multimodal_median_filter", oracle=_mf_oracle())
+def multimodal_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 MEDIAN FILTER — the standard salt-and-pepper denoiser and
+    the canonical RANK-ORDER (non-linear) filter the convolution
+    entries (boxsum, Sobel, Haar) cannot express: each pixel takes the
+    exact median of its available 3x3 neighborhood (boundary pixels
+    use their real 4/6-cell windows — no padding fabrication, stated).
+    The median is the bounded-alphabet histogram crossing (min v with
+    2*cum >= n — the per-cycle-quality trick applied per PIXEL), so no
+    sort-per-window and no engine sorting-convention risk. Output per
+    image: median mass, position-weighted checksum (every output
+    pixel participates in the hash — the distance-transform
+    discipline), and n_changed, the smoothing effect as data.
+
+    Scale: one constant 9-offset scatter (generator), one
+    (doc, x, y, v) histogram aggregate with map-side combine, two
+    windows on the (doc, pixel) key — zero cross-image traffic;
+    window sizes are constant so cost is linear in pixels at any
+    image count.
+
+    Reference capability class: image filtering (morphology family —
+    its rank-order member)."""
+    w = _MF_W
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    px = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("x"),
+        )
+        .select(
+            "doc_id",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("y"),
+        )
+        .select(
+            "doc_id",
+            "x",
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("mf|"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("|"),
+                                F.col("x").cast("string"),
+                                F.lit(","),
+                                F.col("y").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            ).alias("v"),
+        )
+    )
+    px = truncate_lineage(px, reliable=True)
+    off = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    scat = (
+        px.select("doc_id", "x", "y", "v", F.explode(off).alias("ox"))
+        .select(
+            "doc_id",
+            (F.col("x") + F.col("ox")).alias("sx"),
+            "y",
+            "v",
+            F.explode(off).alias("oy"),
+        )
+        .select(
+            "doc_id",
+            F.col("sx").alias("x"),
+            (F.col("y") + F.col("oy")).alias("y"),
+            "v",
+        )
+        .filter(
+            F.col("x").between(0, w - 1) & F.col("y").between(0, w - 1)
+        )
+    )
+    hist = scat.groupBy("doc_id", "x", "y", "v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wp = W.partitionBy("doc_id", "x", "y")
+    med = (
+        hist.select(
+            "doc_id",
+            "x",
+            "y",
+            "v",
+            F.sum("c")
+            .over(wp.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
+            .alias("cc"),
+            F.sum("c")
+            .over(
+                wp.orderBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("n"),
+        )
+        .groupBy("doc_id", "x", "y")
+        .agg(
+            F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("v")))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    # px is ~1.3M rows at sf0.1 — over the bare 1g broadcast budget;
+    # pin SMJ (the registration precedent)
+    return (
+        med.join(px.hint("merge"), ["doc_id", "x", "y"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("med_sum"),
+            F.sum(F.col("m") * (F.col("x") * w + F.col("y") + 1))
+            .cast("long")
+            .alias("checksum"),
+            F.sum(F.when(F.col("m") != F.col("v"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+        )
+    )
