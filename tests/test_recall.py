@@ -2984,3 +2984,67 @@ class TestMedianFilterIndependent:
                 msum, chk, chg
             ), doc
             assert r.n_changed > 0  # smoothing actually does something
+
+
+class TestEulerCheckIndependent:
+    """Third construction for graph_euler_check: python union-find
+    components + degree parity."""
+
+    def test_matches_union_find(self, spark):
+        import duckdb
+        from collections import defaultdict
+
+        from virapipe_spark.queries.relational import graph_euler_check
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.component: r for r in graph_euler_check(
+            spark, sf).collect()}
+        assert rows
+        con = duckdb.connect()
+        E = con.execute(
+            f"""
+            WITH pairs AS (
+              SELECT a.l_partkey pa, b.l_partkey pb
+              FROM '{sf}/lineitem.parquet' a
+              JOIN '{sf}/lineitem.parquet' b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+            """
+        ).fetchall()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        deg: dict = defaultdict(int)
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+            parent[find(a)] = find(b)
+        comps: dict = defaultdict(list)
+        for n in deg:
+            comps[find(n)].append(n)
+        want = {}
+        for ns in comps.values():
+            cid = min(ns)
+            odd = sum(1 for n in ns if deg[n] % 2 == 1)
+            edges = sum(deg[n] for n in ns) // 2
+            want[cid] = (
+                len(ns),
+                edges,
+                odd,
+                1 if odd == 0 else 0,
+                1 if odd in (0, 2) else 0,
+            )
+        got = {
+            c: (r.n_nodes, r.n_edges, r.n_odd, r.has_circuit, r.has_path)
+            for c, r in rows.items()
+        }
+        assert got == want
+        # parity sanity: odd-degree counts are even (handshake lemma)
+        assert all(r.n_odd % 2 == 0 for r in rows.values())

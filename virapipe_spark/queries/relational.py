@@ -5787,3 +5787,122 @@ def orders_ledger_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("anomaly"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Euler circuit / path existence per component (degree-parity theorem)
+# ---------------------------------------------------------------------------
+
+
+def _euler_oracle() -> str:
+    return """
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT pa AS a, pb AS b FROM und
+      UNION ALL SELECT pb, pa FROM und
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    reach(src, node) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.node
+    ),
+    comp AS MATERIALIZED (
+      SELECT src AS n, min(node) AS cid FROM reach GROUP BY src
+    ),
+    deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY a)
+    SELECT c.cid AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d.d) / 2 AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN d.d % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odd,
+           CAST(CASE WHEN sum(CASE WHEN d.d % 2 = 1 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_circuit,
+           CAST(CASE WHEN sum(CASE WHEN d.d % 2 = 1 THEN 1 ELSE 0 END)
+                          IN (0, 2)
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_path
+    FROM comp c JOIN deg d ON d.n = c.n
+    GROUP BY c.cid
+    """
+
+
+@staged_r10("graph_euler_check", oracle=_euler_oracle())
+def graph_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EULER CIRCUIT/PATH EXISTENCE — the theorem that founded graph
+    theory (Euler 1736), decided per connected component by pure
+    degree parity: a connected multigraph has an Euler circuit iff
+    every vertex has even degree, an Euler path iff exactly 0 or 2
+    vertices are odd. The route-inspection question ("can this
+    pipeline/street/trace network be traversed edge-once?") thus
+    reduces to ONE degree aggregate + the shared CC engine — no path
+    search at all, which is the whole point of the theorem and makes
+    the answer exactly hash-checkable. Output per component: size,
+    edge count (handshake: sum(deg)/2 — exact, the division is by
+    construction even), odd-degree count, and both existence flags.
+
+    Scale: degree table is one aggregate over the symmetrized edge
+    list; components come from the doubling CC engine (O(log
+    diameter) rounds); the parity aggregate is component-keyed. All
+    shuffle keys are vertex/component ids.
+
+    Reference capability class: graph diagnostics (triangle/k-core/
+    MIS/densest family — the traversability member)."""
+    from virapipe_spark.graph import connected_components_doubling
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    und = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("a", "b")
+    )
+    und = truncate_lineage(und, reliable=True)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("n")).distinct()
+    comp = connected_components_doubling(
+        und, nodes, node_col="n", label_col="cid"
+    )
+    deg = sym.groupBy(F.col("a").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    return (
+        comp.join(deg, "n")
+        .groupBy(F.col("cid").alias("component"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            (F.sum("d") / 2).cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("d") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_odd"),
+        )
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            "n_odd",
+            F.when(F.col("n_odd") == 0, 1).otherwise(0).cast("long")
+            .alias("has_circuit"),
+            F.when(F.col("n_odd").isin(0, 2), 1).otherwise(0)
+            .cast("long")
+            .alias("has_path"),
+        )
+    )
