@@ -3048,3 +3048,63 @@ class TestEulerCheckIndependent:
         assert got == want
         # parity sanity: odd-degree counts are even (handshake lemma)
         assert all(r.n_odd % 2 == 0 for r in rows.values())
+
+
+class TestAdapterTrimIndependent:
+    """Third construction for reads_adapter_trim: python mirror of the
+    cutadapt overlap spec, plus recovery accounting on detectable
+    plants."""
+
+    def test_matches_spec_and_recovers(self, spark):
+        import duckdb
+        import hashlib
+
+        from virapipe_spark.queries.genomics import (
+            _AD_MAXPLANT,
+            _AD_MINOV,
+            _AD_READLEN,
+            _AD_SEQ,
+            reads_adapter_trim,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in reads_adapter_trim(
+            spark, sf).collect()}
+        assert rows
+        hexmap = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        n = _AD_READLEN
+        n_detectable = n_hit = 0
+        for doc in ids:
+            planted = (
+                int(hashlib.md5(f"ad|{doc}".encode()).hexdigest()[:8], 16)
+                % (_AD_MAXPLANT + 1)
+            )
+            ins = (
+                hashlib.md5(f"ins|{doc}".encode())
+                .hexdigest()
+                .translate(hexmap)
+            )
+            read = ins[: n - planted] + _AD_SEQ[:planted]
+            assert len(read) == n
+            detected = 0
+            for o in range(_AD_MINOV, len(_AD_SEQ) + 1):
+                if read[n - o :] == _AD_SEQ[:o]:
+                    detected = o
+            r = rows[doc]
+            assert (r.detected, r.trim_len, r.planted) == (
+                detected, n - detected, planted
+            ), doc
+            assert r.exact_match == (1 if detected == planted else 0)
+            if planted >= _AD_MINOV:
+                n_detectable += 1
+                n_hit += 1 if detected == planted else 0
+        # detectable plants are recovered except rare random suffix
+        # extensions (~1/64 per extra base)
+        assert n_hit >= int(0.9 * n_detectable), (n_hit, n_detectable)

@@ -2904,3 +2904,140 @@ def reads_cigar_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3'-adapter detection (cutadapt overlap semantics, planted adapters)
+# ---------------------------------------------------------------------------
+
+_AD_SEQ = "AGATCGGAAGAG"  # Illumina TruSeq adapter prefix (public)
+_AD_READLEN = 24
+_AD_MAXPLANT = 8
+_AD_MINOV = 3
+
+
+def _adapter_oracle() -> str:
+    n, mx = _AD_READLEN, _AD_MAXPLANT
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('ad|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % {mx + 1} AS planted
+      FROM documents
+    ),
+    reads AS MATERIALIZED (
+      SELECT doc_id, planted,
+             substr(translate(md5('ins|' || CAST(doc_id AS VARCHAR)),
+                              '0123456789abcdef', 'ACGTACGTACGTACGT'),
+                    1, {n} - planted)
+             || substr('{_AD_SEQ}', 1, planted) AS read
+      FROM r
+    ),
+    ov AS (
+      SELECT doc_id,
+             CAST(coalesce(max(CASE WHEN
+               substr(read, {n} - o.o + 1, o.o)
+                 = substr('{_AD_SEQ}', 1, o.o)
+               THEN o.o END), 0) AS BIGINT) AS detected
+      FROM reads,
+           unnest(generate_series({_AD_MINOV}, {len(_AD_SEQ)})) o(o)
+      GROUP BY doc_id
+    )
+    SELECT v.doc_id, v.detected,
+           CAST({n} - v.detected AS BIGINT) AS trim_len,
+           CAST(r.planted AS BIGINT) AS planted,
+           CAST(CASE WHEN v.detected = r.planted THEN 1 ELSE 0 END
+                AS BIGINT) AS exact_match
+    FROM ov v JOIN reads r ON r.doc_id = v.doc_id
+    """
+
+
+@staged_r10("reads_adapter_trim", oracle=_adapter_oracle())
+def reads_adapter_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3'-ADAPTER DETECTION — cutadapt's core overlap semantics
+    (Martin 2011) against the real Illumina TruSeq adapter prefix:
+    the longest read SUFFIX equal to an adapter PREFIX, minimum
+    overlap 3, trim at the match. Adapters are PLANTED (md5-chosen
+    0-8 observed adapter bases appended to an md5 insert at fixed
+    read length), and detection honesty is part of the output: short
+    plants (<3) are INVISIBLE by design, and a random insert suffix
+    can extend or fake a match (~1/64 per extra base) — so the entry
+    emits detected vs planted side by side with an exact_match flag
+    instead of pretending perfect recovery; the twin asserts the
+    detector is exactly the spec (python mirror) AND that recovery on
+    detectable plants (>=3) is near-total.
+
+    Scale: the overlap sweep is a constant-width explode
+    (|adapter| - 2 candidates) + one per-read max — scan-fused,
+    zero cross-read traffic, the per-read shape of every trimmer.
+    Error-tolerant matching adds a bounded mismatch count per
+    candidate (same explode, a Hamming sum) — stated, not hidden.
+
+    Reference capability class: read preprocessing (trim_quality's
+    adapter sibling; SURVEY.md section 2.3/2.8)."""
+    n, mx = _AD_READLEN, _AD_MAXPLANT
+    d = table(spark, sf_dir, "documents")
+    planted = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ad|"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (mx + 1)
+    )
+    reads = d.select(
+        "doc_id",
+        planted.alias("planted"),
+    ).select(
+        "doc_id",
+        "planted",
+        F.concat(
+            F.expr(
+                f"substr(translate(md5(concat('ins|', CAST(doc_id AS"
+                f" STRING))), '0123456789abcdef', 'ACGTACGTACGTACGT'),"
+                f" 1, {n} - planted)"
+            ),
+            F.expr(f"substr('{_AD_SEQ}', 1, CAST(planted AS INT))"),
+        ).alias("read"),
+    )
+    reads = truncate_lineage(reads, reliable=True)
+    ov = (
+        reads.select(
+            "doc_id",
+            "read",
+            F.explode(
+                F.sequence(F.lit(_AD_MINOV), F.lit(len(_AD_SEQ)))
+            ).alias("o"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.expr(f"substr(read, {n} - o + 1, o)")
+                        == F.expr(f"substr('{_AD_SEQ}', 1, o)"),
+                        F.col("o"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("detected")
+        )
+    )
+    return ov.join(reads, "doc_id").select(
+        "doc_id",
+        "detected",
+        (F.lit(n) - F.col("detected")).cast("long").alias("trim_len"),
+        F.col("planted").cast("long").alias("planted"),
+        F.when(F.col("detected") == F.col("planted"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("exact_match"),
+    )
