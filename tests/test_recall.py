@@ -3108,3 +3108,60 @@ class TestAdapterTrimIndependent:
         # detectable plants are recovered except rare random suffix
         # extensions (~1/64 per extra base)
         assert n_hit >= int(0.9 * n_detectable), (n_hit, n_detectable)
+
+
+class TestAirportShapleyIndependent:
+    """Third construction for supplier_airport_shapley: brute-force
+    the Shapley DEFINITION — marginal contributions over all
+    coalitions via the subset-weight formula — with Fractions, and
+    compare to the closed form exactly."""
+
+    def test_matches_bruteforce_definition(self, spark):
+        import duckdb
+        from fractions import Fraction
+        from itertools import combinations
+        from math import factorial
+
+        from virapipe_spark.queries.relational import (
+            _SHAP_LCM,
+            _SHAP_N,
+            supplier_airport_shapley,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            supplier_airport_shapley(spark, sf).collect(),
+            key=lambda r: r.j,
+        )
+        assert len(rows) == _SHAP_N
+        assert all(r.efficiency_ok == 1 for r in rows)
+        assert sum(r.phi_scaled for r in rows) == _SHAP_LCM * max(
+            r.cost_cents for r in rows
+        )
+        con = duckdb.connect()
+        top = con.execute(
+            f"""
+            SELECT s_suppkey, CAST(round(100 * s_acctbal) AS BIGINT)
+            FROM '{sf}/supplier.parquet'
+            ORDER BY s_acctbal DESC, s_suppkey LIMIT {_SHAP_N}
+            """
+        ).fetchall()
+        costs = {k: c for k, c in top}
+        players = sorted(costs)
+        n = len(players)
+
+        def v(coal):  # airport game: coalition pays its max cost
+            return max((costs[p] for p in coal), default=0)
+
+        for r in rows:
+            i = r.s_suppkey
+            others = [p for p in players if p != i]
+            phi = Fraction(0)
+            for size in range(n):
+                w = Fraction(
+                    factorial(size) * factorial(n - size - 1),
+                    factorial(n),
+                )
+                for coal in combinations(others, size):
+                    phi += w * (v(coal + (i,)) - v(coal))
+            assert Fraction(r.phi_scaled, _SHAP_LCM) == phi, i

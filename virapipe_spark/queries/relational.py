@@ -5906,3 +5906,133 @@ def graph_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_path"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Airport-game Shapley values (exact cooperative cost allocation)
+# ---------------------------------------------------------------------------
+
+_SHAP_N = 10
+_SHAP_LCM = 2520  # lcm(1..10): every divisor (n - j + 1) divides it
+
+
+def _shapley_oracle() -> str:
+    n, lcm = _SHAP_N, _SHAP_LCM
+    return f"""
+    WITH top10 AS MATERIALIZED (
+      SELECT s_suppkey, CAST(round(100 * s_acctbal) AS BIGINT) AS cost
+      FROM supplier
+      ORDER BY s_acctbal DESC, s_suppkey
+      LIMIT {n}
+    ),
+    ranked AS (
+      SELECT s_suppkey, cost,
+             row_number() OVER (ORDER BY cost, s_suppkey) AS j
+      FROM top10
+    ),
+    diffs AS (
+      SELECT s_suppkey, cost, j,
+             cost - coalesce(lag(cost) OVER (ORDER BY j), 0) AS d
+      FROM ranked
+    ),
+    phi AS (
+      SELECT s_suppkey, cost, j,
+             CAST(sum(({lcm} // ({n} - j + 1)) * d)
+                  OVER (ORDER BY j ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS phi_scaled
+      FROM diffs
+    )
+    SELECT s_suppkey, cost AS cost_cents, CAST(j AS BIGINT) AS j,
+           phi_scaled,
+           CAST(phi_scaled AS DOUBLE) / {lcm} AS shapley_cents,
+           CAST(CASE WHEN sum(phi_scaled) OVER ()
+                          = {lcm} * max(cost) OVER ()
+                     THEN 1 ELSE 0 END AS BIGINT) AS efficiency_ok
+    FROM phi
+    """
+
+
+@staged_r10("supplier_airport_shapley", oracle=_shapley_oracle())
+def supplier_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY VALUE cost allocation for the AIRPORT GAME
+    (Littlechild & Owen 1973) — the cooperative-game answer to "who
+    pays how much of the shared runway/pipeline/cluster": when player
+    j's standalone cost is c_j (sorted ascending), the O(n) closed
+    form phi_j = sum_{{i<=j}} (c_i - c_{{i-1}}) / (n - i + 1) replaces
+    the 2^n coalition enumeration. Over the top-10 suppliers by
+    account balance (costs in cents), every division is by one of
+    1..10, so scaling by lcm(1..10) = 2520 makes each Shapley value
+    an EXACT bigint (phi_scaled) — no float in any comparison; the
+    EFFICIENCY AXIOM (allocations sum to the grand-coalition cost,
+    i.e. sum(phi) = c_max, a telescoping identity) is verified as
+    exact integers and emitted per row. The twin test additionally
+    brute-forces the true Shapley formula over all 2^9 coalitions per
+    player — the closed form against the definition.
+
+    Scale: the game here is deliberately a FIXED 10-player panel (the
+    allocation report shape); the distributed part is selecting the
+    panel and pricing costs from the fact tables. Large-n airport
+    games stay O(n log n) — one sort, one lag, one running sum — all
+    window machinery this entry already uses.
+
+    Reference capability class: cost attribution analytics (the
+    attribution_ushape family — its game-theoretic member)."""
+    n, lcm = _SHAP_N, _SHAP_LCM
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round(100 * F.col("s_acctbal")).cast("long").alias(
+            "cost"
+        ),
+        "s_acctbal",
+    )
+    top = (
+        s.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+            ),
+        )
+        .filter(F.col("rk") <= n)
+        .select("s_suppkey", "cost")
+    )
+    ranked = top.select(
+        "s_suppkey",
+        "cost",
+        F.row_number().over(W.orderBy("cost", "s_suppkey")).alias("j"),
+    )
+    diffs = ranked.select(
+        "s_suppkey",
+        "cost",
+        "j",
+        (
+            F.col("cost")
+            - F.coalesce(F.lag("cost").over(W.orderBy("j")), F.lit(0))
+        ).alias("d"),
+    )
+    phi = diffs.select(
+        "s_suppkey",
+        "cost",
+        "j",
+        F.sum(
+            F.expr(f"CAST({lcm} div ({n} - j + 1) AS BIGINT) * d")
+        )
+        .over(W.orderBy("j").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("phi_scaled"),
+    )
+    wall = W.orderBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return phi.select(
+        "s_suppkey",
+        F.col("cost").alias("cost_cents"),
+        F.col("j").cast("long").alias("j"),
+        "phi_scaled",
+        (F.col("phi_scaled").cast("double") / lcm).alias("shapley_cents"),
+        F.when(
+            F.sum("phi_scaled").over(wall)
+            == lcm * F.max("cost").over(wall),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("efficiency_ok"),
+    )
