@@ -3165,3 +3165,69 @@ class TestAirportShapleyIndependent:
                 for coal in combinations(others, size):
                     phi += w * (v(coal + (i,)) - v(coal))
             assert Fraction(r.phi_scaled, _SHAP_LCM) == phi, i
+
+
+class TestNewsvendorIndependent:
+    """Third construction for lineitem_newsvendor: python exhaustive
+    cost sweep — q* must be a GLOBAL minimizer over all stock levels,
+    stronger than the emitted local certificate."""
+
+    def test_global_optimality(self, spark):
+        import duckdb
+        from collections import defaultdict
+
+        from virapipe_spark.queries.relational import (
+            _NV_CO,
+            _NV_CU,
+            lineitem_newsvendor,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.brand: r for r in lineitem_newsvendor(
+            spark, sf).collect()}
+        assert rows
+        assert all(r.is_optimal == 1 for r in rows.values())
+        con = duckdb.connect()
+        data = con.execute(
+            f"""
+            SELECT p.p_brand,
+                   CAST(floor(epoch_us(l.l_shipdate)/86400000000)
+                     AS BIGINT),
+                   CAST(sum(round(l.l_quantity)) AS BIGINT)
+            FROM '{sf}/lineitem.parquet' l
+            JOIN '{sf}/part.parquet' p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        dem: dict = defaultdict(list)
+        for brand, _, q in data:
+            dem[brand].append(q)
+        cu, co = _NV_CU, _NV_CO
+        for brand, ds in dem.items():
+            r = rows[brand]
+            assert r.n_days == len(ds)
+
+            def cost(q):
+                return sum(
+                    co * max(0, q - x) + cu * max(0, x - q) for x in ds
+                )
+
+            assert r.cost_at == cost(r.q_star)
+            assert r.cost_minus == cost(r.q_star - 1)
+            assert r.cost_plus == cost(r.q_star + 1)
+            # global sweep over the demand support
+            best = min(cost(q) for q in range(0, max(ds) + 2))
+            assert r.cost_at == best, brand
+            # the critical-fractile quantile definition
+            n = len(ds)
+            srt = sorted(ds)
+            cum = 0
+            qf = None
+            from collections import Counter
+
+            for v, c in sorted(Counter(srt).items()):
+                cum += c
+                if (cu + co) * cum >= cu * n:
+                    qf = v
+                    break
+            assert r.q_star == qf, brand
