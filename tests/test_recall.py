@@ -3231,3 +3231,65 @@ class TestNewsvendorIndependent:
                     qf = v
                     break
             assert r.q_star == qf, brand
+
+
+class TestAssortativityIndependent:
+    """Third construction for graph_assortativity: python moments
+    plus the textbook two-marginal Pearson formula — on a symmetric
+    edge list the marginals coincide, so the collapsed identity must
+    equal the full formula."""
+
+    def test_matches_textbook_formula(self, spark):
+        import duckdb
+        import math
+        from collections import defaultdict
+        from fractions import Fraction
+
+        from virapipe_spark.queries.relational import graph_assortativity
+
+        sf = "/root/testdata/sf0.001"
+        r = graph_assortativity(spark, sf).collect()
+        assert len(r) == 1
+        r = r[0]
+        con = duckdb.connect()
+        E = con.execute(
+            f"""
+            WITH pairs AS (
+              SELECT a.l_partkey pa, b.l_partkey pb
+              FROM '{sf}/lineitem.parquet' a
+              JOIN '{sf}/lineitem.parquet' b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )
+            SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+            """
+        ).fetchall()
+        deg: dict = defaultdict(int)
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        ed = [(deg[a], deg[b]) for a, b in E] + [
+            (deg[b], deg[a]) for a, b in E
+        ]
+        M = len(ed)
+        sj = sum(j for j, _ in ed)
+        sjj = sum(j * j for j, _ in ed)
+        sjk = sum(j * k for j, k in ed)
+        assert (r.m, r.sj, r.sjj, r.sjk) == (M, sj, sjj, sjk)
+        assert r.r_num == M * sjk - sj * sj
+        assert r.r_den == M * sjj - sj * sj
+        assert r.assortativity == (M * sjk - sj * sj) / (
+            M * sjj - sj * sj
+        )
+        # textbook two-marginal Pearson over the directed edge list
+        sk = sum(k for _, k in ed)
+        skk = sum(k * k for _, k in ed)
+        num = Fraction(M * sjk - sj * sk)
+        den = Fraction(
+            math.isqrt((M * sjj - sj * sj) * (M * skk - sk * sk))
+        )
+        # symmetric list: the two variance factors are equal, so the
+        # sqrt is exact and the formulas coincide
+        assert (M * sjj - sj * sj) == (M * skk - sk * sk)
+        assert Fraction(r.r_num, r.r_den) == num / den
+        assert -1 <= r.assortativity <= 1

@@ -6200,3 +6200,129 @@ def lineitem_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_optimal"),
     )
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman's r as an exact integer rational)
+# ---------------------------------------------------------------------------
+
+
+def _assort_oracle() -> str:
+    return """
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT pa AS a, pb AS b FROM und
+      UNION ALL SELECT pb, pa FROM und
+    ),
+    deg AS MATERIALIZED (
+      SELECT a AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a
+    ),
+    ed AS (
+      SELECT da.d AS j, db.d AS k
+      FROM sym e
+      JOIN deg da ON da.n = e.a
+      JOIN deg db ON db.n = e.b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(j) AS BIGINT) AS sj,
+             CAST(sum(j * j) AS BIGINT) AS sjj,
+             CAST(sum(j * k) AS BIGINT) AS sjk
+      FROM ed
+    )
+    SELECT m, sj, sjj, sjk,
+           CAST(m * sjk - sj * sj AS BIGINT) AS r_num,
+           CAST(m * sjj - sj * sj AS BIGINT) AS r_den,
+           CAST(m * sjk - sj * sj AS DOUBLE)
+             / (m * sjj - sj * sj) AS assortativity
+    FROM m
+    """
+
+
+@staged_r10("graph_assortativity", oracle=_assort_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY — Newman's r (2002), the one number that
+    separates social-style graphs (hubs befriend hubs, r > 0) from
+    technological/biological ones (hubs attach to leaves, r < 0), and
+    the standard first diagnostic after degree distribution and
+    clustering coefficient. It is the Pearson correlation of endpoint
+    degrees over the SYMMETRIZED edge list — and on a symmetric list
+    the two marginals coincide, so r collapses to ONE exact integer
+    rational: r = (M*Sjk - Sj^2) / (M*Sjj - Sj^2); numerator and
+    denominator ship as bigints beside the single-division double,
+    the OLS-Cramer discipline applied to graph topology. The twin
+    recomputes the moments in python and re-derives r both from this
+    identity and from the two-marginal textbook formula, proving the
+    collapse.
+
+    Scale: one degree aggregate, two vertex-keyed equi-joins to
+    decorate edges with endpoint degrees (the Pregel contrib shape),
+    one map-side-combined moment aggregate — linear in edges, no
+    iteration at all.
+
+    Reference capability class: graph statistics
+    (clustering-coefficient family; SURVEY.md graph extras)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    und = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("a", "b")
+    )
+    und = truncate_lineage(und, reliable=True)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ed = (
+        sym.join(
+            deg.select(F.col("n").alias("na"), F.col("d").alias("j")),
+            F.col("na") == F.col("a"),
+        )
+        .join(
+            deg.select(F.col("n").alias("nb"), F.col("d").alias("k")),
+            F.col("nb") == F.col("b"),
+        )
+        .select("j", "k")
+    )
+    m = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("j").cast("long").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).cast("long").alias("sjj"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("sjk"),
+    )
+    return m.select(
+        "m",
+        "sj",
+        "sjj",
+        "sjk",
+        (F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj"))
+        .cast("long")
+        .alias("r_num"),
+        (F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj"))
+        .cast("long")
+        .alias("r_den"),
+        (
+            (F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj"))
+            .cast("double")
+            / (F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj"))
+        ).alias("assortativity"),
+    )
