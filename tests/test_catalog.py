@@ -60,6 +60,96 @@ class TestDriverWindow:
         assert "c" not in proven  # latest check crashed -> demoted
         assert proven.get("d") == 1  # rows-only pass counts
 
+    def test_window_rotation_simulated_rounds_8_to_11(self, tmp_path):
+        """Prove the window math stays exact through the r9/r10 staged
+        flips, four promotion generations deep (r8 VERDICT item 7).
+
+        Simulates the driver loop against the REAL rank/sort
+        (catalog._ranked), the REAL artifact parser
+        (catalog._verified_rounds), the REAL history (r1-r7 artifacts
+        copied verbatim), and the REAL staged generations' registration
+        order — only the driver's per-round artifact WRITES are
+        synthetic (optimistic all-green path). Asserts, per round:
+        every never-proven live entry sits inside the first-50 window,
+        the flip rounds' windows are exactly the newly-promoted sets
+        (r9: all 50 staged-r9 names), and once the backlog clears
+        (r11), the window rotates to the 50 least-recently-proven by
+        (round, registration order)."""
+        import glob
+        import json
+        import shutil
+
+        catalog.load_all()
+        from virapipe_spark.queries import staged
+
+        if staged.R9_PROMOTED or staged.R10_PROMOTED:
+            import pytest
+
+            pytest.skip("staged r9/r10 already live; simulation obsolete")
+
+        for p in glob.glob("CORRECTNESS_r0[1-7].json"):
+            shutil.copy(p, tmp_path / p)
+        root = str(tmp_path)
+
+        live = list(catalog.QUERIES)  # r8 live set, registration order
+        gen9 = list(staged.STAGED_R9)  # promote_r9 appends in dict order
+        gen10 = list(staged.STAGED_R10)
+        ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+              "spark_rows": 1, "oracle_rows": 1, "err": None}
+
+        def window(names):
+            return catalog._ranked(names, catalog._verified_rounds(root))[
+                :DRIVER_WINDOW
+            ]
+
+        def drive(rnd, names):
+            w = window(names)
+            proven = catalog._verified_rounds(root)
+            unproven = [n for n in names if proven.get(n, 0) == 0]
+            assert set(unproven) <= set(w), (
+                f"round {rnd}: never-proven entries outside the window: "
+                f"{sorted(set(unproven) - set(w))}"
+            )
+            (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+                json.dumps({n: ok for n in w})
+            )
+            return w
+
+        # round 8: no flip; the window must be exactly the current
+        # never-proven live set (50 of them as of the r7 artifacts).
+        proven7 = catalog._verified_rounds(root)
+        unproven8 = [n for n in live if proven7.get(n, 0) == 0]
+        w8 = drive(8, live)
+        assert len(unproven8) == DRIVER_WINDOW
+        assert set(w8) == set(unproven8)
+
+        # round 9: gen9 flips live (CORRECTNESS_r08 exists). All 50
+        # promoted entries are never-proven -> they ARE the window.
+        w9 = drive(9, live + gen9)
+        assert set(w9) == set(gen9)
+
+        # round 10: gen10 flips live (38 entries). Window = gen10 plus
+        # the least-recently-proven filler, ranked by (round,
+        # registration order) — computed here independently of _ranked.
+        names10 = live + gen9 + gen10
+        proven9 = catalog._verified_rounds(root)
+        filler = sorted(
+            (n for n in names10 if n not in gen10),
+            key=lambda n: (proven9[n], names10.index(n)),
+        )[: DRIVER_WINDOW - len(gen10)]
+        w10 = drive(10, names10)
+        assert set(w10) == set(gen10) | set(filler)
+
+        # round 11: no flip, nothing unproven anywhere — pure rotation
+        # to the 50 least-recently-proven.
+        proven10 = catalog._verified_rounds(root)
+        assert all(proven10.get(n, 0) > 0 for n in names10)
+        expect11 = sorted(
+            names10, key=lambda n: (proven10[n], names10.index(n))
+        )[:DRIVER_WINDOW]
+        w11 = drive(11, names10)
+        assert w11 == expect11
+
     def test_ordering_is_a_permutation_of_the_registry(self):
         catalog.load_all()
         assert list(catalog.ordered_queries().keys()) != []

@@ -330,6 +330,22 @@ STALE_SUSPECT = frozenset({"window_lag_gap", "window_time_range_avg"})
 _DRIFT_ROUND = 4
 
 
+def _ranked(names, proven: dict[str, int]) -> list[str]:
+    """The window ordering, as a pure function: ``names`` in
+    registration order, ``proven`` from :func:`_verified_rounds`.
+    Factored out of :func:`ordered_queries` so the rounds-8..11
+    flip/window simulation (tests/test_catalog.py) exercises the REAL
+    sort against synthetic artifact histories."""
+
+    def rank(n: str) -> int:
+        r = proven.get(n, 0)
+        if n in STALE_SUSPECT and r <= _DRIFT_ROUND:
+            return 0
+        return r
+
+    return sorted(names, key=rank)
+
+
 def ordered_queries() -> dict[str, QueryFn]:
     """``QUERIES`` reordered so the driver's correctness window is spent
     on unproven entries first.
@@ -343,12 +359,5 @@ def ordered_queries() -> dict[str, QueryFn]:
     Registration order breaks ties (stable sort), so each round's
     checked set is deterministic and the union over rounds converges to
     — then maintains — full catalog coverage."""
-    proven = _verified_rounds()
-    def rank(n: str) -> int:
-        r = proven.get(n, 0)
-        if n in STALE_SUSPECT and r <= _DRIFT_ROUND:
-            return 0
-        return r
-
-    names = sorted(QUERIES, key=rank)
+    names = _ranked(QUERIES, _verified_rounds())
     return {n: QUERIES[n] for n in names}
