@@ -435,6 +435,61 @@ class TestBam:
     """Binary BAM reader (bam.py): BGZF + record layout, cross-checked
     against the SAM text path on identical logical alignments."""
 
+    def test_vectorized_decode_matches_per_record_twin(self):
+        """The r8 numpy record decode (_decode_records) must be
+        field-identical to the readable per-record path
+        (_decode_records_py) on adversarial records: 1..151 bp odd/even
+        sequences over the full 16-letter code, empty and multi-op
+        cigars, unmapped ref_id=-1, varied name lengths, all flag
+        bits."""
+        import random
+        import struct
+
+        from virapipe_spark import bam as vbam
+
+        rng = random.Random(7)
+        recs = []
+        for i in range(500):
+            ls = rng.randint(1, 151)
+            seq = "".join(
+                rng.choice("ACGTN=MRSVWYHKDB") for _ in range(ls)
+            )
+            cig = (
+                ""
+                if i % 7 == 0
+                else (f"{ls}M" if i % 3 else f"{ls // 2}S{ls - ls // 2}M")
+            )
+            recs.append(
+                {
+                    "read_name": f"r{'x' * (i % 30)}{i}",
+                    "ref_id": -1 if i % 11 == 0 else i % 3,
+                    "pos": rng.randint(0, 1 << 28),
+                    "mapq": i % 255,
+                    "flag": rng.choice([0, 4, 77, 141, 1024]),
+                    "cigar": cig,
+                    "seq": seq,
+                }
+            )
+        data = vbam.encode_bam(
+            "@HD\tVN:1.6\n", [("chr1", 1000), ("chr2", 2000)], recs
+        )
+        raw = vbam.bgzf_decompress(data)
+        (l_text,) = struct.unpack_from("<i", raw, 4)
+        pos = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack_from("<i", raw, pos)
+            pos += 8 + l_name
+        offs = vbam._record_offsets(raw, pos)
+        assert len(offs) == 500
+        py = vbam._decode_records_py(raw, offs)
+        np_ = vbam._decode_records(raw, offs)
+        assert np_ == py
+        # the split reader hands in a bytearray, not bytes
+        assert vbam._decode_records(bytearray(raw), offs) == py
+        assert vbam._decode_records(raw, []) == []
+
     def _records(self):
         import hashlib
 

@@ -1,0 +1,187 @@
+"""Realistic-shard BAM decode throughput (r8 VERDICT item 6).
+
+The r7 verdict flagged one honest scale caveat: binary BAM decode is
+Python inside Arrow batches, benchmarked only at fixture sizes. This
+tool measures decode at a realistic shard: ONE multi-member BGZF file
+of >= 100 MB (~1.4M 100 bp records), generated once and cached in
+/tmp. Three measurements:
+
+1. in-process decode throughput, per-record reference path
+   (`bam._decode_records_py` — the pre-r8 implementation);
+2. in-process decode throughput, vectorized path
+   (`bam._decode_records` — numpy offset gathers, r8);
+3. end-to-end `read_bam(split_size=8 MiB)` wall time on local[32]
+   (member index + chunked parallel decode of the single file).
+
+Usage: python tools/bench_bam_decode.py [--records N] [--skip-e2e]
+Record results in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from virapipe_spark import bam
+
+N_RECORDS = 1_400_000
+READ_LEN = 100
+PATH = "/tmp/vp_bench_shard.bam"
+REFS = [(f"chr{i}", 200_000_000) for i in range(1, 9)]
+
+
+def _generate(n: int) -> None:
+    """Build the shard once: header + n records, BGZF-compressed in
+    one pass. Record bytes are assembled directly (the encode_bam
+    per-record path would take minutes at this size); layout matches
+    encode_bam exactly — qual written as 0xFF like the engine's
+    encoder."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    body = bytearray(b"BAM\x01")
+    text = b"@HD\tVN:1.6\tSO:coordinate\n"
+    body += struct.pack("<i", len(text)) + text
+    body += struct.pack("<i", len(REFS))
+    for name, l_ref in REFS:
+        nb = name.encode() + b"\x00"
+        body += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l_ref)
+
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    cig = struct.pack("<I", (READ_LEN << 4) | 0)  # "100M"
+    n_seq_bytes = (READ_LEN + 1) // 2
+    qual = b"\xff" * READ_LEN
+    codes = {"A": 1, "C": 2, "G": 4, "T": 8}
+    t0 = time.perf_counter()
+    for i in range(n):
+        name = f"shard1:{i:09d}".encode() + b"\x00"
+        seq_chars = lut[rng.integers(0, 4, READ_LEN)]
+        nib = np.array(
+            [codes[chr(c)] for c in seq_chars], dtype=np.uint8
+        )
+        if READ_LEN % 2:
+            nib = np.append(nib, 0)
+        packed = ((nib[0::2] << 4) | nib[1::2]).tobytes()
+        assert len(packed) == n_seq_bytes
+        rec = (
+            struct.pack(
+                "<iiBBHHHiiii",
+                i % len(REFS),
+                (i * 37) % 1_000_000,
+                len(name),
+                60,
+                0,
+                1,
+                0 if i % 9 else 0x400,
+                READ_LEN,
+                -1,
+                -1,
+                0,
+            )
+            + name
+            + cig
+            + packed
+            + qual
+        )
+        body += struct.pack("<i", len(rec)) + rec
+        if i % 200_000 == 0:
+            print(f"  built {i} records, {len(body) / 1e6:.0f} MB body")
+    print(f"body assembled in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    data = bam.bgzf_compress(bytes(body))
+    with open(PATH, "wb") as f:
+        f.write(data)
+    print(
+        f"compressed {len(body) / 1e6:.0f} MB -> {len(data) / 1e6:.0f} MB "
+        f"({len(data) / 1e9 / (time.perf_counter() - t0):.2f} GB/s) at {PATH}"
+    )
+
+
+def main() -> None:
+    n = N_RECORDS
+    if "--records" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--records") + 1])
+    if not os.path.exists(PATH) or "--regen" in sys.argv:
+        _generate(n)
+    size = os.path.getsize(PATH)
+    print(f"shard: {size / 1e6:.1f} MB compressed")
+
+    with open(PATH, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    raw = bam.bgzf_decompress(data)
+    t_inflate = time.perf_counter() - t0
+    print(
+        f"BGZF inflate: {t_inflate:.2f}s "
+        f"({len(raw) / 1e6 / t_inflate:.0f} MB/s decompressed)"
+    )
+
+    (l_text,) = struct.unpack_from("<i", raw, 4)
+    pos = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", raw, pos)
+    pos += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", raw, pos)
+        pos += 8 + l_name
+    t0 = time.perf_counter()
+    offs = bam._record_offsets(raw, pos)
+    t_walk = time.perf_counter() - t0
+    print(f"offset walk: {len(offs)} records in {t_walk:.2f}s")
+
+    # per-record reference path on a 100k slice (full run takes minutes)
+    sl = offs[:100_000]
+    t0 = time.perf_counter()
+    ref = bam._decode_records_py(raw, sl)
+    t_py = time.perf_counter() - t0
+    print(
+        f"per-record decode: {len(sl) / t_py:,.0f} rec/s "
+        f"(100k slice in {t_py:.2f}s)"
+    )
+
+    t0 = time.perf_counter()
+    vec = bam._decode_records(raw, offs)
+    t_np = time.perf_counter() - t0
+    print(
+        f"vectorized decode: {len(offs) / t_np:,.0f} rec/s "
+        f"(full {len(offs)} in {t_np:.2f}s, {t_np / t_py * len(sl) / len(offs):.2f}x vs per-record)"
+    )
+    assert vec[: len(ref)] == ref, "vectorized decode diverged from reference"
+
+    refs = [(f"chr{i}", 200_000_000) for i in range(1, 9)]
+    t0 = time.perf_counter()
+    pdf = bam._decode_columns(raw, offs, refs)
+    t_cols = time.perf_counter() - t0
+    print(
+        f"column-wise decode (the read_bam path): "
+        f"{len(pdf) / t_cols:,.0f} rec/s (full {len(pdf)} in {t_cols:.2f}s)"
+    )
+    single_total = t_inflate + t_walk + t_cols
+    print(
+        f"single-task total (inflate+walk+decode): {single_total:.2f}s = "
+        f"{len(offs) / single_total:,.0f} rec/s, "
+        f"{size / 1e6 / single_total:.0f} MB/s of compressed shard"
+    )
+
+    if "--skip-e2e" in sys.argv:
+        return
+    from virapipe_spark.session import session
+
+    spark = session(app_name="bench_bam_decode", shuffle_partitions=32)
+    for split in (None, 8 * 1024 * 1024):
+        t0 = time.perf_counter()
+        got = bam.read_bam(spark, PATH, split_size=split).count()
+        dt = time.perf_counter() - t0
+        label = "whole-file (1 task)" if split is None else f"split={split >> 20} MiB"
+        print(
+            f"read_bam {label}: {got} rows in {dt:.1f}s "
+            f"({got / dt:,.0f} rows/s end-to-end)"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

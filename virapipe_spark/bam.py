@@ -82,10 +82,16 @@ def bgzf_compress(data: bytes, block_size: int = 60000) -> bytes:
 
 
 def bgzf_decompress(data: bytes) -> bytes:
-    """Inflate a BGZF stream. gzip-the-module decodes concatenated
-    members (BGZF members are valid gzip), and the EOF marker inflates
-    to zero bytes, so the whole container is one call."""
-    return gzip.decompress(data)
+    """Inflate a BGZF stream. BGZF members are valid gzip members, so
+    the stdlib decodes the whole container — but NOT via
+    ``gzip.decompress``: that helper re-slices the remaining buffer
+    once per member, which is O(members x bytes) — measured 221 s for
+    a 58 MB shard of ~5000 x 60 KB members vs 1.4 s through the
+    streaming ``GzipFile`` reader used here (the EOF marker inflates
+    to zero bytes either way)."""
+    import io
+
+    return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
 
 
 def encode_bam(header_text: str, refs: list[tuple[str, int]],
@@ -157,11 +163,19 @@ def decode_bam(data: bytes) -> tuple[str, list[tuple[str, int]], list[dict]]:
     (read_name, ref_id, pos, flag, cigar, seq). Trailing per-record
     tag bytes are skipped via block_size, per spec."""
     raw = bgzf_decompress(data)
+    header_text, refs, pos = _parse_header(raw)
+    records = _decode_records(raw, _record_offsets(raw, pos))
+    return header_text, refs, records
+
+
+def _parse_header(raw) -> tuple[str, list[tuple[str, int]], int]:
+    """Parse the BAM magic, header text and reference dictionary;
+    returns (header_text, refs, first_record_offset)."""
     if raw[:4] != b"BAM\x01":
         raise ValueError("not a BAM stream (bad magic)")
     (l_text,) = struct.unpack_from("<i", raw, 4)
     pos = 8 + l_text
-    header_text = raw[8 : pos].decode(errors="replace")
+    header_text = raw[8:pos].decode(errors="replace")
     (n_ref,) = struct.unpack_from("<i", raw, pos)
     pos += 4
     refs: list[tuple[str, int]] = []
@@ -171,11 +185,182 @@ def decode_bam(data: bytes) -> tuple[str, list[tuple[str, int]], list[dict]]:
         (l_ref,) = struct.unpack_from("<i", raw, pos + 4 + l_name)
         refs.append((name, l_ref))
         pos += 8 + l_name
-    records: list[dict] = []
-    while pos + 4 <= len(raw):
-        rec, pos = _decode_one(raw, pos)
-        records.append(rec)
-    return header_text, refs, records
+    return header_text, refs, pos
+
+
+def _record_offsets(raw, pos: int) -> list[int]:
+    """Byte offsets of every record from ``pos`` to the end of ``raw``.
+
+    The record walk is inherently sequential (each offset depends on
+    the previous block_size), but it reads ONE int32 per record; the
+    field decode — the actual per-byte work — happens vectorized in
+    :func:`_decode_records` afterwards."""
+    offs: list[int] = []
+    n = len(raw)
+    while pos + 4 <= n:
+        offs.append(pos)
+        (bs,) = struct.unpack_from("<i", raw, pos)
+        pos += 4 + bs
+    return offs
+
+
+def _decode_records_py(raw, offsets: list[int]) -> list[dict]:
+    """Reference per-record decode (the pre-r8 path), kept for the
+    throughput A/B (tools/bench_bam_decode.py) and as the readable
+    twin the vectorized path is tested against."""
+    return [_decode_one(raw, o)[0] for o in offsets]
+
+
+def _gather_fields(raw, offsets: list[int]):
+    """Vectorized field extraction for many records at once: every
+    fixed-width field is a numpy gather over the block buffer, and the
+    variable-length payloads (names, cigar ops, seq nibbles) are
+    flattened-index gathers sliced back per record — the same
+    offset-arithmetic pattern as the JPEG bit-reader. Replaces the
+    per-base Python generator that dominated decode at real shard
+    sizes (r8 VERDICT item 6; measured numbers in SCALE.md).
+
+    Returns ``(names, cigars, seqs, ref_id, rpos, mapq, flag, l_seq)``
+    — the first three as Python lists, the rest as numpy int arrays."""
+    import numpy as np
+
+    a = np.frombuffer(raw, np.uint8)
+    off = np.asarray(offsets, dtype=np.int64)
+    base = off + 4
+
+    def u16(o):
+        return a[o].astype(np.int64) | (a[o + 1].astype(np.int64) << 8)
+
+    def i32(o):
+        v = (
+            a[o].astype(np.uint32)
+            | (a[o + 1].astype(np.uint32) << 8)
+            | (a[o + 2].astype(np.uint32) << 16)
+            | (a[o + 3].astype(np.uint32) << 24)
+        )
+        return v.astype(np.int32).astype(np.int64)
+
+    ref_id = i32(base)
+    rpos = i32(base + 4)
+    l_read_name = a[base + 8].astype(np.int64)
+    mapq = a[base + 9].astype(np.int64)
+    n_cigar = u16(base + 12)
+    flag = u16(base + 14)
+    l_seq = i32(base + 16)
+
+    def flat_idx(starts, lengths):
+        """Indices of a[starts[i] : starts[i]+lengths[i]] for all i,
+        concatenated — one fancy-index replaces per-record slicing."""
+        total = int(lengths.sum())
+        pos0 = np.cumsum(lengths) - lengths
+        return (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(pos0, lengths)
+            + np.repeat(starts, lengths)
+        )
+
+    # read names (l_read_name includes the NUL terminator, dropped here)
+    name_start = base + 32
+    name_len = l_read_name - 1
+    nb = a[flat_idx(name_start, name_len)].tobytes()
+    nbound = np.concatenate(([0], np.cumsum(name_len)))
+    names = [nb[s:e].decode() for s, e in zip(nbound[:-1], nbound[1:])]
+
+    # cigars: one gather of every op uint32, stitched back per record
+    cig_start = name_start + l_read_name
+    ops = np.frombuffer(
+        a[flat_idx(cig_start, 4 * n_cigar)].tobytes(), dtype="<u4"
+    )
+    op_len = (ops >> 4).tolist()
+    op_chr = [_CIGAR_OPS[x] for x in (ops & 0xF).tolist()]
+    cbound = np.concatenate(([0], np.cumsum(n_cigar)))
+    cigars = [
+        "".join(f"{op_len[i]}{op_chr[i]}" for i in range(s, e))
+        for s, e in zip(cbound[:-1].tolist(), cbound[1:].tolist())
+    ]
+
+    # sequences: nibble-expand every seq byte in one shot, slice per
+    # record (odd l_seq drops the final pad nibble via the length cap)
+    n_seq_bytes = (l_seq + 1) // 2
+    sb = a[flat_idx(cig_start + 4 * n_cigar, n_seq_bytes)]
+    nib = np.empty(sb.size * 2, np.uint8)
+    nib[0::2] = sb >> 4
+    nib[1::2] = sb & 0xF
+    chars = np.frombuffer(_SEQ16.encode(), np.uint8)[nib].tobytes()
+    sbound = (2 * np.cumsum(n_seq_bytes) - 2 * n_seq_bytes).tolist()
+    seqs = [
+        chars[s : s + n].decode()
+        for s, n in zip(sbound, l_seq.tolist())
+    ]
+    return names, cigars, seqs, ref_id, rpos, mapq, flag, l_seq
+
+
+def _decode_records(raw, offsets: list[int]) -> list[dict]:
+    """Record dicts (same shape as :func:`_decode_one`) built from the
+    vectorized gathers — the `decode_bam` public-contract path."""
+    if not offsets:
+        return []
+    names, cigars, seqs, ref_id, rpos, mapq, flag, _l_seq = _gather_fields(
+        raw, offsets
+    )
+    return [
+        {
+            "read_name": names[i],
+            "ref_id": ref_id_i,
+            "pos": pos_i,
+            "mapq": mapq_i,
+            "flag": flag_i,
+            "cigar": cigars[i],
+            "seq": seqs[i],
+        }
+        for i, (ref_id_i, pos_i, mapq_i, flag_i) in enumerate(
+            zip(
+                ref_id.tolist(),
+                rpos.tolist(),
+                mapq.tolist(),
+                flag.tolist(),
+            )
+        )
+    ]
+
+
+def _decode_columns(raw, offsets: list[int], refs: list[tuple[str, int]]):
+    """The ``alignments``-schema output columns, built column-wise
+    straight from the vectorized gathers — no per-record dict or tuple
+    is ever materialized. Both ``read_bam`` decode paths feed pandas
+    from this (row-wise assembly measured ~2x the whole decode)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [
+        "readName",
+        "start",
+        "referenceName",
+        "length",
+        "bases",
+        "cigar",
+        "readUnmapped",
+        "duplicateRead",
+    ]
+    if not offsets:
+        return pd.DataFrame({c: [] for c in cols})
+    names, cigars, seqs, ref_id, rpos, _mapq, flag, l_seq = _gather_fields(
+        raw, offsets
+    )
+    # ref_id == -1 (unmapped) indexes the appended None sentinel
+    ref_names = np.array([n for n, _ in refs] + [None], dtype=object)
+    return pd.DataFrame(
+        {
+            "readName": names,
+            "start": (rpos + 1).astype(np.int32),
+            "referenceName": ref_names[ref_id],
+            "length": l_seq.astype(np.int32),
+            "bases": seqs,
+            "cigar": cigars,
+            "readUnmapped": (flag & 0x4).astype(bool),
+            "duplicateRead": (flag & 0x400).astype(bool),
+        }
+    )
 
 
 def _decode_one(raw, pos: int) -> tuple[dict, int]:
@@ -263,23 +448,10 @@ def read_bam(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for content in pdf["content"]:
-                _text, refs, recs = decode_bam(bytes(content))
-                for r in recs:
-                    rows.append(
-                        (
-                            r["read_name"],
-                            r["pos"] + 1,
-                            refs[r["ref_id"]][0] if r["ref_id"] >= 0 else None,
-                            len(r["seq"]),
-                            r["seq"],
-                            r["cigar"],
-                            bool(r["flag"] & 0x4),
-                            bool(r["flag"] & 0x400),
-                        )
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                raw = bgzf_decompress(bytes(content))
+                _text, refs, pos = _parse_header(raw)
+                yield _decode_columns(raw, _record_offsets(raw, pos), refs)
 
     files = (
         spark.read.format("binaryFile")
@@ -694,7 +866,7 @@ def _read_bam_split(spark: SparkSession, path: str, split_size: int) -> DataFram
 
     def decode(batches):
         for pdf in batches:
-            rows = []
+            parts = []
             for r in pdf.itertuples():
                 hdr_end, refs = meta[r.path]
                 n_ref = len(refs)
@@ -736,6 +908,10 @@ def _read_bam_split(spark: SparkSession, path: str, split_size: int) -> DataFram
                         )
                         if rec_start < 0 or base_d + rec_start >= dend:
                             continue  # no record STARTS in this chunk
+                    # sequential walk collects offsets (one int32 read
+                    # per record, growing the buffer as needed); the
+                    # per-byte field decode runs vectorized afterwards
+                    rec_offsets: list[int] = []
                     while base_d + rec_start < dend:
                         while rec_start + 4 > len(buf) and more():
                             pass
@@ -747,21 +923,12 @@ def _read_bam_split(spark: SparkSession, path: str, split_size: int) -> DataFram
                                 raise ValueError(
                                     f"truncated BAM record at {r.path}"
                                 )
-                        rec, rec_start = _decode_one(buf, rec_start)
-                        rows.append(
-                            (
-                                rec["read_name"],
-                                rec["pos"] + 1,
-                                refs[rec["ref_id"]][0]
-                                if rec["ref_id"] >= 0
-                                else None,
-                                len(rec["seq"]),
-                                rec["seq"],
-                                rec["cigar"],
-                                bool(rec["flag"] & 0x4),
-                                bool(rec["flag"] & 0x400),
-                            )
-                        )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                        rec_offsets.append(rec_start)
+                        rec_start += 4 + bs
+                    parts.append(_decode_columns(buf, rec_offsets, refs))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield _decode_columns(b"", [], [])
 
     return chunks.mapInPandas(decode, schema)
