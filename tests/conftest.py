@@ -4,7 +4,11 @@ import os
 
 import pytest
 
-os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+# 16 executor threads: the suite is dominated by JVM job wait (r8
+# measured 31 min wall / 1.5 min Python CPU on local[4]); plan-shape
+# assertions are core-count-independent (file splits are governed by
+# maxPartitionBytes/openCost, Exchange counts by the plan).
+os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
 
 
 @pytest.fixture(scope="session")
@@ -14,7 +18,7 @@ def spark():
     spark = session(
         app_name="virapipe_spark_tests",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={"spark.driver.memory": "6g"},
     )
     yield spark
     spark.stop()

@@ -67,6 +67,14 @@ def plan_cache(spark):
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(build, _AUDITED_NAMES))
+    # One serial retry for concurrent-only failures: eager-checkpoint
+    # entries (dtw wavefront, median cut) can lose localCheckpoint
+    # blocks under pool memory pressure — a transient the quiet retry
+    # distinguishes from a real plan-build bug (r8: the dtw item failed
+    # under the pool, passed serially).
+    for name, v in list(cache.items()):
+        if isinstance(v, Exception):
+            build(name)
     return cache
 
 

@@ -35,14 +35,75 @@ def test_staged_entries_promoted_into_live_catalog():
     assert set(STAGED) <= set(catalog.ORACLES)
 
 
+@pytest.fixture(scope="module")
+def staged_results(spark, con):
+    """Every not-yet-driver-proven staged compare, run ONCE on a thread
+    pool and shared by the per-entry items below (the plan-cache
+    pattern from test_scale_plans).
+
+    Two structural choices, both from the r8 punchlist:
+
+    - SELF-RETIRING: an entry with a clean LATEST driver row
+      (catalog._verified_rounds — a regression demotes it and the
+      compare resumes) is excluded; re-proving it at sf0.001 every
+      pytest run only duplicates CORRECTNESS_r*.json. The on-demand
+      full gate remains `tools/check_oracle.py --staged`.
+    - POOLED: serialized, the five generations' compares were most of
+      the suite's 22-minute r8 wall. Entries share no scratch tags or
+      temp views; each worker gets its own DuckDB cursor (cursors are
+      independent, the connection is not thread-safe for concurrent
+      execute)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    catalog.load_all()
+    from virapipe_spark.queries.staged import (
+        STAGED_R7 as g7,
+        STAGED_R8 as g8,
+        STAGED_R9 as g9,
+        STAGED_R10 as g10,
+    )
+
+    gens = {**STAGED, **g7, **g8, **g9, **g10}
+    proven = catalog._verified_rounds()
+    todo = [
+        n for n, (_f, o) in gens.items() if o is not None and n not in proven
+    ]
+    results: dict[str, object] = {}
+
+    def run(name: str) -> None:
+        fn, oracle = gens[name]
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            ddf = con.cursor().execute(oracle).df()
+            if len(sdf) == 0:
+                results[name] = [f"{name}: empty result passes trivially"]
+            else:
+                results[name] = compare_frames(sdf, ddf)
+        except Exception as e:  # noqa: BLE001 — re-raised per-entry
+            results[name] = e
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(run, todo))
+    # serial retry for concurrent-only transients (the plan-cache
+    # precedent: eager-checkpoint entries under pool memory pressure)
+    for name, v in list(results.items()):
+        if isinstance(v, Exception):
+            run(name)
+    return results
+
+
+def _compare_staged_entry(staged_results, name):
+    if name not in staged_results:
+        pytest.skip("driver-proven (CORRECTNESS artifact); local re-proof retired")
+    r = staged_results[name]
+    if isinstance(r, Exception):
+        raise AssertionError(f"{name}: compare crashed: {r!r}") from r
+    assert not r, f"{name}: {r}"
+
+
 @pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_entry_matches_oracle(spark, con, name):
-    fn, oracle = STAGED[name]
-    sdf = fn(spark, SF_DIR).toPandas()
-    ddf = con.execute(oracle).df()
-    assert len(sdf) > 0, f"{name}: empty result passes trivially"
-    problems = compare_frames(sdf, ddf)
-    assert not problems, f"{name}: {problems}"
+def test_staged_entry_matches_oracle(staged_results, name):
+    _compare_staged_entry(staged_results, name)
 
 
 # ---------------------------------------------------------------------------
@@ -112,13 +173,8 @@ def test_r7_staging_state_matches_round():
 @pytest.mark.parametrize(
     "name", [n for n, (_, o) in sorted(STAGED_R7.items()) if o is not None]
 )
-def test_r7_staged_entry_matches_oracle(spark, con, name):
-    fn, oracle = STAGED_R7[name]
-    sdf = fn(spark, SF_DIR).toPandas()
-    ddf = con.execute(oracle).df()
-    assert len(sdf) > 0, f"{name}: empty result passes trivially"
-    problems = compare_frames(sdf, ddf)
-    assert not problems, f"{name}: {problems}"
+def test_r7_staged_entry_matches_oracle(staged_results, name):
+    _compare_staged_entry(staged_results, name)
 
 
 def test_r7_promote_flips_them_live():
@@ -214,15 +270,10 @@ def test_r8_staging_state_matches_round():
 @pytest.mark.parametrize(
     "name", [n for n, (_, o) in sorted(STAGED_R8.items()) if o is not None]
 )
-def test_r8_staged_entry_matches_oracle(spark, con, name):
+def test_r8_staged_entry_matches_oracle(staged_results, name):
     """The driver-exact compare, run on every oracle-backed r8 entry
     pre-flip (the two-scale strict gate runs via check_oracle)."""
-    fn, oracle = STAGED_R8[name]
-    sdf = fn(spark, SF_DIR).toPandas()
-    ddf = con.execute(oracle).df()
-    assert len(sdf) > 0, f"{name}: empty result passes trivially"
-    problems = compare_frames(sdf, ddf)
-    assert not problems, f"{name}: {problems}"
+    _compare_staged_entry(staged_results, name)
 
 
 def test_r8_promote_flips_them_live():
@@ -322,15 +373,10 @@ def test_r9_staging_state_matches_round():
 @pytest.mark.parametrize(
     "name", [n for n, (_, o) in sorted(STAGED_R9.items()) if o is not None]
 )
-def test_r9_staged_entry_matches_oracle(spark, con, name):
+def test_r9_staged_entry_matches_oracle(staged_results, name):
     """The driver-exact compare on every oracle-backed r9 entry
     pre-flip (the two-scale strict gate runs via check_oracle)."""
-    fn, oracle = STAGED_R9[name]
-    sdf = fn(spark, SF_DIR).toPandas()
-    ddf = con.execute(oracle).df()
-    assert len(sdf) > 0, f"{name}: empty result passes trivially"
-    problems = compare_frames(sdf, ddf)
-    assert not problems, f"{name}: {problems}"
+    _compare_staged_entry(staged_results, name)
 
 
 def test_r9_promote_flips_them_live():
@@ -385,15 +431,10 @@ def test_r10_staging_state_matches_round():
 @pytest.mark.parametrize(
     "name", [n for n, (_, o) in sorted(STAGED_R10.items()) if o is not None]
 )
-def test_r10_staged_entry_matches_oracle(spark, con, name):
+def test_r10_staged_entry_matches_oracle(staged_results, name):
     """The driver-exact compare on every oracle-backed r10 entry
     pre-flip (the two-scale strict gate runs via check_oracle)."""
-    fn, oracle = STAGED_R10[name]
-    sdf = fn(spark, SF_DIR).toPandas()
-    ddf = con.execute(oracle).df()
-    assert len(sdf) > 0, f"{name}: empty result passes trivially"
-    problems = compare_frames(sdf, ddf)
-    assert not problems, f"{name}: {problems}"
+    _compare_staged_entry(staged_results, name)
 
 
 def test_r10_promote_flips_them_live():
