@@ -120,13 +120,7 @@ def main() -> None:
         f"({len(raw) / 1e6 / t_inflate:.0f} MB/s decompressed)"
     )
 
-    (l_text,) = struct.unpack_from("<i", raw, 4)
-    pos = 8 + l_text
-    (n_ref,) = struct.unpack_from("<i", raw, pos)
-    pos += 4
-    for _ in range(n_ref):
-        (l_name,) = struct.unpack_from("<i", raw, pos)
-        pos += 8 + l_name
+    _text, _refs, pos = bam._parse_header(raw)
     t0 = time.perf_counter()
     offs = bam._record_offsets(raw, pos)
     t_walk = time.perf_counter() - t0
