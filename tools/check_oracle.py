@@ -63,16 +63,18 @@ def main() -> int:
         if not staged_mod.R10_PROMOTED:
             staged_mod.promote_r10()
 
-    if bare:
-        from pyspark.sql import SparkSession
+    def build_session():
+        if bare:
+            from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("check_oracle_bare")
-            .getOrCreate()
-        )
-    else:
-        spark = session(app_name="check_oracle", shuffle_partitions=8)
+            return (
+                SparkSession.builder.master("local[8]")
+                .appName("check_oracle_bare")
+                .getOrCreate()
+            )
+        return session(app_name="check_oracle", shuffle_partitions=8)
+
+    spark = build_session()
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -81,7 +83,19 @@ def main() -> int:
 
     failures = []
     names = [n for n in catalog.QUERIES if not only or n in only]
+    #: Recycle the JVM every N entries on long runs. localCheckpoint
+    #: blocks from iterative entries accumulate for the session's
+    #: lifetime (freed only on driver GC of the frame), and the BARE
+    #: session runs on Spark's default 1g heap — the r8 full-catalog
+    #: sf0.1 gate OOM'd the JVM ~120 heavy entries in, auto-failing
+    #: every entry after it. 40 keeps a healthy margin at sf0.1.
+    restart_every = int(os.environ.get("CHECK_ORACLE_RESTART_EVERY", "40"))
+    done = 0
     for name in names:
+        if restart_every and done and done % restart_every == 0:
+            spark.stop()
+            spark = build_session()
+        done += 1
         t0 = time.time()
         try:
             sdf = catalog.QUERIES[name](spark, sf_dir).toPandas()
