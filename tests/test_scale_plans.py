@@ -162,7 +162,9 @@ class TestPlanProperties:
             # (power iteration, ABTT pair moments x2 entries), corpus
             # stats and query-term constants (BM25), revenue/size
             # totals (ABC, HHI), medians (MAD screen), purity total.
-            "join_bloom_prefilter",
+            # (join_bloom_prefilter left this set in r8: the single-pass
+            # rewrite folds all four count branches into one aggregate —
+            # no crossJoin remains; tools/ab_bloom_singlepass.py)
             "embed_power_iteration",
             "embed_abtt_residual",
             "embed_knn_abtt",

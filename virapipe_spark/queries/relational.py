@@ -1889,7 +1889,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs scan-side before any shuffle, cutting shuffle volume by the
     non-member fraction. Here the bit positions travel as a broadcast
     DataFrame joined on position (pure DataFrame algebra, no driver
-    collect); candidates then verify by exact semi-join."""
+    collect).
+
+    The whole funnel is ONE pass over the probe side: probe positions
+    LEFT-join the broadcast bit set, one groupBy(k) derives is_cand
+    (all {_BF_K} positions hit), one join against the build side
+    derives is_exact, and a single global aggregate emits all five
+    columns. The original four-branch shape (separate count branches
+    crossJoined at the end, plus an exact semi-join) re-planned the
+    probe leg per branch; the single-pass rewrite measured 2.5x faster
+    at sf0.1 with bit-identical output (tools/ab_bloom_singlepass.py:
+    3.90 s -> 1.55 s median over 7 interleaved reps)."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     build = (
@@ -1907,35 +1917,32 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("pos", F.expr(_BF_POS))
         )
 
-    bits = positions(build).select("pos").distinct()
-    cand = (
+    bits = positions(build).select("pos").distinct().withColumn("hit", F.lit(1))
+    per_key = (
         positions(probe)
-        .join(F.broadcast(bits), "pos")
+        .join(F.broadcast(bits), "pos", "left")
         .groupBy("k")
-        .agg(F.count("*").alias("nset"))
-        .filter(F.col("nset") == _BF_K)
-        .select("k")
+        .agg((F.count("hit") == _BF_K).alias("is_cand"))
     )
-    exact = probe.join(build, "k", "left_semi")
-    n_probe = probe.agg(F.count("*").alias("n_probe_keys"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    n_exact_in_cand = exact.join(cand, "k", "left_semi").agg(
-        F.count("*").alias("n_exact_in_cand")
+    flagged = per_key.join(
+        build.withColumn("in_build", F.lit(True)), "k", "left"
+    ).select("is_cand", F.col("in_build").isNotNull().alias("is_exact"))
+    agg = flagged.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum(F.col("is_cand").cast("long")).alias("n_candidates"),
+        F.sum(F.col("is_exact").cast("long")).alias("n_exact"),
+        F.sum((F.col("is_cand") & F.col("is_exact")).cast("long")).alias(
+            "n_exact_in_cand"
+        ),
     )
-    return (
-        n_probe.crossJoin(n_cand)
-        .crossJoin(n_exact)
-        .crossJoin(n_exact_in_cand)
-        .select(
-            "n_probe_keys",
-            "n_candidates",
-            "n_exact",
-            (F.col("n_candidates") - F.col("n_exact")).alias("n_false_pos"),
-            (F.col("n_exact_in_cand") == F.col("n_exact")).alias(
-                "no_false_negatives"
-            ),
-        )
+    return agg.select(
+        "n_probe_keys",
+        "n_candidates",
+        "n_exact",
+        (F.col("n_candidates") - F.col("n_exact")).alias("n_false_pos"),
+        (F.col("n_exact_in_cand") == F.col("n_exact")).alias(
+            "no_false_negatives"
+        ),
     )
 
 
