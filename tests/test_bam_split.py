@@ -157,3 +157,119 @@ class TestSplitRead:
         base = self._rows(bam.read_bam(spark, str(d)))
         got = self._rows(bam.read_bam(spark, str(d), split_size=512))
         assert got == base and len(got) == 50
+
+
+def _rewrap_wide_fextra(blob: bytes, pad: int = 40) -> bytes:
+    """Re-emit every BGZF member with an extra FEXTRA subfield BEFORE
+    the BC subfield (xlen 6 -> 10 + pad). Spec-legal (SAM v1 permits
+    additional subfields); bgzip/htsjdk never write it, which is
+    exactly why the readers' FEXTRA walk needs its own fixture."""
+    import struct
+
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        m = bam._member_at(blob, pos)
+        assert m is not None, pos
+        bsize, _ = m
+        member = blob[pos : pos + bsize]
+        (xlen,) = struct.unpack_from("<H", member, 10)
+        assert xlen == 6  # writer emits BC-only members
+        body = member[18:]  # deflate payload + crc/isize trailer
+        new_bsize = bsize + 4 + pad
+        extra = (
+            b"XY"
+            + struct.pack("<H", pad)
+            + b"\x00" * pad
+            + b"BC"
+            + struct.pack("<HH", 2, new_bsize - 1)
+        )
+        out += (
+            member[:10] + struct.pack("<H", len(extra)) + extra + body
+        )
+        pos += bsize
+    return bytes(out)
+
+
+class TestWideFextra:
+    """BGZF members whose FEXTRA carries subfields beyond BC (xlen>6):
+    every reader surface must honor the subfield walk instead of
+    assuming bgzip's fixed 18-byte header."""
+
+    @pytest.fixture(scope="class")
+    def wide_dir(self, tmp_path_factory, bam_file):
+        orig = open(os.path.join(bam_file, "big.bam"), "rb").read()
+        d = tmp_path_factory.mktemp("bamwide")
+        (d / "wide.bam").write_bytes(_rewrap_wide_fextra(orig))
+        return str(d)
+
+    def test_rewrap_preserves_payload(self, bam_file, wide_dir):
+        orig = open(os.path.join(bam_file, "big.bam"), "rb").read()
+        wide = open(os.path.join(wide_dir, "wide.bam"), "rb").read()
+        assert wide != orig
+        assert bam.bgzf_decompress(wide) == bam.bgzf_decompress(orig)
+
+    def test_header_probe(self, bam_file, wide_dir):
+        _, refs_orig = bam.read_bam_header(
+            os.path.join(bam_file, "big.bam")
+        )
+        _, refs_wide = bam.read_bam_header(
+            os.path.join(wide_dir, "wide.bam")
+        )
+        assert refs_wide == refs_orig
+
+    def test_member_index_chains_contiguously(self, wide_dir):
+        p = os.path.join(wide_dir, "wide.bam")
+        size = os.path.getsize(p)
+        members = bam.scan_bgzf_ranges((p, 0, size, size))
+        assert members[0][0] == 0
+        for (o1, b1, _), (o2, _, _) in zip(members, members[1:]):
+            assert o1 + b1 == o2
+        assert members[-1][0] + members[-1][1] == size
+
+    def test_split_read_row_identical(self, spark, bam_file, wide_dir):
+        base = sorted(map(tuple, bam.read_bam(spark, bam_file).collect()))
+        for split in (700, 10_000, 1 << 26):
+            got = sorted(
+                map(
+                    tuple,
+                    bam.read_bam(spark, wide_dir, split_size=split).collect(),
+                )
+            )
+            assert got == base, f"split_size={split}"
+
+
+class TestMemberTruncated:
+    def test_full_header_is_not_truncated(self, bam_file):
+        blob = open(os.path.join(bam_file, "big.bam"), "rb").read()
+        assert bam._member_at(blob, 0) is not None
+        assert not bam._member_truncated(blob, 0)
+
+    def test_cut_inside_fextra(self, bam_file):
+        blob = open(os.path.join(bam_file, "big.bam"), "rb").read()
+        assert bam._member_truncated(blob[:15], 0)
+        assert bam._member_truncated(blob[:11], 0)
+
+    def test_non_magic_is_not_truncated(self):
+        assert not bam._member_truncated(b"ACGTACGTACGT", 0)
+        assert not bam._member_truncated(b"\x1f\x8b\x09\x04" + b"\x00" * 20, 0)
+
+    def test_resync_rereads_header_straddling_the_window_pad(
+        self, bam_file, tmp_path
+    ):
+        """A member whose wide header starts inside the scan buffer but
+        extends past its end must be re-read at its own offset, not
+        skipped (the resume_at path in scan_bgzf_ranges)."""
+        orig = open(os.path.join(bam_file, "big.bam"), "rb").read()
+        wide = _rewrap_wide_fextra(orig, pad=40)
+        window, head_max = 1 << 16, bam._HEAD_MAX
+        # garbage prefix places the first member 33 bytes before the
+        # first scan buffer's end: its 62-byte header is truncated there
+        lead = window + head_max - 33
+        blob = b"A" * lead + wide
+        p = tmp_path / "straddle.bam"
+        p.write_bytes(blob)
+        size = len(blob)
+        members = bam.scan_bgzf_ranges((str(p), 0, size, size))
+        assert members[0][0] == lead
+        assert members[-1][0] + members[-1][1] == size

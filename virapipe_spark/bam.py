@@ -595,6 +595,41 @@ def _member_at(data: bytes, off: int) -> tuple[int, int] | None:
     return None
 
 
+#: largest possible BGZF member header: 12 fixed bytes + 0xFFFF of
+#: FEXTRA. bgzip/htsjdk always write 18 (xlen=6, BC only), but the
+#: spec permits extra subfields — readers below honor the full walk.
+_HEAD_MAX = 12 + 0xFFFF
+
+
+def _member_truncated(data: bytes, off: int) -> bool:
+    """True iff ``data[off:]`` is a gzip-FEXTRA magic candidate whose
+    header extends past the end of ``data`` — i.e. more bytes could
+    turn :func:`_member_at`'s None into a hit. Distinguishes "invalid"
+    from "unverifiable here" so buffer-boundary scans re-read instead
+    of skipping a member whose FEXTRA straddles the window edge."""
+    n = len(data)
+    if data[off : off + 4] != b"\x1f\x8b\x08\x04"[: max(n - off, 0)]:
+        return False
+    if off + 12 > n:
+        return True
+    (xlen,) = struct.unpack_from("<H", data, off + 10)
+    return off + 12 + xlen > n
+
+
+def _read_member_head(fh, pos: int) -> tuple[int, int] | None:
+    """Read one member header at ``pos`` honoring the FEXTRA walk: 12
+    fixed bytes, then XLEN subfield bytes — so spec-legal members whose
+    extra field carries subfields beyond BC (xlen > 6) parse the same
+    as bgzip's fixed 18-byte headers. Returns (bsize, isize_off) or
+    None."""
+    fh.seek(pos)
+    head = fh.read(12)
+    if len(head) < 12 or head[:4] != b"\x1f\x8b\x08\x04":
+        return None
+    (xlen,) = struct.unpack_from("<H", head, 10)
+    return _member_at(head + fh.read(xlen), 0)
+
+
 def scan_bgzf_ranges(args):
     """Range task for the member-index pass: (path, start, end,
     file_size) -> list of (offset, bsize, isize) for every member
@@ -605,14 +640,19 @@ def scan_bgzf_ranges(args):
     path, start, end, file_size = args
     out = []
     with open(path, "rb") as fh:
-        # resync: find the first true member start at-or-after `start`
+        # resync: find the first true member start at-or-after `start`.
+        # The tail pad covers a maximal FEXTRA header, so any candidate
+        # inside the window validates without truncation; a candidate
+        # truncated in the pad region restarts the read at its own
+        # offset instead of being skipped.
         window = 1 << 16
         pos = None
         scan_from = start
         while scan_from < end and pos is None:
             fh.seek(scan_from)
-            buf = fh.read(window + 18)
+            buf = fh.read(window + _HEAD_MAX)
             i = 0
+            resume_at = None
             while True:
                 i = buf.find(b"\x1f\x8b\x08\x04", i)
                 if i < 0 or scan_from + i >= end:
@@ -623,19 +663,20 @@ def scan_bgzf_ranges(args):
                     if nxt == file_size:
                         pos = scan_from + i
                         break
-                    fh.seek(nxt)
-                    peek = fh.read(18)
-                    if _member_at(peek, 0) is not None:
+                    if _read_member_head(fh, nxt) is not None:
                         pos = scan_from + i
                         break
+                elif _member_truncated(buf, i) and i > 0:
+                    resume_at = scan_from + i
+                    break
                 i += 1
             if pos is None:
-                scan_from += window
+                scan_from = (
+                    resume_at if resume_at is not None else scan_from + window
+                )
         # chain member headers from the resync point
         while pos is not None and pos < end and pos < file_size:
-            fh.seek(pos)
-            head = fh.read(18)
-            m = _member_at(head, 0)
+            m = _read_member_head(fh, pos)
             if m is None:
                 raise ValueError(f"BGZF chain broken at {path}:{pos}")
             bsize, isize_off = m
@@ -718,9 +759,7 @@ def read_bam_header(path: str) -> tuple[int, list[tuple[str, int]]]:
 
         def more() -> bool:
             nonlocal pos
-            fh.seek(pos)
-            head = fh.read(18)
-            m = _member_at(head, 0)
+            m = _read_member_head(fh, pos)
             if m is None:
                 return False
             fh.seek(pos)
@@ -880,8 +919,7 @@ def _read_bam_split(spark: SparkSession, path: str, split_size: int) -> DataFram
                         nonlocal fpos
                         if fpos >= fsize:
                             return False
-                        fh.seek(fpos)
-                        m = _member_at(fh.read(18), 0)
+                        m = _read_member_head(fh, fpos)
                         if m is None:
                             return False
                         fh.seek(fpos)
