@@ -150,6 +150,41 @@ class TestDriverWindow:
         w11 = drive(11, names10)
         assert w11 == expect11
 
+    def test_rewritten_after_proof_ranks_after_never_proven(self):
+        """An entry rewritten after its latest driver proof must rank
+        0.5 — behind every never-proven entry (flip rounds own the full
+        window) but ahead of every valid proof — and self-heal once a
+        proof at-or-after the rewrite round exists (r8 VERDICT item 2)."""
+        proven = {"a": 7, "b": 3, "c": 9, "e": 7}
+        rewritten = {"a": 8, "d": 8, "e": 7}
+        # d: never proven -> 0; a: proof 7 < rewrite 8 -> 0.5;
+        # e: proof 7 >= rewrite 7 -> healed, ranks 7; b,c: plain proofs.
+        order = catalog._ranked(["a", "b", "c", "d", "e"], proven, rewritten)
+        assert order == ["d", "a", "b", "e", "c"]
+
+    def test_live_rewritten_entries_queue_directly_behind_the_window(self):
+        """The five r8-rewritten entries (REWRITTEN_IN) must exist in
+        the live catalog and — while their proofs predate the rewrite —
+        sort immediately after the never-proven block, so they re-prove
+        the first round with spare window slots."""
+        catalog.load_all()
+        assert set(catalog.REWRITTEN_IN) <= set(catalog.QUERIES)
+        proven = catalog._verified_rounds()
+        ordered = list(catalog.ordered_queries())
+        pending = sorted(
+            n
+            for n in catalog.REWRITTEN_IN
+            if 0 < proven.get(n, 0) < catalog.REWRITTEN_IN[n]
+        )
+        if not pending:
+            return  # all re-proven; nothing to queue
+        n_unproven = sum(1 for n in ordered if proven.get(n, 0) == 0)
+        block = ordered[n_unproven : n_unproven + len(pending)]
+        assert sorted(block) == pending, (
+            f"rewritten-after-proof entries not queued directly behind "
+            f"the never-proven block: expected {pending}, got {block}"
+        )
+
     def test_ordering_is_a_permutation_of_the_registry(self):
         catalog.load_all()
         assert list(catalog.ordered_queries().keys()) != []

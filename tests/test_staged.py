@@ -40,12 +40,20 @@ def test_staged_entries_promoted_into_live_catalog():
 #: code drift instead of data drift — a green driver row for the old
 #: plan says nothing about the new one, so the local compare re-arms
 #: until a driver row at-or-after the rewrite round exists, then
-#: self-retires again.
-_REWRITTEN_IN = {
-    # r8: single-pass aggregate rewrite (tools/ab_bloom_singlepass.py);
-    # last driver proof r7 covered the four-branch shape
-    "join_bloom_prefilter": 8,
-}
+#: self-retires again. Single source of truth: catalog.REWRITTEN_IN
+#: (which also demotes these entries in the driver-window ordering).
+#:
+#: GRANULARITY ASSUMPTION: the re-arm key is a ROUND number, so it
+#: relies on the driver writing CORRECTNESS_r{N} exactly once, at round
+#: start, BEFORE any round-N rewrites land. That holds for this driver
+#: (artifacts are written before the build session begins), which is
+#: why `proven[n] < rewrite_round` is safe: a round-N driver row always
+#: reflects pre-rewrite code, so a round-N rewrite must re-arm against
+#: it, and `proven[n] == N` with REWRITTEN_IN[n] == N would be a
+#: mis-retire only if rows could land mid-round. If driver rows ever
+#: do land mid-round, key this on the code SHA instead (record
+#: `git log -1 --format=%H -- <impl file>` alongside the proof).
+_REWRITTEN_IN = catalog.REWRITTEN_IN
 
 
 @pytest.fixture(scope="module")
@@ -467,3 +475,26 @@ def test_r10_promote_flips_them_live():
             catalog.QUERIES.pop(n, None)
             catalog.ORACLES.pop(n, None)
         st.R10_PROMOTED = False
+
+
+def test_bloom_prefilter_empty_probe_matches_oracle_contract(spark, tmp_path):
+    """r9 ADVICE: F.sum over zero rows is NULL, but the four-branch
+    predecessor and the DuckDB oracle both return 0 counts and TRUE
+    no_false_negatives on an empty probe set — the single-pass rewrite
+    must coalesce to keep that contract (relational.py)."""
+    sf = str(tmp_path)
+    for t in ("orders", "lineitem"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
+    catalog.load_all()
+    row = catalog.QUERIES["join_bloom_prefilter"](spark, sf).collect()
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert r == {
+        "n_probe_keys": 0,
+        "n_candidates": 0,
+        "n_exact": 0,
+        "n_false_pos": 0,
+        "no_false_negatives": True,
+    }

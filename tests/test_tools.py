@@ -86,3 +86,95 @@ class TestMegahit:
         # multi-line sequence concatenated; trailing record flushed by
         # the sentinel even with trailing junk after it
         assert rows["k141_2"] == "TTGGCC" + "AATT"
+
+
+# ---------------------------------------------------------------------------
+# Real-binary smokes (r8 VERDICT item 6): the ONLY tests allowed to shell
+# out, and only when the tool is actually on PATH — this container ships
+# none of them, so each skips with a reason here, but on a host with the
+# bioinformatics stack installed the subprocess leg of ExternalTool gets
+# exercised against the genuine argv at least once.
+# ---------------------------------------------------------------------------
+
+import shutil
+import subprocess
+
+
+def _require(*names: str) -> None:
+    import pytest
+
+    missing = [n for n in names if shutil.which(n) is None]
+    if missing:
+        pytest.skip(f"real binaries not installed: {', '.join(missing)}")
+
+
+def _ref_seq(n: int = 300) -> str:
+    import random
+
+    return "".join(random.Random(0).choice("ACGT") for _ in range(n))
+
+
+class TestRealBinaries:
+    def test_real_blastn_smoke(self, spark, tmp_path):
+        """makeblastdb a 300 bp pseudo-random reference, then run the
+        REAL blastn stage over a contig copied verbatim from it — a
+        hit is guaranteed (dust off), and it must parse into typed
+        BLAST_HITS rows."""
+        _require("blastn", "makeblastdb")
+        ref = _ref_seq()
+        fa = tmp_path / "ref.fa"
+        fa.write_text(f">ref1\n{ref}\n")
+        subprocess.run(
+            ["makeblastdb", "-in", str(fa), "-dbtype", "nucl",
+             "-out", str(tmp_path / "db")],
+            check=True, capture_output=True,
+        )
+        contigs = spark.createDataFrame(
+            [("c1", ref[50:150])], "id string, sequence string"
+        )
+        hits = tools.blastn(
+            str(tmp_path / "db"), extra_args=["-dust", "no"]
+        )(contigs).collect()
+        assert hits and hits[0]["qseqid"] == "c1"
+        assert hits[0]["pident"] == 100.0 and hits[0]["length"] >= 100
+
+    def test_real_bwa_smoke(self, spark, tmp_path):
+        """bwa index + the REAL `bwa mem -p` stage over one proper
+        read pair drawn from the reference; both mates must come back
+        mapped with their bases intact."""
+        _require("bwa")
+        comp = str.maketrans("ACGT", "TGCA")
+        ref = _ref_seq()
+        fa = tmp_path / "ref.fa"
+        fa.write_text(f">ref1\n{ref}\n")
+        subprocess.run(
+            ["bwa", "index", str(fa)], check=True, capture_output=True
+        )
+        r1, r2 = ref[60:160], ref[140:240].translate(comp)[::-1]
+        reads = spark.createDataFrame(
+            [("p1/1", r1, "I" * 100), ("p1/2", r2, "I" * 100)],
+            "key string, sequence string, quality string",
+        ).coalesce(1)
+        rows = tools.bwa_align(str(fa))(reads).collect()
+        assert len(rows) >= 2
+        assert all(not r["readUnmapped"] for r in rows)
+        assert {r["bases"] for r in rows if r["bases"]} & {r1, r2}
+
+    def test_real_hmmsearch_smoke(self, spark, tmp_path):
+        """hmmbuild a single-sequence profile, then the REAL hmmsearch
+        stage over contigs carrying that very protein — the tblout leg
+        must parse into (target, query, evalue, score) rows."""
+        _require("hmmsearch", "hmmbuild")
+        prot = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQAPILSRVGDGTQDNLSGAEKAVQ"
+        msa = tmp_path / "seed.fa"
+        msa.write_text(f">seed1\n{prot}\n")
+        subprocess.run(
+            ["hmmbuild", "--amino", str(tmp_path / "p.hmm"), str(msa)],
+            check=True, capture_output=True,
+        )
+        contigs = spark.createDataFrame(
+            [("t1", prot)], "id string, sequence string"
+        )
+        rows = tools.hmmsearch(str(tmp_path / "p.hmm"))(contigs).collect()
+        assert rows and rows[0]["target"] == "t1"
+        assert rows[0]["score"] > 0

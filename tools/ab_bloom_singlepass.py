@@ -122,6 +122,9 @@ def main() -> None:
                   join_bloom_prefilter(spark, SF).schema.fields]
     print("schema old:", old_schema)
     print("schema new:", new_schema)
+    if old_schema != new_schema:
+        print("REJECT: schema differs")
+        sys.exit(1)
 
     times = {"old": [], "new": []}
     run(four_branch, spark)  # warm

@@ -329,19 +329,49 @@ def _verified_rounds(root: str | None = None) -> dict[str, int]:
 STALE_SUSPECT = frozenset({"window_lag_gap", "window_time_range_avg"})
 _DRIFT_ROUND = 4
 
+#: The STALE_SUSPECT principle applied to CODE drift instead of data
+#: drift: entries whose implementation was REWRITTEN after their latest
+#: driver proof (name -> rewrite round). A green driver row proves the
+#: plan that ran that round; a proof older than the rewrite says nothing
+#: about the current code, so :func:`_ranked` demotes such an entry to
+#: rank 0.5 — after the never-proven block (which must fully own each
+#: flip round's 50-slot window) but before every stale-but-valid proof,
+#: so it re-enters the window the first round with spare slots. Self-
+#: healing: once a driver row at-or-after the rewrite round exists the
+#: entry ranks by that round again; no manual cleanup. The local pooled
+#: compare (tests/test_staged.py) re-arms off this same table.
+REWRITTEN_IN: dict[str, int] = {
+    # r8: single-pass aggregate rewrite (tools/ab_bloom_singlepass.py);
+    # the r7 driver proof covered the retired four-branch shape.
+    "join_bloom_prefilter": 8,
+    # r8: bam.py rewrite — numpy-vectorized record decode, multi-member
+    # BGZF fix, spec-correct variable-length FEXTRA walks at every read
+    # site. Proofs from r4-r7 covered the old decoder.
+    "bam_scan_roundtrip": 8,
+    "bam_split_scan_roundtrip": 8,
+    "bam_write_roundtrip": 8,
+    "sam_scan_roundtrip": 8,
+}
 
-def _ranked(names, proven: dict[str, int]) -> list[str]:
+
+def _ranked(
+    names, proven: dict[str, int], rewritten: dict[str, int] | None = None
+) -> list[str]:
     """The window ordering, as a pure function: ``names`` in
     registration order, ``proven`` from :func:`_verified_rounds`.
     Factored out of :func:`ordered_queries` so the rounds-8..11
     flip/window simulation (tests/test_catalog.py) exercises the REAL
     sort against synthetic artifact histories."""
+    if rewritten is None:
+        rewritten = REWRITTEN_IN
 
-    def rank(n: str) -> int:
+    def rank(n: str) -> float:
         r = proven.get(n, 0)
         if n in STALE_SUSPECT and r <= _DRIFT_ROUND:
-            return 0
-        return r
+            return 0.0
+        if 0 < r < rewritten.get(n, 0):
+            return 0.5  # proof predates the rewrite: re-prove next
+        return float(r)
 
     return sorted(names, key=rank)
 

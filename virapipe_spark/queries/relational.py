@@ -1927,13 +1927,20 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = per_key.join(
         build.withColumn("in_build", F.lit(True)), "k", "left"
     ).select("is_cand", F.col("in_build").isNotNull().alias("is_exact"))
+    # coalesce(sum, 0): on an empty probe set F.sum yields NULL, but the
+    # four-branch predecessor and the DuckDB oracle both return 0 counts
+    # (and true no_false_negatives, 0 == 0) — keep that contract.
     agg = flagged.agg(
         F.count("*").alias("n_probe_keys"),
-        F.sum(F.col("is_cand").cast("long")).alias("n_candidates"),
-        F.sum(F.col("is_exact").cast("long")).alias("n_exact"),
-        F.sum((F.col("is_cand") & F.col("is_exact")).cast("long")).alias(
-            "n_exact_in_cand"
+        F.coalesce(F.sum(F.col("is_cand").cast("long")), F.lit(0)).alias(
+            "n_candidates"
         ),
+        F.coalesce(F.sum(F.col("is_exact").cast("long")), F.lit(0)).alias(
+            "n_exact"
+        ),
+        F.coalesce(
+            F.sum((F.col("is_cand") & F.col("is_exact")).cast("long")), F.lit(0)
+        ).alias("n_exact_in_cand"),
     )
     return agg.select(
         "n_probe_keys",
