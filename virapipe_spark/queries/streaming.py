@@ -6433,26 +6433,34 @@ def events_viterbi_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint, so two engines MUST agree). Instead of decoding by
     backtracking (a second sequential pass storing argmins), the MAP
     state at day d comes from the FORWARD-BACKWARD min-sum identity:
-    best-path-cost-through-(d,s) = fwd(d,s) + bwd(d,s) - emis(d,s) is
-    minimized, per day, by the state the optimal path visits — and
-    least(f+b) collapses to the SAME global optimum at every day, an
-    invariant the hash check enforces 30 times over (the emitted
-    path_cost column must be constant). The state frame is ONE ROW
-    wide (dp_lo, dp_hi columns), so each of the 2(n-1) rounds is a
-    one-row join — control-plane arithmetic, the GS/misra-gries round
-    shape. The twin test runs classic backtracking Viterbi and
-    asserts our state sequence achieves exactly the optimal cost
-    (robust to ties between co-optimal paths).
+    fwd(d,s) + bwd(d,s) is minimized, per day, by the state the
+    optimal path visits — and least(f+b) collapses to the SAME global
+    optimum at every day, an invariant the hash check enforces 30
+    times over (the emitted path_cost column must be constant). The
+    daily series is CALENDAR-sized — one row per day by construction,
+    tiny forever — so after the one data-sized pass (the daily count
+    aggregate) the whole decode collapses into a single row: the
+    series collects into one sorted array and the forward and
+    backward recurrences each run as ONE `aggregate` fold over it,
+    then a transform + explode emits the per-day MAP row. Zero
+    iteration rounds in the plan. (r9's first cut ran 2(n-1) one-row
+    crossJoin rounds with periodic eager checkpoints — preserved in
+    git history; correct, but 58 stages and ~3x slower for a decode
+    whose state is two bigints.) The single-row collect_list is
+    control-plane-sized — the t-digest sketch-collect exemption
+    class, not a data collect. The twin test runs classic
+    backtracking Viterbi and asserts our state sequence achieves
+    exactly the optimal cost (robust to ties between co-optimal
+    paths). The ORACLE keeps the unrolled per-day CTE chain, so the
+    engines share only the recurrence.
 
-    Scale: the daily aggregate is the only data-sized pass; rounds
-    scale with the CALENDAR, not events (the stable-matching
-    precedent); per round one one-row equi-join on the day index.
-    Long horizons block into per-shard decodes with boundary-state
-    stitching — the standard parallel-Viterbi refinement.
+    Scale: the daily aggregate is the only data-sized pass; the fold
+    length scales with the CALENDAR, not events. Long horizons block
+    into per-shard decodes with boundary-state stitching — the
+    standard parallel-Viterbi refinement.
 
     Reference capability class: sequence-state analytics over events
     (changepoint/CUSUM family — this is its MAP-decoding member)."""
-    n = _VIT_DAYS
     e = table(spark, sf_dir, "events")
     cnt = (
         e.select(
@@ -6496,81 +6504,68 @@ def events_viterbi_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("x") - F.col("hi")).alias("e_hi"),
         ((F.col("hi") - F.col("lo") + 1) / 2).cast("long").alias("tau"),
     )
-    ew = truncate_lineage(ew, eager=True, reliable=True)
-    fwd_frames = []
-    st = ew.filter(F.col("d") == 0).select(
-        "d", F.col("e_lo").alias("f_lo"), F.col("e_hi").alias("f_hi")
+    arr = ew.agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "day", "x", "e_lo", "e_hi", "tau"))
+        ).alias("a")
     )
-    fwd_frames.append(st)
-    for d in range(1, n):
-        ed = ew.filter(F.col("d") == d).select(
-            F.col("d").alias("nd"), "e_lo", "e_hi", "tau"
-        )
-        st = st.crossJoin(F.broadcast(ed)).select(
-            F.col("nd").alias("d"),
-            (
-                F.col("e_lo")
-                + F.least(F.col("f_lo"), F.col("f_hi") + F.col("tau"))
-            ).alias("f_lo"),
-            (
-                F.col("e_hi")
-                + F.least(F.col("f_hi"), F.col("f_lo") + F.col("tau"))
-            ).alias("f_hi"),
-        )
-        if d % 5 == 0:
-            st = truncate_lineage(st, eager=True, reliable=True)
-        fwd_frames.append(st)
-    bwd_frames = []
-    st = ew.filter(F.col("d") == n - 1).select(
-        "d",
-        F.lit(0).cast("long").alias("b_lo"),
-        F.lit(0).cast("long").alias("b_hi"),
-    )
-    bwd_frames.append(st)
-    for d in range(n - 2, -1, -1):
-        en = ew.filter(F.col("d") == d + 1).select(
-            F.col("e_lo").alias("ne_lo"),
-            F.col("e_hi").alias("ne_hi"),
-            "tau",
-        )
-        st = st.crossJoin(F.broadcast(en)).select(
-            F.lit(d).cast("long").alias("d"),
-            F.least(
-                F.col("b_lo") + F.col("ne_lo"),
-                F.col("b_hi") + F.col("ne_hi") + F.col("tau"),
-            ).alias("b_lo"),
-            F.least(
-                F.col("b_hi") + F.col("ne_hi"),
-                F.col("b_lo") + F.col("ne_lo") + F.col("tau"),
-            ).alias("b_hi"),
-        )
-        if d % 5 == 0:
-            st = truncate_lineage(st, eager=True, reliable=True)
-        bwd_frames.append(st)
-    fwd = fwd_frames[0]
-    for fr in fwd_frames[1:]:
-        fwd = fwd.unionAll(fr)
-    bwd = bwd_frames[0]
-    for fr in bwd_frames[1:]:
-        bwd = bwd.unionAll(fr)
+    fwd = """
+    aggregate(sequence(2, size(a)),
+      array(named_struct('f_lo', element_at(a, 1).e_lo,
+                         'f_hi', element_at(a, 1).e_hi)),
+      (acc, k) -> concat(acc, array(named_struct(
+        'f_lo', element_at(a, k).e_lo
+          + least(element_at(acc, k - 1).f_lo,
+                  element_at(acc, k - 1).f_hi + element_at(a, k).tau),
+        'f_hi', element_at(a, k).e_hi
+          + least(element_at(acc, k - 1).f_hi,
+                  element_at(acc, k - 1).f_lo + element_at(a, k).tau)))))
+    """
+    # built in reverse day order (a fold can only append), then
+    # reversed; tau is read at day d to mirror the oracle's e.tau.
+    bwd = """
+    reverse(aggregate(sequence(2, size(a)),
+      array(named_struct('b_lo', cast(0 as bigint),
+                         'b_hi', cast(0 as bigint))),
+      (acc, k) -> concat(acc, array(named_struct(
+        'b_lo', least(element_at(acc, k - 1).b_lo
+                        + element_at(a, size(a) - k + 2).e_lo,
+                      element_at(acc, k - 1).b_hi
+                        + element_at(a, size(a) - k + 2).e_hi
+                        + element_at(a, size(a) - k + 1).tau),
+        'b_hi', least(element_at(acc, k - 1).b_hi
+                        + element_at(a, size(a) - k + 2).e_hi,
+                      element_at(acc, k - 1).b_lo
+                        + element_at(a, size(a) - k + 2).e_lo
+                        + element_at(a, size(a) - k + 1).tau))))))
+    """
     return (
-        ew.join(fwd, "d")
-        .join(bwd, "d")
+        arr.select("a", F.expr(fwd).alias("f"), F.expr(bwd).alias("b"))
         .select(
-            "day",
-            "x",
-            F.when(
-                F.col("f_lo") + F.col("b_lo")
-                <= F.col("f_hi") + F.col("b_hi"),
-                "lo",
-            )
-            .otherwise("hi")
-            .alias("map_state"),
-            F.least(
-                F.col("f_lo") + F.col("b_lo"),
-                F.col("f_hi") + F.col("b_hi"),
-            )
-            .cast("long")
-            .alias("path_cost"),
+            F.explode(
+                F.expr(
+                    """
+                    transform(sequence(1, size(a)), m -> named_struct(
+                      'day', element_at(a, m).day,
+                      'x', element_at(a, m).x,
+                      'map_state',
+                        IF(element_at(f, m).f_lo + element_at(b, m).b_lo
+                           <= element_at(f, m).f_hi
+                              + element_at(b, m).b_hi,
+                           'lo', 'hi'),
+                      'path_cost',
+                        least(element_at(f, m).f_lo
+                                + element_at(b, m).b_lo,
+                              element_at(f, m).f_hi
+                                + element_at(b, m).b_hi)))
+                    """
+                )
+            ).alias("z")
+        )
+        .select(
+            F.col("z.day").alias("day"),
+            F.col("z.x").alias("x"),
+            F.col("z.map_state").alias("map_state"),
+            F.col("z.path_cost").cast("long").alias("path_cost"),
         )
     )
