@@ -7829,25 +7829,34 @@ def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol frequencies are ONE distributed aggregate over the corpus
     (the 100 TB part — this is the pass a real encoder fans out), and
     the tree build is the textbook 15-merge loop over a 16-symbol
-    alphabet, run IN-PLAN on a 16-row frame (the BPE merge-step
-    precedent, chained): per round one cluster-sum, one deterministic
-    two-smallest pick ((freq, min-symbol) tie-break, so equal-weight
-    merges are engine-independent), one conditional relabel; a
-    symbol's code length is exactly the number of merges its cluster
-    survived. The KRAFT EQUALITY — sum over symbols of 2^-len = 1,
-    the theorem a valid complete prefix code must satisfy — is
-    emitted as exact shifted integers (kraft_term = 2^(20-len),
-    kraft_ok = their sum hitting 2^20 exactly), so optimality
-    bookkeeping is itself hash-checked; the twin test additionally
-    proves minimality against python heapq Huffman (equal weighted
-    length, the canonical-ambiguity-free invariant).
+    alphabet — an ALPHABET-sized object, so it folds inside a single
+    row: the frequency table collects into one sorted array
+    (control-plane-sized, the sketch-collect exemption class) and one
+    `aggregate` runs the 15 merges, each round re-deriving the
+    cluster table (cf, min-symbol) from the state, array_sort-picking
+    the two smallest by the engine-independent (freq, min-symbol)
+    tie-break (struct ordering), and relabeling members to the
+    smaller cluster id with len+1 — a symbol's code length is exactly
+    the number of merges its cluster survived. The single-element
+    `transform(array(...), two -> ...)` wrapper is a let-binding
+    emulation so the two-smallest pick is computed once per round.
+    (r9's first cut ran the loop in-plan over a 16-row FRAME — 15
+    rounds of groupBy + two windows + join with periodic reliable
+    checkpoints, preserved in git history; correct and equally
+    control-plane-sized, but ~45 plan stages for arithmetic on 16
+    values.) The KRAFT EQUALITY — sum over symbols of 2^-len = 1, the
+    theorem a valid complete prefix code must satisfy — is emitted as
+    exact shifted integers (kraft_term = 2^(20-len), kraft_ok = their
+    sum hitting 2^20 exactly), so optimality bookkeeping is itself
+    hash-checked; the twin test additionally proves minimality
+    against python heapq Huffman (equal weighted length, the
+    canonical-ambiguity-free invariant). The ORACLE keeps the
+    unrolled 15-CTE merge chain — independent evaluation order.
 
     Scale: frequency counting is a fused explode->groupBy with
-    map-side combine (alphabet-bounded result); the merge loop's
-    per-round work is O(alphabet) rows regardless of corpus size —
-    byte alphabets mean 255 rounds of 256-row frames, still
-    control-plane-sized. Eager lineage cuts every 3 rounds (the
-    wavefront lesson).
+    map-side combine (alphabet-bounded result); the merge fold is
+    O(alphabet^2 * rounds) scalar ops on one row — byte alphabets
+    mean 255 merges over 256 entries, still microseconds.
 
     Reference capability class: corpus statistics / compression
     modeling (docs_compression_ratio's analytical counterpart)."""
@@ -7864,64 +7873,58 @@ def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     syms = spark.createDataFrame(
         [(c,) for c in "0123456789abcdef"], "sym string"
     )
-    st = syms.join(freq, "sym", "left").select(
-        "sym",
-        F.coalesce("f", F.lit(0)).cast("long").alias("f"),
-        F.col("sym").alias("cluster"),
-        F.lit(0).cast("long").alias("len"),
+    arr = (
+        syms.join(freq, "sym", "left")
+        .select("sym", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
+        .agg(F.sort_array(F.collect_list(F.struct("sym", "f"))).alias("s0"))
     )
-    st = truncate_lineage(st, eager=True, reliable=True)
-    for r in range(1, _HUF_ROUNDS + 1):
-        cf = st.groupBy("cluster").agg(
-            F.sum("f").alias("cf"), F.min("sym").alias("msym")
+    fold = """
+    aggregate(sequence(1, 15),
+      transform(s0, x -> named_struct('sym', x.sym, 'f', x.f,
+                                      'cluster', x.sym,
+                                      'len', cast(0 as bigint))),
+      (st, r) -> element_at(transform(array(
+          slice(array_sort(transform(
+            array_distinct(transform(st, x -> x.cluster)),
+            c -> named_struct(
+              'cf', aggregate(filter(st, x -> x.cluster = c),
+                              cast(0 as bigint), (s, x) -> s + x.f),
+              'msym', array_min(transform(filter(st, x -> x.cluster = c),
+                                          x -> x.sym)),
+              'cluster', c))), 1, 2)), two ->
+        transform(st, x ->
+          IF(x.cluster = element_at(two, 1).cluster
+             OR x.cluster = element_at(two, 2).cluster,
+             named_struct('sym', x.sym, 'f', x.f,
+               'cluster', least(element_at(two, 1).cluster,
+                                element_at(two, 2).cluster),
+               'len', x.len + 1),
+             x))), 1))
+    """
+    return (
+        arr.select(F.explode(F.expr(fold)).alias("z"))
+        .select(
+            F.col("z.sym").alias("sym"),
+            F.col("z.f").alias("freq"),
+            F.col("z.len").cast("long").alias("code_len"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - z.len AS INT))")
+            .cast("long")
+            .alias("kraft_term"),
         )
-        pk = (
-            cf.withColumn(
-                "rn", F.row_number().over(W.orderBy("cf", "msym"))
-            )
-            .filter(F.col("rn") <= 2)
-            .select(
-                "cluster",
-                F.min("cluster")
-                .over(
+        .withColumn(
+            "kraft_ok",
+            F.when(
+                F.sum("kraft_term").over(
                     W.orderBy().rowsBetween(
                         W.unboundedPreceding, W.unboundedFollowing
                     )
                 )
-                .alias("newc"),
+                == 1048576,
+                1,
             )
+            .otherwise(0)
+            .cast("long"),
         )
-        st = st.join(pk, "cluster", "left").select(
-            "sym",
-            "f",
-            F.coalesce("newc", F.col("cluster")).alias("cluster"),
-            (
-                F.col("len")
-                + F.when(F.col("newc").isNotNull(), 1).otherwise(0)
-            ).alias("len"),
-        )
-        if r % 3 == 0:
-            st = truncate_lineage(st, eager=True, reliable=True)
-    return st.select(
-        "sym",
-        F.col("f").alias("freq"),
-        F.col("len").cast("long").alias("code_len"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - len AS INT))")
-        .cast("long")
-        .alias("kraft_term"),
-    ).withColumn(
-        "kraft_ok",
-        F.when(
-            F.sum("kraft_term").over(
-                W.orderBy().rowsBetween(
-                    W.unboundedPreceding, W.unboundedFollowing
-                )
-            )
-            == 1048576,
-            1,
-        )
-        .otherwise(0)
-        .cast("long"),
     )
 
 
