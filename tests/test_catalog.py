@@ -178,8 +178,20 @@ class TestDriverWindow:
         )
         if not pending:
             return  # all re-proven; nothing to queue
-        n_unproven = sum(1 for n in ordered if proven.get(n, 0) == 0)
-        block = ordered[n_unproven : n_unproven + len(pending)]
+        # the rank-0 block is never-proven PLUS any STALE_SUSPECT entry
+        # whose proof predates the drift round — count it the way
+        # _ranked does, or a future stale re-proof would shift the
+        # slice and fail this test spuriously (r9 review)
+        n_zero = sum(
+            1
+            for n in ordered
+            if proven.get(n, 0) == 0
+            or (
+                n in catalog.STALE_SUSPECT
+                and proven.get(n, 0) <= catalog._DRIFT_ROUND
+            )
+        )
+        block = ordered[n_zero : n_zero + len(pending)]
         assert sorted(block) == pending, (
             f"rewritten-after-proof entries not queued directly behind "
             f"the never-proven block: expected {pending}, got {block}"

@@ -498,3 +498,52 @@ def test_bloom_prefilter_empty_probe_matches_oracle_contract(spark, tmp_path):
         "n_false_pos": 0,
         "no_false_negatives": True,
     }
+
+
+def test_viterbi_empty_and_single_day_inputs_emit_zero_rows(spark, tmp_path):
+    """r9 review: with 0 days the fold init's element_at(a, 1) would
+    throw under ANSI, and with 1 day sequence(2, 1) DESCENDS into
+    out-of-range lookups. Both the retired crossJoin-round shape and
+    the oracle emit 0 rows for those inputs; the size(a) >= 2 guard
+    must reproduce that, not crash."""
+    catalog.load_all()
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    one_day = src.orderBy("ts").limit(5)
+    for name, df in (("empty", src.limit(0)), ("oneday", one_day)):
+        sf = str(tmp_path / name)
+        df.write.parquet(f"{sf}/events.parquet")
+        from virapipe_spark.queries.staged import STAGED_R10 as g10
+
+        fn = (
+            catalog.QUERIES.get("events_viterbi_burst")
+            or g10["events_viterbi_burst"][0]
+        )
+        out = fn(spark, sf).collect()
+        assert out == [], f"{name}: expected 0 rows, got {len(out)}"
+
+
+def test_cdc_eight_char_doc_matches_oracle(spark, tmp_path, con):
+    """r9 review: at len(text) == 8 the boundary-candidate range
+    [2, len-7] = [2, 1] is empty in DuckDB (generate_series) but
+    DESCENDING in Spark (sequence default step -1) — the >= 9 filter
+    must keep the engines bit-identical on such docs."""
+    catalog.load_all()
+    texts = ["0a2b4c6d", "xyz", "exactly 8"[:8], "a" * 40]
+    rows = [
+        (i + 1, t, "en", "synthetic", len(t)) for i, t in enumerate(texts)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int"
+    ).write.parquet(f"{sf}/documents.parquet")
+    sdf = catalog.QUERIES["docs_cdc_chunk_dedup"](spark, sf).toPandas()
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf}/documents.parquet/*.parquet'"
+    )
+    ddf = c.execute(catalog.ORACLES["docs_cdc_chunk_dedup"]).df()
+    c.close()
+    problems = compare_frames(sdf, ddf)
+    assert not problems, problems

@@ -6515,8 +6515,13 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated count — the exact_dedup cost model at chunk
     grain. Mergeable: per-shard chunk stores union by hash."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # >= 9, not >= 8: at length 8 the candidate range [2, len-7] = [2, 1]
+    # is EMPTY in the oracle (generate_series(2, 1) -> no rows) but
+    # Spark's sequence(2, 1) DESCENDS ([2, 1], default step -1), which
+    # would fabricate a doc-start duplicate and a truncated 7-char
+    # window — a cross-engine divergence on 8-char docs (r9 review).
     bpos = (
-        d.filter(F.length("text") >= 8)
+        d.filter(F.length("text") >= 9)
         .select(
             "doc_id",
             "text",
@@ -7878,8 +7883,8 @@ def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sym", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
         .agg(F.sort_array(F.collect_list(F.struct("sym", "f"))).alias("s0"))
     )
-    fold = """
-    aggregate(sequence(1, 15),
+    fold = f"""
+    aggregate(sequence(1, {_HUF_ROUNDS}),
       transform(s0, x -> named_struct('sym', x.sym, 'f', x.f,
                                       'cluster', x.sym,
                                       'len', cast(0 as bigint))),

@@ -2833,11 +2833,17 @@ def multimodal_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unrolled CTE chain, not the engine."""
     n = _DTW_N
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 401)
+    # md5 hoisted out of the lambda: Catalyst does not lift
+    # lambda-invariant subexpressions, so hashing inside transform
+    # would re-digest the full text once per frame (r9 review).
     frames = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+    ).select(
         "doc_id",
         F.expr(
             f"transform(sequence(1, {n}),"
-            " g -> cast(ascii(substr(md5(text), g, 1)) as bigint))"
+            " g -> cast(ascii(substr(h, g, 1)) as bigint))"
         ).alias("v"),
     )
     ea = frames.filter(

@@ -6504,11 +6504,16 @@ def events_viterbi_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("x") - F.col("hi")).alias("e_hi"),
         ((F.col("hi") - F.col("lo") + 1) / 2).cast("long").alias("tau"),
     )
+    # size >= 2: with 0 days element_at(a, 1) in the fold init throws
+    # under ANSI, and with 1 day sequence(2, 1) DESCENDS (default step
+    # -1) into out-of-range lookups; both the retired crossJoin-round
+    # shape and the oracle emit 0 rows for those inputs (the bwd chain
+    # is empty), so the filter reproduces legacy semantics exactly.
     arr = ew.agg(
         F.sort_array(
             F.collect_list(F.struct("d", "day", "x", "e_lo", "e_hi", "tau"))
         ).alias("a")
-    )
+    ).filter(F.size("a") >= 2)
     fwd = """
     aggregate(sequence(2, size(a)),
       array(named_struct('f_lo', element_at(a, 1).e_lo,

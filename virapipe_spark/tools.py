@@ -126,8 +126,11 @@ def hmmsearch(
         except ValueError:
             return None
 
+    # -o /dev/null: without it the human-readable report shares stdout
+    # with --tblout and its score lines parse as bogus rows (their
+    # fields pass the len>=6 + float checks) ahead of the tblout rows.
     return ExternalTool(
-        ["hmmsearch", "--tblout", "/dev/stdout", hmm_db, "-"],
+        ["hmmsearch", "-o", "/dev/null", "--tblout", "/dev/stdout", hmm_db, "-"],
         _fasta_row,
         parse,
         schema,
