@@ -7827,6 +7827,39 @@ def _huffman_oracle() -> str:
     """
 
 
+
+def _huffman_fold_expr(rounds: int) -> str:
+    """The Huffman merge fold over the single-row (sym, f) array `s0`:
+    each round re-derives the cluster table, picks the two lightest by
+    the engine-independent (freq, min-symbol) struct order, and
+    relabels members with len+1. The single-element transform is the
+    let-binding emulation (QUIRKS #11). Module-level so the tie-heavy
+    property tests can drive it with literal distributions."""
+    return f"""
+    aggregate(sequence(1, {rounds}),
+      transform(s0, x -> named_struct('sym', x.sym, 'f', x.f,
+                                      'cluster', x.sym,
+                                      'len', cast(0 as bigint))),
+      (st, r) -> element_at(transform(array(
+          slice(array_sort(transform(
+            array_distinct(transform(st, x -> x.cluster)),
+            c -> named_struct(
+              'cf', aggregate(filter(st, x -> x.cluster = c),
+                              cast(0 as bigint), (s, x) -> s + x.f),
+              'msym', array_min(transform(filter(st, x -> x.cluster = c),
+                                          x -> x.sym)),
+              'cluster', c))), 1, 2)), two ->
+        transform(st, x ->
+          IF(x.cluster = element_at(two, 1).cluster
+             OR x.cluster = element_at(two, 2).cluster,
+             named_struct('sym', x.sym, 'f', x.f,
+               'cluster', least(element_at(two, 1).cluster,
+                                element_at(two, 2).cluster),
+               'len', x.len + 1),
+             x))), 1))
+    """
+
+
 @staged_r10("docs_huffman_lengths", oracle=_huffman_oracle())
 def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HUFFMAN CODE CONSTRUCTION — the optimal-prefix-code primitive
@@ -7883,29 +7916,7 @@ def docs_huffman_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sym", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
         .agg(F.sort_array(F.collect_list(F.struct("sym", "f"))).alias("s0"))
     )
-    fold = f"""
-    aggregate(sequence(1, {_HUF_ROUNDS}),
-      transform(s0, x -> named_struct('sym', x.sym, 'f', x.f,
-                                      'cluster', x.sym,
-                                      'len', cast(0 as bigint))),
-      (st, r) -> element_at(transform(array(
-          slice(array_sort(transform(
-            array_distinct(transform(st, x -> x.cluster)),
-            c -> named_struct(
-              'cf', aggregate(filter(st, x -> x.cluster = c),
-                              cast(0 as bigint), (s, x) -> s + x.f),
-              'msym', array_min(transform(filter(st, x -> x.cluster = c),
-                                          x -> x.sym)),
-              'cluster', c))), 1, 2)), two ->
-        transform(st, x ->
-          IF(x.cluster = element_at(two, 1).cluster
-             OR x.cluster = element_at(two, 2).cluster,
-             named_struct('sym', x.sym, 'f', x.f,
-               'cluster', least(element_at(two, 1).cluster,
-                                element_at(two, 2).cluster),
-               'len', x.len + 1),
-             x))), 1))
-    """
+    fold = _huffman_fold_expr(_HUF_ROUNDS)
     return (
         arr.select(F.explode(F.expr(fold)).alias("z"))
         .select(

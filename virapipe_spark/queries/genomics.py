@@ -1727,6 +1727,49 @@ def _sw_oracle() -> str:
     """
 
 
+
+def _sw_best_expr(n: int) -> str:
+    """The pair-local Smith-Waterman fold over string columns
+    ``ha``/``hb`` of length ``n``, returning the struct-ordered argmax
+    (-H, i, j) over the full H matrix. Module-level so the tie-heavy
+    property tests (tests/test_fold_properties) can drive it with
+    literal sequences. Lazy-IF-free: greatest's 0-floor IS the
+    Smith-Waterman boundary condition for missing predecessors."""
+    sij = (
+        f"IF(substr(ha, i, 1) = substr(hb, j, 1),"
+        f" cast({_SW_MATCH} as bigint), cast({_SW_MISMATCH} as bigint))"
+    )
+    s11 = sij.replace("ha, i", "ha, 1").replace("hb, j", "hb, 1")
+    s1j = sij.replace("ha, i", "ha, 1")
+    si1 = sij.replace("hb, j", "hb, 1")
+    # column j=1: H(i,1) = max(0, s(i,1), H(i-1,1) - gap)
+    col1 = f"""
+    aggregate(sequence(2, {n}),
+      array(greatest(cast(0 as bigint), {s11})),
+      (acc, i) -> concat(acc, array(greatest(cast(0 as bigint), {si1},
+          element_at(acc, i - 1) - {_SW_GAP}))))
+    """
+    # outer fold appends column j built from column j-1 (diag/up) and
+    # its growing self (left)
+    hmat = f"""
+    aggregate(sequence(2, {n}),
+      array({col1}),
+      (cols, j) -> concat(cols, array(
+        aggregate(sequence(2, {n}),
+          array(greatest(cast(0 as bigint), {s1j},
+              element_at(element_at(cols, j - 1), 1) - {_SW_GAP})),
+          (acc, i) -> concat(acc, array(greatest(cast(0 as bigint),
+              element_at(element_at(cols, j - 1), i - 1) + {sij},
+              element_at(element_at(cols, j - 1), i) - {_SW_GAP},
+              element_at(acc, i - 1) - {_SW_GAP})))))))
+    """
+    return f"""
+    array_min(flatten(transform({hmat}, (colj, jj) ->
+      transform(colj, (v, ii) -> named_struct(
+        'nh', -v, 'i', cast(ii as bigint), 'j', cast(jj as bigint))))))
+    """
+
+
 @staged_r10("reads_smith_waterman", oracle=_sw_oracle())
 def reads_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SMITH-WATERMAN LOCAL ALIGNMENT — the scoring core of BLAST's
@@ -1779,40 +1822,7 @@ def reads_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = seqs.filter(F.col("doc_id") % 2 == 1).select(
         (F.col("doc_id") - 1).alias("pair"), F.col("h").alias("hb")
     )
-    sij = (
-        f"IF(substr(ha, i, 1) = substr(hb, j, 1),"
-        f" cast({_SW_MATCH} as bigint), cast({_SW_MISMATCH} as bigint))"
-    )
-    s11 = sij.replace("ha, i", "ha, 1").replace("hb, j", "hb, 1")
-    s1j = sij.replace("ha, i", "ha, 1")
-    si1 = sij.replace("hb, j", "hb, 1")
-    # column j=1: H(i,1) = max(0, s(i,1), H(i-1,1) - gap)
-    col1 = f"""
-    aggregate(sequence(2, {n}),
-      array(greatest(cast(0 as bigint), {s11})),
-      (acc, i) -> concat(acc, array(greatest(cast(0 as bigint), {si1},
-          element_at(acc, i - 1) - {_SW_GAP}))))
-    """
-    # outer fold appends column j built from column j-1 (diag/up) and
-    # its growing self (left); lazy IF-free: greatest's 0-floor IS the
-    # Smith-Waterman boundary condition for missing predecessors.
-    hmat = f"""
-    aggregate(sequence(2, {n}),
-      array({col1}),
-      (cols, j) -> concat(cols, array(
-        aggregate(sequence(2, {n}),
-          array(greatest(cast(0 as bigint), {s1j},
-              element_at(element_at(cols, j - 1), 1) - {_SW_GAP})),
-          (acc, i) -> concat(acc, array(greatest(cast(0 as bigint),
-              element_at(element_at(cols, j - 1), i - 1) + {sij},
-              element_at(element_at(cols, j - 1), i) - {_SW_GAP},
-              element_at(acc, i - 1) - {_SW_GAP})))))))
-    """
-    best = f"""
-    array_min(flatten(transform({hmat}, (colj, jj) ->
-      transform(colj, (v, ii) -> named_struct(
-        'nh', -v, 'i', cast(ii as bigint), 'j', cast(jj as bigint))))))
-    """
+    best = _sw_best_expr(n)
     return (
         ea.join(eb, "pair")
         .select(F.col("pair").alias("pair_id"), F.expr(best).alias("b"))

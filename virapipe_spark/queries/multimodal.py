@@ -2599,6 +2599,33 @@ def multimodal_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def _region_label_expr(col: str = "p") -> str:
+    """The 71-sweep min-label CC fold over an 8x9 grid encoded in
+    string column ``col`` (foreground = bytes >= 97). Module-level so
+    the adversarial-grid property tests (tests/test_fold_properties)
+    can drive it with literal serpentine/checkerboard patterns the
+    md5-derived fixture can never produce."""
+    big = 9999
+    return f"""
+    aggregate(sequence(1, 71),
+      transform(sequence(0, 71),
+                i -> IF(ascii(substr({col}, i + 1, 1)) >= 97, i, -1)),
+      (lab, it) -> transform(sequence(0, 71), i ->
+        IF(element_at(lab, i + 1) = -1, -1,
+           least(element_at(lab, i + 1),
+             IF(i % 9 > 0,
+                coalesce(nullif(element_at(lab, i), -1), {big}), {big}),
+             IF(i % 9 < 8,
+                coalesce(nullif(element_at(lab, i + 2), -1), {big}), {big}),
+             IF(i >= 9,
+                coalesce(nullif(element_at(lab, i - 8), -1), {big}), {big}),
+             IF(i < 63,
+                coalesce(nullif(element_at(lab, i + 10), -1), {big}),
+                {big})))))
+    """
+
+
 @staged_r9(
     "multimodal_region_label",
     oracle=f"""
@@ -2693,24 +2720,7 @@ def multimodal_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guarded by lazy IF so element_at never sees an out-of-range
     # index; background = -1, non-existent/background neighbor = 9999
     # (> any pid, absorbed by least).
-    big = 9999
-    lab_expr = f"""
-    aggregate(sequence(1, 71),
-      transform(sequence(0, 71),
-                i -> IF(ascii(substr(p, i + 1, 1)) >= 97, i, -1)),
-      (lab, it) -> transform(sequence(0, 71), i ->
-        IF(element_at(lab, i + 1) = -1, -1,
-           least(element_at(lab, i + 1),
-             IF(i % 9 > 0,
-                coalesce(nullif(element_at(lab, i), -1), {big}), {big}),
-             IF(i % 9 < 8,
-                coalesce(nullif(element_at(lab, i + 2), -1), {big}), {big}),
-             IF(i >= 9,
-                coalesce(nullif(element_at(lab, i - 8), -1), {big}), {big}),
-             IF(i < 63,
-                coalesce(nullif(element_at(lab, i + 10), -1), {big}),
-                {big})))))
-    """
+    lab_expr = _region_label_expr()
     px = d.select(
         "media_id",
         F.explode(
@@ -2800,6 +2810,33 @@ def _dtw_oracle() -> str:
     """
 
 
+
+def _dtw_dp_expr(n: int) -> str:
+    """The pair-local DTW fold over bigint array columns ``va``/``vb``
+    of length ``n``: column j=1 seeds the outer fold (running sum down
+    a-frames); each outer step builds column j from column j-1
+    ("prev"), the growing column itself ("acc", the left/down
+    neighbor), and the diagonal. Module-level so the tie-heavy
+    property tests can drive it with literal arrays."""
+    return f"""
+    aggregate(
+      sequence(2, {n}),
+      aggregate(sequence(2, {n}),
+                array(abs(element_at(va, 1) - element_at(vb, 1))),
+                (acc, i) -> concat(acc, array(element_at(acc, i - 1)
+                    + abs(element_at(va, i) - element_at(vb, 1))))),
+      (prev, j) -> aggregate(sequence(2, {n}),
+                array(element_at(prev, 1)
+                    + abs(element_at(va, 1) - element_at(vb, j))),
+                (acc, i) -> concat(acc, array(
+                    abs(element_at(va, i) - element_at(vb, j))
+                    + least(element_at(prev, i), element_at(acc, i - 1),
+                            element_at(prev, i - 1))))),
+      col -> element_at(col, {n})
+    )
+    """
+
+
 @staged_r9("multimodal_dtw_distance", oracle=_dtw_oracle())
 def multimodal_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC TIME WARPING — the elastic alignment distance for
@@ -2852,26 +2889,7 @@ def multimodal_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = frames.filter(F.col("doc_id") % 2 == 1).select(
         (F.col("doc_id") - 1).alias("pair"), F.col("v").alias("vb")
     )
-    # column j=1 seeds the outer fold (running sum down a-frames); each
-    # outer step builds column j from column j-1 ("prev"), the growing
-    # column itself ("acc", the left/down neighbor), and the diagonal.
-    dp = f"""
-    aggregate(
-      sequence(2, {n}),
-      aggregate(sequence(2, {n}),
-                array(abs(element_at(va, 1) - element_at(vb, 1))),
-                (acc, i) -> concat(acc, array(element_at(acc, i - 1)
-                    + abs(element_at(va, i) - element_at(vb, 1))))),
-      (prev, j) -> aggregate(sequence(2, {n}),
-                array(element_at(prev, 1)
-                    + abs(element_at(va, 1) - element_at(vb, j))),
-                (acc, i) -> concat(acc, array(
-                    abs(element_at(va, i) - element_at(vb, j))
-                    + least(element_at(prev, i), element_at(acc, i - 1),
-                            element_at(prev, i - 1))))),
-      col -> element_at(col, {n})
-    )
-    """
+    dp = _dtw_dp_expr(n)
     return ea.join(eb, "pair").select(
         F.col("pair").alias("pair_id"), F.expr(dp).cast("long").alias("dtw")
     )

@@ -6423,6 +6423,43 @@ def _vit_oracle() -> str:
     """
 
 
+
+#: Forward/backward min-sum folds over the single-row day array `a`
+#: (structs d, day, x, e_lo, e_hi, tau). Module-level so the tie-heavy
+#: property tests (tests/test_fold_properties) can drive them with
+#: literal series. bwd is built in reverse day order (a fold can only
+#: append), then reversed; tau is read at day d to mirror the oracle's
+#: e.tau (tau is constant across days, so either day works).
+_VIT_FWD_EXPR = """
+aggregate(sequence(2, size(a)),
+  array(named_struct('f_lo', element_at(a, 1).e_lo,
+                     'f_hi', element_at(a, 1).e_hi)),
+  (acc, k) -> concat(acc, array(named_struct(
+    'f_lo', element_at(a, k).e_lo
+      + least(element_at(acc, k - 1).f_lo,
+              element_at(acc, k - 1).f_hi + element_at(a, k).tau),
+    'f_hi', element_at(a, k).e_hi
+      + least(element_at(acc, k - 1).f_hi,
+              element_at(acc, k - 1).f_lo + element_at(a, k).tau)))))
+"""
+_VIT_BWD_EXPR = """
+reverse(aggregate(sequence(2, size(a)),
+  array(named_struct('b_lo', cast(0 as bigint),
+                     'b_hi', cast(0 as bigint))),
+  (acc, k) -> concat(acc, array(named_struct(
+    'b_lo', least(element_at(acc, k - 1).b_lo
+                    + element_at(a, size(a) - k + 2).e_lo,
+                  element_at(acc, k - 1).b_hi
+                    + element_at(a, size(a) - k + 2).e_hi
+                    + element_at(a, size(a) - k + 1).tau),
+    'b_hi', least(element_at(acc, k - 1).b_hi
+                    + element_at(a, size(a) - k + 2).e_hi,
+                  element_at(acc, k - 1).b_lo
+                    + element_at(a, size(a) - k + 2).e_lo
+                    + element_at(a, size(a) - k + 1).tau))))))
+"""
+
+
 @staged_r10("events_viterbi_burst", oracle=_vit_oracle())
 def events_viterbi_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN-SUM VITERBI DECODING — the MAP state path of a two-state
@@ -6514,36 +6551,8 @@ def events_viterbi_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("d", "day", "x", "e_lo", "e_hi", "tau"))
         ).alias("a")
     ).filter(F.size("a") >= 2)
-    fwd = """
-    aggregate(sequence(2, size(a)),
-      array(named_struct('f_lo', element_at(a, 1).e_lo,
-                         'f_hi', element_at(a, 1).e_hi)),
-      (acc, k) -> concat(acc, array(named_struct(
-        'f_lo', element_at(a, k).e_lo
-          + least(element_at(acc, k - 1).f_lo,
-                  element_at(acc, k - 1).f_hi + element_at(a, k).tau),
-        'f_hi', element_at(a, k).e_hi
-          + least(element_at(acc, k - 1).f_hi,
-                  element_at(acc, k - 1).f_lo + element_at(a, k).tau)))))
-    """
-    # built in reverse day order (a fold can only append), then
-    # reversed; tau is read at day d to mirror the oracle's e.tau.
-    bwd = """
-    reverse(aggregate(sequence(2, size(a)),
-      array(named_struct('b_lo', cast(0 as bigint),
-                         'b_hi', cast(0 as bigint))),
-      (acc, k) -> concat(acc, array(named_struct(
-        'b_lo', least(element_at(acc, k - 1).b_lo
-                        + element_at(a, size(a) - k + 2).e_lo,
-                      element_at(acc, k - 1).b_hi
-                        + element_at(a, size(a) - k + 2).e_hi
-                        + element_at(a, size(a) - k + 1).tau),
-        'b_hi', least(element_at(acc, k - 1).b_hi
-                        + element_at(a, size(a) - k + 2).e_hi,
-                      element_at(acc, k - 1).b_lo
-                        + element_at(a, size(a) - k + 2).e_lo
-                        + element_at(a, size(a) - k + 1).tau))))))
-    """
+    fwd = _VIT_FWD_EXPR
+    bwd = _VIT_BWD_EXPR
     return (
         arr.select("a", F.expr(fwd).alias("f"), F.expr(bwd).alias("b"))
         .select(
