@@ -507,8 +507,14 @@ def test_viterbi_empty_and_single_day_inputs_emit_zero_rows(spark, tmp_path):
     the oracle emit 0 rows for those inputs; the size(a) >= 2 guard
     must reproduce that, not crash."""
     catalog.load_all()
+    import pyspark.sql.functions as F
+
     src = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    one_day = src.orderBy("ts").limit(5)
+    # pin the sample to ONE explicit calendar day (ts is TIMESTAMP_NTZ
+    # in the plain-read view) — orderBy().limit(5) would only happen
+    # to be single-day, and a regenerated fixture could break that
+    first_day = src.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    one_day = src.filter(F.to_date("ts") == F.lit(first_day)).limit(5)
     for name, df in (("empty", src.limit(0)), ("oneday", one_day)):
         sf = str(tmp_path / name)
         df.write.parquet(f"{sf}/events.parquet")
@@ -522,7 +528,7 @@ def test_viterbi_empty_and_single_day_inputs_emit_zero_rows(spark, tmp_path):
         assert out == [], f"{name}: expected 0 rows, got {len(out)}"
 
 
-def test_cdc_eight_char_doc_matches_oracle(spark, tmp_path, con):
+def test_cdc_eight_char_doc_matches_oracle(spark, tmp_path):
     """r9 review: at len(text) == 8 the boundary-candidate range
     [2, len-7] = [2, 1] is empty in DuckDB (generate_series) but
     DESCENDING in Spark (sequence default step -1) — the >= 9 filter

@@ -2870,17 +2870,19 @@ def multimodal_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unrolled CTE chain, not the engine."""
     n = _DTW_N
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 401)
-    # md5 hoisted out of the lambda: Catalyst does not lift
-    # lambda-invariant subexpressions, so hashing inside transform
-    # would re-digest the full text once per frame (r9 review).
-    frames = d.select(
+    # The envelope is built as n EXPLICIT references to the md5 alias,
+    # not a transform lambda: CollapseProject re-inlines a single-use
+    # non-cheap alias into the lambda (re-digesting the text once per
+    # frame — verified on the optimized plan), but it keeps the md5
+    # Project separate once the alias is referenced n times, so the
+    # text is hashed exactly once per row (r9 review, second pass).
+    frames = d.select("doc_id", F.md5("text").alias("h")).select(
         "doc_id",
-        F.md5("text").alias("h"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, {n}),"
-            " g -> cast(ascii(substr(h, g, 1)) as bigint))"
+        F.array(
+            *[
+                F.ascii(F.substring(F.col("h"), g, 1)).cast("long")
+                for g in range(1, n + 1)
+            ]
         ).alias("v"),
     )
     ea = frames.filter(
