@@ -1151,3 +1151,126 @@ class TestPartitionPruning:
         # and the result is still exactly the two requested groups
         rows = {r["event_type"] for r in df.collect()}
         assert rows == {"click", "purchase"}
+
+
+class TestGlobalWindowSweep:
+    """Catalog-wide audit of GLOBAL (unpartitioned) windows — the
+    third per-entry sweep, extending the ALLOWED_NLJ discipline to
+    WindowExec: an unpartitioned window moves its whole input to ONE
+    partition, so every occurrence must be justified by the input
+    being provably small, or carry a documented scale path. A NEW
+    entry that plans a global window without an exemption fails the
+    sweep; an exemption whose entry stops planning one fails too
+    (stale-exemption pruning, both directions tight).
+
+    Justification categories (the value strings below):
+    - calendar: the frame is one row per day/time-bucket — bounded by
+      the calendar, not the data (the viterbi/change-point family).
+    - grid: a fixed algorithmic grid — percentile buckets, deciles,
+      folds, rounds, shards, ntile cells, Benford digits, Shapley
+      sample index, histogram/equi-depth buckets, file listing.
+    - alphabet: symbol- or vocabulary-bounded (Huffman's 16 symbols,
+      BPE pair vocabulary, category mixtures).
+    - summary: the window runs over per-bucket/per-group SUMMARIES a
+      bounded aggregation produced (n50's bucket totals, skew report's
+      top keys, stump thresholds, length-MAD distinct lengths).
+    - value-domain: a rank/ECDF test over the DISTINCT measurement
+      values of a pooled sample (KS, Mann-Whitney, Spearman,
+      Wasserstein, ABC cumulative share, Lorenz/Gini, matched pairs,
+      Kaplan-Meier event times, Theil-Sen day pairs, pareto skyline
+      sweep, peak-concurrency boundaries). Bounded by the value
+      domain, which grows slower than rows but is not constant: the
+      100 TB path is the same crossing test over the equi-depth
+      histogram (lineitem_equidepth_histogram precedent) — each
+      entry's docstring carries that note.
+    - global-order: the algorithm's DEFINING step is one global order
+      (sorted-neighborhood blocking, global top-k ranks, RFM ntile,
+      stable matching's proposal order, ntile demo). Scale path:
+      range-partitioned sort / two-phase top-k (scale.two_phase_topk)
+      / approx-quantile thresholds; documented per entry.
+    """
+
+    import re as _re
+
+    _SPEC = _re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe", _re.S)
+
+    ALLOWED_GLOBAL_WINDOW = {
+        "assembly_n50_stats": "summary",
+        "docs_bm25_rank": "global-order",
+        "docs_bpe_apply": "alphabet",
+        "docs_greedy_coverage": "grid",
+        "docs_huffman_lengths": "alphabet",
+        "docs_length_outliers_mad": "summary",
+        "docs_mixture_allocation": "alphabet",
+        "docs_rank_fusion_rrf": "global-order",
+        "docs_shard_assignment": "grid",
+        "docs_sorted_neighborhood": "global-order",
+        "events_bootstrap_ci": "calendar",
+        "events_change_point": "calendar",
+        "events_isotonic_daily": "calendar",
+        "events_kaplan_meier": "value-domain",
+        "events_ks_test": "value-domain",
+        "events_mannwhitney_u": "value-domain",
+        "events_matched_pairs_att": "value-domain",
+        "events_max_drawdown": "calendar",
+        "events_ols_cramer": "grid",
+        "events_path_trigrams": "global-order",
+        "events_peak_concurrency": "value-domain",
+        "events_qini_uplift": "grid",
+        "events_rfm_segments": "global-order",
+        "events_snaive_backtest": "calendar",
+        "events_spearman_daily": "value-domain",
+        "events_stump_classifier": "summary",
+        "events_theilsen_trend": "value-domain",
+        "events_viterbi_burst": "calendar",
+        "events_wasserstein_drift": "value-domain",
+        "files_listing": "grid",
+        "graph_densest_subgraph": "grid",
+        "graph_link_prediction": "global-order",
+        "lineitem_abc_analysis": "value-domain",
+        "lineitem_benford_audit": "grid",
+        "lineitem_equidepth_histogram": "grid",
+        "lineitem_gini_lorenz": "grid",
+        "lineitem_simpson_reversal": "grid",
+        "lineitem_skew_report": "summary",
+        "parts_pareto_skyline": "value-domain",
+        "supplier_airport_shapley": "grid",
+        "supplier_stable_matching": "global-order",
+        "window_ntile_cume": "global-order",
+    }
+
+    @classmethod
+    def _has_global_window(cls, plan: str) -> bool:
+        for line in plan.splitlines():
+            if "windowspecdefinition" not in line:
+                continue
+            for m in cls._SPEC.finditer(line):
+                args = [
+                    a.strip()
+                    for a in m.group(1).strip().rstrip(",").split(",")
+                    if a.strip()
+                ]
+                # partition columns carry no sort marker; a spec whose
+                # every leading arg is ordered (or that has none) has
+                # no partition columns at all -> global
+                if all((" ASC" in a or " DESC" in a) for a in args):
+                    return True
+        return False
+
+    @pytest.mark.parametrize("name", _AUDITED_NAMES)
+    def test_global_windows_are_exempted_and_exemptions_live(
+        self, spark, plan_cache, name
+    ):
+        p = _entry_plan(plan_cache, name)
+        has = self._has_global_window(p)
+        if name in self.ALLOWED_GLOBAL_WINDOW:
+            assert has, (
+                f"{name}: exempted as '{self.ALLOWED_GLOBAL_WINDOW[name]}' "
+                f"but plans no global window — prune the stale exemption"
+            )
+        else:
+            assert not has, (
+                f"{name}: plans a GLOBAL (unpartitioned) window with no "
+                f"exemption — justify it in ALLOWED_GLOBAL_WINDOW or "
+                f"partition the window"
+            )
