@@ -351,6 +351,11 @@ REWRITTEN_IN: dict[str, int] = {
     "bam_split_scan_roundtrip": 8,
     "bam_write_roundtrip": 8,
     "sam_scan_roundtrip": 8,
+    # r9: top-20 rewritten from a global row_number over the whole
+    # candidate set to orderBy().limit(20) + a 20-row rank window
+    # (TakeOrderedAndProject; the global-window sweep's one data-sized
+    # hit). The r7 driver proof covered the full-candidate-rank shape.
+    "docs_bm25_rank": 9,
 }
 
 

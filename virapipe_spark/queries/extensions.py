@@ -3632,10 +3632,17 @@ def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .withColumn("score", F.expr(_bm25_score_sql("n", "avgdl")))
     )
-    w_rank = W.orderBy(F.col("score").desc(), "doc_id")
+    # top-20 via orderBy().limit() (TakeOrderedAndProject — per-
+    # partition heaps + one k-row merge, no single-partition sort of
+    # the candidate set), THEN the rank window over the 20-row result
+    # — the graph_link_prediction house shape; the global window the
+    # r8 code ranked the WHOLE candidate set with was the one
+    # data-sized single-partition pass in this entry (r9 sweep).
+    order = [F.col("score").desc(), F.col("doc_id")]
     return (
-        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rnk") <= 20)
+        scored.orderBy(*order)
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(W.orderBy(*order)).cast("long"))
         .select("doc_id", "dl", F.round("score", 6).alias("score"), "rnk")
         .orderBy("rnk")
     )
