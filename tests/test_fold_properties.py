@@ -204,6 +204,13 @@ def _vit_cases() -> list[list[tuple[int, int, int]]]:
         [(0, 1, 0)] * 6,  # zero switch cost: per-day argmin
         [(3, 3, 3)] * 5,  # total indifference
         [(0, 10, 1), (0, 10, 1), (10, 0, 1), (10, 0, 1), (0, 10, 1)],
+        # NON-CONSTANT tau (r9 ADVICE): the old bwd fold read tau at
+        # day d while fwd charged it at day d+1 — exprs that agree only
+        # when tau is constant. These series vary tau per day so any
+        # convention asymmetry diverges from brute force.
+        [(0, 5, 1), (5, 0, 9), (0, 5, 1), (5, 0, 9), (0, 5, 1)],
+        [(2, 0, 0), (0, 2, 7), (3, 3, 1), (0, 9, 4), (9, 0, 0), (1, 1, 6)],
+        [(0, 1, 3), (1, 0, 0), (0, 1, 5), (1, 0, 2)],
     ]
 
 
@@ -217,7 +224,9 @@ def _vit_brute(days: list[tuple[int, int, int]]):
             s = (mask >> m) & 1
             cost += days[m][s]
             if m and ((mask >> (m - 1)) & 1) != s:
-                cost += days[m][2]  # tau read at day m (the oracle's e.tau)
+                # tau read at day m — the LATER day of the m-1 -> m
+                # transition, the convention both folds share
+                cost += days[m][2]
         for m in range(n):
             s = (mask >> m) & 1
             if per_state[m][s] is None or cost < per_state[m][s]:

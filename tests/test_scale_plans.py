@@ -1239,6 +1239,26 @@ class TestGlobalWindowSweep:
         "window_ntile_cume": "global-order",
     }
 
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        """Split spec args on commas at paren depth 0 only — a sort
+        key containing a comma-bearing expression (substr(x, 1, 2)
+        DESC) must stay one token, or its fragments lack ASC/DESC
+        markers and the all(...) check below goes false-negative,
+        letting an unexempted global window slip the sweep (r9
+        ADVICE)."""
+        out, depth, start = [], 0, 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(s[start:i])
+                start = i + 1
+        out.append(s[start:])
+        return out
+
     @classmethod
     def _has_global_window(cls, plan: str) -> bool:
         for line in plan.splitlines():
@@ -1247,7 +1267,9 @@ class TestGlobalWindowSweep:
             for m in cls._SPEC.finditer(line):
                 args = [
                     a.strip()
-                    for a in m.group(1).strip().rstrip(",").split(",")
+                    for a in cls._split_top_level(
+                        m.group(1).strip().rstrip(",")
+                    )
                     if a.strip()
                 ]
                 # partition columns carry no sort marker; a spec whose
@@ -1274,3 +1296,28 @@ class TestGlobalWindowSweep:
                 f"exemption — justify it in ALLOWED_GLOBAL_WINDOW or "
                 f"partition the window"
             )
+
+    def test_detector_handles_comma_bearing_sort_keys(self):
+        """The r9 ADVICE false negative: a GLOBAL window whose sort key
+        embeds commas (substr(x, 1, 2) DESC) must still be detected —
+        the bare-comma split fragmented it into marker-less pieces."""
+        frame = "specifiedwindowframe(RowFrame, a, b))"
+        g = (
+            "windowspecdefinition(substr(x#1, 1, 2) DESC NULLS LAST, "
+            + frame
+        )
+        assert self._has_global_window(g)
+        g2 = (
+            "windowspecdefinition(coalesce(y#2, 0L) ASC NULLS FIRST, "
+            "z#3 DESC NULLS LAST, " + frame
+        )
+        assert self._has_global_window(g2)
+        # partitioned windows stay undetected, commas or not
+        p = (
+            "windowspecdefinition(k#4, substr(x#1, 1, 2) DESC NULLS "
+            "LAST, " + frame
+        )
+        assert not self._has_global_window(p)
+        assert not self._has_global_window(
+            "windowspecdefinition(k#4, x#1 ASC NULLS FIRST, " + frame
+        )

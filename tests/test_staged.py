@@ -43,16 +43,17 @@ def test_staged_entries_promoted_into_live_catalog():
 #: self-retires again. Single source of truth: catalog.REWRITTEN_IN
 #: (which also demotes these entries in the driver-window ordering).
 #:
-#: GRANULARITY ASSUMPTION: the re-arm key is a ROUND number, so it
-#: relies on the driver writing CORRECTNESS_r{N} exactly once, at round
-#: start, BEFORE any round-N rewrites land. That holds for this driver
-#: (artifacts are written before the build session begins), which is
-#: why `proven[n] < rewrite_round` is safe: a round-N driver row always
-#: reflects pre-rewrite code, so a round-N rewrite must re-arm against
-#: it, and `proven[n] == N` with REWRITTEN_IN[n] == N would be a
-#: mis-retire only if rows could land mid-round. If driver rows ever
-#: do land mid-round, key this on the code SHA instead (record
-#: `git log -1 --format=%H -- <impl file>` alongside the proof).
+#: GRANULARITY CONTRACT: the re-arm key is a ROUND number, and the
+#: driver generates CORRECTNESS_r{N} from the code committed at round
+#: N's END (the artifact lands as a commit at the START of round N+1).
+#: A round-N driver row therefore reflects POST-rewrite code for any
+#: round-N rewrite — which is exactly why `proven[n] < rewrite_round`
+#: is the re-arm test and `proven[n] == rewrite_round` correctly
+#: counts as proven: the round-N proof already ran the rewritten plan.
+#: (If the driver ever switched to writing artifacts at round start,
+#: from pre-rewrite code, equality would become a silent mis-retire —
+#: in that world, key the re-arm on the impl file's code SHA instead:
+#: `git log -1 --format=%H -- <impl file>` recorded beside the proof.)
 _REWRITTEN_IN = catalog.REWRITTEN_IN
 
 

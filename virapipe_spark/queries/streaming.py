@@ -6428,8 +6428,12 @@ def _vit_oracle() -> str:
 #: (structs d, day, x, e_lo, e_hi, tau). Module-level so the tie-heavy
 #: property tests (tests/test_fold_properties) can drive them with
 #: literal series. bwd is built in reverse day order (a fold can only
-#: append), then reversed; tau is read at day d to mirror the oracle's
-#: e.tau (tau is constant across days, so either day works).
+#: append), then reversed. A transition d -> d+1 charges tau at the
+#: LATER day (d+1) in BOTH folds — fwd via element_at(a, k).tau, bwd
+#: via element_at(a, size(a) - k + 2).tau — so the two folds agree for
+#: any per-day tau series, not just the constant-tau one the live
+#: entry produces (r9 ADVICE: the old bwd read tau at day d, which
+#: silently relied on constancy).
 _VIT_FWD_EXPR = """
 aggregate(sequence(2, size(a)),
   array(named_struct('f_lo', element_at(a, 1).e_lo,
@@ -6451,12 +6455,12 @@ reverse(aggregate(sequence(2, size(a)),
                     + element_at(a, size(a) - k + 2).e_lo,
                   element_at(acc, k - 1).b_hi
                     + element_at(a, size(a) - k + 2).e_hi
-                    + element_at(a, size(a) - k + 1).tau),
+                    + element_at(a, size(a) - k + 2).tau),
     'b_hi', least(element_at(acc, k - 1).b_hi
                     + element_at(a, size(a) - k + 2).e_hi,
                   element_at(acc, k - 1).b_lo
                     + element_at(a, size(a) - k + 2).e_lo
-                    + element_at(a, size(a) - k + 1).tau))))))
+                    + element_at(a, size(a) - k + 2).tau))))))
 """
 
 
