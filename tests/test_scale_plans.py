@@ -1196,7 +1196,6 @@ class TestGlobalWindowSweep:
 
     ALLOWED_GLOBAL_WINDOW = {
         "assembly_n50_stats": "summary",
-        "docs_bm25_rank": "global-order",
         "docs_bpe_apply": "alphabet",
         "docs_greedy_coverage": "grid",
         "docs_huffman_lengths": "alphabet",

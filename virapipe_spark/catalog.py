@@ -354,8 +354,12 @@ REWRITTEN_IN: dict[str, int] = {
     # r9: top-20 rewritten from a global row_number over the whole
     # candidate set to orderBy().limit(20) + a 20-row rank window
     # (TakeOrderedAndProject; the global-window sweep's one data-sized
-    # hit). The r7 driver proof covered the full-candidate-rank shape.
-    "docs_bm25_rank": 9,
+    # hit). r10: the residual vocabulary-sized 3-term pick got the same
+    # treatment and BOTH k-row ranks became window-free column-space
+    # derivations (sort_array + posexplode) — exemption pruned. The r7
+    # driver proof covered the full-candidate-rank shape; the r10 row
+    # (round-end code) proves the final window-free one.
+    "docs_bm25_rank": 10,
 }
 
 

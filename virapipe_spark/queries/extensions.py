@@ -3592,8 +3592,11 @@ def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregates; the query-term table is 3 rows (broadcast), so
     per-doc scoring is a conditional pivot on the rank key — no
     per-term join fan-out; global stats (N, avgdl, per-term df) ride a
-    one-row broadcast. The top-20 is TakeOrderedAndProject, never a
-    full sort."""
+    one-row broadcast. BOTH ranked picks — the 3 rarest terms out of
+    the vocabulary and the top-20 out of the candidate docs — are
+    orderBy().limit(k) TakeOrderedAndProject with the rank derived
+    from the k-row result in column space: the plan contains no
+    global window and no full sort anywhere."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -3604,9 +3607,24 @@ def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    w_q = W.orderBy("df", "term")
+    # the 3 rarest terms via orderBy().limit(3) — TakeOrderedAndProject
+    # over the term vocabulary (per-partition 3-row heaps + one k-row
+    # merge), NEVER a vocabulary-sized single-partition window (the
+    # r9 residual: at 100 TB the distinct-term table is itself
+    # billions of rows). The rank r is then derived from the 3-row
+    # result in column space (sort_array over a collected struct +
+    # posexplode), so the plan carries no window node at all.
     qterms = (
-        df.withColumn("r", F.row_number().over(w_q)).filter(F.col("r") <= 3)
+        df.orderBy("df", "term")
+        .limit(3)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("df", "term"))).alias("a"))
+        .select(F.posexplode("a").alias("r0", "st"))
+        .select(
+            F.col("st.term").alias("term"),
+            F.col("st.df").alias("df"),
+            (F.col("r0") + 1).alias("r"),
+        )
     )
     tf = (
         toks.join(F.broadcast(qterms), "term")
@@ -3634,16 +3652,30 @@ def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # top-20 via orderBy().limit() (TakeOrderedAndProject — per-
     # partition heaps + one k-row merge, no single-partition sort of
-    # the candidate set), THEN the rank window over the 20-row result
-    # — the graph_link_prediction house shape; the global window the
-    # r8 code ranked the WHOLE candidate set with was the one
-    # data-sized single-partition pass in this entry (r9 sweep).
-    order = [F.col("score").desc(), F.col("doc_id")]
+    # the candidate set), then rnk derived from the 20-row result the
+    # same window-free way as qterms above: negate the (finite,
+    # positive) score so an ascending struct sort yields
+    # (score DESC, doc_id ASC), posexplode for the rank. Ranking runs
+    # on the FULL-precision score; round() only shapes the output.
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
     return (
-        scored.orderBy(*order)
-        .limit(20)
-        .withColumn("rnk", F.row_number().over(W.orderBy(*order)).cast("long"))
-        .select("doc_id", "dl", F.round("score", 6).alias("score"), "rnk")
+        top.select(
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("dl").alias("dl"),
+                F.round("score", 6).alias("score"),
+            ).alias("st")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("st")).alias("a"))
+        .select(F.posexplode("a").alias("rnk0", "st"))
+        .select(
+            F.col("st.doc_id").alias("doc_id"),
+            F.col("st.dl").alias("dl"),
+            F.col("st.score").alias("score"),
+            (F.col("rnk0") + 1).cast("long").alias("rnk"),
+        )
         .orderBy("rnk")
     )
 
