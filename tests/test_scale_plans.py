@@ -1203,7 +1203,6 @@ class TestGlobalWindowSweep:
         "docs_mixture_allocation": "alphabet",
         "docs_rank_fusion_rrf": "global-order",
         "docs_shard_assignment": "grid",
-        "docs_sorted_neighborhood": "global-order",
         "events_bootstrap_ci": "calendar",
         "events_change_point": "calendar",
         "events_isotonic_daily": "calendar",

@@ -360,6 +360,18 @@ REWRITTEN_IN: dict[str, int] = {
     # driver proof covered the full-candidate-rank shape; the r10 row
     # (round-end code) proves the final window-free one.
     "docs_bm25_rank": 10,
+    # r10: connected_components_doubling's convergence check rewritten
+    # from a new-vs-old join to an __old column filter (graph.py) —
+    # same labels, one less vertex-keyed shuffle per round. This entry
+    # is the one driver-PROVEN caller of the engine (r9 row covered
+    # the join-based plan), so it re-arms; the euler/debruijn callers
+    # are r10-staged and in the window anyway.
+    "graph_bipartite_check": 10,
+    # r10: the global-rank window became the two-phase distributed sort
+    # its docstring promised (repartitionByRange + per-range rank +
+    # control-plane offsets); the r8 proof covered the global-window
+    # plan. Global-order exemption pruned.
+    "docs_sorted_neighborhood": 10,
 }
 
 

@@ -146,6 +146,7 @@ def connected_components_doubling(
     sym = sym.persist()
     labels = nodes.select(node_col, F.col(node_col).alias(label_col))
     changed = -1
+    prev_handle = None
     for rnd in range(max_rounds):
         neigh = (
             sym.join(labels, sym["a"] == labels[node_col])
@@ -155,10 +156,14 @@ def connected_components_doubling(
         # persist: `stepped` feeds BOTH sides of the shortcut self-join
         # below; unpersisted, the neighbor join+aggregate subtree would
         # execute twice per round, doubling the per-round shuffle work
-        # this O(log d) variant exists to bound
+        # this O(log d) variant exists to bound. The round-start label
+        # rides along as __old so convergence is a FILTER on the round's
+        # own output, not a third vertex-keyed shuffle join per round
+        # (the old new-vs-old count join was ~1/3 of each round's cost).
         stepped = labels.join(neigh, node_col, "left").select(
             node_col,
             F.least(label_col, F.coalesce("__nmin", label_col)).alias(label_col),
+            F.col(label_col).alias("__old"),
         ).persist()
         # shortcut: follow the label pointer one hop (labels are node
         # ids, and every node has a label row, so the inner join below
@@ -173,20 +178,20 @@ def connected_components_doubling(
             F.least(
                 label_col, F.coalesce("__plabel", label_col)
             ).alias(label_col),
+            "__old",
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
             new_labels = truncate_lineage(new_labels, reliable=True)
         else:
             new_labels = new_labels.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), node_col)
-            .filter(F.col(f"n.{label_col}") != F.col(f"o.{label_col}"))
-            .count()
+            new_labels.filter(F.col(label_col) != F.col("__old")).count()
         )
         stepped.unpersist()  # new_labels materialized by the count above
-        labels.unpersist()
-        labels = new_labels
+        if prev_handle is not None:
+            prev_handle.unpersist()
+        prev_handle = new_labels
+        labels = new_labels.select(node_col, label_col)
         if changed == 0:
             break
     sym.unpersist()

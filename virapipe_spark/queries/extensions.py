@@ -5684,19 +5684,51 @@ def docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-char-head Levenshtein as the cheap verifier; candidate volume
     is EXACTLY N·w by construction (vs data-dependent block sizes).
 
-    Scale: the global sort rank is the honest exact cost (the
-    ABC/RFM stance) — at 100 TB the rank comes from
-    repartitionByRange + per-partition row_number with broadcast
-    partition offsets (the docs_shard_assignment prefix-sum
-    machinery), and pairing stays an equi-join on the rank bucket
-    (each row joins its own and its predecessor bucket, never a rank
-    inequality join)."""
+    Scale: the global rank is computed by the TWO-PHASE distributed
+    sort this docstring always promised (r10: promise made real, the
+    global-order exemption pruned): repartitionByRange on the sort
+    key spreads the corpus over defaultParallelism ordered ranges,
+    each range ranks ITSELF with a partitioned window, and the global
+    rank adds per-range row-count offsets — a partition-count-sized
+    (control-plane) collect, the t-digest/BAM-dictionary pattern, NOT
+    a data-sized single-partition sort. The frame is checkpointed
+    between range assignment and the two passes so both see the same
+    frozen partitioning (range sampling is not otherwise stable).
+    Pairing stays an equi-join on the rank bucket (each row joins its
+    own and its predecessor bucket, never a rank inequality join)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 16).alias("head16"), "text"
     )
-    rn = F.row_number().over(W.orderBy("lang", "text", "doc_id"))
-    r = d.select("doc_id", "lang", "head16", rn.alias("rn")).withColumn(
-        "bucket", F.expr(f"(rn - 1) div {_SN_W}")
+    p = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = truncate_lineage(
+        d.repartitionByRange(p, "lang", "text", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        reliable=True,
+    )
+    # per-range row counts -> exclusive prefix offsets; P rows, driver-
+    # side by design (control-plane-sized, like the t-digest sketch)
+    sizes = {
+        row["pid"]: row["c"]
+        for row in ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(sizes):
+        offs.append((pid, acc))
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    rn_in = F.row_number().over(
+        W.partitionBy("pid").orderBy("lang", "text", "doc_id")
+    )
+    r = (
+        ranged.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "lang",
+            "head16",
+            (rn_in + F.col("off")).cast("int").alias("rn"),
+        )
+        .withColumn("bucket", F.expr(f"(rn - 1) div {_SN_W}"))
     )
     # a-side probes its own and the NEXT bucket so every pair with
     # 1 <= gap <= w is covered by an equi-join on bucket

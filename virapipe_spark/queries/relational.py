@@ -4799,23 +4799,35 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s")
         .limit(4)
     )
-    dist = roots.select(
-        "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("d")
+    dist = truncate_lineage(
+        roots.select(
+            "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("d")
+        ),
+        reliable=True,
     )
+    # textbook frontier BFS: each round expands only the NEWLY reached
+    # (s, node) sheet and anti-joins the visited set — first discovery
+    # IS min-d, so this is bit-identical to the old re-aggregate-the-
+    # whole-dist-table loop while shuffling frontier-sized data instead
+    # of the full visited set 16 times (at 100 TB the visited table is
+    # data-sized; the frontier peaks and shrinks). Each frontier is
+    # eagerly checkpointed (it feeds the join, the anti-join and the
+    # final union), and the loop stops at the true eccentricity —
+    # an empty frontier — instead of always burning the 16-hop cap.
+    frontier = dist
     for h in range(1, 17):
-        frontier = dist.filter(F.col("d") == h - 1)
         nxt = (
             frontier.join(sym, frontier["node"] == sym["src"])
             .select("s", F.col("dst").alias("node"),
                     F.lit(h).cast("long").alias("d"))
+            .distinct()
         )
-        dist = (
-            dist.unionAll(nxt)
-            .groupBy("s", "node")
-            .agg(F.min("d").alias("d"))
+        frontier = truncate_lineage(
+            nxt.join(dist, ["s", "node"], "left_anti"), reliable=True
         )
-        if h % 5 == 0:
-            dist = truncate_lineage(dist, eager=False, reliable=True)
+        if frontier.isEmpty():
+            break
+        dist = dist.unionAll(frontier)
     return dist.groupBy(F.col("s").alias("source")).agg(
         (F.count("*") - 1).cast("long").alias("n_reached"),
         F.sum(
@@ -4968,7 +4980,7 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("node")
         ).alias("pri"),
     )
-    active = nodes
+    active = truncate_lineage(nodes, reliable=True)
     mis = None
     for r in range(1, _MIS_ROUNDS + 1):
         nb = (
@@ -4983,10 +4995,16 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("p2").alias("mn"))
         )
-        cand = (
+        # cand feeds three consumers (misr, and removed twice);
+        # checkpointing it eagerly runs the round's join work ONCE and
+        # keeps every later frame's lineage flat — cheaper per round
+        # than the old every-3-rounds lazy cadence, whose plans grew
+        # ~3 rounds deep with the nb self-join doubling each level
+        cand = truncate_lineage(
             active.join(nb, "node", "left")
             .filter(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
-            .select("node")
+            .select("node"),
+            reliable=True,
         )
         misr = cand.select("node", F.lit(r).cast("long").alias("rnd"))
         mis = misr if mis is None else mis.unionAll(misr)
@@ -4995,12 +5013,16 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("node")
             )
         ).distinct()
-        active = (
-            active.join(removed, "node", "left_anti")
+        active = truncate_lineage(
+            active.join(removed, "node", "left_anti"), reliable=True
         )
-        if r % 3 == 0:
-            active = truncate_lineage(active, eager=False, reliable=True)
-            mis = truncate_lineage(mis, eager=False, reliable=True)
+        # Luby's geometric shrink usually empties the active set well
+        # before the round budget; once it does, every later round's
+        # nb/cand/removed are empty frames — identical output, pure
+        # scheduling waste — so stop (the checkpoint above already
+        # materialized `active`; isEmpty reads the cached blocks).
+        if active.isEmpty():
+            break
     status = (
         nodes.join(mis, "node", "left")
         .join(
