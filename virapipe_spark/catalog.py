@@ -372,6 +372,11 @@ REWRITTEN_IN: dict[str, int] = {
     # control-plane offsets); the r8 proof covered the global-window
     # plan. Global-order exemption pruned.
     "docs_sorted_neighborhood": 10,
+    # r10: bfs_hops rewritten from fold-candidates-into-the-full-
+    # distance-table-with-a-min-agg to frontier expansion + visited-set
+    # anti-join with an empty-frontier early exit (graph.py). The r7
+    # proof covered the min-agg plan.
+    "graph_bfs_hops": 10,
 }
 
 
