@@ -294,28 +294,59 @@ def bfs_hops(
     appears. Distances are small ints: bitwise cross-engine, no
     tolerance needed.
 
-    Scale: the per-round shuffle is the frontier's out-edges plus one
-    visited-set anti-join, not the whole distance table — first
-    discovery IS the min hop count, so folding candidates in with a
-    full-table min-aggregate every round (the pre-r10 shape) shuffled
-    the whole visited set ``max_hops`` times for the same rows. Each
-    frontier is eagerly checkpointed (it feeds the expansion join, the
-    anti-join, and the output union, and the loop stops at the TRUE
-    reach — an empty frontier — instead of always burning the hop
-    cap). ``checkpoint_every`` is retained for API compatibility;
-    truncation now happens every round by construction (same
-    reliable-checkpoint caveat on preemptible clusters as
-    :func:`connected_components`). Unreached nodes are absent from the
-    output (standard sparse-BFS contract), so result size is bounded
-    by the reachable set."""
-    del checkpoint_every  # per-round eager truncation, see docstring
-    dist = truncate_lineage(
-        sources.select(
-            F.col("node").cast("long").alias("node"),
-            F.lit(0).cast("int").alias("dist"),
-        ).distinct(),
-        reliable=True,
-    )
+    Scale: two shapes, picked by the hop cap (r10, each measured
+    against the other at both depths). Shallow caps (<= 4) keep the
+    lazy min-fold: one shuffle per round, linear lineage, zero
+    control-plane jobs — cheapest when the whole loop fuses into a
+    handful of stages. Deep caps switch to frontier expansion + a
+    visited-set anti-join (first discovery IS the min hop count, so
+    the full-table min-aggregate re-shuffles the visited set every
+    round for nothing), with each frontier EAGERLY checkpointed and an
+    empty-frontier early exit, so a 24-hop cap on a diameter-20 graph
+    runs 21 flat-plan rounds at frontier-sized shuffles instead of 24
+    compounding ones. ``checkpoint_every`` is retained for API
+    compatibility; the deep shape truncates every round by
+    construction (same reliable-checkpoint caveat on preemptible
+    clusters as :func:`connected_components`). Unreached nodes are
+    absent from the output (standard sparse-BFS contract), so result
+    size is bounded by the reachable set."""
+    del checkpoint_every  # truncation cadence is shape-dependent, below
+    dist0 = sources.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).distinct()
+    if max_hops <= 4:
+        # SHALLOW CAP: the lazy min-fold — one shuffle per round over
+        # the (still small) visited set, linear lineage, zero
+        # control-plane jobs. For 3-4 fused rounds this measurably
+        # beats per-round checkpoint+probe (bench A/B at sf0.1: 1.75 s
+        # vs 2.3-2.4 s for the 3-hop caller), and an early exit can
+        # save at most a round or two.
+        dist = dist0
+        for h in range(1, max_hops + 1):
+            frontier = dist.filter(F.col("dist") == h - 1)
+            nxt = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
+                .select(
+                    F.col("e.dst").cast("long").alias("node"),
+                    F.lit(h).cast("int").alias("dist"),
+                )
+            )
+            dist = (
+                dist.unionAll(nxt)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist
+    # DEEP CAP: checkpointed frontier expansion + visited-set anti-join
+    # with an empty-frontier exit. Each round is EAGERLY truncated —
+    # lazy rounds re-evaluate the previous frontier's subtree on both
+    # the expansion and the anti side, compounding per round
+    # (interleaved A/B on the 21-round bipartite graph: eager 5.2-6.7 s
+    # vs lazy-prefix 12.3-14.5 s), while eager plans stay flat and the
+    # loop stops at the TRUE reach instead of burning the cap.
+    dist = truncate_lineage(dist0, reliable=True)
     frontier = dist
     for h in range(1, max_hops + 1):
         nxt = (
@@ -325,11 +356,18 @@ def bfs_hops(
                 F.col("e.dst").cast("long").alias("node"),
                 F.lit(h).cast("int").alias("dist"),
             )
-            .distinct()
         )
-        frontier = truncate_lineage(
-            nxt.join(dist, ["node"], "left_anti"), reliable=True
-        )
+        # dedup BEFORE the anti-join: with a small visited set AQE
+        # turns the anti-join into a broadcast probe, so a post-join
+        # distinct would pay the same expansion-sized exchange anyway
+        # (measured both orders at sf0.1: pre-join distinct wins)
+        new = nxt.distinct().join(dist, ["node"], "left_anti")
+        if h == max_hops:
+            # the final hop's frontier feeds nothing but the output
+            # union — materializing or probing it buys no round savings
+            dist = dist.unionAll(new)
+            break
+        frontier = truncate_lineage(new, reliable=True)
         if frontier.isEmpty():
             break
         dist = dist.unionAll(frontier)
