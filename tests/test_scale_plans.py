@@ -1215,7 +1215,6 @@ class TestGlobalWindowSweep:
         "events_path_trigrams": "global-order",
         "events_peak_concurrency": "value-domain",
         "events_qini_uplift": "grid",
-        "events_rfm_segments": "global-order",
         "events_snaive_backtest": "calendar",
         "events_spearman_daily": "value-domain",
         "events_stump_classifier": "summary",
@@ -1234,7 +1233,6 @@ class TestGlobalWindowSweep:
         "parts_pareto_skyline": "value-domain",
         "supplier_airport_shapley": "grid",
         "supplier_stable_matching": "global-order",
-        "window_ntile_cume": "global-order",
     }
 
     @staticmethod

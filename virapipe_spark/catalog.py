@@ -377,6 +377,13 @@ REWRITTEN_IN: dict[str, int] = {
     # anti-join with an empty-frontier early exit (graph.py). The r7
     # proof covered the min-agg plan.
     "graph_bfs_hops": 10,
+    # r10: the last two DATA-SIZED global-order windows in the catalog
+    # (customer-sized ntile/cume_dist, user-sized triple RFM ntile)
+    # rewritten onto scale.two_phase_rank + scale.exact_ntile — exact,
+    # window-free, exemptions pruned. The r3/r7 proofs covered the
+    # window plans.
+    "window_ntile_cume": 10,
+    "events_rfm_segments": 10,
 }
 
 

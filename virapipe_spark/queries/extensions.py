@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.scale import truncate_lineage
+from virapipe_spark.scale import truncate_lineage, two_phase_rank
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 # ---------------------------------------------------------------------------
@@ -5699,34 +5699,10 @@ def docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 16).alias("head16"), "text"
     )
-    p = max(int(spark.sparkContext.defaultParallelism), 1)
-    ranged = truncate_lineage(
-        d.repartitionByRange(p, "lang", "text", "doc_id").withColumn(
-            "pid", F.spark_partition_id()
-        ),
-        reliable=True,
-    )
-    # per-range row counts -> exclusive prefix offsets; P rows, driver-
-    # side by design (control-plane-sized, like the t-digest sketch)
-    sizes = {
-        row["pid"]: row["c"]
-        for row in ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(sizes):
-        offs.append((pid, acc))
-        acc += sizes[pid]
-    off_df = spark.createDataFrame(offs, "pid int, off long")
-    rn_in = F.row_number().over(
-        W.partitionBy("pid").orderBy("lang", "text", "doc_id")
-    )
+    ranked, _n = two_phase_rank(d, ["lang", "text", "doc_id"])
     r = (
-        ranged.join(F.broadcast(off_df), "pid")
-        .select(
-            "doc_id",
-            "lang",
-            "head16",
-            (rn_in + F.col("off")).cast("int").alias("rn"),
+        ranked.select(
+            "doc_id", "lang", "head16", F.col("rn").cast("int").alias("rn")
         )
         .withColumn("bucket", F.expr(f"(rn - 1) div {_SN_W}"))
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.scale import truncate_lineage
+from virapipe_spark.scale import exact_ntile, truncate_lineage, two_phase_rank
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 
@@ -997,15 +997,22 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution ranking functions (ntile quartiles + cume_dist) —
     the remaining window-function family the catalog's row_number /
-    rank / lag entries didn't cover. Single unpartitioned window kept
-    small by the nation filter; at scale, partition the window or use
-    approx percentiles (agg_percentiles' note applies)."""
+    rank / lag entries didn't cover — computed WITHOUT the global
+    window both functions textbook-plan to (r10): the rank comes from
+    scale.two_phase_rank (range-partitioned sort + control-plane
+    offsets), quartile from scale.exact_ntile's closed form (the SQL
+    standard's first-(n mod k)-buckets-get-one-extra sizing both
+    engines' window ntile implements), and cume_dist = rn/n because
+    (c_acctbal, c_custkey) is a TOTAL order — every row is its own
+    peer group, the same tie-free discipline all the catalog's rank
+    entries pin. Oracle stays the plain window pair — same numbers,
+    different physical plan, which is the point."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked, n = two_phase_rank(c, ["c_acctbal", "c_custkey"])
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        exact_ntile(F.col("rn"), n, 4).cast("int").alias("quartile"),
+        F.round(F.col("rn") / F.lit(n), 6).alias("cd"),
     )
 
 

@@ -1539,11 +1539,16 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent — the same total-order discipline as
     window_ntile_cume).
 
-    Scale: one user-keyed aggregate, then three global windows. The
-    windows are the honest cost at 100 TB user counts — the scale path
-    replaces exact ntile with approx-quantile boundary broadcast (two
-    passes, no global sort), trading exactness the oracle would no
-    longer check; documented rather than silently swapped."""
+    Scale: one user-keyed aggregate, then three EXACT global ranks —
+    each via scale.two_phase_rank (range-partitioned sort +
+    control-plane offsets, NO global window; r10, replacing the old
+    "documented but not implemented" approx-quantile note with the
+    exact distributed path) — and scale.exact_ntile's closed form for
+    the quartile, which reproduces both engines' window ntile sizing
+    bit-for-bit. The oracle keeps its three plain windows: same
+    numbers, different physical plan."""
+    from virapipe_spark.scale import exact_ntile, two_phase_rank
+
     e = table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     per_user = e.groupBy("user_id").agg(
@@ -1555,23 +1560,25 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(cents).cast("long").alias("monetary_cents"),
     )
-    return per_user.select(
+    cur, n = two_phase_rank(
+        per_user, ["recency_days", "user_id"], rank_col="__rn_r"
+    )
+    cur, _ = two_phase_rank(
+        cur, [F.col("frequency").desc(), "user_id"], rank_col="__rn_f"
+    )
+    cur, _ = two_phase_rank(
+        cur,
+        [F.col("monetary_cents").desc(), "user_id"],
+        rank_col="__rn_m",
+    )
+    return cur.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4)
-        .over(W.orderBy("recency_days", "user_id"))
-        .cast("long")
-        .alias("r_seg"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), "user_id"))
-        .cast("long")
-        .alias("f_seg"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary_cents").desc(), "user_id"))
-        .cast("long")
-        .alias("m_seg"),
+        exact_ntile(F.col("__rn_r"), n, 4).alias("r_seg"),
+        exact_ntile(F.col("__rn_f"), n, 4).alias("f_seg"),
+        exact_ntile(F.col("__rn_m"), n, 4).alias("m_seg"),
     )
 
 

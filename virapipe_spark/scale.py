@@ -263,3 +263,76 @@ def truncate_lineage(df, eager: bool = True, reliable: bool = False):
         except Exception:
             pass
     return df.localCheckpoint(eager=eager)
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order: list,
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """EXACT global ``row_number`` over ``order`` without a global
+    window — the distributed two-phase sort rank.
+
+    Phase 1: ``repartitionByRange`` spreads the rows over
+    ``num_partitions`` (default ``defaultParallelism``) ORDERED,
+    non-overlapping ranges; the frame is checkpointed so both phases
+    see the same frozen partitioning (range sampling is not otherwise
+    stable across jobs). Phase 2: each range ranks ITSELF with a
+    partitioned window, and the global rank adds per-range row-count
+    offsets — a partition-count-sized driver collect (control plane,
+    the t-digest/BAM-dictionary pattern), never a data-sized
+    single-partition sort.
+
+    ``order`` must be a TOTAL order (append a unique tiebreak column),
+    or ranks at range boundaries are nondeterministic. Returns
+    ``(frame with rank_col, total row count)`` — the count is free
+    (it is the sum of the offsets) and exact-ntile/cume-dist callers
+    always need it.
+
+    Used by docs_sorted_neighborhood, window_ntile_cume and
+    events_rfm_segments; at 100 TB this is the honest replacement for
+    every data-sized ``W.orderBy(...)`` rank in the catalog."""
+    spark = df.sparkSession
+    p = num_partitions or max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = truncate_lineage(
+        df.repartitionByRange(p, *order).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        reliable=True,
+    )
+    sizes = {
+        r["__pid"]: r["c"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offs, total = [], 0
+    for pid in sorted(sizes):
+        offs.append((pid, total))
+        total += sizes[pid]
+    off_df = spark.createDataFrame(offs or [], "__pid int, __off long")
+    rn_in = F.row_number().over(W.partitionBy("__pid").orderBy(*order))
+    out = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, (rn_in + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+    return out, total
+
+
+def exact_ntile(rn: Column, n: int, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` from a precomputed global rank: with
+    ``n`` rows, the first ``n mod k`` buckets hold ``n div k + 1`` rows
+    and the rest ``n div k`` — the exact sizing Spark's and DuckDB's
+    window ntile both implement, so a rank-derived ntile hash-matches a
+    window-derived one. ``n`` is a driver-side int (two_phase_rank's
+    total), so every divisor below is a Python literal and the floors
+    are exactly-rounded integer divisions."""
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: row i is bucket i
+        return rn.cast("long")
+    thr = r * (q + 1)
+    return (
+        F.when(rn <= thr, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - thr - 1) / q) + 1)
+        .cast("long")
+    )
