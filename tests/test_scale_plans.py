@@ -8,6 +8,7 @@ are what survive a 1000×-data scale-up; timings don't."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark import catalog, scale
@@ -449,6 +450,79 @@ class TestPlanProperties:
         assert "BatchEvalPython" not in p, name
         if name not in self.ALLOWED_PANDAS:
             assert "ArrowEvalPython" not in p and "MapInPandas" not in p, name
+
+
+class TestTwoPhaseRank:
+    """scale.two_phase_rank / scale.exact_ntile — the window-free
+    global-rank machinery the r10 rewrites (sorted-neighborhood,
+    ntile_cume, RFM) stand on. Twin checks against the window
+    functions they replace."""
+
+    def _df(self, spark, n=317):
+        # keys deliberately collide on the leading column so range
+        # boundaries land INSIDE key groups; id is the unique tiebreak
+        return spark.range(0, n).select(
+            (F.col("id") * 37 % 11).alias("k"),
+            F.col("id").alias("id"),
+        )
+
+    def test_rank_matches_global_row_number(self, spark):
+        df = self._df(spark)
+        ranked, total = scale.two_phase_rank(
+            df, ["k", "id"], num_partitions=7
+        )
+        want = {
+            (r["k"], r["id"]): r["rn"]
+            for r in df.select(
+                "k",
+                "id",
+                F.row_number().over(W.orderBy("k", "id")).alias("rn"),
+            ).collect()
+        }
+        got = {(r["k"], r["id"]): r["rn"] for r in ranked.collect()}
+        assert total == 317 and got == want
+
+    def test_rank_handles_desc_and_single_partition(self, spark):
+        df = self._df(spark, n=23)
+        ranked, total = scale.two_phase_rank(
+            df, [F.col("k").desc(), "id"], num_partitions=1
+        )
+        want = {
+            (r["k"], r["id"]): r["rn"]
+            for r in df.select(
+                "k",
+                "id",
+                F.row_number()
+                .over(W.orderBy(F.col("k").desc(), "id"))
+                .alias("rn"),
+            ).collect()
+        }
+        got = {(r["k"], r["id"]): r["rn"] for r in ranked.collect()}
+        assert total == 23 and got == want
+
+    def test_plan_has_no_global_window(self, spark):
+        ranked, _ = scale.two_phase_rank(self._df(spark), ["k", "id"])
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert not TestGlobalWindowSweep._has_global_window(plan)
+
+    @pytest.mark.parametrize("n,k", [(10, 4), (317, 4), (3, 4), (12, 4),
+                                     (100, 7), (1, 1)])
+    def test_exact_ntile_matches_window_ntile(self, spark, n, k):
+        df = spark.range(0, n).select(F.col("id"))
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(k).over(W.orderBy("id")).alias("t")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                scale.exact_ntile(F.col("id") + 1, n, k).alias("t"),
+            ).collect()
+        }
+        assert got == want, (n, k)
 
 
 class TestSaltedJoin:
