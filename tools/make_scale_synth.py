@@ -1,0 +1,78 @@
+"""Generate a deterministic N-fold scale-up of a testdata directory.
+
+Key-offset replication: each replica r shifts every key column by
+r * stride so the result has N x the rows at the SAME density (keys
+disjoint across replicas), with no RNG anywhere. Documents get a
+per-replica tail token so text-similarity entries see NEAR-duplicates
+across replicas (the realistic mass-duplication regime) instead of
+exact copies; embeddings keep their vectors (ANN entries tolerate
+ties). Small dims (region/nation/customer/supplier/part) are copied
+verbatim — note that entries reading ONLY those tables therefore have
+no honest N-fold point against this layout.
+
+Used for the round-10 decade-out smoke (SCALE.md): entries run
+against the output directory via catalog.QUERIES[name](spark, out).
+
+Usage:
+    python tools/make_scale_synth.py [src_dir] [out_dir] [replicas]
+    # defaults: /root/testdata/sf0.1 /tmp/sf1.0-synth 10
+"""
+
+import shutil
+import sys
+
+import duckdb
+
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def generate(src: str, out: str, reps: int) -> None:
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(generate_series(0, {reps - 1})) AS r)"
+    specs = {
+        "lineitem": f"""
+          SELECT l_orderkey + r * 1500000 AS l_orderkey,
+                 l_partkey + r * 200000 AS l_partkey,
+                 l_suppkey + r * 10000 AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM read_parquet('{src}/lineitem.parquet'), {rep}""",
+        "orders": f"""
+          SELECT o_orderkey + r * 1500000 AS o_orderkey,
+                 o_custkey + r * 150000 AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM read_parquet('{src}/orders.parquet'), {rep}""",
+        "documents": f"""
+          SELECT doc_id + r * 100000 AS doc_id,
+                 CASE WHEN r = 0 THEN text
+                      ELSE text || ' rep' || r || 'tok' || (doc_id % 7)
+                 END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{src}/documents.parquet'), {rep}""",
+        "embeddings": f"""
+          SELECT vec_id + r * 100000 AS vec_id, embedding, label
+          FROM read_parquet('{src}/embeddings.parquet'), {rep}""",
+        "events": f"""
+          SELECT event_id + r * 1000000 AS event_id, ts,
+                 user_id + r * 100000 AS user_id, event_type, value, props
+          FROM read_parquet('{src}/events.parquet'), {rep}""",
+    }
+    for t, q in specs.items():
+        con.execute(f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n)
+    for t in DIM_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+        print(t, "copied (dim — no N-fold point)")
+
+
+if __name__ == "__main__":
+    import os
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0-synth"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    generate(src, out, reps)
