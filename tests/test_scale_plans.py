@@ -1163,21 +1163,24 @@ class TestBfsProperty:
     def test_random_graphs_match_python_bfs(self, spark):
         """bfs_hops must agree with a pure-Python BFS (dict-of-lists
         frontier walk) on random directed graphs — random sources,
-        cycles, self-loops, duplicate edges, unreachable nodes."""
+        cycles, self-loops, duplicate edges, unreachable nodes. hops
+        spans BOTH r10 shapes (<= 4 lazy min-fold, > 4 checkpointed
+        frontier expansion with the empty-frontier early exit and the
+        lazy final-hop tail)."""
         from collections import deque
 
         from hypothesis import given, settings, strategies as st
 
         from virapipe_spark.graph import bfs_hops
 
-        @settings(max_examples=6, deadline=None)
+        @settings(max_examples=8, deadline=None)
         @given(
             n=st.integers(2, 20),
             edges=st.lists(
                 st.tuples(st.integers(0, 19), st.integers(0, 19)), max_size=30
             ),
             srcs=st.lists(st.integers(0, 19), min_size=1, max_size=3),
-            hops=st.integers(1, 4),
+            hops=st.sampled_from([1, 2, 3, 4, 5, 6, 8]),
         )
         def prop(n, edges, srcs, hops):
             edges = [(a, b) for a, b in edges if a < n and b < n]
