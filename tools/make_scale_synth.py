@@ -1,14 +1,21 @@
 """Generate a deterministic N-fold scale-up of a testdata directory.
 
-Key-offset replication: each replica r shifts every key column by
-r * stride so the result has N x the rows at the SAME density (keys
-disjoint across replicas), with no RNG anywhere. Documents get a
-per-replica tail token so text-similarity entries see NEAR-duplicates
-across replicas (the realistic mass-duplication regime) instead of
-exact copies; embeddings keep their vectors (ANN entries tolerate
+Key-offset replication: each replica r shifts a table's PRIMARY key by
+r * stride so the result has N x the rows (keys disjoint across
+replicas), with no RNG anywhere. Foreign keys are offset ONLY when the
+referenced table is itself replicated (l_orderkey <-> o_orderkey);
+FKs into the verbatim-copied dims (l_partkey, l_suppkey, o_custkey)
+are kept UN-offset so fact-to-dim joins retain every replica row —
+each dim key simply owns N x the fact rows, the fixed-dims scale-up
+shape. Documents get a per-replica tail token so text-similarity
+entries see NEAR-duplicates across replicas (the realistic
+mass-duplication regime) instead of exact copies, and n_chars is
+recomputed as length(text) so the metadata stays consistent with the
+perturbed text; embeddings keep their vectors (ANN entries tolerate
 ties). Small dims (region/nation/customer/supplier/part) are copied
-verbatim — note that entries reading ONLY those tables therefore have
-no honest N-fold point against this layout.
+verbatim — entries reading ONLY those tables therefore have no honest
+N-fold point against this layout, and dim-grouped aggregates over
+facts see N x rows per group rather than N x groups.
 
 Used for the round-10 decade-out smoke (SCALE.md): entries run
 against the output directory via catalog.QUERIES[name](spark, out).
@@ -32,23 +39,27 @@ def generate(src: str, out: str, reps: int) -> None:
     specs = {
         "lineitem": f"""
           SELECT l_orderkey + r * 1500000 AS l_orderkey,
-                 l_partkey + r * 200000 AS l_partkey,
-                 l_suppkey + r * 10000 AS l_suppkey,
+                 l_partkey, l_suppkey,
                  l_linenumber, l_quantity, l_extendedprice, l_discount,
                  l_tax, l_returnflag, l_linestatus, l_shipdate
           FROM read_parquet('{src}/lineitem.parquet'), {rep}""",
         "orders": f"""
           SELECT o_orderkey + r * 1500000 AS o_orderkey,
-                 o_custkey + r * 150000 AS o_custkey,
+                 o_custkey,
                  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
           FROM read_parquet('{src}/orders.parquet'), {rep}""",
         "documents": f"""
           SELECT doc_id + r * 100000 AS doc_id,
-                 CASE WHEN r = 0 THEN text
-                      ELSE text || ' rep' || r || 'tok' || (doc_id % 7)
-                 END AS text,
-                 lang, source, n_chars
-          FROM read_parquet('{src}/documents.parquet'), {rep}""",
+                 text, lang, source,
+                 length(text) AS n_chars
+          FROM (
+            SELECT doc_id, r,
+                   CASE WHEN r = 0 THEN text
+                        ELSE text || ' rep' || r || 'tok' || (doc_id % 7)
+                   END AS text,
+                   lang, source
+            FROM read_parquet('{src}/documents.parquet'), {rep}
+          )""",
         "embeddings": f"""
           SELECT vec_id + r * 100000 AS vec_id, embedding, label
           FROM read_parquet('{src}/embeddings.parquet'), {rep}""",

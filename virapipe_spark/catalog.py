@@ -341,49 +341,22 @@ _DRIFT_ROUND = 4
 #: entry ranks by that round again; no manual cleanup. The local pooled
 #: compare (tests/test_staged.py) re-arms off this same table.
 REWRITTEN_IN: dict[str, int] = {
-    # r8: single-pass aggregate rewrite (tools/ab_bloom_singlepass.py);
-    # the r7 driver proof covered the retired four-branch shape.
-    "join_bloom_prefilter": 8,
-    # r8: bam.py rewrite — numpy-vectorized record decode, multi-member
-    # BGZF fix, spec-correct variable-length FEXTRA walks at every read
-    # site. Proofs from r4-r7 covered the old decoder.
-    "bam_scan_roundtrip": 8,
-    "bam_split_scan_roundtrip": 8,
-    "bam_write_roundtrip": 8,
-    "sam_scan_roundtrip": 8,
-    # r9: top-20 rewritten from a global row_number over the whole
-    # candidate set to orderBy().limit(20) + a 20-row rank window
-    # (TakeOrderedAndProject; the global-window sweep's one data-sized
-    # hit). r10: the residual vocabulary-sized 3-term pick got the same
-    # treatment and BOTH k-row ranks became window-free column-space
-    # derivations (sort_array + posexplode) — exemption pruned. The r7
-    # driver proof covered the full-candidate-rank shape; the r10 row
-    # (round-end code) proves the final window-free one.
-    "docs_bm25_rank": 10,
-    # r10: connected_components_doubling's convergence check rewritten
-    # from a new-vs-old join to an __old column filter (graph.py) —
-    # same labels, one less vertex-keyed shuffle per round. This entry
-    # is the one driver-PROVEN caller of the engine (r9 row covered
-    # the join-based plan), so it re-arms; the euler/debruijn callers
-    # are r10-staged and in the window anyway.
-    "graph_bipartite_check": 10,
-    # r10: the global-rank window became the two-phase distributed sort
-    # its docstring promised (repartitionByRange + per-range rank +
-    # control-plane offsets); the r8 proof covered the global-window
-    # plan. Global-order exemption pruned.
-    "docs_sorted_neighborhood": 10,
-    # r10: bfs_hops rewritten from fold-candidates-into-the-full-
-    # distance-table-with-a-min-agg to frontier expansion + visited-set
-    # anti-join with an empty-frontier early exit (graph.py). The r7
-    # proof covered the min-agg plan.
-    "graph_bfs_hops": 10,
-    # r10: the last two DATA-SIZED global-order windows in the catalog
-    # (customer-sized ntile/cume_dist, user-sized triple RFM ntile)
-    # rewritten onto scale.two_phase_rank + scale.exact_ntile — exact,
-    # window-free, exemptions pruned. The r3/r7 proofs covered the
-    # window plans.
-    "window_ntile_cume": 10,
-    "events_rfm_segments": 10,
+    # (The r8-r10 rows were pruned in r11 once every proof round reached
+    # its rewrite round — the map only needs rows whose re-proof is
+    # still outstanding; git history keeps the retired rationale.)
+    #
+    # r11: docs_sorted_neighborhood's rank columns widened int -> long
+    # (ADVICE r10: the int cast overflowed past 2^31 rows) — an OUTPUT
+    # SCHEMA change, so the r10 proof covers the int-width result only.
+    "docs_sorted_neighborhood": 11,
+    # r11: scale.two_phase_rank grew the adaptive data-sized range
+    # count (re-range when an honest range would exceed
+    # target_rows_per_range rows). At driver scale the executed plan is
+    # bit-identical (the re-range never triggers below ~128M rows), but
+    # the call path changed, so every two_phase_rank caller re-proves
+    # per the shared-engine rule (docs_sorted_neighborhood is above).
+    "window_ntile_cume": 11,
+    "events_rfm_segments": 11,
 }
 
 

@@ -139,6 +139,13 @@ def connected_components_doubling(
     ``max_rounds`` guard. Same contract: symmetrized edges, isolated
     nodes label themselves, raises rather than returning unconverged
     labels.
+
+    ``checkpoint_every`` is DEPRECATED and ignored (as in
+    :func:`bfs_hops`): since the r10 per-round-eager rewrite the loop
+    truncates lineage every round by construction — the convergence
+    filter materializes each round anyway, and a flat plan per round
+    measurably beats any sparser cadence (see the inline A/B below).
+    The parameter is retained so existing call sites keep working.
     """
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

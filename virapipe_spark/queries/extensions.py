@@ -5700,11 +5700,11 @@ def docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.substring("text", 1, 16).alias("head16"), "text"
     )
     ranked, _n = two_phase_rank(d, ["lang", "text", "doc_id"])
-    r = (
-        ranked.select(
-            "doc_id", "lang", "head16", F.col("rn").cast("int").alias("rn")
-        )
-        .withColumn("bucket", F.expr(f"(rn - 1) div {_SN_W}"))
+    # rn stays LONG (two_phase_rank's native width): an int cast here
+    # would overflow past 2^31 rows, contradicting the corpus-scale
+    # claim above; the div bucket arithmetic is exact in long.
+    r = ranked.select("doc_id", "lang", "head16", "rn").withColumn(
+        "bucket", F.expr(f"(rn - 1) div {_SN_W}L")
     )
     # a-side probes its own and the NEXT bucket so every pair with
     # 1 <= gap <= w is covered by an equi-join on bucket
