@@ -4,14 +4,25 @@ Runs each headline query end-to-end (noop sink — full execution, no
 driver collect) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Hygiene (per round-1 and round-3 ADVICE):
+Hygiene (per round-1, round-3 and round-10 ADVICE):
 - every table referenced by a headline query is warmed (parquet footer,
   codegen, broadcast machinery) before timing starts;
 - each query is run REPS times and the reported figure is the median;
 - sub-second queries get extra reps (up to MAX_REPS): at 0.2-0.3 s a
   single scheduler hiccup is a ±30% swing, and r02→r03 showed exactly
-  that noise drowning real regressions. More samples tighten the
-  median; queries ≥1 s are already stable at REPS.
+  that noise drowning real regressions;
+- the 1-5 s band gets extra reps too (up to MID_REPS — round-10 burned
+  a day disproving six phantom >1.5x flags, all in this band), and ANY
+  query whose samples spread more than NOISY_SPREAD around the median
+  keeps sampling to MAX_REPS — a wide spread is the signature of
+  ambient contention, and more samples are exactly what tightens the
+  median against it;
+- alongside each median the JSON carries the per-query MINIMUM
+  (`queries_min`/`value_min`): timing noise on an otherwise-idle box is
+  one-sided, so the min is the drift-robust statistic — when a round's
+  medians all rise but the mins hold, the box moved, not the code
+  (round-10's 1.21x headline was exactly that shape, reconstructed by
+  hand from anchor reruns; now it is readable off the artifact).
 """
 
 from __future__ import annotations
@@ -122,8 +133,29 @@ HEADLINE = [
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-#: Sub-second queries get up to this many reps (see module docstring).
+#: 1-5 s queries get up to this many reps (see module docstring).
+MID_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MID_REPS", "7"))
+#: Sub-second or noisy-spread queries get up to this many reps.
 MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "9"))
+#: Keep sampling (to MAX_REPS) while (max-min)/median exceeds this.
+NOISY_SPREAD = float(os.environ.get("SPARK_GRAFT_BENCH_NOISY_SPREAD", "0.3"))
+
+
+def _needs_more(reps: list[float]) -> bool:
+    """Escalation policy: REPS samples minimum for everyone; sub-second
+    medians sample to MAX_REPS and 1-5 s medians to MID_REPS (relative
+    hiccup impact scales inversely with runtime); any query whose
+    spread exceeds NOISY_SPREAD keeps sampling to MAX_REPS."""
+    if len(reps) < REPS:
+        return True
+    if len(reps) >= MAX_REPS:
+        return False
+    med = statistics.median(reps)
+    if med < 1.0:
+        return True
+    if (max(reps) - min(reps)) > NOISY_SPREAD * med:
+        return True
+    return med < 5.0 and len(reps) < MID_REPS
 
 
 def main() -> None:
@@ -156,12 +188,11 @@ def main() -> None:
             print(f"warm-up of {names[0]} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in names:
-        reps = []
+        reps: list[float] = []
         try:
-            while len(reps) < REPS or (
-                len(reps) < MAX_REPS and statistics.median(reps) < 1.0
-            ):
+            while _needs_more(reps):
                 t0 = time.perf_counter()
                 df = catalog.QUERIES[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
@@ -170,6 +201,7 @@ def main() -> None:
             print(f"query {name} failed: {e}", file=sys.stderr)
             continue
         timings[name] = round(statistics.median(reps), 3)
+        minima[name] = round(min(reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -180,6 +212,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # drift diagnostics (see module docstring): medians move
+                # with the box, minima move with the code.
+                "value_min": round(sum(minima.values()), 3),
+                "queries_min": minima,
             }
         )
     )

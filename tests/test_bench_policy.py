@@ -1,0 +1,42 @@
+"""bench.py rep-escalation policy (_needs_more) — pure-Python unit
+coverage for the r10-verdict noise hardening: every query medians at
+least REPS samples; sub-second medians escalate to MAX_REPS; the 1-5 s
+band (where r10's six phantom >1.5x flags all lived) escalates to
+MID_REPS; a noisy spread escalates ANY query to MAX_REPS; nothing
+samples past MAX_REPS."""
+
+from __future__ import annotations
+
+import bench
+
+
+class TestNeedsMore:
+    def test_everyone_gets_reps_minimum(self):
+        assert bench._needs_more([])
+        assert bench._needs_more([10.0] * (bench.REPS - 1))
+
+    def test_stable_slow_query_stops_at_reps(self):
+        # 10 s median, tight spread: REPS samples suffice
+        assert not bench._needs_more([10.0, 10.1, 9.9, 10.0, 10.05])
+
+    def test_subsecond_escalates_to_max(self):
+        reps = [0.3] * bench.REPS
+        assert bench._needs_more(reps)
+        assert not bench._needs_more([0.3] * bench.MAX_REPS)
+
+    def test_mid_band_escalates_to_mid_reps(self):
+        # 2 s median, tight spread: sample to MID_REPS, then stop
+        reps = [2.0, 2.01, 1.99, 2.0, 2.02]
+        assert bench._needs_more(reps)
+        assert not bench._needs_more([2.0] * bench.MID_REPS)
+
+    def test_noisy_spread_escalates_anything_to_max(self):
+        # 10 s median but one 2.3x hiccup sample (the r10 phantom
+        # shape): spread > NOISY_SPREAD keeps sampling
+        noisy = [10.0, 10.1, 23.0, 9.9, 10.0, 10.05, 10.1]
+        assert bench._needs_more(noisy)
+        assert not bench._needs_more(noisy + [10.0, 10.0])  # MAX_REPS cap
+
+    def test_never_past_max_reps(self):
+        assert not bench._needs_more([0.1] * bench.MAX_REPS)
+        assert not bench._needs_more([100.0, 0.1] * bench.MAX_REPS)

@@ -1,9 +1,18 @@
 """Python DataSource API: registration, schema, partition planning,
-deterministic content vs the pure-python reference."""
+deterministic content vs the pure-python reference — plus the FASTQ
+file source's Interleave-faithful record-boundary properties at the
+SPLIT level (Interleave.java:97,141)."""
 
 from __future__ import annotations
 
-from virapipe_spark.pydatasource import SyntheticReadsDataSource, synth_read
+import pytest
+
+from virapipe_spark.pydatasource import (
+    FastqDataSource,
+    SyntheticReadsDataSource,
+    _line_split_offsets,
+    synth_read,
+)
 
 
 class TestPythonDataSource:
@@ -49,3 +58,118 @@ class TestPythonDataSource:
         spark.dataSource.register(SyntheticReadsDataSource)
         df = spark.read.format("synthetic_reads").option("n", 0).load()
         assert df.count() == 0
+
+
+def _write_fastq_file(path, n, tag, read_len=24):
+    recs = []
+    for i in range(n):
+        _id, _name, bases, qual = synth_read(i, read_len)
+        recs.append((f"{tag}.{i}", bases, qual))
+    with open(path, "w") as fh:
+        for name, bases, qual in recs:
+            fh.write(f"@{name}\n{bases}\n+\n{qual}\n")
+    return recs
+
+
+class TestFastqFileSource:
+    """The record-boundary contract the reference encodes via
+    NLineInputFormat splits of splitsize*4 lines (Interleave.java:97):
+    for ANY split size, the union of per-split parses equals the
+    whole-file parse, each split holds only whole stanzas, and paired
+    reading interleaves mates in exact alternation across split
+    boundaries (Interleave.java:141)."""
+
+    @pytest.mark.parametrize("split_reads", [1, 2, 3, 7, 100])
+    def test_split_invariance_single(self, spark, tmp_path, split_reads):
+        n = 23  # coprime-ish with every split size above
+        expect = _write_fastq_file(tmp_path / "a.fastq", n, "s")
+        spark.dataSource.register(FastqDataSource)
+        df = (
+            spark.read.format("fastq")
+            .option("split_reads", split_reads)
+            .load(str(tmp_path / "a.fastq"))
+        )
+        # split planning: ceil(n / split_reads) partitions
+        assert df.rdd.getNumPartitions() == -(-n // split_reads)
+        rows = sorted(df.collect(), key=lambda r: r["rec_idx"])
+        assert [(r["key"], r["sequence"], r["quality"]) for r in rows] == expect
+        assert [r["rec_idx"] for r in rows] == list(range(n))
+
+    @pytest.mark.parametrize("split_reads", [1, 3, 7])
+    def test_paired_interleave_alternates(self, spark, tmp_path, split_reads):
+        n = 11
+        m1 = _write_fastq_file(tmp_path / "r1.fastq", n, "m/1")
+        m2 = _write_fastq_file(tmp_path / "r2.fastq", n, "m/2")
+        spark.dataSource.register(FastqDataSource)
+        df = (
+            spark.read.format("fastq")
+            .option("split_reads", split_reads)
+            .option("paired", str(tmp_path / "r2.fastq"))
+            .load(str(tmp_path / "r1.fastq"))
+        )
+        rows = sorted(df.collect(), key=lambda r: r["rec_idx"])
+        assert len(rows) == 2 * n
+        for i in range(n):
+            assert (
+                rows[2 * i]["key"],
+                rows[2 * i]["sequence"],
+                rows[2 * i]["quality"],
+            ) == m1[i]
+            assert (
+                rows[2 * i + 1]["key"],
+                rows[2 * i + 1]["sequence"],
+                rows[2 * i + 1]["quality"],
+            ) == m2[i]
+
+    def test_paired_shape_mismatch_raises(self, spark, tmp_path):
+        _write_fastq_file(tmp_path / "r1.fastq", 8, "a")
+        _write_fastq_file(tmp_path / "r2.fastq", 5, "b")
+        spark.dataSource.register(FastqDataSource)
+        # 8 vs 5 reads at split_reads=4 plans 2 splits on BOTH sides,
+        # so the mismatch surfaces at the per-split record-count check
+        # (executor side); 8 vs 3 would fail at planning. Both paths
+        # raise with 'counts differ'.
+        with pytest.raises(Exception, match="counts differ"):
+            (
+                spark.read.format("fastq")
+                .option("split_reads", 4)
+                .option("paired", str(tmp_path / "r2.fastq"))
+                .load(str(tmp_path / "r1.fastq"))
+                .collect()
+            )
+        _write_fastq_file(tmp_path / "r3.fastq", 3, "c")
+        with pytest.raises(Exception, match="split counts differ"):
+            (
+                spark.read.format("fastq")
+                .option("split_reads", 4)
+                .option("paired", str(tmp_path / "r3.fastq"))
+                .load(str(tmp_path / "r1.fastq"))
+                .collect()
+            )
+
+    def test_directory_input_multi_file_global_ordinals(self, spark, tmp_path):
+        d = tmp_path / "fqdir"
+        d.mkdir()
+        a = _write_fastq_file(d / "part-0", 5, "p0")
+        b = _write_fastq_file(d / "part-1", 6, "p1")
+        (d / "_SUCCESS").write_text("")
+        spark.dataSource.register(FastqDataSource)
+        df = (
+            spark.read.format("fastq")
+            .option("split_reads", 4)
+            .load(str(d))
+        )
+        rows = sorted(df.collect(), key=lambda r: r["rec_idx"])
+        got = [(r["key"], r["sequence"], r["quality"]) for r in rows]
+        assert got == a + b  # sorted file order, cumulative rec_idx
+        assert [r["rec_idx"] for r in rows] == list(range(11))
+
+    def test_offsets_cover_file_exactly(self, tmp_path):
+        p = tmp_path / "x.fastq"
+        _write_fastq_file(p, 10, "x")
+        size = p.stat().st_size
+        for lps in (4, 8, 12, 400):
+            ranges = _line_split_offsets(str(p), lps)
+            assert ranges[0][0] == 0 and ranges[-1][1] == size
+            for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+                assert e1 == s2  # contiguous, no gap/overlap

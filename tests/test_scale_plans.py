@@ -1278,7 +1278,6 @@ class TestGlobalWindowSweep:
         "docs_huffman_lengths": "alphabet",
         "docs_length_outliers_mad": "summary",
         "docs_mixture_allocation": "alphabet",
-        "docs_rank_fusion_rrf": "global-order",
         "docs_shard_assignment": "grid",
         "events_bootstrap_ci": "calendar",
         "events_change_point": "calendar",
@@ -1309,7 +1308,11 @@ class TestGlobalWindowSweep:
         "lineitem_skew_report": "summary",
         "parts_pareto_skyline": "value-domain",
         "supplier_airport_shapley": "grid",
-        "supplier_stable_matching": "global-order",
+        # docs_rank_fusion_rrf and supplier_stable_matching left this
+        # registry in r11: their global-order windows (candidate-set
+        # ranks; supplier/part index builders) measured DATA-SIZED at
+        # the 10x synth / TPC-H SF-linear dims, and were rewritten onto
+        # scale.two_phase_rank (tools/measure_window_inputs.py).
     }
 
     @staticmethod

@@ -83,9 +83,10 @@ def staged_results(spark, con):
         STAGED_R8 as g8,
         STAGED_R9 as g9,
         STAGED_R10 as g10,
+        STAGED_R11 as g11,
     )
 
-    gens = {**STAGED, **g7, **g8, **g9, **g10}
+    gens = {**STAGED, **g7, **g8, **g9, **g10, **g11}
     proven = catalog._verified_rounds()
     todo = [
         n
@@ -554,3 +555,54 @@ def test_cdc_eight_char_doc_matches_oracle(spark, tmp_path):
     c.close()
     problems = compare_frames(sdf, ddf)
     assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# Round-11 authoring generation (flips immediately — r10 artifacts exist)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import STAGED_R11  # noqa: E402
+
+
+def test_r11_staging_state_matches_round():
+    """The r11 generation's arming artifact (CORRECTNESS_r10) exists
+    from the moment its entries were authored, so load_all promotes
+    them immediately and they prove in the round-11 driver window —
+    the deliberate post-freeze unfreeze. Same invariants as every
+    generation: within the window cap, oracle-backed, live when armed."""
+    import glob
+    import os
+
+    catalog.load_all()
+    assert len(STAGED_R11) <= 40  # leaves >= 10 recycle slots (verdict)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    armed = glob.glob(os.path.join(root, "CORRECTNESS_r1[0-9].json")) or glob.glob(
+        os.path.join(root, "CORRECTNESS_r[2-9][0-9].json")
+    )
+    if armed:
+        assert set(STAGED_R11) <= set(catalog.QUERIES)
+    else:
+        assert not set(STAGED_R11) & set(catalog.QUERIES)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, o) in sorted(STAGED_R11.items()) if o is not None]
+)
+def test_r11_staged_entry_matches_oracle(staged_results, name):
+    _compare_staged_entry(staged_results, name)
+
+
+def test_r11_promote_flips_them_live():
+    from virapipe_spark.queries import staged as st
+
+    if not STAGED_R11:
+        pytest.skip("r11 generation empty")
+    st.promote_r11()
+    try:
+        assert set(STAGED_R11) <= set(catalog.QUERIES)
+        st.promote_r11()  # idempotent
+    finally:
+        for n in STAGED_R11:
+            catalog.QUERIES.pop(n, None)
+            catalog.ORACLES.pop(n, None)
+        st.R11_PROMOTED = False

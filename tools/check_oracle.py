@@ -22,10 +22,17 @@ divergences that the driver's exact hash would catch fail locally too
 ``--staged`` force-promotes every pending staged generation
 into the checked set, so window-overflow entries get the same gate as
 live ones BEFORE their flip round.
+
+Set ``CHECK_ORACLE_TIMES_JSON=<path>`` to also write one JSON object of
+per-entry wall seconds ({name: sec, ...}, insertion = execution order)
+— the committed GATE_TIMES_r{N}.json artifact, so round-over-round
+gate-time regressions are diffable the way bench times are (r10
+verdict item: they previously lived only in SCALE.md prose).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -62,6 +69,8 @@ def main() -> int:
             staged_mod.promote_r9()
         if not staged_mod.R10_PROMOTED:
             staged_mod.promote_r10()
+        if not staged_mod.R11_PROMOTED:
+            staged_mod.promote_r11()
 
     def build_session():
         if bare:
@@ -82,6 +91,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    times: dict[str, float] = {}
+    times_path = os.environ.get("CHECK_ORACLE_TIMES_JSON")
     names = [n for n in catalog.QUERIES if not only or n in only]
     #: Recycle the JVM every N entries on long runs. localCheckpoint
     #: blocks from iterative entries accumulate for the session's
@@ -100,20 +111,26 @@ def main() -> int:
         try:
             sdf = catalog.QUERIES[name](spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
+            times[name] = round(time.time() - t0, 3)
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in catalog.ORACLES:
+            # Spark-side wall time only (no oracle to run) — still the
+            # figure the gate-time diff cares about.
+            times[name] = round(time.time() - t0, 3)
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
             ddf = con.execute(catalog.ORACLES[name]).df()
         except Exception as e:  # noqa: BLE001
+            times[name] = round(time.time() - t0, 3)
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = compare_frames(sdf, ddf, strict=strict)
         dt = time.time() - t0
+        times[name] = round(dt, 3)
         if problems:
             failures.append(name)
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
@@ -121,6 +138,10 @@ def main() -> int:
             print(f"OK    {name} ({dt:.1f}s, {len(sdf)} rows)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if times_path:
+        with open(times_path, "w") as fh:
+            json.dump(times, fh, indent=1)
+        print(f"per-entry wall times -> {times_path}")
     spark.stop()
     return 1 if failures else 0
 

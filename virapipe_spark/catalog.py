@@ -258,6 +258,19 @@ def load_all() -> None:
             os.path.join(root, "CORRECTNESS_r[1-9][0-9].json")
         ):
             staged.promote_r10()
+    # Round-11 flip, SELF-ARMING on the round-10 artifacts (same
+    # pattern; the post-freeze authoring generation — its arming
+    # artifact exists from the moment the entries are authored, so
+    # they flip live immediately and prove in the round-11 window).
+    if not staged.R11_PROMOTED:
+        import glob
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if glob.glob(os.path.join(root, "CORRECTNESS_r1[0-9].json")) or glob.glob(
+            os.path.join(root, "CORRECTNESS_r[2-9][0-9].json")
+        ):
+            staged.promote_r11()
 
 
 def _verified_rounds(root: str | None = None) -> dict[str, int]:
@@ -357,6 +370,13 @@ REWRITTEN_IN: dict[str, int] = {
     # per the shared-engine rule (docs_sorted_neighborhood is above).
     "window_ntile_cume": 11,
     "events_rfm_segments": 11,
+    # r11: the two global-order exemptions whose window inputs measured
+    # data-sized (tools/measure_window_inputs.py) rewritten onto
+    # two_phase_rank — rrf's candidate-set ranks, stable matching's
+    # supplier/part index builders. Ranks are bit-identical; the plans
+    # are not, so the r9/r10 proofs cover the window-based shapes.
+    "docs_rank_fusion_rrf": 11,
+    "supplier_stable_matching": 11,
 }
 
 

@@ -7377,11 +7377,15 @@ def docs_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic in both engines even where distinct rationals round
     to equal doubles.
 
-    Scale: candidate set = docs containing a query term (inverted-
-    index semantics, not corpus size); the global rank windows run
-    over that bounded set — for web-scale candidates the standard
-    top-K-per-partition + merge refinement replaces the single-
-    partition window (the window_topk_salted pattern)."""
+    Scale: candidate set = docs containing a query term — inverted-
+    index semantics, but the df < n/2 term pick admits candidate sets
+    a constant fraction of the corpus, so the candidate table is
+    DATA-SIZED (measured at 10x synth: grows with the corpus,
+    tools/measure_window_inputs.py). r11: both global rank windows
+    replaced by scale.two_phase_rank (range-partitioned two-phase
+    sort rank, control-plane offsets — exact, window-free); the
+    global-order exemption is pruned. The top-20 emission is an
+    orderBy().limit (TakeOrderedAndProject), never a global sort."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -7406,13 +7410,13 @@ def docs_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") - F.col("df")).cast("long").alias("s2"),
         )
     )
-    r1 = F.row_number().over(W.orderBy(F.col("s1").desc(), "doc_id"))
-    r2 = F.row_number().over(W.orderBy(F.col("s2").desc(), "doc_id"))
-    ranked = scored.select(
-        "doc_id",
-        r1.cast("long").alias("r1"),
-        r2.cast("long").alias("r2"),
+    with_r1, _n1 = two_phase_rank(
+        scored, [F.col("s1").desc(), F.col("doc_id")], rank_col="r1"
     )
+    with_r2, _n2 = two_phase_rank(
+        with_r1, [F.col("s2").desc(), F.col("doc_id")], rank_col="r2"
+    )
+    ranked = with_r2.select("doc_id", "r1", "r2")
     num = (120 + F.col("r1") + F.col("r2")).cast("long")
     den = ((60 + F.col("r1")) * (60 + F.col("r2"))).cast("long")
     return (

@@ -3005,3 +3005,144 @@ def reads_adapter_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the FASTQ Python DataSource under the correctness gate
+# (the r10-verdict unfreeze candidates — a REAL spark.read connector
+# behind the pydatasource.py seam, split-planned the way the reference
+# splits FASTQ: NLineInputFormat line runs, Interleave.java:97,141)
+# ---------------------------------------------------------------------------
+
+from virapipe_spark.queries.staged import staged_r11  # noqa: E402
+
+
+@staged_r11(
+    "fastq_datasource_scan",
+    oracle=f"""
+    SELECT concat('r', lpad(CAST(doc_id AS VARCHAR), 5, '0')) AS key,
+           translate(substr(md5(text), 1, 16), '{_HEX}', '{_DNA16}')
+             AS sequence,
+           translate(substr(md5(concat(text, 'q')), 1, 16), '{_HEX}',
+                     '{_QUAL16}') AS quality
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def fastq_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("fastq")`` — the custom Python DataSource
+    reading REAL FASTQ files with Interleave-faithful split planning
+    (whole-stanza line runs, Interleave.java:97's NLineInputFormat
+    pass), under the driver's hash gate: deterministic md5-derived
+    records write through io.write_fastq (a multi-part text dir), the
+    connector plans ``split_reads=16`` stanza-aligned splits per part
+    file and re-parses them, and every parsed column hash-compares
+    against DuckDB computing the same records relationally. A split
+    boundary landing mid-stanza, a dropped/duplicated record at a
+    split seam, or '@'-stripping drift breaks the hash.
+
+    Scale: split planning is the parallelism story (N splits = N
+    tasks, the file-split contract); rows cross the Python worker
+    boundary row-at-a-time, so the connector is for bespoke-format
+    plumbing, not data-plane volume (pydatasource.py module note —
+    the JVM text source io.read_fastq is the throughput path)."""
+    from virapipe_spark import io as vio
+    from virapipe_spark.pydatasource import FastqDataSource
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    recs = d.select(
+        F.format_string("r%05d", F.col("doc_id")).alias("key"),
+        F.translate(F.substring(F.md5("text"), 1, 16), _HEX, _DNA16).alias(
+            "sequence"
+        ),
+        F.translate(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("q"))), 1, 16),
+            _HEX,
+            _QUAL16,
+        ).alias("quality"),
+    )
+    out = vio.scratch_dir(spark, sf_dir, "fqds")
+    vio.write_fastq(recs, out, mode="overwrite")
+    spark.dataSource.register(FastqDataSource)
+    return (
+        spark.read.format("fastq")
+        .option("split_reads", 16)
+        .load(out)
+        .select("key", "sequence", "quality")
+    )
+
+
+@staged_r11(
+    "fastq_datasource_interleave",
+    oracle=f"""
+    WITH src AS (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i,
+             concat('m', lpad(CAST(doc_id AS VARCHAR), 5, '0')) AS stem,
+             translate(substr(md5(text), 1, 16), '{_HEX}', '{_DNA16}')
+               AS s1,
+             translate(substr(md5(concat(text, '2')), 1, 16), '{_HEX}',
+                       '{_DNA16}') AS s2,
+             translate(substr(md5(concat(text, 'q1')), 1, 16), '{_HEX}',
+                       '{_QUAL16}') AS q1,
+             translate(substr(md5(concat(text, 'q2')), 1, 16), '{_HEX}',
+                       '{_QUAL16}') AS q2
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT CAST(2 * i AS BIGINT) AS rec_idx, concat(stem, '/1') AS key,
+           s1 AS sequence, q1 AS quality
+    FROM src
+    UNION ALL
+    SELECT CAST(2 * i + 1 AS BIGINT), concat(stem, '/2'), s2, q2
+    FROM src
+    """,
+)
+def fastq_datasource_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-FASTQ INTERLEAVE through the Python DataSource — the
+    reference's Interleave tool (Interleave.java:141,
+    writeInterleavedSplits: split i of mate file 1 zips with split i
+    of mate file 2; records alternate r1[j], r2[j]) with the
+    positional semantics emitted AS DATA: ``rec_idx = 2*j`` / ``2*j+1``
+    for the j-th mate pair, so the order-insensitive driver hash
+    still proves the exact interleave order across split boundaries.
+    Two sorted single-part mate files, read at ``split_reads=16`` (7
+    splits each at the 100-pair fixture) — a pairing drift at ANY
+    split seam changes some row's rec_idx and breaks the hash. The
+    equal-shape requirement is enforced (mismatch raises; the
+    reference silently truncates to the shorter reader,
+    Interleave.java:149-166 — honest-claims divergence, QUIRKS-style).
+
+    Scale: same connector notes as fastq_datasource_scan; interleave
+    adds zero shuffle (each task zips two co-planned splits)."""
+    from virapipe_spark import io as vio
+    from virapipe_spark.pydatasource import FastqDataSource
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    stem = F.format_string("m%05d", F.col("doc_id"))
+
+    def _mate(suffix: str, skey: str, qkey: str) -> DataFrame:
+        return d.select(
+            F.concat(stem, F.lit(suffix)).alias("key"),
+            F.translate(
+                F.substring(F.md5(F.concat(F.col("text"), F.lit(skey))), 1, 16)
+                if skey
+                else F.substring(F.md5("text"), 1, 16),
+                _HEX,
+                _DNA16,
+            ).alias("sequence"),
+            F.translate(
+                F.substring(F.md5(F.concat(F.col("text"), F.lit(qkey))), 1, 16),
+                _HEX,
+                _QUAL16,
+            ).alias("quality"),
+        ).coalesce(1).sortWithinPartitions("key")
+
+    out1 = vio.scratch_dir(spark, sf_dir, "fqds_m1")
+    out2 = vio.scratch_dir(spark, sf_dir, "fqds_m2")
+    vio.write_fastq(_mate("/1", "", "q1"), out1, mode="overwrite")
+    vio.write_fastq(_mate("/2", "2", "q2"), out2, mode="overwrite")
+    spark.dataSource.register(FastqDataSource)
+    return (
+        spark.read.format("fastq")
+        .option("split_reads", 16)
+        .option("paired", out2)
+        .load(out1)
+    )

@@ -5209,25 +5209,28 @@ def supplier_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment (SURVEY.md section 2 engine extras)."""
     k = _GS_K
     sup = table(spark, sf_dir, "supplier").select("s_suppkey")
-    s_idx = sup.select(
-        "s_suppkey",
-        (F.row_number().over(W.orderBy("s_suppkey")) - 1)
-        .cast("long")
-        .alias("s_idx"),
+    # dense 0..n-1 indices via the two-phase distributed sort rank
+    # (r11): supplier/part are TPC-H SF-linear (10k/20k x SF rows), so
+    # the former global row_number windows were data-sized at the
+    # 100 TB bar even though they read "dims" — the global-order
+    # exemptions are pruned, and the rank is bit-identical.
+    s_ranked, _ns = two_phase_rank(sup, ["s_suppkey"], rank_col="__rn")
+    s_idx = s_ranked.select(
+        "s_suppkey", (F.col("__rn") - 1).cast("long").alias("s_idx")
     )
     msc = sup.agg(
         F.greatest(F.expr("count(*) div 2"), F.lit(3))
         .cast("long")
         .alias("m")
     )
+    p_ranked, _np = two_phase_rank(
+        table(spark, sf_dir, "part").select("p_partkey"),
+        ["p_partkey"],
+        rank_col="__rn",
+    )
     pidx = (
-        table(spark, sf_dir, "part")
-        .select("p_partkey")
-        .select(
-            "p_partkey",
-            (F.row_number().over(W.orderBy("p_partkey")) - 1)
-            .cast("long")
-            .alias("p_idx"),
+        p_ranked.select(
+            "p_partkey", (F.col("__rn") - 1).cast("long").alias("p_idx")
         )
         .crossJoin(F.broadcast(msc))
         .filter(F.col("p_idx") < F.col("m"))

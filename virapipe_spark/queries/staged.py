@@ -633,11 +633,55 @@ def pending_staged() -> dict[str, QueryFn]:
     the pandas-UDF sweep skipped staged entries and went red the moment
     the self-arming promotion fired."""
     out: dict[str, QueryFn] = {}
-    for gen in (STAGED_R7, STAGED_R8, STAGED_R9, STAGED_R10):
+    for gen in (STAGED_R7, STAGED_R8, STAGED_R9, STAGED_R10, STAGED_R11):
         for n, (fn, _o) in gen.items():
             if n not in catalog.QUERIES:
                 out[n] = fn
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-11 authoring (the deliberate post-freeze unfreeze)
+# ---------------------------------------------------------------------------
+
+#: Sixth staging generation — the r10 verdict's deliberate unfreeze:
+#: every 356 prior entries are driver-proven, the window recycles ~50
+#: slots/round, so new r11 entries flip live immediately (their arming
+#: artifact CORRECTNESS_r10 already exists when they are authored) and
+#: are proven in the round-11 window. Same discipline as every prior
+#: generation: oracle-backed, pooled pre-proof compare in
+#: tests/test_staged.py, all four plan sweeps via pending_staged().
+STAGED_R11: dict[str, tuple[QueryFn, str | None]] = {}
+
+R11_PROMOTED = False
+
+
+def staged_r11(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if (
+            name in STAGED_R11
+            or name in STAGED_R10
+            or name in STAGED_R9
+            or name in STAGED_R8
+            or name in STAGED_R7
+            or name in catalog.QUERIES
+        ):
+            raise ValueError(f"duplicate staged query name: {name}")
+        STAGED_R11[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote_r11() -> None:
+    """Register the round-11 authoring into the live catalog (armed by
+    catalog.load_all once CORRECTNESS_r10+ exists — i.e. immediately)."""
+    global R11_PROMOTED
+    if R11_PROMOTED:
+        return
+    for name, (fn, oracle) in STAGED_R11.items():
+        catalog.query(name, oracle)(fn)
+    R11_PROMOTED = True
 
 
 # ---------------------------------------------------------------------------
