@@ -171,5 +171,7 @@ class TestFastqFileSource:
         for lps in (4, 8, 12, 400):
             ranges = _line_split_offsets(str(p), lps)
             assert ranges[0][0] == 0 and ranges[-1][1] == size
-            for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            for (s1, e1, _n1), (s2, e2, _n2) in zip(ranges, ranges[1:]):
                 assert e1 == s2  # contiguous, no gap/overlap
+            # line counts sum to the file's 40 lines (10 stanzas)
+            assert sum(n for _s, _e, n in ranges) == 40

@@ -17,11 +17,19 @@ verbatim — entries reading ONLY those tables therefore have no honest
 N-fold point against this layout, and dim-grouped aggregates over
 facts see N x rows per group rather than N x groups.
 
+``--scale-dims`` switches to the TPC-H-faithful layout: customer,
+supplier and part replicate with the same key-offset scheme AND the
+fact FKs offset to match (joins stay total, N x groups instead of
+N x rows-per-group), giving dim-reading entries (window_ntile_cume,
+supplier_stable_matching, the q-series dim rollups) an honest N-fold
+point. region/nation stay verbatim in both modes — TPC-H fixes them
+at 5/25 rows at every SF.
+
 Used for the round-10 decade-out smoke (SCALE.md): entries run
 against the output directory via catalog.QUERIES[name](spark, out).
 
 Usage:
-    python tools/make_scale_synth.py [src_dir] [out_dir] [replicas]
+    python tools/make_scale_synth.py [--scale-dims] [src_dir] [out_dir] [replicas]
     # defaults: /root/testdata/sf0.1 /tmp/sf1.0-synth 10
 """
 
@@ -33,19 +41,29 @@ import duckdb
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 
-def generate(src: str, out: str, reps: int) -> None:
+def generate(src: str, out: str, reps: int, scale_dims: bool = False) -> None:
     con = duckdb.connect()
     rep = f"(SELECT unnest(generate_series(0, {reps - 1})) AS r)"
+    # strides exceed each table's key range at any plausible source SF
+    dim_fk = {
+        "l_partkey": "l_partkey + r * 200000 AS l_partkey",
+        "l_suppkey": "l_suppkey + r * 10000 AS l_suppkey",
+        "o_custkey": "o_custkey + r * 150000 AS o_custkey",
+    } if scale_dims else {
+        "l_partkey": "l_partkey",
+        "l_suppkey": "l_suppkey",
+        "o_custkey": "o_custkey",
+    }
     specs = {
         "lineitem": f"""
           SELECT l_orderkey + r * 1500000 AS l_orderkey,
-                 l_partkey, l_suppkey,
+                 {dim_fk["l_partkey"]}, {dim_fk["l_suppkey"]},
                  l_linenumber, l_quantity, l_extendedprice, l_discount,
                  l_tax, l_returnflag, l_linestatus, l_shipdate
           FROM read_parquet('{src}/lineitem.parquet'), {rep}""",
         "orders": f"""
           SELECT o_orderkey + r * 1500000 AS o_orderkey,
-                 o_custkey,
+                 {dim_fk["o_custkey"]},
                  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
           FROM read_parquet('{src}/orders.parquet'), {rep}""",
         "documents": f"""
@@ -68,6 +86,28 @@ def generate(src: str, out: str, reps: int) -> None:
                  user_id + r * 100000 AS user_id, event_type, value, props
           FROM read_parquet('{src}/events.parquet'), {rep}""",
     }
+    if scale_dims:
+        # replicated dims: name-bearing columns get a replica tag so
+        # replicas are distinct entities, keys offset to match the fact
+        # FK offsets above; nationkeys stay in-domain (nation verbatim)
+        specs["customer"] = f"""
+          SELECT c_custkey + r * 150000 AS c_custkey,
+                 CASE WHEN r = 0 THEN c_name
+                      ELSE c_name || '#rep' || r END AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM read_parquet('{src}/customer.parquet'), {rep}"""
+        specs["supplier"] = f"""
+          SELECT s_suppkey + r * 10000 AS s_suppkey,
+                 CASE WHEN r = 0 THEN s_name
+                      ELSE s_name || '#rep' || r END AS s_name,
+                 s_nationkey, s_acctbal
+          FROM read_parquet('{src}/supplier.parquet'), {rep}"""
+        specs["part"] = f"""
+          SELECT p_partkey + r * 200000 AS p_partkey,
+                 CASE WHEN r = 0 THEN p_name
+                      ELSE p_name || '#rep' || r END AS p_name,
+                 p_brand, p_type, p_size, p_retailprice
+          FROM read_parquet('{src}/part.parquet'), {rep}"""
     for t, q in specs.items():
         con.execute(f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(
@@ -75,6 +115,8 @@ def generate(src: str, out: str, reps: int) -> None:
         ).fetchone()[0]
         print(t, n)
     for t in DIM_TABLES:
+        if t in specs:
+            continue
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
         print(t, "copied (dim — no N-fold point)")
 
@@ -82,8 +124,10 @@ def generate(src: str, out: str, reps: int) -> None:
 if __name__ == "__main__":
     import os
 
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0-synth"
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--scale-dims"]
+    scale_dims = "--scale-dims" in sys.argv[1:]
+    src = args[0] if args else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/sf1.0-synth"
+    reps = int(args[2]) if len(args) > 2 else 10
     os.makedirs(out, exist_ok=True)
-    generate(src, out, reps)
+    generate(src, out, reps, scale_dims=scale_dims)

@@ -101,14 +101,18 @@ def _fastq_files(path: str) -> list[str]:
     return [path]
 
 
-def _line_split_offsets(path: str, lines_per_split: int) -> list[tuple[int, int]]:
+def _line_split_offsets(
+    path: str, lines_per_split: int
+) -> list[tuple[int, int, int]]:
     """Byte ranges of consecutive ``lines_per_split``-line runs — the
     ``NLineInputFormat.getSplitsForFile`` pass the reference drives its
     FASTQ splitting with (Interleave.java:97,136: splits of
     ``splitsize*4`` lines, one driver-side streaming pass per file).
     Whole stanzas by construction: every boundary is a line start at a
     multiple of 4 lines, so readers never guess record boundaries (the
-    '@'-ambiguity a byte-range FASTQ reader must disambiguate).
+    '@'-ambiguity a byte-range FASTQ reader must disambiguate). Returns
+    ``(start, end, n_lines)`` per split — one streaming pass yields the
+    offsets AND the line counts, so split planning never re-reads.
 
     Scale note, same trade as the reference: the planning pass streams
     each file once on the driver. The zero-pass alternative is
@@ -116,7 +120,7 @@ def _line_split_offsets(path: str, lines_per_split: int) -> list[tuple[int, int]
     volume prefer the JVM text source (io.read_fastq) — this connector
     exists for the split-planning seam, not throughput (module
     docstring)."""
-    ranges: list[tuple[int, int]] = []
+    ranges: list[tuple[int, int, int]] = []
     start = 0
     n = 0
     with open(path, "rb") as fh:
@@ -127,11 +131,11 @@ def _line_split_offsets(path: str, lines_per_split: int) -> list[tuple[int, int]
             n += 1
             if n % lines_per_split == 0:
                 pos = fh.tell()
-                ranges.append((start, pos))
+                ranges.append((start, pos, lines_per_split))
                 start = pos
         end = fh.tell()
     if end > start:
-        ranges.append((start, end))
+        ranges.append((start, end, n % lines_per_split or lines_per_split))
     return ranges
 
 
@@ -198,24 +202,16 @@ class FastqReader(DataSourceReader):
 
     def _plan(self, root: str) -> list[tuple[str, int, int, int]]:
         """(path, start, end, base_rec) per split, base_rec cumulative
-        across the sorted file list."""
+        across the sorted file list (one streaming pass per file — the
+        offsets pass also yields each split's line count)."""
         lines_per_split = self.split_reads * 4
         plan = []
-        base = 0
+        rec = 0
         for f in _fastq_files(root):
-            for start, end in _line_split_offsets(f, lines_per_split):
-                plan.append((f, start, end, base))
-                # whole stanzas per split by construction
-                base += self.split_reads
-        # base_rec above over-advances for the (short) last split of
-        # each file; recompute exactly from actual split line counts
-        exact, rec = [], 0
-        for f, start, end, _ in plan:
-            exact.append((f, start, end, rec))
-            with open(f, "rb") as fh:
-                fh.seek(start)
-                rec += fh.read(end - start).count(b"\n") // 4
-        return exact
+            for start, end, n_lines in _line_split_offsets(f, lines_per_split):
+                plan.append((f, start, end, rec))
+                rec += n_lines // 4  # whole stanzas by construction
+        return plan
 
     def partitions(self):
         plan = self._plan(self.path)
