@@ -548,6 +548,72 @@ class TestTwoPhaseRank:
         # least a data-sized partition count (>> the 32-core floor)
         assert n_ranges > 32
 
+    def test_prefix_sum_matches_global_window(self, spark):
+        df = self._df(spark, n=317).withColumn(
+            "v", (F.col("id") % 13 + 1).cast("long")
+        )
+        got = {
+            (r["k"], r["id"]): r["cum"]
+            for r in scale.two_phase_prefix_agg(
+                df, ["k", "id"], "v", "cum", num_partitions=7
+            ).collect()
+        }
+        want = {
+            (r["k"], r["id"]): r["cum"]
+            for r in df.select(
+                "k",
+                "id",
+                F.sum("v")
+                .over(
+                    W.orderBy("k", "id").rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                .alias("cum"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_prefix_max_exclusive_matches_global_window(self, spark):
+        # the skyline frame: running max over STRICT predecessors; on a
+        # DISTINCT order key this equals RANGE ... 1 PRECEDING
+        df = spark.range(0, 101).select(
+            F.col("id").alias("price"),
+            ((F.col("id") * 31) % 57).cast("long").alias("size"),
+        )
+        got = {
+            r["price"]: r["best"]
+            for r in scale.two_phase_prefix_agg(
+                df,
+                ["price"],
+                "size",
+                "best",
+                agg="max",
+                inclusive=False,
+                num_partitions=9,
+            ).collect()
+        }
+        want = {
+            r["price"]: r["best"]
+            for r in df.select(
+                "price",
+                F.max("size")
+                .over(
+                    W.orderBy("price").rangeBetween(
+                        W.unboundedPreceding, -1
+                    )
+                )
+                .alias("best"),
+            ).collect()
+        }
+        assert got == want  # incl. None for the global minimum price
+
+    def test_prefix_agg_plan_has_no_global_window(self, spark):
+        df = self._df(spark).withColumn("v", F.lit(1).cast("long"))
+        out = scale.two_phase_prefix_agg(df, ["k", "id"], "v", "cum")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert not TestGlobalWindowSweep._has_global_window(plan)
+
     @pytest.mark.parametrize("n,k", [(10, 4), (317, 4), (3, 4), (12, 4),
                                      (100, 7), (1, 1)])
     def test_exact_ntile_matches_window_ntile(self, spark, n, k):
@@ -1332,7 +1398,6 @@ class TestGlobalWindowSweep:
         "events_max_drawdown": "calendar",
         "events_ols_cramer": "grid",
         "events_path_trigrams": "global-order",
-        "events_peak_concurrency": "value-domain",
         "events_qini_uplift": "grid",
         "events_snaive_backtest": "calendar",
         "events_spearman_daily": "value-domain",
@@ -1343,19 +1408,22 @@ class TestGlobalWindowSweep:
         "files_listing": "grid",
         "graph_densest_subgraph": "grid",
         "graph_link_prediction": "global-order",
-        "lineitem_abc_analysis": "value-domain",
         "lineitem_benford_audit": "grid",
         "lineitem_equidepth_histogram": "grid",
         "lineitem_gini_lorenz": "grid",
         "lineitem_simpson_reversal": "grid",
         "lineitem_skew_report": "summary",
-        "parts_pareto_skyline": "value-domain",
         "supplier_airport_shapley": "grid",
-        # docs_rank_fusion_rrf and supplier_stable_matching left this
-        # registry in r11: their global-order windows (candidate-set
-        # ranks; supplier/part index builders) measured DATA-SIZED at
-        # the 10x synth / TPC-H SF-linear dims, and were rewritten onto
-        # scale.two_phase_rank (tools/measure_window_inputs.py).
+        # Pruned in r11 after the empirical input audit
+        # (tools/measure_window_inputs.py): docs_rank_fusion_rrf and
+        # supplier_stable_matching (global-order: candidate-set ranks /
+        # dim index builders — data-sized, now two_phase_rank);
+        # events_peak_concurrency (the sweep is 2 rows PER SESSION —
+        # grows with data; now two_phase_prefix_agg + TakeOrdered),
+        # lineitem_abc_analysis and parts_pareto_skyline (part is
+        # SF-linear; running revenue share now two_phase_prefix_agg,
+        # skyline pre-aggregates per-price max then strict prefix-max
+        # over the distinct-price value domain).
     }
 
     @staticmethod

@@ -11,8 +11,10 @@ not argued. An input that scales with the data flunks the category and
 gets the scale.two_phase_rank treatment.
 
 Usage:
-    python tools/measure_window_inputs.py [base_dir] [synth_dir]
-    # defaults: /root/testdata/sf0.1 /tmp/sf1.0-synth
+    python tools/measure_window_inputs.py [base_dir] [synth_dir] [name ...]
+    # defaults: /root/testdata/sf0.1 /tmp/sf1.0-synth, all measures
+    # dim-reading measures (abc/skyline/matching) want the
+    # --scale-dims synth (/tmp/sf1.0-synthdims) as synth_dir
 
 Prints one line per (entry, scale): entry, scale label, window-input
 rows — then a summary ratio table.
@@ -110,20 +112,91 @@ def matching_window_input(spark, sf_dir: str) -> int:
     return table(spark, sf_dir, "supplier").count()
 
 
+def peak_concurrency_window_input(spark, sf_dir: str) -> int:
+    """events_peak_concurrency: the (pre-r11) global cumsum ran over
+    the distinct session boundary positions — 2 rows per session, i.e.
+    it GROWS WITH DATA, not a value domain."""
+    from virapipe_spark.queries.streaming import _GAP_US
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("unix_micros(ts)")
+    gap = t - F.lag(t).over(wu)
+    marked = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("new_s")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("t")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("sid"),
+        "t",
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    return (
+        iv.select(F.col("s").alias("pos"))
+        .unionByName(iv.select((F.col("e") + 1).alias("pos")))
+        .distinct()
+        .count()
+    )
+
+
+def abc_window_input(spark, sf_dir: str) -> int:
+    """lineitem_abc_analysis: the (pre-r11) running-total window ran
+    over the per-partkey revenue table — part is SF-linear in TPC-H
+    (measure against the --scale-dims synth for the honest point)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_partkey").distinct().count()
+
+
+def skyline_window_input(spark, sf_dir: str) -> int:
+    """parts_pareto_skyline: the (pre-r11) RANGE window ran over ALL
+    parts (SF-linear); the r11 plan's prefix-max runs over DISTINCT
+    price cents (the value domain). Returns parts count — the distinct
+    price count is printed separately by main()."""
+    return table(spark, sf_dir, "part").count()
+
+
+def skyline_distinct_prices(spark, sf_dir: str) -> int:
+    return (
+        table(spark, sf_dir, "part")
+        .select(F.round(F.col("p_retailprice") * 100).cast("long"))
+        .distinct()
+        .count()
+    )
+
+
 MEASURES = {
     "docs_rank_fusion_rrf": rrf_window_input,
     "events_path_trigrams": trigram_window_input,
     "graph_link_prediction": linkpred_window_input,
     "supplier_stable_matching": matching_window_input,
+    "events_peak_concurrency": peak_concurrency_window_input,
+    "lineitem_abc_analysis": abc_window_input,
+    "parts_pareto_skyline": skyline_window_input,
+    "parts_pareto_skyline(distinct prices — the r11 plan)": skyline_distinct_prices,
 }
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    synth = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0-synth"
+    args = sys.argv[1:]
+    base = args[0] if args else "/root/testdata/sf0.1"
+    synth = args[1] if len(args) > 1 else "/tmp/sf1.0-synth"
+    only = set(args[2:])
     spark = session(app_name="window_input_audit")
     rows = []
     for name, fn in MEASURES.items():
+        if only and not any(name.startswith(o) for o in only):
+            continue
         a = fn(spark, base)
         b = fn(spark, synth)
         rows.append((name, a, b))

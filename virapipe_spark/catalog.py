@@ -377,6 +377,13 @@ REWRITTEN_IN: dict[str, int] = {
     # are not, so the r9/r10 proofs cover the window-based shapes.
     "docs_rank_fusion_rrf": 11,
     "supplier_stable_matching": 11,
+    # r11 continued: the audit's second sweep — running aggregates
+    # whose global windows measured data-sized (peak concurrency: 2
+    # rows/session; ABC + skyline: part is SF-linear) rewritten onto
+    # scale.two_phase_prefix_agg (windowless exact prefix sum/max).
+    "events_peak_concurrency": 11,
+    "lineitem_abc_analysis": 11,
+    "parts_pareto_skyline": 11,
 }
 
 

@@ -1511,22 +1511,34 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper = RANGE ... 1 PRECEDING; cents make the integer frame
     bound exact where a double RANGE offset couldn't be).
 
-    Scale: the window is a global sort today (one dimension, no
-    partition key) — at 100 TB pre-aggregate the per-price-bucket max
-    size (shuffle bounded by buckets), take the bucket-level running
-    max broadcast, and only sort residual candidate rows; same output,
-    sort reduced to survivors. Ties on price keep both rows (frame
-    excludes equal prices), so duplicated optima all surface."""
+    Scale: the pre-r11 plan was one global RANGE window over all parts
+    (SF-linear — data-sized at the 100 TB bar). Now the docstring's
+    promised path, made real: pre-aggregate the per-price max size
+    (shuffle bounded by DISTINCT prices — the value domain), then the
+    strictly-cheaper running max over that distinct-price table via
+    scale.two_phase_prefix_agg(max, inclusive=False) — windowless,
+    exact, and RANGE-faithful because ties collapsed into the
+    pre-aggregate (equal prices never split across ranges). Parts then
+    equi-join their price's carry-in. Ties on price keep both rows
+    (the strict frame excludes equal prices), so duplicated optima all
+    surface."""
+    from virapipe_spark.scale import two_phase_prefix_agg
+
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_size",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
     )
-    w = (
-        W.orderBy("price_cents")
-        .rangeBetween(W.unboundedPreceding, -1)
-    )
-    s = p.withColumn("best_cheaper", F.max("p_size").over(w))
+    per_price = p.groupBy("price_cents").agg(F.max("p_size").alias("psz"))
+    best = two_phase_prefix_agg(
+        per_price,
+        ["price_cents"],
+        "psz",
+        "best_cheaper",
+        agg="max",
+        inclusive=False,
+    ).select("price_cents", "best_cheaper")
+    s = p.join(best, "price_cents")
     return s.filter(
         F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper"))
     ).select("p_partkey", "p_size", "price_cents")
@@ -2205,19 +2217,23 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     efficient FRONTIERS; ABC finds revenue CONCENTRATION — the other
     classic Pareto question.
 
-    Scale: one partkey aggregate, then a running-total window. The
-    window is global by revenue rank — the honest exact-answer cost
-    (same stance as events_rfm_segments): at warehouse scale the A/B/C
-    boundaries come from a two-pass quantile-of-aggregates broadcast
-    instead; the total rides a one-row cross join either way."""
+    Scale: one partkey aggregate, then a running total over the
+    per-part revenue order. The running total was a GLOBAL window
+    until r11 — part is SF-linear (TPC-H: 20k x SF rows), so the
+    single-partition sort was data-sized, the same finding as the
+    stable-matching dim indices — and is now
+    scale.two_phase_prefix_agg: range-partitioned per-range cumsum
+    plus a partition-count-sized carry-in collect, exact in int64.
+    The total rides a one-row cross join either way."""
+    from virapipe_spark.scale import two_phase_prefix_agg
+
     li = table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("cents"))
     tot = rev.agg(F.sum("cents").cast("long").alias("total"))
-    w = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    ranked = rev.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+    ranked = two_phase_prefix_agg(
+        rev, [F.col("cents").desc(), "l_partkey"], "cents", "cum_cents"
+    ).withColumn("cum_cents", F.col("cum_cents").cast("long"))
     return ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "cents",

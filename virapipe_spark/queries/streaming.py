@@ -4548,10 +4548,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached (argmax tie pinned to the earliest — peaks are plateaus).
 
     Scale: sessionization is the standard user-keyed window; the
-    sweep is O(session breakpoints) — 2 rows per session, delta
-    pre-aggregation makes positions unique so the ordered window
-    needs no tiebreak; the argmax is one reduce. Per-day or per-shard
-    peaks partition the same sweep by bucket and merge by re-basing
+    sweep is O(session breakpoints) — 2 rows per session, which GROWS
+    WITH DATA (the r11 audit finding: this was a global window hiding
+    under a value-domain exemption), so the running concurrency is
+    now scale.two_phase_prefix_agg (range-partitioned per-range
+    cumsum + partition-count carry-ins, exact) and the argmax is an
+    orderBy().limit(1) TakeOrdered reduce — no global window
+    anywhere. Delta pre-aggregation makes positions unique so the
+    prefix order needs no tiebreak. Per-day or per-shard peaks
+    partition the same sweep by bucket and merge by re-basing
     offsets."""
     ev = table(spark, sf_dir, "events")
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -4581,18 +4586,12 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select((F.col("e") + 1).alias("pos"), F.lit(-1).alias("d"))
     )
     ag = evp.groupBy("pos").agg(F.sum("d").alias("delta"))
-    sweep = ag.select(
-        "pos",
-        F.sum("delta")
-        .over(W.orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("long")
-        .alias("conc"),
+    from virapipe_spark.scale import two_phase_prefix_agg
+
+    sweep = two_phase_prefix_agg(ag, ["pos"], "delta", "conc").select(
+        "pos", F.col("conc").cast("long").alias("conc")
     )
-    best = sweep.select(
-        "pos",
-        "conc",
-        F.row_number().over(W.orderBy(F.col("conc").desc(), "pos")).alias("rn"),
-    ).filter(F.col("rn") == 1)
+    best = sweep.orderBy(F.col("conc").desc(), "pos").limit(1)
     n = iv.agg(F.count("*").cast("long").alias("n_sessions"))
     return n.crossJoin(F.broadcast(best)).select(
         "n_sessions",

@@ -362,6 +362,109 @@ def two_phase_rank(
     return out, total
 
 
+def two_phase_prefix_agg(
+    df: DataFrame,
+    order: list,
+    value_col: str,
+    out_col: str,
+    agg: str = "sum",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+    target_rows_per_range: int = 4_000_000,
+) -> DataFrame:
+    """EXACT global running SUM or MAX over ``order`` without a global
+    window — :func:`two_phase_rank`'s sibling for cumulative
+    aggregates (running revenue share, sweep-line concurrency, skyline
+    dominance), sharing its structure: repartitionByRange freezes
+    ordered, non-overlapping ranges (checkpointed — range sampling is
+    not otherwise stable across jobs); each range runs the cumulative
+    window WITHIN itself; and the cross-range carry-in is computed
+    driver-side from one per-range total per partition (a
+    partition-count-sized collect, control plane) and broadcast back.
+    Both sum and max are associative, so carry-in ∘ within-range prefix
+    == the global prefix, bit-exactly for integer inputs.
+
+    ``inclusive=False`` gives the STRICT prefix (rows before the
+    current row only — the skyline's "strictly cheaper" frame): the
+    within-range window ends at -1 PRECEDING and the first row of each
+    range takes the bare carry-in (NULL in range 0 — i.e. no
+    predecessor, surfaced as NULL exactly like an empty window frame).
+
+    ``order`` must be a TOTAL order for per-row determinism (same
+    contract as two_phase_rank); for ``inclusive=False`` with a RANGE
+    frame semantics (exclude ties, not just the current row), order by
+    the DISTINCT frame key (pre-aggregate ties first — equal keys are
+    never split across ranges, so cross-range carry-ins stay exact).
+    Range count is data-adaptive exactly as in two_phase_rank."""
+    if agg not in ("sum", "max"):
+        raise ValueError(f"two_phase_prefix_agg supports sum/max, got {agg!r}")
+    spark = df.sparkSession
+
+    def _ranged_totals(p: int):
+        ranged = truncate_lineage(
+            df.repartitionByRange(p, *order).withColumn(
+                "__pid", F.spark_partition_id()
+            ),
+            reliable=True,
+        )
+        fn = F.sum(value_col) if agg == "sum" else F.max(value_col)
+        stats = {
+            r["__pid"]: (r["t"], r["c"])
+            for r in ranged.groupBy("__pid")
+            .agg(fn.alias("t"), F.count("*").alias("c"))
+            .collect()
+        }
+        return ranged, stats
+
+    floor_p = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged, stats = _ranged_totals(num_partitions or floor_p)
+    if num_partitions is None:
+        total_rows = sum(c for _t, c in stats.values())
+        need = max(floor_p, -(-total_rows // max(target_rows_per_range, 1)))
+        if need > floor_p:
+            ranged, stats = _ranged_totals(need)
+    # exclusive carry-in per range: everything aggregated BEFORE it
+    offs, carry = [], None
+    for pid in sorted(stats):
+        offs.append((pid, carry))
+        t = stats[pid][0]
+        if t is not None:
+            if carry is None:
+                carry = t
+            elif agg == "sum":
+                carry = carry + t
+            else:
+                carry = max(carry, t)
+    # integral sums widen to bigint (Spark's integral-sum result type,
+    # and the Python-side carry can exceed the input width); max — and
+    # fractional sums — keep the input type (max's carry is one of the
+    # values; double sums stay double)
+    vtype = dict(df.dtypes)[value_col]
+    if agg == "sum" and vtype in ("tinyint", "smallint", "int", "bigint"):
+        vtype = "bigint"
+    off_df = spark.createDataFrame(offs or [], f"__pid int, __off {vtype}")
+    end = 0 if inclusive else -1
+    win = (
+        W.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, end)
+    )
+    within = (F.sum(value_col) if agg == "sum" else F.max(value_col)).over(win)
+    if agg == "sum":
+        combined = F.when(
+            within.isNull(), F.col("__off")
+        ).otherwise(within + F.coalesce(F.col("__off"), F.lit(0)))
+    else:
+        combined = F.greatest(
+            within, F.col("__off")
+        )  # greatest ignores NULLs unless both are NULL
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, combined)
+        .drop("__pid", "__off")
+    )
+
+
 def exact_ntile(rn: Column, n: int, k: int) -> Column:
     """SQL-standard ``ntile(k)`` from a precomputed global rank: with
     ``n`` rows, the first ``n mod k`` buckets hold ``n div k + 1`` rows
