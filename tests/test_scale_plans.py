@@ -267,10 +267,12 @@ class TestPlanProperties:
             # 10-row query broadcast — the embed_knn_bruteforce
             # precedent — sits behind the union's lineage truncation,
             # so the visible plan starts at the checkpoint scan)
-            # r7 (staged r9): two ONE-ROW corpus-size broadcasts (the
-            # scalar-subquery pattern) feeding query-term selection and
-            # the rarity-weighted score
-            "docs_rank_fusion_rrf",
+            # (docs_rank_fusion_rrf left this set in r11: its two
+            # ONE-ROW corpus-size broadcasts still execute, but the
+            # two_phase_rank rewrite's lineage truncation puts them
+            # behind the checkpoint scan — the
+            # embed_dim_truncation_recall precedent — so the RETURNED
+            # plan is NLJ-free and the exemption went stale)
             # r7 (staged r9): the CONSTANT 9-row structuring-element
             # offsets broadcast, scattered against foreground pixels in
             # both morphology passes (the boxsum corner-offset
