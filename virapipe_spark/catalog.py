@@ -384,6 +384,12 @@ REWRITTEN_IN: dict[str, int] = {
     "events_peak_concurrency": 11,
     "lineitem_abc_analysis": 11,
     "parts_pareto_skyline": 11,
+    # r11: the interpreted-HOF CSE trap (QUIRKS #13) — per-window /
+    # per-gram lambdas re-derived their source arrays per invocation,
+    # O(n^2) per row; let-bound rewrites are bit-identical (goldens +
+    # strict gates at both scales) but the plans changed.
+    "docs_trim_quality": 11,
+    "docs_dust_complexity": 11,
 }
 
 

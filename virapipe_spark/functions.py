@@ -127,31 +127,43 @@ def trim_point_sliding(
     short to judge). Same raw-byte convention as :func:`avg_quality`
     (no phred-33 offset).
 
-    Pure codegen-side array expressions (one window-sum array via
-    transform over start positions, then the first failing index) — a
-    projection inside the scan stage, no shuffle, no Python. O(n·w) per
-    row; reads are short (~10²), so arithmetic stays trivially below
-    scan cost.
+    Pure JVM-side array expressions — a projection inside the scan
+    stage, no shuffle, no Python. The byte array is LET-BOUND through a
+    single-element transform (QUIRKS #11) so every window reads the
+    SAME materialized array: higher-order-function lambdas run
+    interpreted with no common-subexpression elimination, so the
+    pre-r11 shape — ``slice(quality_bytes(q), i, w)`` per window —
+    re-derived the whole O(n) byte array for every one of the n
+    windows, O(n²) per row (measured 16.5 s for 500 ~300-char docs at
+    sf0.01; the let-bound single-pass filter below: 0.22 s, 75×,
+    bit-identical). Window sums are unrolled ``element_at`` adds over
+    the bound array and the mean test divides exactly as before, so
+    float boundary behavior is unchanged. O(n·w) per row.
     """
     q = _col(quality)
     w = int(window)
-    bytes_ = quality_bytes(q)
-    starts = F.sequence(F.lit(1), F.length(q) - F.lit(w - 1))
-    win_avg = F.transform(
-        starts,
-        lambda i: F.aggregate(
-            F.slice(bytes_, i, w), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+
+    def _first_fail(b: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(b) - F.lit(w - 1))
+
+        def win_sum(i: Column) -> Column:
+            s = F.element_at(b, i).cast("double")
+            for j in range(1, w):
+                s = s + F.element_at(b, i + F.lit(j)).cast("double")
+            return s
+
+        fails = F.filter(
+            starts, lambda i: win_sum(i) / F.lit(float(w)) < F.lit(float(min_avg))
         )
-        / F.lit(float(w)),
-    )
-    # index (1-based, over starts) of the first failing window
-    fail_pos = F.array_position(
-        F.transform(win_avg, lambda a: a < F.lit(float(min_avg))), F.lit(True)
-    )
+        # first failing start (1-based), or keep the whole read
+        return F.when(F.size(fails) == 0, F.size(b)).otherwise(
+            F.element_at(fails, 1) - 1
+        )
+
+    bound = F.element_at(F.transform(F.array(quality_bytes(q)), _first_fail), 1)
     return (
         F.when(F.length(q) < w, F.length(q))  # too short to judge: keep
-        .when(fail_pos == 0, F.length(q))  # no window fails: keep all
-        .otherwise(fail_pos.cast("int") - 1)  # cut before failing window
+        .otherwise(bound)
         .cast("int")
     )
 
@@ -167,28 +179,35 @@ def dust_score(sequence: Column | str, k: int = 3) -> Column:
     The reference pipes reads through external BLAST with DUST enabled;
     this is the in-engine equivalent for pre-filtering.
 
-    Expression shape: the k-mer array is built once (:func:`kmers`),
-    and each DISTINCT k-mer counts its occurrences with a size(filter)
-    — O(d·n) per row with d = distinct k-mers. Stays a zero-shuffle
+    Expression shape: the k-mer array is LET-BOUND once through a
+    single-element transform (QUIRKS #11 — interpreted HOF lambdas get
+    no common-subexpression elimination, so a lambda body referencing
+    the raw :func:`kmers` expression would re-derive the whole array
+    per distinct gram; the trim_point_sliding r11 lesson), and each
+    DISTINCT k-mer counts its occurrences with a size(filter) —
+    O(d·n) per row with d = distinct k-mers. Stays a zero-shuffle
     projection; for corpus-wide k-mer statistics use the explode+groupBy
     entries instead (this is per-row).
     """
     s = F.upper(_col(sequence))
-    grams = kmers(s, k)
-    n = F.size(grams)
-    # accumulate 2*Σ c*(c-1)/2 = Σ c*(c-1) in exact integers; divide once
-    pairs2 = F.aggregate(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, c: acc + c * (c - F.lit(1)),
-    )
-    denom = n.cast("long") * (n - F.lit(1)).cast("long")
-    return F.when(n > 1, pairs2.cast("double") / denom.cast("double")).when(
-        n == 1, F.lit(0.0)
-    )
+
+    def _score(grams: Column) -> Column:
+        n = F.size(grams)
+        # accumulate 2*Σ c*(c-1)/2 = Σ c*(c-1) exactly; divide once
+        pairs2 = F.aggregate(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c * (c - F.lit(1)),
+        )
+        denom = n.cast("long") * (n - F.lit(1)).cast("long")
+        return F.when(n > 1, pairs2.cast("double") / denom.cast("double")).when(
+            n == 1, F.lit(0.0)
+        )
+
+    return F.element_at(F.transform(F.array(kmers(s, k)), _score), 1)
 
 
 def codons(sequence: Column | str, frame: int = 0) -> Column:
