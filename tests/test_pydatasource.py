@@ -164,6 +164,28 @@ class TestFastqFileSource:
         assert got == a + b  # sorted file order, cumulative rec_idx
         assert [r["rec_idx"] for r in rows] == list(range(11))
 
+    def test_gzip_input_decompresses_before_planning(self, spark, tmp_path):
+        """Interleave.java:88-95 parity: .gz inputs decompress to a
+        scratch copy BEFORE split planning, so records and split
+        counts match the plain file exactly."""
+        import gzip
+
+        n = 9
+        expect = _write_fastq_file(tmp_path / "plain.fastq", n, "g")
+        with open(tmp_path / "plain.fastq", "rb") as fh:
+            raw = fh.read()
+        with gzip.open(tmp_path / "reads.fastq.gz", "wb") as gz:
+            gz.write(raw)
+        spark.dataSource.register(FastqDataSource)
+        df = (
+            spark.read.format("fastq")
+            .option("split_reads", 4)
+            .load(str(tmp_path / "reads.fastq.gz"))
+        )
+        assert df.rdd.getNumPartitions() == -(-n // 4)
+        rows = sorted(df.collect(), key=lambda r: r["rec_idx"])
+        assert [(r["key"], r["sequence"], r["quality"]) for r in rows] == expect
+
     def test_offsets_cover_file_exactly(self, tmp_path):
         p = tmp_path / "x.fastq"
         _write_fastq_file(p, 10, "x")

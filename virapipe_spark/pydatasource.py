@@ -179,7 +179,10 @@ class FastqDataSource(DataSource):
     shapes (file counts, split counts, records within a split pair)
     raise rather than silently truncate — the reference zips readers
     until the FIRST exhausts (Interleave.java:149-166), which drops
-    tail reads; honest-claims says error out instead."""
+    tail reads; honest-claims says error out instead.
+
+    ``.gz`` inputs decompress to a reused scratch copy before planning
+    (Interleave.java:88-95's --decompress, same order of operations)."""
 
     @classmethod
     def name(cls) -> str:
@@ -190,6 +193,36 @@ class FastqDataSource(DataSource):
 
     def reader(self, schema) -> "FastqReader":
         return FastqReader(self.options)
+
+
+def _maybe_decompress(path: str) -> str:
+    """Gzip transparency, the reference's way: Interleave.java:88-95
+    decompresses the whole .gz to a temp file BEFORE split planning
+    (compressed byte offsets are not seekable to line boundaries), then
+    splits the plain copy. Deterministic scratch path keyed on the
+    source path, rewritten only when the source is newer — repeated
+    plans within a session reuse one copy. Local-mode assumption (the
+    scratch file must be visible to driver and executors), same as
+    io.scratch_dir."""
+    if not path.endswith(".gz"):
+        return path
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"vp_fqds_gunzip_{tag}.fastq")
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(path):
+        tmp = out + ".part"
+        with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        os.replace(tmp, out)
+    return out
 
 
 class FastqReader(DataSourceReader):
@@ -208,6 +241,7 @@ class FastqReader(DataSourceReader):
         plan = []
         rec = 0
         for f in _fastq_files(root):
+            f = _maybe_decompress(f)
             for start, end, n_lines in _line_split_offsets(f, lines_per_split):
                 plan.append((f, start, end, rec))
                 rec += n_lines // 4  # whole stanzas by construction
