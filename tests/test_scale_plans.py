@@ -281,9 +281,11 @@ class TestPlanProperties:
             # r7 (staged r9): ONE-ROW broadcasts — the pre/post period
             # midpoint and the theta moment frame (CUPED scalars)
             "events_cuped_adjustment",
-            # r7 (staged r10): ONE-ROW broadcast — the same pre/post
-            # midpoint scalar as CUPED (score = pre-period spend)
-            "events_qini_uplift",
+            # (events_qini_uplift left this set in r11: its ONE-ROW
+            # midpoint broadcast still executes, but the
+            # two_phase_rank decile rewrite's lineage truncation puts
+            # it behind the checkpoint scan — the rrf/
+            # embed_dim_truncation_recall precedent)
             # r7 (staged r10): ONE-ROW broadcasts — the N total and
             # the summary-mass scalar in the guarantee columns
             "events_misra_gries",

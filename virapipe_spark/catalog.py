@@ -390,6 +390,12 @@ REWRITTEN_IN: dict[str, int] = {
     # strict gates at both scales) but the plans changed.
     "docs_trim_quality": 11,
     "docs_dust_complexity": 11,
+    # r11: the multi-window exemption audit — entries whose BOUNDED
+    # exemption hid a second, data-sized window. qini's user-grain
+    # ntile -> two_phase_rank + exact_ntile; shapley's supplier-wide
+    # top-10 rank -> orderBy().limit(n) TakeOrderedAndProject.
+    "events_qini_uplift": 11,
+    "supplier_airport_shapley": 11,
 }
 
 

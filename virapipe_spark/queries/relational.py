@@ -6032,9 +6032,13 @@ def supplier_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the game here is deliberately a FIXED 10-player panel (the
     allocation report shape); the distributed part is selecting the
-    panel and pricing costs from the fact tables. Large-n airport
-    games stay O(n log n) — one sort, one lag, one running sum — all
-    window machinery this entry already uses.
+    panel and pricing costs from the fact tables — and the panel pick
+    is an ``orderBy().limit(n)`` TakeOrderedAndProject (r11: it was a
+    global row_number over the SF-LINEAR supplier table, the same
+    data-sized top-k anti-pattern BM25's term pick retired in r9/r10).
+    The remaining windows run over the 10-row panel. Large-n airport
+    games stay O(n log n) — one sort, one lag, one running sum — via
+    the two_phase machinery if the panel itself ever scales.
 
     Reference capability class: cost attribution analytics (the
     attribution_ushape family — its game-theoretic member)."""
@@ -6046,13 +6050,8 @@ def supplier_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
     )
     top = (
-        s.withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
-            ),
-        )
-        .filter(F.col("rk") <= n)
+        s.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .limit(n)
         .select("s_suppkey", "cost")
     )
     ranked = top.select(

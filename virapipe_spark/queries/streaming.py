@@ -5633,10 +5633,13 @@ def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     family: z-test (effect), CUPED (variance), matched pairs
     (selection), diff-in-diff (trends), Qini (targeting).
 
-    Scale: one aggregate to user grain, one global ntile over users
-    (rank-by-score at population scale uses the equi-depth histogram
-    refinement — lineitem_equidepth_histogram — instead of a single-
-    partition window), one 10-row cumulative pass."""
+    Scale: one aggregate to user grain; the decile assignment is
+    scale.two_phase_rank + scale.exact_ntile over the (score DESC,
+    user_id) total order (r11 — the user-grain frame GROWS WITH DATA,
+    so the former global ntile window was data-sized; same rewrite as
+    window_ntile_cume/events_rfm_segments, bit-identical to SQL ntile
+    by exact_ntile's closed-form sizing); then one 10-row cumulative
+    pass (the grid-bounded window this entry's exemption covers)."""
     e = table(spark, sf_dir, "events")
     d = e.select(
         "user_id",
@@ -5644,7 +5647,9 @@ def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value").cast("long").alias("v"),
     )
     mid = d.agg((F.min("day") + 183).alias("m"))
-    per_user = (
+    from virapipe_spark.scale import exact_ntile, two_phase_rank
+
+    pu = (
         d.crossJoin(F.broadcast(mid))
         .groupBy("user_id")
         .agg(
@@ -5657,14 +5662,15 @@ def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("y"),
         )
-        .select(
-            (F.col("user_id") % 2).alias("t"),
-            "x",
-            "y",
-            F.ntile(10)
-            .over(W.orderBy(F.col("x").desc(), "user_id"))
-            .alias("decile"),
-        )
+    )
+    ranked, n_users = two_phase_rank(
+        pu, [F.col("x").desc(), "user_id"], rank_col="__rn"
+    )
+    per_user = ranked.select(
+        (F.col("user_id") % 2).alias("t"),
+        "x",
+        "y",
+        exact_ntile(F.col("__rn"), n_users, 10).alias("decile"),
     )
     byd = per_user.groupBy("decile").agg(
         F.sum("t").cast("long").alias("n_t"),
