@@ -3146,3 +3146,44 @@ def fastq_datasource_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("paired", out2)
         .load(out1)
     )
+
+
+@staged_r11(
+    "synthetic_reads_scan",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS read_id,
+           'synth.' || i AS name,
+           translate(md5(CAST(i AS VARCHAR)), '0123456789abcdef',
+                     'ACGTACGTACGTACGT') AS bases,
+           list_reduce(
+             list_transform(generate_series(0, 31),
+                            j -> chr(CAST(33 + (i + j) % 40 AS INTEGER))),
+             (a, b) -> a || b) AS quality
+    FROM (SELECT unnest(generate_series(0, 199)) AS i)
+    """,
+)
+def synthetic_reads_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORIGINAL custom Python DataSource (pydatasource.py's
+    synthetic generator — schema declaration, InputPartition planning,
+    per-task row materialization) under the driver's hash gate, not
+    just pytest: 200 md5-derived reads over 8 planned partitions,
+    every column recomputed relationally by DuckDB (translate(md5) for
+    bases, a chr() fold for the rotating phred band). A partition-
+    planning bug (dropped/duplicated range, off-by-one split bound)
+    changes the row multiset and breaks the hash. Ignores ``sf_dir``
+    by design — the source IS the generator (the oracle likewise reads
+    generate_series, not a table).
+
+    Scale: partition planning is the parallelism story (N planned
+    ranges = N tasks); see the module docstring for the row-at-a-time
+    Python-boundary caveat."""
+    from virapipe_spark.pydatasource import SyntheticReadsDataSource
+
+    spark.dataSource.register(SyntheticReadsDataSource)
+    return (
+        spark.read.format("synthetic_reads")
+        .option("n", 200)
+        .option("partitions", 8)
+        .option("read_len", 32)
+        .load()
+    )
