@@ -174,6 +174,21 @@ class TestReadQC:
         df = spark.createDataFrame([("!!",)], "q string")
         assert _one(df, vf.trim_point_sliding("q", window=4, min_avg=60)) == 2
 
+    def test_trim_point_null_and_empty_quality(self, spark):
+        """r11 review: the let-bound rewrite crashed on NULL quality
+        (INVALID_INDEX_OF_ZERO via the descending start sequence over
+        an empty byte array) where the old code returned NULL; the
+        explicit isNull branch restores the contract. Empty string
+        stays 0 (shorter than a window: kept whole)."""
+        df = spark.createDataFrame([(None,), ("",)], "q string")
+        got = [
+            r["t"]
+            for r in df.select(
+                vf.trim_point_sliding("q", window=4, min_avg=60).alias("t")
+            ).collect()
+        ]
+        assert got == [None, 0]
+
     def test_dust_extremes(self, spark):
         df = spark.createDataFrame([("AAAAAA", "ACGT", "AAA", "AA")],
                                    "rep string, div string, one string, short string")

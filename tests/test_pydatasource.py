@@ -164,6 +164,23 @@ class TestFastqFileSource:
         assert got == a + b  # sorted file order, cumulative rec_idx
         assert [r["rec_idx"] for r in rows] == list(range(11))
 
+    def test_truncated_fastq_raises_at_plan_time(self, spark, tmp_path):
+        """r11 review: a damaged tail (line count not a multiple of 4)
+        must ERROR, not silently floor-divide the partial record away —
+        the connector's error-out-over-truncate stance."""
+        p = tmp_path / "trunc.fastq"
+        _write_fastq_file(p, 5, "t")
+        with open(p, "a") as fh:
+            fh.write("@t.5\nACGT\n")  # 2 stray lines
+        spark.dataSource.register(FastqDataSource)
+        with pytest.raises(Exception, match="not a whole number"):
+            (
+                spark.read.format("fastq")
+                .option("split_reads", 4)
+                .load(str(p))
+                .collect()
+            )
+
     def test_gzip_input_decompresses_before_planning(self, spark, tmp_path):
         """Interleave.java:88-95 parity: .gz inputs decompress to a
         scratch copy BEFORE split planning, so records and split

@@ -44,7 +44,38 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 def generate(src: str, out: str, reps: int, scale_dims: bool = False) -> None:
     con = duckdb.connect()
     rep = f"(SELECT unnest(generate_series(0, {reps - 1})) AS r)"
-    # strides exceed each table's key range at any plausible source SF
+    # Guard every offset key against its stride BEFORE writing: TPC-H
+    # keys are sparse (o_orderkey max = 6M x SF), so a source above
+    # ~sf0.25 would overflow the 1.5M orderkey stride and replicas
+    # would silently collide (duplicate keys, fan-out joins, wrong
+    # counts). An assert turns that into an error.
+    strides = {
+        ("lineitem", "l_orderkey"): 1500000,
+        ("orders", "o_orderkey"): 1500000,
+        ("documents", "doc_id"): 100000,
+        ("embeddings", "vec_id"): 100000,
+        ("events", "event_id"): 1000000,
+        ("events", "user_id"): 100000,
+    }
+    if scale_dims:
+        strides.update({
+            ("customer", "c_custkey"): 150000,
+            ("part", "p_partkey"): 200000,
+            ("supplier", "s_suppkey"): 10000,
+            ("lineitem", "l_partkey"): 200000,
+            ("lineitem", "l_suppkey"): 10000,
+            ("orders", "o_custkey"): 150000,
+        })
+    for (t, key), stride in strides.items():
+        mx = con.execute(
+            f"SELECT max({key}) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()[0]
+        if mx is not None and mx >= stride:
+            raise ValueError(
+                f"{t}.{key} max {mx} >= replica stride {stride}: replicas "
+                f"would collide — this source SF is too large for the "
+                f"built-in strides"
+            )
     dim_fk = {
         "l_partkey": "l_partkey + r * 200000 AS l_partkey",
         "l_suppkey": "l_suppkey + r * 10000 AS l_suppkey",

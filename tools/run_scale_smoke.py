@@ -44,7 +44,8 @@ def main() -> None:
             try:
                 n = fn(spark, d).count()
             except Exception as e:  # noqa: BLE001
-                print(f"| {name} | FAILED@{d}: {e} |")
+                msg = str(e).replace("|", "/").replace("\n", " ")[:120]
+                print(f"| {name} | FAILED@{d}: {msg} | — | — | — | — |")
                 row = None
                 break
             counts.append((round(time.perf_counter() - t0, 1), n))

@@ -161,8 +161,14 @@ def trim_point_sliding(
         )
 
     bound = F.element_at(F.transform(F.array(quality_bytes(q)), _first_fail), 1)
+    # NULL quality must stay NULL (the pre-r11 contract): without the
+    # explicit isNull branch, `length(q) < w` is NULL, the otherwise
+    # branch evaluates, and the descending `sequence(1, -(w-1))` over
+    # the empty byte array reaches element_at(b, 0) — which THROWS
+    # under ANSI mode instead of returning NULL.
     return (
-        F.when(F.length(q) < w, F.length(q))  # too short to judge: keep
+        F.when(q.isNull(), F.lit(None))
+        .when(F.length(q) < w, F.length(q))  # too short to judge: keep
         .otherwise(bound)
         .cast("int")
     )

@@ -143,11 +143,25 @@ def _read_stanzas(path: str, start: int, end: int) -> list[tuple[str, str, str]]
     """Parse the whole 4-line stanzas in ``[start, end)`` of ``path``
     (a planned split — guaranteed stanza-aligned) into
     (key, sequence, quality); the '@' prefix is stripped and the '+'
-    separator line discarded, mirroring io.read_fastq's assembly."""
+    separator line discarded, mirroring io.read_fastq's assembly.
+
+    Lines are split on ``\\n`` EXACTLY as the planning pass counts them
+    (binary readline) — ``str.splitlines()`` would additionally split
+    on \\x0b/\\x0c/\\x85/\\u2028 etc., desyncing stanza framing on any
+    record containing such a byte. A trailing \\r is stripped (CRLF
+    files plan and parse identically)."""
     with open(path, "rb") as fh:
         fh.seek(start)
         chunk = fh.read(end - start)
-    lines = chunk.decode("utf-8").splitlines()
+    lines = chunk.decode("utf-8").split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # chunk ends at a line boundary by construction
+    lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
+    if len(lines) % 4:
+        raise ValueError(
+            f"{path}: split [{start}, {end}) holds {len(lines)} lines — "
+            "not whole 4-line stanzas (truncated or malformed FASTQ)"
+        )
     out = []
     for i in range(0, len(lines) - 3, 4):
         header = lines[i]
@@ -213,15 +227,31 @@ def _maybe_decompress(path: str) -> str:
 
     tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(), f"vp_fqds_gunzip_{tag}.fastq")
-    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(path):
-        tmp = out + ".part"
-        with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+    # reuse only a copy STRICTLY newer than the source (equal mtimes —
+    # a same-second rewrite — re-decompress rather than risk staleness)
+    if os.path.exists(out) and os.path.getmtime(out) > os.path.getmtime(path):
+        return out
+    # unique temp + atomic replace: concurrent sessions planning the
+    # same .gz each write their own temp and the last replace wins with
+    # a COMPLETE file either way (a shared fixed temp path would let
+    # two writers interleave chunks and publish a corrupt copy)
+    fd, tmp = tempfile.mkstemp(
+        dir=tempfile.gettempdir(), prefix=f"vp_fqds_gunzip_{tag}_", suffix=".part"
+    )
+    try:
+        with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
             while True:
                 chunk = src.read(1 << 20)
                 if not chunk:
                     break
                 dst.write(chunk)
         os.replace(tmp, out)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return out
 
 
@@ -242,7 +272,17 @@ class FastqReader(DataSourceReader):
         rec = 0
         for f in _fastq_files(root):
             f = _maybe_decompress(f)
-            for start, end, n_lines in _line_split_offsets(f, lines_per_split):
+            splits = _line_split_offsets(f, lines_per_split)
+            total_lines = sum(n for _s, _e, n in splits)
+            if total_lines % 4:
+                # surfacing at PLAN time beats each task floor-dividing
+                # a damaged tail away (the connector's error-out-over-
+                # silent-truncate stance, same as the paired checks)
+                raise ValueError(
+                    f"{f}: {total_lines} lines is not a whole number of "
+                    "4-line FASTQ stanzas (truncated or malformed file)"
+                )
+            for start, end, n_lines in splits:
                 plan.append((f, start, end, rec))
                 rec += n_lines // 4  # whole stanzas by construction
         return plan

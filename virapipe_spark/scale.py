@@ -283,6 +283,51 @@ def truncate_lineage(df, eager: bool = True, reliable: bool = False):
     return df.localCheckpoint(eager=eager)
 
 
+def _adaptive_ranged(
+    df: DataFrame,
+    order: list,
+    stat_exprs: list,
+    num_partitions: int | None,
+    target_rows_per_range: int,
+):
+    """Shared scaffold for :func:`two_phase_rank` and
+    :func:`two_phase_prefix_agg`: range-partition ``df`` over
+    ``order``, checkpoint (freezing the partitioning — range sampling
+    is not otherwise stable across jobs), and collect ONE stats row
+    per range (``stat_exprs`` must include ``count(*) AS c``). The
+    range count is data-adaptive: the first pass ranges over
+    ``defaultParallelism``; if its (free) size collect shows an honest
+    range exceeding ``target_rows_per_range`` rows, the frame
+    re-ranges at ``ceil(total/target)`` — FROM THE FIRST CHECKPOINT,
+    not the source ``df``, so the upstream plan (joins, aggregates)
+    never executes twice; the first checkpoint's storage is the only
+    cost of the second pass. Returns ``(ranged frame with __pid,
+    {pid: stats Row})``."""
+    spark = df.sparkSession
+
+    def _pass(src: DataFrame, p: int):
+        ranged = truncate_lineage(
+            src.repartitionByRange(p, *order).withColumn(
+                "__pid", F.spark_partition_id()
+            ),
+            reliable=True,
+        )
+        stats = {
+            r["__pid"]: r
+            for r in ranged.groupBy("__pid").agg(*stat_exprs).collect()
+        }
+        return ranged, stats
+
+    floor_p = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged, stats = _pass(df, num_partitions or floor_p)
+    if num_partitions is None:
+        total_rows = sum(r["c"] for r in stats.values())
+        need = max(floor_p, -(-total_rows // max(target_rows_per_range, 1)))
+        if need > floor_p:
+            ranged, stats = _pass(ranged.drop("__pid"), need)
+    return ranged, stats
+
+
 def two_phase_rank(
     df: DataFrame,
     order: list,
@@ -325,29 +370,11 @@ def two_phase_rank(
     events_rfm_segments; at 100 TB this is the honest replacement for
     every data-sized ``W.orderBy(...)`` rank in the catalog."""
     spark = df.sparkSession
-
-    def _ranged_sizes(p: int) -> tuple[DataFrame, dict[int, int]]:
-        ranged = truncate_lineage(
-            df.repartitionByRange(p, *order).withColumn(
-                "__pid", F.spark_partition_id()
-            ),
-            reliable=True,
-        )
-        sizes = {
-            r["__pid"]: r["c"]
-            for r in ranged.groupBy("__pid")
-            .agg(F.count("*").alias("c"))
-            .collect()
-        }
-        return ranged, sizes
-
-    floor_p = max(int(spark.sparkContext.defaultParallelism), 1)
-    ranged, sizes = _ranged_sizes(num_partitions or floor_p)
-    if num_partitions is None:
-        total_rows = sum(sizes.values())
-        need = max(floor_p, -(-total_rows // max(target_rows_per_range, 1)))
-        if need > floor_p:
-            ranged, sizes = _ranged_sizes(need)
+    ranged, stats = _adaptive_ranged(
+        df, order, [F.count("*").alias("c")], num_partitions,
+        target_rows_per_range,
+    )
+    sizes = {pid: r["c"] for pid, r in stats.items()}
     offs, total = [], 0
     for pid in sorted(sizes):
         offs.append((pid, total))
@@ -399,35 +426,16 @@ def two_phase_prefix_agg(
     if agg not in ("sum", "max"):
         raise ValueError(f"two_phase_prefix_agg supports sum/max, got {agg!r}")
     spark = df.sparkSession
-
-    def _ranged_totals(p: int):
-        ranged = truncate_lineage(
-            df.repartitionByRange(p, *order).withColumn(
-                "__pid", F.spark_partition_id()
-            ),
-            reliable=True,
-        )
-        fn = F.sum(value_col) if agg == "sum" else F.max(value_col)
-        stats = {
-            r["__pid"]: (r["t"], r["c"])
-            for r in ranged.groupBy("__pid")
-            .agg(fn.alias("t"), F.count("*").alias("c"))
-            .collect()
-        }
-        return ranged, stats
-
-    floor_p = max(int(spark.sparkContext.defaultParallelism), 1)
-    ranged, stats = _ranged_totals(num_partitions or floor_p)
-    if num_partitions is None:
-        total_rows = sum(c for _t, c in stats.values())
-        need = max(floor_p, -(-total_rows // max(target_rows_per_range, 1)))
-        if need > floor_p:
-            ranged, stats = _ranged_totals(need)
+    fn = F.sum(value_col) if agg == "sum" else F.max(value_col)
+    ranged, stats = _adaptive_ranged(
+        df, order, [fn.alias("t"), F.count("*").alias("c")],
+        num_partitions, target_rows_per_range,
+    )
     # exclusive carry-in per range: everything aggregated BEFORE it
     offs, carry = [], None
     for pid in sorted(stats):
         offs.append((pid, carry))
-        t = stats[pid][0]
+        t = stats[pid]["t"]
         if t is not None:
             if carry is None:
                 carry = t
