@@ -23,6 +23,16 @@ Hygiene (per round-1, round-3 and round-10 ADVICE):
   medians all rise but the mins hold, the box moved, not the code
   (round-10's 1.21x headline was exactly that shape, reconstructed by
   hand from anchor reruns; now it is readable off the artifact).
+
+Output contract (round-12, after BENCH_r11's `parsed: null`): the
+driver records only the LAST ~2,000 chars of stdout, and the full
+per-query JSON outgrew that budget once `queries_min` landed — so the
+FULL JSON now goes to a local file (`bench_full.json` beside this
+script, committed per round) and stdout ends with ONE COMPACT line
+(metric/value/value_min/sf/n_queries/slowest5 + the detail path,
+~0.4 KB) that always fits the tail. Spark's console progress bar is
+suppressed (`spark.ui.showConsoleProgress=false`) so the tail isn't
+carriage-return-polluted either.
 """
 
 from __future__ import annotations
@@ -164,7 +174,12 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     catalog.load_all()
-    spark = session(app_name="virapipe_bench")
+    spark = session(
+        app_name="virapipe_bench",
+        # keep the driver's stdout tail parseable: no \r-rewritten
+        # progress bars interleaved with the final JSON line
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     names = [n for n in HEADLINE if n in catalog.QUERIES]
 
@@ -203,23 +218,56 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 3)
         minima[name] = round(min(reps), 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # drift diagnostics (see module docstring): medians move
-                # with the box, minima move with the code.
-                "value_min": round(sum(minima.values()), 3),
-                "queries_min": minima,
-            }
-        )
-    )
+    print(emit(timings, minima, sf))
     spark.stop()
+
+
+def emit(
+    timings: dict[str, float],
+    minima: dict[str, float],
+    sf: float | None,
+    detail_path: str | None = None,
+) -> str:
+    """Write the full per-query JSON to ``bench_full.json`` and return
+    the compact summary line (the caller prints it LAST). Factored out
+    so the tail-budget contract is unit-testable (test_bench_policy)."""
+    total = round(sum(timings.values()), 3)
+    total_min = round(sum(minima.values()), 3)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # drift diagnostics (see module docstring): medians move
+        # with the box, minima move with the code.
+        "value_min": total_min,
+        "queries_min": minima,
+    }
+    if detail_path is None:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    # the compact line is the FINAL stdout line — it must fit (with
+    # margin) in the driver's ~2,000-char stdout tail
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "value_min": total_min,
+            "sf": sf,
+            "n_queries": len(timings),
+            "slowest5": slowest,
+            "detail": "bench_full.json",
+        }
+    )
 
 
 if __name__ == "__main__":

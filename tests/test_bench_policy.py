@@ -40,3 +40,38 @@ class TestNeedsMore:
     def test_never_past_max_reps(self):
         assert not bench._needs_more([0.1] * bench.MAX_REPS)
         assert not bench._needs_more([100.0, 0.1] * bench.MAX_REPS)
+
+
+class TestEmitTailBudget:
+    """r12 output contract (BENCH_r11's `parsed: null` postmortem): the
+    driver keeps only ~2,000 chars of stdout tail, so the final line
+    must stay compact no matter how many headline queries exist, and
+    the full per-query detail must land in bench_full.json."""
+
+    def test_compact_line_fits_tail_even_at_double_headline(self, tmp_path):
+        import json
+
+        # worst-case: twice today's headline count, long names, slow values
+        timings = {f"some_quite_long_query_name_{i:03d}": 12.345 for i in range(100)}
+        minima = {k: 11.111 for k in timings}
+        line = bench.emit(timings, minima, 0.1, str(tmp_path / "full.json"))
+        assert len(line) < 1000  # half the tail budget, with margin
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert parsed["value"] == round(12.345 * 100, 3)
+        assert parsed["value_min"] == round(11.111 * 100, 3)
+        assert parsed["n_queries"] == 100
+        assert len(parsed["slowest5"]) == 5
+
+    def test_full_detail_written_to_file(self, tmp_path):
+        import json
+
+        timings = {"a": 1.0, "b": 2.0}
+        minima = {"a": 0.9, "b": 1.8}
+        path = tmp_path / "full.json"
+        bench.emit(timings, minima, 0.01, str(path))
+        full = json.loads(path.read_text())
+        assert full["queries"] == timings
+        assert full["queries_min"] == minima
+        assert full["value"] == 3.0
+        assert full["value_min"] == 2.7

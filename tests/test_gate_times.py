@@ -1,0 +1,74 @@
+"""Gate-time regression policy (r11 verdict item 3): the committed
+GATE_TIMES_r{N}.json artifacts are the best detector for quadratic
+expression bombs (the trim-HOF bug surfaced as a 13.7 s outlier for
+500 docs), so the diff policy is a standing pytest — any entry >3× its
+prior committed gate time AND above the 2 s noise floor fails here.
+
+The artifact pair is auto-discovered: the two highest-round
+GATE_TIMES_r*.json files in the repo root. With fewer than two
+artifacts the policy test skips (nothing to diff yet)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+sys_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from tools.diff_gate_times import FLOOR, RATIO, compare  # noqa: E402
+
+
+def _artifacts() -> list[tuple[int, str]]:
+    out = []
+    for p in glob.glob(os.path.join(sys_root, "GATE_TIMES_r*.json")):
+        m = re.search(r"GATE_TIMES_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+class TestComparePolicy:
+    def test_flags_quadratic_blowup_above_floor(self):
+        old = {"a": 0.2, "b": 1.0}
+        new = {"a": 13.7, "b": 1.1}  # the r11 trim-HOF shape
+        reg, _, _ = compare(old, new)
+        assert [(n, o, v) for n, o, v in reg] == [("a", 0.2, 13.7)]
+
+    def test_subsecond_noise_band_not_flagged(self):
+        # 0.3 s -> 1.5 s is 5x but under the 2 s floor: JVM/box noise
+        reg, _, _ = compare({"a": 0.3}, {"a": 1.5})
+        assert reg == []
+
+    def test_membership_changes_informational_only(self):
+        reg, only_old, only_new = compare({"a": 1.0}, {"b": 1.0})
+        assert reg == []
+        assert only_old == ["a"] and only_new == ["b"]
+
+    def test_severity_ordering(self):
+        old = {"a": 1.0, "b": 1.0}
+        new = {"a": 4.0, "b": 20.0}
+        reg, _, _ = compare(old, new)
+        assert [n for n, _, _ in reg] == ["b", "a"]
+
+
+class TestCommittedArtifacts:
+    def test_latest_pair_has_no_policy_breach(self):
+        arts = _artifacts()
+        if len(arts) < 2:
+            pytest.skip("fewer than two GATE_TIMES artifacts committed")
+        (_, old_path), (_, new_path) = arts[-2], arts[-1]
+        with open(old_path) as f:
+            old = json.load(f)
+        with open(new_path) as f:
+            new = json.load(f)
+        reg, _, _ = compare(old, new)
+        assert not reg, (
+            f"gate-time policy breach ({RATIO}x over prior, above "
+            f"{FLOOR}s floor) between {os.path.basename(old_path)} and "
+            f"{os.path.basename(new_path)}: {reg} — investigate for an "
+            "O(n^2) expression (QUIRKS #13) before re-baselining"
+        )

@@ -203,6 +203,60 @@ class TestFastqFileSource:
         rows = sorted(df.collect(), key=lambda r: r["rec_idx"])
         assert [(r["key"], r["sequence"], r["quality"]) for r in rows] == expect
 
+    def test_split_reads_must_be_positive(self):
+        """ADVICE r12: split_reads=0 / negative is a domain error at
+        reader construction, not a ZeroDivisionError at plan time."""
+        from virapipe_spark.pydatasource import FastqReader
+
+        for bad in (0, -3):
+            with pytest.raises(ValueError, match="split_reads must be >= 1"):
+                FastqReader({"path": "/nonexistent", "split_reads": str(bad)})
+
+    def test_non_utf8_bytes_raise_named_error(self, tmp_path):
+        """ADVICE r12: a latin-1 byte in a record raises a ValueError
+        naming the file and split, not an opaque UnicodeDecodeError."""
+        from virapipe_spark.pydatasource import _read_stanzas
+
+        p = tmp_path / "latin.fastq"
+        with open(p, "wb") as fh:
+            fh.write(b"@caf\xe9.0\nACGT\n+\n!!!!\n")
+        with pytest.raises(ValueError, match="non-UTF-8 bytes"):
+            _read_stanzas(str(p), 0, p.stat().st_size)
+
+    def test_gunzip_scratch_keyed_on_content_identity(self, tmp_path):
+        """ADVICE r12: the scratch copy lives in a per-user 0700 dir and
+        is keyed on (path, mtime, size) — replacing the source with a
+        PRESERVED-OLDER mtime (cp -p semantics) still decompresses fresh
+        because the key changes with mtime_ns/size."""
+        import gzip
+        import os
+        import stat
+
+        from virapipe_spark.pydatasource import _maybe_decompress, _scratch_root
+
+        root = _scratch_root()
+        st = os.lstat(root)
+        assert stat.S_IMODE(st.st_mode) == 0o700
+        if hasattr(os, "getuid"):
+            assert st.st_uid == os.getuid()
+
+        gz = tmp_path / "r.fastq.gz"
+        with gzip.open(gz, "wb") as fh:
+            fh.write(b"@a.0\nAAAA\n+\n!!!!\n")
+        out1 = _maybe_decompress(str(gz))
+        with open(out1) as fh:
+            assert fh.read().startswith("@a.0")
+        assert os.path.dirname(out1) == root
+
+        # rewrite the source with DIFFERENT content but an OLDER mtime
+        with gzip.open(gz, "wb") as fh:
+            fh.write(b"@b.0\nCCCC\n+\n####\n")
+        os.utime(gz, (0, 0))
+        out2 = _maybe_decompress(str(gz))
+        assert out2 != out1  # new identity -> new scratch name
+        with open(out2) as fh:
+            assert fh.read().startswith("@b.0")
+
     def test_offsets_cover_file_exactly(self, tmp_path):
         p = tmp_path / "x.fastq"
         _write_fastq_file(p, 10, "x")

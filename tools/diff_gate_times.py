@@ -1,0 +1,77 @@
+"""Diff two GATE_TIMES_r{N}.json artifacts and flag per-entry wall-time
+regressions — the O(n²)-expression detector (r11 lesson: the committed
+gate times exposed `docs_trim_quality` at 13.7 s for 500 docs, an
+interpreted-HOF bomb invisible to count()/plan inspection, fixed for a
+75× win). The r11 verdict asked for this as a standing policy check.
+
+Policy (compare()): flag an entry when
+
+    new > RATIO * old   AND   new > FLOOR seconds
+
+The absolute FLOOR filters the sub-second band where JVM cold-start and
+box drift routinely swing 2-3× (memory: single-entry gate timings
+bounce 2× day-to-day); a genuine quadratic blowup lands WELL above it
+(13.7 s vs 0.2 s). Entries present in only one artifact are reported
+informationally, never flagged — the catalog grows every round.
+
+Usage: python tools/diff_gate_times.py OLD.json NEW.json
+Exit 1 iff any entry breaches the policy.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+RATIO = 3.0
+FLOOR = 2.0  # seconds
+
+
+def compare(
+    old: dict[str, float],
+    new: dict[str, float],
+    ratio: float = RATIO,
+    floor: float = FLOOR,
+) -> tuple[list[tuple[str, float, float]], list[str], list[str]]:
+    """Return (regressions, only_old, only_new); regressions are
+    (name, old_sec, new_sec) sorted by severity (new/old desc)."""
+    regressions = [
+        (n, old[n], new[n])
+        for n in old
+        if n in new and new[n] > ratio * old[n] and new[n] > floor
+    ]
+    regressions.sort(key=lambda t: t[2] / t[1] if t[1] else float("inf"), reverse=True)
+    only_old = sorted(n for n in old if n not in new)
+    only_new = sorted(n for n in new if n not in old)
+    return regressions, only_old, only_new
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    with open(sys.argv[1]) as f:
+        old = json.load(f)
+    with open(sys.argv[2]) as f:
+        new = json.load(f)
+    regressions, only_old, only_new = compare(old, new)
+    for n, o, v in regressions:
+        print(f"REGRESS  {n}: {o:.2f}s -> {v:.2f}s ({v / o:.1f}x)")
+    if only_old:
+        print(f"retired ({len(only_old)}): {', '.join(only_old[:10])}"
+              + (" ..." if len(only_old) > 10 else ""))
+    if only_new:
+        print(f"new ({len(only_new)}): {', '.join(only_new[:10])}"
+              + (" ..." if len(only_new) > 10 else ""))
+    common = [n for n in old if n in new]
+    tot_o = sum(old[n] for n in common)
+    tot_n = sum(new[n] for n in common)
+    print(
+        f"{len(common)} common entries: {tot_o:.0f}s -> {tot_n:.0f}s "
+        f"({tot_n / tot_o:.2f}x); {len(regressions)} policy breaches"
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

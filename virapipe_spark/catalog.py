@@ -354,48 +354,12 @@ _DRIFT_ROUND = 4
 #: entry ranks by that round again; no manual cleanup. The local pooled
 #: compare (tests/test_staged.py) re-arms off this same table.
 REWRITTEN_IN: dict[str, int] = {
-    # (The r8-r10 rows were pruned in r11 once every proof round reached
-    # its rewrite round — the map only needs rows whose re-proof is
-    # still outstanding; git history keeps the retired rationale.)
-    #
-    # r11: docs_sorted_neighborhood's rank columns widened int -> long
-    # (ADVICE r10: the int cast overflowed past 2^31 rows) — an OUTPUT
-    # SCHEMA change, so the r10 proof covers the int-width result only.
-    "docs_sorted_neighborhood": 11,
-    # r11: scale.two_phase_rank grew the adaptive data-sized range
-    # count (re-range when an honest range would exceed
-    # target_rows_per_range rows). At driver scale the executed plan is
-    # bit-identical (the re-range never triggers below ~128M rows), but
-    # the call path changed, so every two_phase_rank caller re-proves
-    # per the shared-engine rule (docs_sorted_neighborhood is above).
-    "window_ntile_cume": 11,
-    "events_rfm_segments": 11,
-    # r11: the two global-order exemptions whose window inputs measured
-    # data-sized (tools/measure_window_inputs.py) rewritten onto
-    # two_phase_rank — rrf's candidate-set ranks, stable matching's
-    # supplier/part index builders. Ranks are bit-identical; the plans
-    # are not, so the r9/r10 proofs cover the window-based shapes.
-    "docs_rank_fusion_rrf": 11,
-    "supplier_stable_matching": 11,
-    # r11 continued: the audit's second sweep — running aggregates
-    # whose global windows measured data-sized (peak concurrency: 2
-    # rows/session; ABC + skyline: part is SF-linear) rewritten onto
-    # scale.two_phase_prefix_agg (windowless exact prefix sum/max).
-    "events_peak_concurrency": 11,
-    "lineitem_abc_analysis": 11,
-    "parts_pareto_skyline": 11,
-    # r11: the interpreted-HOF CSE trap (QUIRKS #13) — per-window /
-    # per-gram lambdas re-derived their source arrays per invocation,
-    # O(n^2) per row; let-bound rewrites are bit-identical (goldens +
-    # strict gates at both scales) but the plans changed.
-    "docs_trim_quality": 11,
-    "docs_dust_complexity": 11,
-    # r11: the multi-window exemption audit — entries whose BOUNDED
-    # exemption hid a second, data-sized window. qini's user-grain
-    # ntile -> two_phase_rank + exact_ntile; shapley's supplier-wide
-    # top-10 rank -> orderBy().limit(n) TakeOrderedAndProject.
-    "events_qini_uplift": 11,
-    "supplier_airport_shapley": 11,
+    # (The r8-r11 rows were pruned once every proof round reached its
+    # rewrite round — the map only needs rows whose re-proof is still
+    # outstanding; git history keeps the retired rationale. The 12 r11
+    # rows — the two_phase_rank/prefix_agg rewrites, the HOF let-binds,
+    # and the multi-window audit fixes — all re-proved in
+    # CORRECTNESS_r11 and were pruned at round-12 start.)
 }
 
 

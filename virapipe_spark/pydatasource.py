@@ -153,7 +153,19 @@ def _read_stanzas(path: str, start: int, end: int) -> list[tuple[str, str, str]]
     with open(path, "rb") as fh:
         fh.seek(start)
         chunk = fh.read(end - start)
-    lines = chunk.decode("utf-8").split("\n")
+    try:
+        text = chunk.decode("utf-8")
+    except UnicodeDecodeError as e:
+        # surface file + split instead of an opaque executor-side
+        # UnicodeDecodeError (ADVICE r11) — the planning pass is
+        # byte-oriented and accepts such files, so name the divergence
+        raise ValueError(
+            f"{path}: split [{start}, {end}) contains non-UTF-8 bytes "
+            f"at chunk offset {e.start} — the fastq datasource emits "
+            "UTF-8 STRING columns; re-encode the file or read it via "
+            "io.read_fastq"
+        ) from e
+    lines = text.split("\n")
     if lines and lines[-1] == "":
         lines.pop()  # chunk ends at a line boundary by construction
     lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
@@ -196,7 +208,9 @@ class FastqDataSource(DataSource):
     tail reads; honest-claims says error out instead.
 
     ``.gz`` inputs decompress to a reused scratch copy before planning
-    (Interleave.java:88-95's --decompress, same order of operations)."""
+    (Interleave.java:88-95's --decompress, same order of operations);
+    the copy lives in a per-user 0700 scratch dir keyed on the source's
+    (path, mtime, size) identity."""
 
     @classmethod
     def name(cls) -> str:
@@ -209,34 +223,65 @@ class FastqDataSource(DataSource):
         return FastqReader(self.options)
 
 
+def _scratch_root() -> str:
+    """Per-user 0700 scratch directory for decompressed copies. A
+    predictable path in the WORLD-SHARED tempdir would let another
+    local user pre-plant the file (silently read as our data) or own
+    the path (os.replace fails) — ADVICE r11. The uid suffix keeps two
+    users' dirs distinct; if the dir pre-exists it must be OURS and
+    0700, else fail loudly rather than trust it."""
+    import os
+    import stat
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"vp_fqds_scratch_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if (
+        not stat.S_ISDIR(st.st_mode)
+        or (hasattr(os, "getuid") and st.st_uid != uid)
+        or stat.S_IMODE(st.st_mode) & 0o077
+    ):
+        raise PermissionError(
+            f"scratch dir {root} exists but is not a private directory "
+            f"owned by uid {uid} with mode 0700 — refusing to use it"
+        )
+    return root
+
+
 def _maybe_decompress(path: str) -> str:
     """Gzip transparency, the reference's way: Interleave.java:88-95
     decompresses the whole .gz to a temp file BEFORE split planning
     (compressed byte offsets are not seekable to line boundaries), then
-    splits the plain copy. Deterministic scratch path keyed on the
-    source path, rewritten only when the source is newer — repeated
-    plans within a session reuse one copy. Local-mode assumption (the
-    scratch file must be visible to driver and executors), same as
-    io.scratch_dir."""
+    splits the plain copy. The scratch name is keyed on the source's
+    (abspath, mtime_ns, size) identity — a changed source (including a
+    replacement with a preserved-older mtime, ``cp -p``) keys to a NEW
+    name and decompresses fresh, so an existing keyed copy is always
+    valid to reuse; repeated plans within a session reuse one copy.
+    Local-mode assumption (the scratch file must be visible to driver
+    and executors), same as io.scratch_dir."""
     if not path.endswith(".gz"):
         return path
     import gzip
     import hashlib
     import os
-    import tempfile
 
-    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
-    out = os.path.join(tempfile.gettempdir(), f"vp_fqds_gunzip_{tag}.fastq")
-    # reuse only a copy STRICTLY newer than the source (equal mtimes —
-    # a same-second rewrite — re-decompress rather than risk staleness)
-    if os.path.exists(out) and os.path.getmtime(out) > os.path.getmtime(path):
+    root = _scratch_root()
+    st = os.stat(path)
+    key = f"{os.path.abspath(path)}\x00{st.st_mtime_ns}\x00{st.st_size}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:16]
+    out = os.path.join(root, f"vp_fqds_gunzip_{tag}.fastq")
+    if os.path.exists(out):
         return out
     # unique temp + atomic replace: concurrent sessions planning the
     # same .gz each write their own temp and the last replace wins with
     # a COMPLETE file either way (a shared fixed temp path would let
     # two writers interleave chunks and publish a corrupt copy)
+    import tempfile
+
     fd, tmp = tempfile.mkstemp(
-        dir=tempfile.gettempdir(), prefix=f"vp_fqds_gunzip_{tag}_", suffix=".part"
+        dir=root, prefix=f"vp_fqds_gunzip_{tag}_", suffix=".part"
     )
     try:
         with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
@@ -262,6 +307,13 @@ class FastqReader(DataSourceReader):
             raise ValueError("fastq source requires load(<path>)")
         self.paired = options.get("paired")
         self.split_reads = int(options.get("split_reads", 5000))
+        if self.split_reads < 1:
+            # domain error at construction beats a bare ZeroDivisionError
+            # (or a negative modulus) deep in _line_split_offsets at plan
+            # time (ADVICE r11)
+            raise ValueError(
+                f"split_reads must be >= 1, got {self.split_reads}"
+            )
 
     def _plan(self, root: str) -> list[tuple[str, int, int, int]]:
         """(path, start, end, base_rec) per split, base_rec cumulative
