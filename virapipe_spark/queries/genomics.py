@@ -3148,6 +3148,145 @@ def fastq_datasource_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-12: the reference's FULL stage chain fed by the FASTQ datasource
+# (file ingestion first, virapipe.sh:38 / DecompressInterleave.java:79-116
+# — the prior virapipe_chain entry starts from parquet; this one starts
+# from format("fastq") so the connector's split planning, stanza
+# re-parse and '@'-stripping are INSIDE the hash-checked dataflow).
+#
+# Registered LIVE directly (no staging generation): the r11 ADVICE
+# adjudicated the staged-generation freeze a pass-through once arming
+# artifacts pre-exist at authoring time, so the staging machinery is
+# retired for new entries — ordered_queries() ranks never-proven names
+# first, which gives a new entry its in-round driver proof anyway.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fastq_datasource_chain",
+    oracle=f"""
+    WITH recs AS (
+      SELECT concat('s', CAST(doc_id % 6 AS VARCHAR), '_r',
+                    lpad(CAST(doc_id AS VARCHAR), 5, '0')) AS key,
+             translate(substr(md5(concat('seq', CAST(doc_id % 120 AS VARCHAR))),
+                              1, 24), '{_HEX}', '{_DNA16}') AS sequence,
+             translate(substr(md5(concat('q', CAST(doc_id AS VARCHAR))),
+                              1, 24), '{_HEX}', '{_QUAL16}') AS quality
+      FROM documents WHERE doc_id < 300
+    ),
+    q AS (
+      SELECT * FROM recs
+      WHERE list_avg(list_transform(generate_series(1, 24),
+                                    g -> ascii(substr(quality, g, 1)))) > 77.5
+    ),
+    rep AS (SELECT min(key) AS key FROM q GROUP BY sequence),
+    dq AS (SELECT q.key, q.sequence FROM q JOIN rep USING (key)),
+    km AS (
+      SELECT key, substr(sequence, g, 4) AS kmer
+      FROM (SELECT key, sequence, unnest(generate_series(1, 21)) AS g
+            FROM dq)
+    ),
+    band AS (SELECT min(key) AS rep_key FROM km GROUP BY kmer
+             HAVING count(*) > 4 AND count(*) < 40),
+    surviving AS (SELECT DISTINCT rep_key AS key FROM band)
+    SELECT string_split(key, '_')[1] AS sample, count(*) AS n_reads,
+           CAST(sum(len(sequence)) AS BIGINT) AS total_bases
+    FROM dq JOIN surviving USING (key)
+    GROUP BY sample
+    """,
+)
+def fastq_datasource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """virapipe_chain with the reference's MISSING FIRST STAGE: file
+    ingestion. Deterministic md5-derived reads (120 distinct sequences
+    across 300 reads, so dedup has real work; 6 sample groups encoded
+    in the key) write through io.write_fastq, are read back via
+    ``spark.read.format("fastq")`` (whole-stanza split planning,
+    split_reads=16), and THEN flow through the reference's chain —
+    average-quality filter (FastqFilter) -> exact dedup by sequence
+    (first-per-key) -> k=4 digital-normalization coverage band
+    (NormalizeRDD) -> per-sample rollup (FastqGroupper). The DuckDB
+    oracle recomputes every stage relationally from ``documents``, so
+    a record dropped/duplicated at a split seam, a stanza desync, or
+    any stage-semantics drift breaks the hash (stage row counts at
+    sf0.01: 300 -> 154 -> 98 -> 43 -> 5 groups).
+
+    Scale: the chain stages carry the standalone entries' shapes
+    (codegen quality predicate, hash-agg dedup, fused explode + partial
+    agg, semi-joins); the INGEST stage is the Python-DataSource seam —
+    split planning gives task parallelism, rows cross row-at-a-time
+    (pydatasource.py module note: the JVM io.read_fastq is the
+    data-plane path; this entry proves the connector's fidelity, not
+    its throughput)."""
+    from virapipe_spark import io as vio
+    from virapipe_spark.pydatasource import FastqDataSource
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    recs = d.select(
+        F.concat(
+            F.lit("s"),
+            (F.col("doc_id") % 6).cast("string"),
+            F.lit("_r"),
+            F.lpad(F.col("doc_id").cast("string"), 5, "0"),
+        ).alias("key"),
+        F.translate(
+            F.substring(
+                F.md5(F.concat(F.lit("seq"), (F.col("doc_id") % 120).cast("string"))),
+                1,
+                24,
+            ),
+            _HEX,
+            _DNA16,
+        ).alias("sequence"),
+        F.translate(
+            F.substring(
+                F.md5(F.concat(F.lit("q"), F.col("doc_id").cast("string"))), 1, 24
+            ),
+            _HEX,
+            _QUAL16,
+        ).alias("quality"),
+    )
+    out = vio.scratch_dir(spark, sf_dir, "fqds_chain")
+    vio.write_fastq(recs, out, mode="overwrite")
+    spark.dataSource.register(FastqDataSource)
+    reads = (
+        spark.read.format("fastq")
+        .option("split_reads", 16)
+        .load(out)
+        .select("key", "sequence", "quality")
+    )
+    # checkpoint the INGEST once: the chain's DAG consumes `reads` via
+    # four plan paths (q, rep's q, km's dq, the final semi-join), and
+    # Spark re-executes an uncached source per path — for a parquet
+    # scan that's a cheap re-read, for the Python DataSource it's 4x
+    # split-planning + Python-worker passes (measured 10s -> ~3s warm)
+    reads = truncate_lineage(reads, reliable=True)
+    q = reads.filter(vf.avg_quality("quality") > 77.5)
+    rep = q.groupBy("sequence").agg(F.min("key").alias("key")).select("key")
+    dq = q.join(rep, "key", "left_semi").select("key", "sequence")
+    km = dq.select(
+        "key",
+        F.explode(F.sequence(F.lit(1), F.lit(21))).alias("g"),
+        "sequence",
+    ).select("key", F.expr("substring(sequence, g, 4)").alias("kmer"))
+    surviving = (
+        km.groupBy("kmer")
+        .agg(F.count("*").alias("c"), F.min("key").alias("rep_key"))
+        .filter((F.col("c") > 4) & (F.col("c") < 40))
+        .select(F.col("rep_key").alias("key"))
+        .distinct()
+    )
+    return (
+        dq.join(surviving, "key", "left_semi")
+        .withColumn("sample", F.split(F.col("key"), "_")[0])
+        .groupBy("sample")
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.sum(F.length("sequence")).cast("long").alias("total_bases"),
+        )
+    )
+
+
 @staged_r11(
     "synthetic_reads_scan",
     oracle="""

@@ -643,6 +643,16 @@ def pending_staged() -> dict[str, QueryFn]:
 # ---------------------------------------------------------------------------
 # Round-11 authoring (the deliberate post-freeze unfreeze)
 # ---------------------------------------------------------------------------
+#
+# STAGING RETIRED FOR NEW GENERATIONS (round 12, per r11 ADVICE): once
+# arming artifacts pre-exist at authoring time, the staged-generation
+# freeze is a pass-through — promote fires at import and pending_staged()
+# never sees the entries. Rather than let the machinery degenerate
+# silently, new entries now register LIVE directly (@catalog.query in
+# their topic modules); ordered_queries() ranks never-proven names first,
+# which is the same in-round proving the staged_r11 pattern achieved.
+# The historical generations above/below stay as-is (their flip history
+# is load_all's logic and the window-simulation tests exercise it).
 
 #: Sixth staging generation — the r10 verdict's deliberate unfreeze:
 #: every 356 prior entries are driver-proven, the window recycles ~50
