@@ -33,7 +33,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame  # noqa: E402
+# Patch the CLASSIC implementation class: in Spark 4,
+# pyspark.sql.DataFrame is the abstract parent and the classic subclass
+# OVERRIDES mapInPandas, so patching the parent is a silent no-op (the
+# call resolves on the subclass first — measured: wrapper never fired).
+from pyspark.sql.classic.dataframe import DataFrame  # noqa: E402
 
 from virapipe_spark import catalog  # noqa: E402
 from virapipe_spark.session import session  # noqa: E402
@@ -73,13 +77,37 @@ def _patched_map_in_pandas(self, func, schema, *args, **kwargs):
 
 
 def measure(spark, name: str, sf_dir: str) -> tuple[int, int, int, int]:
-    """(out_rows, boundary_rows, batches, bytes) for one entry run."""
+    """(out_rows, boundary_rows, batches, bytes) for one entry run.
+
+    Python-worker accumulator updates arrive ASYNCHRONOUSLY after the
+    action returns (they flow through the accumulator server, not the
+    task result), so poll until the values hold still for a beat."""
+    import time
+
     c = _Counters(spark.sparkContext)
     _CURRENT.append(c)
     try:
-        n = catalog.QUERIES[name](spark, sf_dir).count()
+        df = catalog.QUERIES[name](spark, sf_dir)
+        # noop sink, not count(): under count() Catalyst prunes every
+        # output column, which lets join-elimination remove a pandas
+        # stage hanging off a unique-keyed outer join (measured:
+        # frame_sample's boundary never executed) — the noop write
+        # materializes every column, the bench's execution contract
+        df.write.mode("overwrite").format("noop").save()
+        n = -1  # row count not needed; -1 marks "noop execution"
     finally:
         _CURRENT.pop()
+    prev = (-1, -1, -1)
+    stable = 0
+    for _ in range(60):  # up to ~15 s of settling
+        cur = (c.rows.value, c.batches.value, c.bytes.value)
+        stable = stable + 1 if cur == prev else 0
+        # zeros look "stable" before the first update lands (~2 s), so
+        # require a 2 s unchanged streak, not just one repeat
+        if stable >= 8:
+            break
+        prev = cur
+        time.sleep(0.25)
     return n, c.rows.value, c.batches.value, c.bytes.value
 
 
