@@ -128,3 +128,53 @@ class TestEdgeCases:
     def test_merge_with_empty_children(self):
         m, w = td.merge([td.build(np.array([])), td.build(np.array([1.0, 2.0]))])
         assert w.sum() == 2
+
+
+class TestWeightedBuild:
+    """build_weighted: the pre-aggregated entry point (round 12 — the
+    tdigest entry counts duplicate values JVM-side so only the value
+    domain crosses the Python boundary). The centroid LAYOUT may differ
+    from build() on the expanded multiset (atomic weighted absorption
+    vs unit points splitting at a k-budget boundary), but mass,
+    determinism and the rank-error guarantee must hold, and estimates
+    must track the exact-build estimates."""
+
+    def test_mass_conserved_and_deterministic(self):
+        rng = np.random.default_rng(5)
+        vals = np.round(rng.normal(100, 15, 400), 1)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        m1, w1 = td.build_weighted(uniq, cnt.astype(float))
+        # shuffled input -> identical digest (sorted internally)
+        perm = rng.permutation(len(uniq))
+        m2, w2 = td.build_weighted(uniq[perm], cnt[perm].astype(float))
+        assert np.array_equal(m1, m2) and np.array_equal(w1, w2)
+        assert w1.sum() == len(vals)
+
+    def test_rank_error_matches_guarantee(self):
+        rng = np.random.default_rng(11)
+        vals = np.round(rng.exponential(50, 20000), 0)  # heavy duplication
+        uniq, cnt = np.unique(vals, return_counts=True)
+        m, w = td.build_weighted(uniq, cnt.astype(float))
+        xs = np.sort(vals)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = td.quantile(m, w, q)
+            rank = (np.searchsorted(xs, est, "left")
+                    + np.searchsorted(xs, est, "right")) / (2 * len(xs))
+            assert abs(rank - q) <= 0.02, (q, est, rank)
+
+    def test_estimates_track_unit_build(self):
+        rng = np.random.default_rng(23)
+        vals = np.round(rng.normal(0, 1, 5000), 2)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        mw_w = td.build_weighted(uniq, cnt.astype(float))
+        mw_u = td.build(vals)
+        spread = vals.max() - vals.min()
+        for q in (0.05, 0.5, 0.95):
+            assert abs(td.quantile(*mw_w, q) - td.quantile(*mw_u, q)) <= 0.02 * spread
+
+    def test_empty_and_single_point(self):
+        m, w = td.build_weighted(np.array([]), np.array([]))
+        assert len(m) == 0
+        m, w = td.build_weighted(np.array([3.0]), np.array([250.0]))
+        assert td.quantile(m, w, 0.5) == 3.0
+        assert w.sum() == 250.0

@@ -38,11 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # OVERRIDES mapInPandas, so patching the parent is a silent no-op (the
 # call resolves on the subclass first — measured: wrapper never fired).
 from pyspark.sql.classic.dataframe import DataFrame  # noqa: E402
+from pyspark.sql.group import GroupedData  # noqa: E402
 
 from virapipe_spark import catalog  # noqa: E402
 from virapipe_spark.session import session  # noqa: E402
 
 _ORIG_MAP_IN_PANDAS = DataFrame.mapInPandas
+_ORIG_APPLY_IN_PANDAS = GroupedData.applyInPandas
 
 
 class _Counters:
@@ -74,6 +76,37 @@ def _patched_map_in_pandas(self, func, schema, *args, **kwargs):
         return func(counting())
 
     return _ORIG_MAP_IN_PANDAS(self, wrapped, schema, *args, **kwargs)
+
+
+def _patched_apply_in_pandas(self, func, schema, *args, **kwargs):
+    """Count the grouped boundary too (applyInPandas receives ONE pdf
+    per group, optionally with a leading key — pyspark dispatches on
+    the wrapped function's ARITY, so the wrapper must mirror it)."""
+    import inspect
+
+    if not _CURRENT:
+        return _ORIG_APPLY_IN_PANDAS(self, func, schema, *args, **kwargs)
+    c = _CURRENT[-1]
+    b_acc, r_acc, by_acc = c.batches, c.rows, c.bytes
+
+    def _count(pdf):
+        b_acc.add(1)
+        r_acc.add(len(pdf))
+        by_acc.add(int(pdf.memory_usage(deep=True, index=False).sum()))
+
+    if len(inspect.getfullargspec(func).args) == 2:
+
+        def wrapped(key, pdf):  # type: ignore[misc]
+            _count(pdf)
+            return func(key, pdf)
+
+    else:
+
+        def wrapped(pdf):  # type: ignore[misc]
+            _count(pdf)
+            return func(pdf)
+
+    return _ORIG_APPLY_IN_PANDAS(self, wrapped, schema, *args, **kwargs)
 
 
 def measure(spark, name: str, sf_dir: str) -> tuple[int, int, int, int]:
@@ -118,6 +151,7 @@ def main() -> None:
     names = args[2:]
     catalog.load_all()
     DataFrame.mapInPandas = _patched_map_in_pandas
+    GroupedData.applyInPandas = _patched_apply_in_pandas
     spark = session(app_name="pandas_boundary")
     max_rec = spark.conf.get(
         "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"

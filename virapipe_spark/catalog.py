@@ -360,6 +360,16 @@ REWRITTEN_IN: dict[str, int] = {
     # rows — the two_phase_rank/prefix_agg rewrites, the HOF let-binds,
     # and the multi-window audit fixes — all re-proved in
     # CORRECTNESS_r11 and were pruned at round-12 start.)
+    #
+    # r12: the Arrow-boundary audit found applyInPandas delivers each
+    # WHOLE (day, shard) group as ONE pandas batch (40.8k rows/batch at
+    # the 10x synth — unbounded at 100 TB); stage 1 now pre-aggregates
+    # groupBy(day, shard, value).count() JVM-side and builds the digest
+    # from weighted points (tdigest.build_weighted). Estimates move
+    # within the digest's guarantee (rows-only entry; within_tol
+    # self-check + test_tdigest equivalence pins), so the r?-era
+    # rows-only proof covers the old plan only.
+    "events_tdigest_daily_merge": 12,
 }
 
 

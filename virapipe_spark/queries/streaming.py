@@ -1896,12 +1896,27 @@ def events_tdigest_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth. At 100 TB you'd drop the exact branch — it is the
     self-check, not the operator.
 
-    Scale: stage 1 groups by (day, shard) — shard = hash(user) % 8
-    bounds any one pandas group to day-volume/8 regardless of skew
-    (the knob to widen at 100 TB); stage 2 merges the tiny centroid
-    rows per week (control-plane-sized, ~8 shards × 7 days × ~100
-    centroids). Both stages deterministic: digests sort values, merges
-    sort centroids — Spark partition order cannot move the output."""
+    Scale (round-12 rewrite): stage 0 pre-aggregates
+    ``groupBy(day, shard, value).count()`` ENTIRELY JVM-side — a
+    hash aggregate with map-side combine — so what crosses the Python
+    boundary is (distinct value, multiplicity) pairs, not raw rows.
+    events.value is domain-capped (the r11 audit measured distinct
+    cents saturating: 6.6k -> 17.8k at 10x rows), so the boundary
+    carries the VALUE DOMAIN per (day, shard) while the raw-row volume
+    can grow 1000x. Measured (tools/measure_pandas_boundary.py + the
+    1000x smoke): boundary rows at the 10x synth 10.0M -> 685k, the
+    per-group pandas batch 40.8k -> 2.8k rows (the OLD shape delivered
+    each WHOLE group as one batch — applyInPandas ignores
+    maxRecordsPerBatch — i.e. an unbounded batch at 100 TB; now it is
+    domain-bounded), and the full-entry wall at the 1000x synth
+    70.4 s -> 7.4 s (flat vs sf0.1). Cost: ~0.6 s at sf0.1 for the
+    second (domain-sized) exchange — the right trade, both exchanges
+    are domain-sized at scale. shard = hash(user) % 8 still bounds any
+    one pandas group (the knob to widen at 100 TB); stage 2 merges the tiny
+    centroid rows per week (control-plane-sized, ~8 shards × 7 days ×
+    ~100 centroids). Every stage deterministic: the weighted build
+    sorts (value, weight), merges sort centroids — Spark partition
+    order cannot move the output."""
     import pandas as pd
 
     from virapipe_spark import tdigest as td
@@ -1909,12 +1924,14 @@ def events_tdigest_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
     shard = F.pmod(F.hash("user_id"), F.lit(8)).cast("int")
-    src = ev.select(
-        day.alias("day"), shard.alias("shard"), F.col("value")
+    src = (
+        ev.select(day.alias("day"), shard.alias("shard"), F.col("value"))
+        .groupBy("day", "shard", "value")
+        .agg(F.count("*").cast("double").alias("w"))
     )
 
     def build_digest(pdf: pd.DataFrame) -> pd.DataFrame:
-        m, w = td.build(pdf["value"].to_numpy())
+        m, w = td.build_weighted(pdf["value"].to_numpy(), pdf["w"].to_numpy())
         return pd.DataFrame(
             {
                 "day": [int(pdf["day"].iloc[0])],

@@ -72,6 +72,29 @@ def build(values: np.ndarray, delta: float = 200.0) -> tuple[np.ndarray, np.ndar
     return _merge_pass(v, np.ones_like(v), delta)
 
 
+def build_weighted(
+    values: np.ndarray, weights: np.ndarray, delta: float = 200.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """(values, weights) -> centroid arrays — the PRE-AGGREGATED entry
+    point: callers that count duplicate values upstream (a Spark
+    ``groupBy(value).count()`` with map-side combine) hand (distinct
+    value, multiplicity) pairs instead of raw rows, so only the value
+    DOMAIN crosses the Python boundary. Deterministic like
+    :func:`build` (sorted by (value, weight) — a total order).
+
+    Centroid layout may differ from ``build`` on the expanded multiset
+    (a weighted point is absorbed atomically where unit points can
+    split across a k-budget boundary mid-run); both layouts carry the
+    same t-digest rank-error guarantee, and the equivalence of ESTIMATES
+    is pinned in tests/test_tdigest.py."""
+    v = np.asarray(values, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if v.size == 0:
+        return np.array([]), np.array([])
+    order = np.lexsort((w, v))
+    return _merge_pass(v[order], w[order], delta)
+
+
 def merge(
     digests: list[tuple[np.ndarray, np.ndarray]], delta: float = 200.0
 ) -> tuple[np.ndarray, np.ndarray]:
