@@ -426,9 +426,14 @@ def incremental_tdigest_sink(
     identical no matter how epochs interleaved. Parity vs the batch
     build is asserted in tests/test_streaming.py.
 
-    Scale: per micro-batch one (day, shard) applyInPandas over the
-    batch's rows only; the digest table accretes tiny rows (compact
-    with the same idempotent rewrite when epochs pile up)."""
+    Scale: per micro-batch one (day, shard) applyInPandas whose input
+    is pre-aggregated to (distinct value, multiplicity) JVM-side —
+    the round-12 batch-entry fix applied here too: applyInPandas
+    delivers each whole group as ONE pandas batch (no record/byte cap),
+    so an availableNow BACKFILL micro-batch over deep history would
+    otherwise hand Python day-volume/shards rows at once. The digest
+    table accretes tiny rows (compact with the same idempotent rewrite
+    when epochs pile up)."""
     import pandas as pd
 
     from virapipe_spark import tdigest as td
@@ -436,14 +441,22 @@ def incremental_tdigest_sink(
 
     def _digest_epoch(df: DataFrame, epoch_id: int) -> None:
         day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
-        src = df.select(
-            day.cast("long").alias("day"),
-            F.pmod(F.hash("user_id"), F.lit(shards)).cast("int").alias("shard"),
-            "value",
+        src = (
+            df.select(
+                day.cast("long").alias("day"),
+                F.pmod(F.hash("user_id"), F.lit(shards))
+                .cast("int")
+                .alias("shard"),
+                "value",
+            )
+            .groupBy("day", "shard", "value")
+            .agg(F.count("*").cast("double").alias("w"))
         )
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            m, w = td.build(pdf["value"].to_numpy())
+            m, w = td.build_weighted(
+                pdf["value"].to_numpy(), pdf["w"].to_numpy()
+            )
             return pd.DataFrame(
                 {
                     "day": [int(pdf["day"].iloc[0])],
