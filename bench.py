@@ -248,9 +248,19 @@ def emit(
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
         )
-    with open(detail_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    try:
+        # atomic tmp+rename: a concurrent reader (or a mid-write crash)
+        # never sees truncated JSON in the committed shared path
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.replace(tmp, detail_path)
+    except OSError as e:
+        # the stdout contract survives a failed detail write (disk
+        # full, read-only checkout): a bench run's minutes of timings
+        # must never be lost to the side channel (r12 review finding)
+        print(f"bench detail write to {detail_path} failed: {e}", file=sys.stderr)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
@@ -265,7 +275,7 @@ def emit(
             "sf": sf,
             "n_queries": len(timings),
             "slowest5": slowest,
-            "detail": "bench_full.json",
+            "detail": os.path.basename(detail_path),
         }
     )
 

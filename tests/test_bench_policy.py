@@ -63,6 +63,23 @@ class TestEmitTailBudget:
         assert parsed["n_queries"] == 100
         assert len(parsed["slowest5"]) == 5
 
+    def test_detail_field_names_the_actual_file(self, tmp_path):
+        import json
+
+        line = bench.emit({"a": 1.0}, {"a": 1.0}, 0.1, str(tmp_path / "x.json"))
+        assert json.loads(line)["detail"] == "x.json"
+
+    def test_detail_write_failure_still_returns_compact_line(self, tmp_path):
+        """r12 review: a failed side-channel write (read-only dir, disk
+        full) must not destroy the stdout contract after minutes of
+        timed reps."""
+        import json
+
+        bad = tmp_path / "nonexistent-dir" / "full.json"
+        line = bench.emit({"a": 2.0}, {"a": 1.9}, 0.1, str(bad))
+        parsed = json.loads(line)
+        assert parsed["value"] == 2.0 and parsed["value_min"] == 1.9
+
     def test_full_detail_written_to_file(self, tmp_path):
         import json
 

@@ -54,6 +54,32 @@ class TestComparePolicy:
         reg, _, _ = compare(old, new)
         assert [n for n, _, _ in reg] == ["b", "a"]
 
+    def test_disjoint_artifacts_and_zero_old_time_do_not_crash(self):
+        """r12 review: disjoint entry sets made main() divide by zero
+        (exit indistinguishable from a policy breach), and a 0.000
+        rounded old time crashed the REGRESS print."""
+        import subprocess
+        import sys as _sys
+        import json as _json
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            pa, pb = os.path.join(d, "a.json"), os.path.join(d, "b.json")
+            with open(pa, "w") as f:
+                _json.dump({"x": 1.0, "z": 0.0}, f)
+            with open(pb, "w") as f:
+                _json.dump({"y": 1.0, "z": 5.0}, f)
+            r = subprocess.run(
+                [_sys.executable,
+                 os.path.join(sys_root, "tools", "diff_gate_times.py"),
+                 pa, pb],
+                capture_output=True, text=True,
+            )
+            # z regresses (0 -> 5 s, above floor): exit 1 by POLICY,
+            # with an 'inf' ratio printed — no traceback either way
+            assert "Traceback" not in r.stderr
+            assert r.returncode == 1 and "inf" in r.stdout
+
 
 class TestCommittedArtifacts:
     def test_latest_pair_has_no_policy_breach(self):

@@ -256,6 +256,10 @@ class TestFastqFileSource:
         assert out2 != out1  # new identity -> new scratch name
         with open(out2) as fh:
             assert fh.read().startswith("@b.0")
+        # and the prior identity's copy is EVICTED, not accreted (r12
+        # review: without per-path eviction every source rewrite leaked
+        # one decompressed copy into the scratch dir until reboot)
+        assert not os.path.exists(out1)
 
     def test_offsets_cover_file_exactly(self, tmp_path):
         p = tmp_path / "x.fastq"

@@ -81,6 +81,21 @@ class TestExemptionMeasurementPolicy:
         }
         assert not mismatched, f"category drift: {mismatched}"
 
+    def test_every_row_declares_a_known_basis(self):
+        """A row with a missing or unknown basis would silently bypass
+        BOTH policy checks below (each filters on its own basis value)
+        — exactly the unmeasured exemption the policy exists to block
+        (r12 review finding)."""
+        bad = {
+            n: r.get("basis")
+            for n, r in _measurements().items()
+            if r.get("basis") not in ("measured", "by-construction")
+        }
+        assert not bad, (
+            f"WINDOW_MEASUREMENTS.json rows with unknown basis: {bad} — "
+            "only 'measured' and 'by-construction' carry policy checks"
+        )
+
     def test_measured_rows_are_flat_ish(self):
         bad = {
             n: r.get("ratio_at_10x")

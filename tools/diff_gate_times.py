@@ -56,7 +56,8 @@ def main() -> int:
         new = json.load(f)
     regressions, only_old, only_new = compare(old, new)
     for n, o, v in regressions:
-        print(f"REGRESS  {n}: {o:.2f}s -> {v:.2f}s ({v / o:.1f}x)")
+        ratio = f"{v / o:.1f}x" if o else "inf"
+        print(f"REGRESS  {n}: {o:.2f}s -> {v:.2f}s ({ratio})")
     if only_old:
         print(f"retired ({len(only_old)}): {', '.join(only_old[:10])}"
               + (" ..." if len(only_old) > 10 else ""))
@@ -66,9 +67,10 @@ def main() -> int:
     common = [n for n in old if n in new]
     tot_o = sum(old[n] for n in common)
     tot_n = sum(new[n] for n in common)
+    tot_ratio = f"{tot_n / tot_o:.2f}x" if tot_o else "n/a"
     print(
         f"{len(common)} common entries: {tot_o:.0f}s -> {tot_n:.0f}s "
-        f"({tot_n / tot_o:.2f}x); {len(regressions)} policy breaches"
+        f"({tot_ratio}); {len(regressions)} policy breaches"
     )
     return 1 if regressions else 0
 

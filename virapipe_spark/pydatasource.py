@@ -234,14 +234,15 @@ def _scratch_root() -> str:
     import stat
     import tempfile
 
-    uid = os.getuid() if hasattr(os, "getuid") else 0
+    posix = hasattr(os, "getuid")
+    uid = os.getuid() if posix else 0
     root = os.path.join(tempfile.gettempdir(), f"vp_fqds_scratch_{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
     st = os.lstat(root)
-    if (
-        not stat.S_ISDIR(st.st_mode)
-        or (hasattr(os, "getuid") and st.st_uid != uid)
-        or stat.S_IMODE(st.st_mode) & 0o077
+    # ownership/mode are POSIX concepts; on Windows st_mode reports
+    # 0o777-style bits regardless, so gate BOTH checks on POSIX
+    if not stat.S_ISDIR(st.st_mode) or (
+        posix and (st.st_uid != uid or stat.S_IMODE(st.st_mode) & 0o077)
     ):
         raise PermissionError(
             f"scratch dir {root} exists but is not a private directory "
@@ -269,11 +270,26 @@ def _maybe_decompress(path: str) -> str:
 
     root = _scratch_root()
     st = os.stat(path)
-    key = f"{os.path.abspath(path)}\x00{st.st_mtime_ns}\x00{st.st_size}"
-    tag = hashlib.md5(key.encode()).hexdigest()[:16]
-    out = os.path.join(root, f"vp_fqds_gunzip_{tag}.fastq")
+    # two-part key: <path tag>_<identity tag> — the path tag lets stale
+    # identities of the SAME source be evicted when it changes (without
+    # it, every rewrite of a .gz would accrete one more scratch copy
+    # until reboot; r12 review finding)
+    ptag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+    ident = f"{st.st_mtime_ns}\x00{st.st_size}"
+    itag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    out = os.path.join(root, f"vp_fqds_gunzip_{ptag}_{itag}.fastq")
     if os.path.exists(out):
         return out
+    # evict copies of prior identities of this source before writing
+    # the new one (concurrent readers of a live plan hold open fds —
+    # POSIX unlink leaves those intact)
+    prefix = f"vp_fqds_gunzip_{ptag}_"
+    for old in os.listdir(root):
+        if old.startswith(prefix) and old.endswith(".fastq"):
+            try:
+                os.unlink(os.path.join(root, old))
+            except OSError:
+                pass
     # unique temp + atomic replace: concurrent sessions planning the
     # same .gz each write their own temp and the last replace wins with
     # a COMPLETE file either way (a shared fixed temp path would let
@@ -281,7 +297,7 @@ def _maybe_decompress(path: str) -> str:
     import tempfile
 
     fd, tmp = tempfile.mkstemp(
-        dir=root, prefix=f"vp_fqds_gunzip_{tag}_", suffix=".part"
+        dir=root, prefix=f"vp_fqds_gunzip_{ptag}_{itag}_", suffix=".part"
     )
     try:
         with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
