@@ -19,7 +19,13 @@ import pytest
 
 sys_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-from tools.diff_gate_times import FLOOR, RATIO, compare  # noqa: E402
+from tools.diff_gate_times import (  # noqa: E402
+    FLOOR,
+    RATIO,
+    WAIVED,
+    compare,
+    waived_entries,
+)
 
 
 def _artifacts() -> list[tuple[int, str]]:
@@ -81,6 +87,28 @@ class TestComparePolicy:
             assert r.returncode == 1 and "inf" in r.stdout
 
 
+class TestWaivers:
+    """A waiver is pinned to ONE (old_round, new_round) artifact pair —
+    the same entry regressing again in a later pair must flag again."""
+
+    def test_waiver_applies_only_to_its_pinned_pair(self):
+        assert "parts_pareto_skyline" in waived_entries(
+            "GATE_TIMES_r11.json", "GATE_TIMES_r12.json"
+        )
+        assert "parts_pareto_skyline" not in waived_entries(
+            "GATE_TIMES_r12.json", "GATE_TIMES_r13.json"
+        )
+
+    def test_unparseable_paths_waive_nothing(self):
+        assert waived_entries("a.json", "b.json") == set()
+
+    def test_every_waiver_names_its_evidence(self):
+        # a waiver without an investigation receipt is just a mute
+        # button — require a non-trivial reason on every row
+        for key, reason in WAIVED.items():
+            assert len(reason) > 40, f"waiver {key} lacks a receipt"
+
+
 class TestCommittedArtifacts:
     def test_latest_pair_has_no_policy_breach(self):
         arts = _artifacts()
@@ -92,6 +120,8 @@ class TestCommittedArtifacts:
         with open(new_path) as f:
             new = json.load(f)
         reg, _, _ = compare(old, new)
+        waived = waived_entries(old_path, new_path)
+        reg = [r for r in reg if r[0] not in waived]
         assert not reg, (
             f"gate-time policy breach ({RATIO}x over prior, above "
             f"{FLOOR}s floor) between {os.path.basename(old_path)} and "
