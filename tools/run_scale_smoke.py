@@ -6,8 +6,14 @@ round-10 protocol. The FIRST entry absorbs session warmup; a separate
 throwaway warm query is run first so no entry eats it. Run on a QUIET
 box (no concurrent gate/pytest) or the ratios are ambient noise.
 
+``--reps N`` (default 1) runs each entry N times per directory,
+INTERLEAVED (base, synth, base, synth, ...), and reports per-dir
+minima — single base-first runs charge the entry's first-use costs
+(codegen, UDF init) to the base column and bias ratios down (the r12
+skew smoke measured 0.4-0.5 "ratios" that were really warmup).
+
 Usage:
-    python tools/run_scale_smoke.py [base_dir] [synth_dir] name ...
+    python tools/run_scale_smoke.py [--reps N] [base_dir] [synth_dir] name ...
     # default dirs: /root/testdata/sf0.1 /tmp/sf1.0-synth
 """
 
@@ -25,6 +31,10 @@ from virapipe_spark.session import session  # noqa: E402
 
 def main() -> None:
     args = sys.argv[1:]
+    reps = 1
+    if args and args[0] == "--reps":
+        reps = int(args[1])
+        args = args[2:]
     base = args[0] if args else "/root/testdata/sf0.1"
     synth = args[1] if len(args) > 1 else "/tmp/sf1.0-synth"
     names = args[2:]
@@ -37,23 +47,30 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     for name in names:
         fn = catalog.QUERIES[name]
-        row = [name]
-        counts = []
-        for d in (base, synth):
-            t0 = time.perf_counter()
-            try:
-                n = fn(spark, d).count()
-            except Exception as e:  # noqa: BLE001
-                msg = str(e).replace("|", "/").replace("\n", " ")[:120]
-                print(f"| {name} | FAILED@{d}: {msg} | — | — | — | — |")
-                row = None
+        times: dict[str, list[float]] = {base: [], synth: []}
+        rows: dict[str, int] = {}
+        failed = False
+        for _ in range(reps):
+            for d in (base, synth):
+                t0 = time.perf_counter()
+                try:
+                    rows[d] = fn(spark, d).count()
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e).replace("|", "/").replace("\n", " ")[:120]
+                    print(f"| {name} | FAILED@{d}: {msg} | — | — | — | — |")
+                    failed = True
+                    break
+                times[d].append(time.perf_counter() - t0)
+            if failed:
                 break
-            counts.append((round(time.perf_counter() - t0, 1), n))
-        if row is None:
+        if failed:
             continue
-        (tb, nb), (ts, ns) = counts
+        tb, ts = round(min(times[base]), 1), round(min(times[synth]), 1)
         ratio = round(ts / tb, 1) if tb > 0 else float("inf")
-        print(f"| {name} | {tb} s | {ts} s | {ratio} | {nb} | {ns} |")
+        print(
+            f"| {name} | {tb} s | {ts} s | {ratio} "
+            f"| {rows[base]} | {rows[synth]} |"
+        )
     spark.stop()
 
 

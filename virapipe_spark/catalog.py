@@ -370,6 +370,18 @@ REWRITTEN_IN: dict[str, int] = {
     # self-check + test_tdigest equivalence pins), so the r?-era
     # rows-only proof covers the old plan only.
     "events_tdigest_daily_merge": 12,
+    # r12: _minhash_sig_bands/_minhash_pairs gained an optional docs=
+    # override for the new exact-dedup->LSH composition
+    # (docs_near_dedup_after_exact). The default path is byte-identical
+    # (docs=None reads the same table), but the call path changed, so
+    # every shared-engine caller re-proves per the r10 rule — these are
+    # also the stalest proof cohort (r4-r7), so the re-arm doubles as
+    # the designed rotation.
+    "docs_minhash_lsh": 12,
+    "docs_dedup_clusters": 12,
+    "docs_dedup_apply": 12,
+    "docs_incremental_dedup": 12,
+    "docs_minhash_recall": 12,
 }
 
 

@@ -199,10 +199,18 @@ _MINHASH_ORACLE = (
 
 
 def _minhash_pairs(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) near-dup pairs — shared by the pair
-    query and the cluster resolver.
+    query and the cluster resolver. ``docs`` overrides the corpus frame
+    (default: the full documents table) so compositions can dedup a
+    SUBSET — e.g. exact-dedup keepers (docs_near_dedup_after_exact) —
+    with the subset filter applied BELOW the shingle explode, where a
+    mass-duplicated corpus sheds its hot-bucket mass before any
+    signature work happens.
 
     Round-4 plan shape (A/B-measured, tools/ab_minhash.py, SCALE.md):
 
@@ -229,7 +237,7 @@ def _minhash_pairs(
 
     Shuffles: signature agg, band self-join, pair distinct, two
     join-backs (pair-sized, broadcastable at any dup rate ≪ corpus)."""
-    mh, bands = _minhash_sig_bands(spark, sf_dir, materialize)
+    mh, bands = _minhash_sig_bands(spark, sf_dir, materialize, docs=docs)
     sig = F.array(*[F.col(f"h{j}") for j in range(1, _H + 1)])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -257,15 +265,22 @@ def _minhash_pairs(
 
 
 def _minhash_sig_bands(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    docs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature/band construction for the MinHash family —
     ``(mh, bands)`` where ``mh`` is the per-doc {_H}-component
     signature table and ``bands`` its narrow (doc_id, band, bk) band
     rows. Pure factoring of the round-4 A/B-measured shape documented
     in :func:`_minhash_pairs` (one-shuffle signature agg, narrow band
-    rows, lazily checkpointed signature table)."""
-    d = table(spark, sf_dir, "documents").select(
+    rows, lazily checkpointed signature table). ``docs`` overrides the
+    corpus frame — the default path is byte-identical to before the
+    parameter existed."""
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
+    d = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("__toks")
     )
     t = F.col("__toks")
@@ -373,6 +388,50 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keeper")
     )
+
+
+# The composed oracle is the MinHash oracle with the corpus replaced by
+# the exact-dedup keeper subset. Built by string surgery on the shared
+# CTE so the two stay in lockstep; the assert fails at import if the
+# _SHINGLES_SQL source line ever drifts and the replace goes dead.
+_AFTER_EXACT_ORACLE = _MINHASH_ORACLE.replace(
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),",
+    """WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    documents_k AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents_k),""",
+)
+assert "documents_k" in _AFTER_EXACT_ORACLE
+
+
+@query("docs_near_dedup_after_exact", oracle=_AFTER_EXACT_ORACLE)
+def docs_near_dedup_after_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape near-dedup: exact dedup FIRST, MinHash-LSH over
+    the keepers only — the standard mitigation for the hot-bucket
+    hazard the r12 skew smoke measured (SCALE.md skew tier: 30%
+    identical docs put 1500 members in one band bucket and the pair
+    stage emits 4,392× the uniform output; bucket-join work grows with
+    Σ bucket², so a 10M-copy crawl dup would be fatal to the plain LSH
+    entry at 100 TB).
+
+    Exact copies collapse to one representative BEFORE any shingle is
+    computed (the keeper semi-join sits below the shingle explode), so
+    identical-content mass lands in a size-1 bucket and LSH spends its
+    quadratic budget only on genuine NEAR-duplicates — the regime its
+    band-shape tuning actually controls. Measured on the skew synth:
+    output back to uniform scale, wall flat vs the uniform corpus.
+
+    Keeper election = docs_exact_dedup's rule (min doc_id per md5);
+    pair semantics/threshold = docs_minhash_lsh over the keeper corpus."""
+    d = table(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs_k = d.join(keepers, "doc_id")
+    return _minhash_pairs(spark, sf_dir, docs=docs_k)
 
 
 _SIMHASH_BITS = 32
