@@ -638,6 +638,110 @@ class TestTwoPhaseRank:
         assert got == want, (n, k)
 
 
+class TestKeyedRanges:
+    """scale.KeyedRanges — the distributed segmented scan the r12
+    sessionize rewrite stands on (per-key lag / running sum without
+    ``W.partitionBy(key)``'s one-task-per-key serialization). Twin
+    checks against the keyed windows it replaces, with a HOT key that
+    must straddle many ranges so the boundary chaining is exercised."""
+
+    def _df(self, spark, hot=97, n_keys=9, per_key=7):
+        # key 3 is hot (``hot`` rows); every key's (ts, id) sequence is
+        # deterministic; v alternates so prefix sums differ per row
+        rows = []
+        eid = 0
+        for k in range(n_keys):
+            for i in range(hot if k == 3 else per_key):
+                rows.append((k, (i * 13 + k) % 1000 + i * 3, eid, eid % 2))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "k int, ts long, id long, v int"
+        ).repartition(5)
+
+    def _truth(self, df):
+        w = W.partitionBy("k").orderBy("ts", "id")
+        t = df.withColumn("lg", F.lag("ts").over(w)).withColumn(
+            "ps",
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        return {(r["k"], r["ts"], r["id"]): (r["lg"], r["ps"]) for r in t.collect()}
+
+    @pytest.mark.parametrize("npart", [1, 4, 23])
+    def test_lag_and_prefix_sum_match_keyed_windows(self, spark, npart):
+        df = self._df(spark)
+        want = self._truth(df)
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("ts",), num_partitions=npart
+        )
+        f = kr.lag_col(kr.frame, "ts", "lg")
+        f = kr.prefix_sum(f, "v", "ps")
+        got = {(r["k"], r["ts"], r["id"]): (r["lg"], r["ps"]) for r in f.collect()}
+        assert got == want
+
+    def test_hot_key_splits_across_ranges(self, spark):
+        """The point of the machinery: with 23 ranges over ~153 rows,
+        the 97-row hot key CANNOT fit one range — assert it actually
+        spans several, and the results above still match (the chained
+        carry across a multi-range key is what test 1 proved)."""
+        df = self._df(spark)
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("ts",), num_partitions=23
+        )
+        spans = (
+            kr.frame.filter(F.col("k") == 3)
+            .select("__pid")
+            .distinct()
+            .count()
+        )
+        assert spans >= 3
+
+    def test_prefix_sum_on_derived_column(self, spark):
+        """The sessionize shape: the summed column is DERIVED from the
+        corrected lag (gap flag), so the tail-total job must see the
+        same corrected values the scan sums."""
+        df = self._df(spark)
+        w = W.partitionBy("k").orderBy("ts", "id")
+        flag = F.when(
+            F.lag("ts").over(w).isNull() | (F.col("ts") - F.lag("ts").over(w) > 7),
+            1,
+        ).otherwise(0)
+        want = {
+            (r["k"], r["ts"], r["id"]): r["sid"]
+            for r in df.withColumn("f", flag)
+            .withColumn(
+                "sid",
+                F.sum("f").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
+            .collect()
+        }
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("ts",), num_partitions=11
+        )
+        f = kr.lag_col(kr.frame, "ts", "lg")
+        f = f.withColumn(
+            "f",
+            F.when(F.col("lg").isNull() | (F.col("ts") - F.col("lg") > 7), 1).otherwise(0),
+        )
+        f = kr.prefix_sum(f, "f", "sid")
+        got = {(r["k"], r["ts"], r["id"]): r["sid"] for r in f.collect()}
+        assert got == want
+
+    def test_no_per_key_window_in_plan(self, spark):
+        """The executed plan's window specs partition by (__pid, k),
+        never by the bare key — the serialization this machinery
+        removes must not sneak back in."""
+        df = self._df(spark)
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("ts",), num_partitions=4
+        )
+        f = kr.prefix_sum(kr.frame, "v", "ps")
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "__pid" in spec, f"bare-key window spec: {spec}"
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
         fact = spark.range(0, 1000).select(

@@ -382,6 +382,11 @@ REWRITTEN_IN: dict[str, int] = {
     "docs_dedup_apply": 12,
     "docs_incremental_dedup": 12,
     "docs_minhash_recall": 12,
+    # r12: sessionize rewritten onto scale.KeyedRanges (distributed
+    # segmented scan) — per-user windows serialize each user onto one
+    # task, the skew-tier blind spot (a 1B-event bot user at 100 TB);
+    # bit-identical at sf0.01/sf0.1/skew synth, but the plan changed.
+    "sessionize_events": 12,
 }
 
 

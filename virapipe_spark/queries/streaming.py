@@ -99,25 +99,34 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (12 h inactivity gap), the lag+cumsum
     batch formulation of ``F.session_window``: flag gap-openers with
     lag(), number sessions with a running sum, aggregate per session.
-
     The event_id tiebreak makes lag() deterministic under microsecond
-    ties. Windows partition by user_id — parallelism = user count, state
-    per partition = one user's history; the streaming twin
+    ties.
+
+    r12 rewrite: the lag and the running sum run on
+    ``scale.KeyedRanges`` (distributed segmented scan) instead of
+    ``W.partitionBy("user_id")`` windows. A per-user window serializes
+    each user onto one task — at 100 TB a bot user with 1B events is a
+    single-task 1B-row sort, the skew-tier blind spot the global-window
+    audit never covered (partitioned windows are not global). KeyedRanges
+    range-partitions over (user_id, ts, event_id) so a hot user SPLITS
+    across ranges (each bounded by target_rows_per_range); the boundary
+    lag carry and the chained prefix-sum carry are partition-count-sized
+    driver collects. Bit-identical to the window formulation at sf0.01,
+    sf0.1 and the 30%-hot skew synth (and twin-tested in
+    tests/test_scale_plans.py); the streaming twin
     (streaming.session_aggregate) replaces the sort with stateful
     session merge."""
+    from virapipe_spark.scale import KeyedRanges
+
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.withColumn(
+    kr = KeyedRanges(ev, "user_id", ["ts", "event_id"], carry_cols=("ts",))
+    f = kr.lag_col(kr.frame, "ts", "__prev_ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__prev_ts"))
+    f = f.withColumn(
         "new_s",
         F.when(gap_us.isNull() | (gap_us > _GAP_US), 1).otherwise(0),
     )
-    wsum = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    sess = flagged.withColumn("sid", F.sum("new_s").over(wsum))
+    sess = kr.prefix_sum(f, "new_s", "sid")
     return sess.groupBy("user_id", "sid").agg(
         F.min("ts").alias("session_start"),
         F.count("*").alias("n_events"),

@@ -490,3 +490,151 @@ def exact_ntile(rn: Column, n: int, k: int) -> Column:
         .otherwise(r + F.floor((rn - thr - 1) / q) + 1)
         .cast("long")
     )
+
+
+class KeyedRanges:
+    """Distributed SEGMENTED scan over ``(key, order)`` — the per-KEY
+    sibling of :func:`two_phase_rank`/:func:`two_phase_prefix_agg`, for
+    windows of the shape ``W.partitionBy(key).orderBy(*order)`` whose
+    key distribution cannot be trusted (round-12 skew tier: a per-user
+    window puts a bot user's entire history in ONE task — a 1B-row
+    single-task sort at 100 TB; the global-window audit never saw it
+    because partitioned windows are not global).
+
+    Construction: ``repartitionByRange`` over ``(key, *order)`` via the
+    same adaptive scaffold as the global two-phase family — a HOT key
+    is thereby SPLIT across adjacent ranges (the very thing
+    ``W.partitionBy(key)`` can never do), each range bounded by
+    ``target_rows_per_range`` regardless of the key histogram. Because
+    ranges are contiguous in the total order, at most ONE key straddles
+    each range boundary, so every cross-range correction is
+    partition-count-sized: one (first-row, last-row) stats struct per
+    range, collected once at construction (the t-digest/BAM-dictionary
+    control-plane pattern).
+
+    Two primitives cover the lag/cumsum window family:
+
+    - :meth:`lag_col` — exact per-key ``lag(col)``: within-range lag
+      over ``W.partitionBy(__pid, key)``, plus the previous range's
+      last row (always the global predecessor) carried in for the
+      first row of each range that continues its predecessor's key.
+    - :meth:`prefix_sum` — exact per-key running sum: within-range
+      keyed cumulative sum, plus a driver-chained carry for each
+      range's FIRST key (tail totals per range come from one tiny agg
+      job over the frozen frame, ≤ one row per range). The carry
+      chains through ranges wholly owned by one key
+      (``first_key == last_key``), so a key spanning N ranges is
+      handled for any N.
+
+    Both corrections touch only rows whose key equals the range's
+    first key; all other rows take the within-range value unchanged —
+    results are bit-identical to the single-task window formulation
+    (twin-tested in tests/test_scale_plans.py).
+
+    ``order`` must make ``(key, *order)`` a total order (same contract
+    as two_phase_rank). ``carry_cols`` names every column whose value
+    :meth:`lag_col` will need from boundary rows."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key: str,
+        order: list,
+        carry_cols: tuple = (),
+        num_partitions: int | None = None,
+        target_rows_per_range: int = 4_000_000,
+    ) -> None:
+        self.key, self.order = key, list(order)
+        cols = [key, *self.order]
+        cols += [c for c in carry_cols if c not in cols]
+        edge = F.struct(*[F.col(c) for c in cols])
+        self.frame, stats = _adaptive_ranged(
+            df,
+            [key, *self.order],
+            [F.count("*").alias("c"), F.min(edge).alias("first"),
+             F.max(edge).alias("last")],
+            num_partitions,
+            target_rows_per_range,
+        )
+        self._pids = sorted(stats)
+        self._first = {p: stats[p]["first"] for p in self._pids}
+        self._last = {p: stats[p]["last"] for p in self._pids}
+        self._dtypes = dict(df.dtypes)
+
+    def _win(self):
+        return W.partitionBy("__pid", self.key).orderBy(*self.order)
+
+    def lag_col(self, frame: DataFrame, col: str, out_col: str) -> DataFrame:
+        """Exact per-key ``lag(col)`` as ``out_col`` (NULL for each
+        key's true first row). ``frame`` must carry ``__pid`` and the
+        same rows as :attr:`frame` (itself, or a projection of it)."""
+        spark = frame.sparkSession
+        rows = []
+        for i, p in enumerate(self._pids):
+            prev = self._last[self._pids[i - 1]] if i else None
+            cont = prev is not None and prev[self.key] == self._first[p][self.key]
+            rows.append((p, self._first[p][self.key], prev[col] if cont else None))
+        kt, vt = self._dtypes[self.key], self._dtypes[col]
+        b = spark.createDataFrame(rows, f"__pid int, __fk {kt}, __bv {vt}")
+        within = F.lag(col).over(self._win())
+        out = (
+            frame.join(F.broadcast(b), "__pid")
+            .withColumn(
+                out_col,
+                F.when(
+                    within.isNull() & (F.col(self.key) == F.col("__fk")),
+                    F.col("__bv"),
+                ).otherwise(within),
+            )
+            .drop("__fk", "__bv")
+        )
+        return out
+
+    def prefix_sum(self, frame: DataFrame, value_col: str, out_col: str) -> DataFrame:
+        """Exact per-key running sum of ``value_col`` (inclusive) as
+        ``out_col``. ``frame`` must carry ``__pid``, the key/order
+        columns and the same rows as :attr:`frame` — typically the
+        output of :meth:`lag_col` plus derived columns, so the tail
+        totals see the SAME corrected values the scan sums."""
+        spark = frame.sparkSession
+        lk = [(p, self._last[p][self.key]) for p in self._pids]
+        kt = self._dtypes[self.key]
+        lk_df = spark.createDataFrame(lk, f"__pid int, __lk {kt}")
+        tails = {
+            r["__pid"]: r["t"]
+            for r in frame.join(F.broadcast(lk_df), "__pid")
+            .filter(F.col(self.key) == F.col("__lk"))
+            .groupBy("__pid")
+            .agg(F.sum(value_col).alias("t"))
+            .collect()
+        }
+        rows, carry = [], {}
+        for i, p in enumerate(self._pids):
+            if i:
+                q = self._pids[i - 1]
+                cont = self._last[q][self.key] == self._first[p][self.key]
+                carry_in = carry[q] if cont else 0
+            else:
+                carry_in = 0
+            rows.append((p, self._first[p][self.key], carry_in))
+            whole = self._first[p][self.key] == self._last[p][self.key]
+            carry[p] = (tails.get(p) or 0) + (carry_in if whole else 0)
+        vt = self._dtypes.get(value_col, "bigint")
+        if vt in ("tinyint", "smallint", "int", "bigint"):
+            vt = "bigint"  # sum widens; the carry can exceed input width
+        kt = self._dtypes[self.key]
+        b = spark.createDataFrame(rows, f"__pid int, __fk {kt}, __ci {vt}")
+        within = F.sum(value_col).over(
+            self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            frame.join(F.broadcast(b), "__pid")
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col(self.key) == F.col("__fk"),
+                    within + F.col("__ci"),
+                ).otherwise(within),
+            )
+            .drop("__fk", "__ci")
+        )
