@@ -726,6 +726,44 @@ class TestKeyedRanges:
         got = {(r["k"], r["ts"], r["id"]): r["sid"] for r in f.collect()}
         assert got == want
 
+    def test_lead_matches_keyed_window(self, spark):
+        df = self._df(spark)
+        w = W.partitionBy("k").orderBy("ts", "id")
+        want = {
+            (r["k"], r["ts"], r["id"]): r["nx"]
+            for r in df.withColumn("nx", F.lead("ts").over(w)).collect()
+        }
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("ts",), num_partitions=17
+        )
+        f = kr.lead_col(kr.frame, "ts", "nx")
+        got = {(r["k"], r["ts"], r["id"]): r["nx"] for r in f.collect()}
+        assert got == want
+
+    def test_lag_of_nullable_column_preserves_genuine_nulls(self, spark):
+        """The boundary substitution matches the edge ROW identity (key
+        + order), never a NULL probe — a lag column that itself holds
+        NULLs must round-trip them exactly."""
+        df = self._df(spark).withColumn(
+            "maybe", F.when(F.col("id") % 3 == 0, F.col("ts"))
+        )
+        w = W.partitionBy("k").orderBy("ts", "id")
+        want = {
+            (r["k"], r["ts"], r["id"]): (r["lg"], r["nx"])
+            for r in df.withColumn("lg", F.lag("maybe").over(w))
+            .withColumn("nx", F.lead("maybe").over(w))
+            .collect()
+        }
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("maybe",), num_partitions=19
+        )
+        f = kr.lag_col(kr.frame, "maybe", "lg")
+        f = kr.lead_col(f, "maybe", "nx")
+        got = {
+            (r["k"], r["ts"], r["id"]): (r["lg"], r["nx"]) for r in f.collect()
+        }
+        assert got == want
+
     def test_no_per_key_window_in_plan(self, spark):
         """The executed plan's window specs partition by (__pid, k),
         never by the bare key — the serialization this machinery

@@ -387,6 +387,15 @@ REWRITTEN_IN: dict[str, int] = {
     # task, the skew-tier blind spot (a 1B-event bot user at 100 TB);
     # bit-identical at sf0.01/sf0.1/skew synth, but the plan changed.
     "sessionize_events": 12,
+    # r12 (same rewrite family): the direct lag/lead-shaped per-user
+    # window entries ported onto KeyedRanges from the sessionize
+    # template — each proven bit-identical at sf0.01 + sf0.1 + the
+    # skew synth before replacement.
+    "window_lag_gap": 12,
+    "events_twap_user": 12,
+    "events_markov_transitions": 12,
+    "events_bot_regularity": 12,
+    "events_streak_lengths": 12,
 }
 
 

@@ -496,11 +496,18 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() — inter-event gap per user; the primitive under
-    sessionization (see extensions)."""
+    sessionization (see extensions). r12: on scale.KeyedRanges (the
+    distributed segmented scan) instead of a per-user window, so a
+    bot-tail key histogram cannot serialize one user onto one task —
+    see sessionize_events for the full rationale; bit-identical at
+    sf0.01/sf0.1/skew."""
+    from virapipe_spark.scale import KeyedRanges
+
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    return ev.select("user_id", "event_id", gap.alias("gap_us"))
+    kr = KeyedRanges(ev, "user_id", ["ts", "event_id"], carry_cols=("ts",))
+    f = kr.lag_col(kr.frame, "ts", "__prev_ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__prev_ts"))
+    return f.select("user_id", "event_id", gap.alias("gap_us"))
 
 
 # ---------------------------------------------------------------------------

@@ -1064,12 +1064,22 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials; the normalizing sum is a window over those
     same few groups. Nothing grows with event count except the first
     shuffle's input."""
+    from virapipe_spark.scale import KeyedRanges
+
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
+    # r12: lead() via scale.KeyedRanges (segmented scan) — a hot user
+    # cannot serialize onto one window task; see sessionize_events
+    kr = KeyedRanges(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id",
+        ["ts", "event_id"],
+        carry_cols=("event_type",),
+    )
+    seq = (
+        kr.lead_col(kr.frame, "event_type", "dst")
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
     cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
     wsrc = W.partitionBy("src")
     return cnt.select(
@@ -1702,13 +1712,18 @@ def events_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     x active days — then a per-user window and two aggregates on the
     same key; the window partition is a user's active-day count, never
     event volume."""
+    from virapipe_spark.scale import KeyedRanges
+
     e = table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
     days = e.select("user_id", day.alias("day")).distinct()
-    w = W.partitionBy("user_id").orderBy("day")
-    grp = days.withColumn(
-        "island", F.col("day") - F.row_number().over(w)
-    )
+    # r12: row_number == per-key running count, so the island key runs
+    # on KeyedRanges.prefix_sum of a ones column (segmented scan) — a
+    # hot user's day set never lands on one window task
+    kr = KeyedRanges(days, "user_id", ["day"])
+    grp = kr.prefix_sum(
+        kr.frame.withColumn("__one", F.lit(1)), "__one", "__rn"
+    ).withColumn("island", F.col("day") - F.col("__rn"))
     streaks = grp.groupBy("user_id", "island").agg(
         F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
     )
@@ -2698,6 +2713,8 @@ def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable groupBy — no pair formation; at 100 TB this is
     the standard downsampling pass over an entity-partitioned,
     time-sorted layout."""
+    from virapipe_spark.scale import KeyedRanges
+
     ev = table(spark, sf_dir, "events")
     pts = ev.select(
         "user_id",
@@ -2705,10 +2722,14 @@ def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    wu = W.partitionBy("user_id").orderBy("us", "event_id")
-    held = pts.withColumn(
-        "held_us", F.lead("us").over(wu) - F.col("us")
-    ).filter(F.col("held_us").isNotNull())
+    # r12: lead() via scale.KeyedRanges (segmented scan) — a hot user
+    # cannot serialize onto one window task; see sessionize_events
+    kr = KeyedRanges(pts, "user_id", ["us", "event_id"], carry_cols=("us",))
+    held = (
+        kr.lead_col(kr.frame, "us", "__next_us")
+        .withColumn("held_us", F.col("__next_us") - F.col("us"))
+        .filter(F.col("held_us").isNotNull())
+    )
     return held.groupBy("user_id").agg(
         F.sum(F.col("cents") * F.col("held_us"))
         .cast("long")
@@ -4165,11 +4186,18 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model), then a user-keyed partial aggregate; the HAVING
     prunes the long inactive tail early. Mergeable: (n, Σx, Σx²) are
     the canonical mergeable moment sketch."""
+    from virapipe_spark.scale import KeyedRanges
+
     ev = table(spark, sf_dir, "events")
-    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.expr("unix_micros(ts) div 1000000")
-    g = ev.select(
-        "user_id", (sec - F.lag(sec).over(wu)).alias("gap_s")
+    # r12: lag() via scale.KeyedRanges (segmented scan) — a bot user's
+    # whole history never lands on one window task; see sessionize_events
+    proj = ev.select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    kr = KeyedRanges(proj, "user_id", ["ts", "event_id"], carry_cols=("sec",))
+    g = kr.lag_col(kr.frame, "sec", "__prev_sec").select(
+        "user_id", (F.col("sec") - F.col("__prev_sec")).alias("gap_s")
     )
     s = (
         g.groupBy("user_id")

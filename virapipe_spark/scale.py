@@ -560,6 +560,7 @@ class KeyedRanges:
         self._first = {p: stats[p]["first"] for p in self._pids}
         self._last = {p: stats[p]["last"] for p in self._pids}
         self._dtypes = dict(df.dtypes)
+        self._schema = df.schema
 
     def _win(self):
         return W.partitionBy("__pid", self.key).orderBy(*self.order)
@@ -573,22 +574,74 @@ class KeyedRanges:
         for i, p in enumerate(self._pids):
             prev = self._last[self._pids[i - 1]] if i else None
             cont = prev is not None and prev[self.key] == self._first[p][self.key]
-            rows.append((p, self._first[p][self.key], prev[col] if cont else None))
-        kt, vt = self._dtypes[self.key], self._dtypes[col]
-        b = spark.createDataFrame(rows, f"__pid int, __fk {kt}, __bv {vt}")
-        within = F.lag(col).over(self._win())
-        out = (
-            frame.join(F.broadcast(b), "__pid")
-            .withColumn(
-                out_col,
-                F.when(
-                    within.isNull() & (F.col(self.key) == F.col("__fk")),
-                    F.col("__bv"),
-                ).otherwise(within),
+            rows.append(
+                tuple(self._first[p][c] for c in [self.key, *self.order])
+                + (p, prev[col] if cont else None)
             )
-            .drop("__fk", "__bv")
+        schema = self._edge_schema("__bv", col)
+        b = spark.createDataFrame(rows, schema)
+        within = F.lag(col).over(self._win())
+        # substitute ONLY on the range's true first row (matched on the
+        # full (key, order) identity, not a NULL probe — ``col`` itself
+        # may legitimately hold NULLs)
+        on_edge = F.col("__epid").isNotNull()
+        out = (
+            frame.join(
+                F.broadcast(b),
+                [frame["__pid"] == b["__epid"]]
+                + [frame[c].eqNullSafe(b[f"__e_{c}"]) for c in [self.key, *self.order]],
+                "left",
+            )
+            .withColumn(out_col, F.when(on_edge, F.col("__bv")).otherwise(within))
+            .drop("__epid", "__bv", *[f"__e_{c}" for c in [self.key, *self.order]])
         )
         return out
+
+    def _edge_schema(self, val_name: str, val_col: str) -> "object":
+        from pyspark.sql.types import StructField, StructType, IntegerType
+
+        base = StructType()
+        for c in [self.key, *self.order]:
+            base = base.add(StructField(f"__e_{c}", self._field_type(c), True))
+        base = base.add(StructField("__epid", IntegerType(), True))
+        base = base.add(StructField(val_name, self._field_type(val_col), True))
+        return base
+
+    def _field_type(self, col: str):
+        for f in self._schema.fields:
+            if f.name == col:
+                return f.dataType
+        from pyspark.sql.types import LongType
+
+        return LongType()
+
+    def lead_col(self, frame: DataFrame, col: str, out_col: str) -> DataFrame:
+        """Exact per-key ``lead(col)`` as ``out_col`` (NULL for each
+        key's true last row) — the mirror of :meth:`lag_col`: the
+        boundary value for a range's LAST row comes from the NEXT
+        range's first row when that range continues the same key."""
+        spark = frame.sparkSession
+        rows = []
+        for i, p in enumerate(self._pids):
+            nxt = self._first[self._pids[i + 1]] if i + 1 < len(self._pids) else None
+            cont = nxt is not None and nxt[self.key] == self._last[p][self.key]
+            rows.append(
+                tuple(self._last[p][c] for c in [self.key, *self.order])
+                + (p, nxt[col] if cont else None)
+            )
+        b = spark.createDataFrame(rows, self._edge_schema("__nv", col))
+        within = F.lead(col).over(self._win())
+        on_edge = F.col("__epid").isNotNull()
+        return (
+            frame.join(
+                F.broadcast(b),
+                [frame["__pid"] == b["__epid"]]
+                + [frame[c].eqNullSafe(b[f"__e_{c}"]) for c in [self.key, *self.order]],
+                "left",
+            )
+            .withColumn(out_col, F.when(on_edge, F.col("__nv")).otherwise(within))
+            .drop("__epid", "__nv", *[f"__e_{c}" for c in [self.key, *self.order]])
+        )
 
     def prefix_sum(self, frame: DataFrame, value_col: str, out_col: str) -> DataFrame:
         """Exact per-key running sum of ``value_col`` (inclusive) as
