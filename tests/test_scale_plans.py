@@ -764,6 +764,32 @@ class TestKeyedRanges:
         }
         assert got == want
 
+    def test_prefix_last_matches_ignorenulls_window(self, spark):
+        """Forward-fill twin: last(v, ignorenulls) over the cumulative
+        keyed frame, with NULL-dense values so all-NULL tail segments
+        occur and the carry must pass THROUGH ranges (the multi-range
+        NULL-gap case)."""
+        df = self._df(spark).withColumn(
+            "vv", F.when(F.col("id") % 11 == 0, F.col("id"))
+        )
+        w = (
+            W.partitionBy("k")
+            .orderBy("ts", "id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = {
+            (r["k"], r["ts"], r["id"]): r["f"]
+            for r in df.withColumn(
+                "f", F.last("vv", ignorenulls=True).over(w)
+            ).collect()
+        }
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], num_partitions=29)
+        got = {
+            (r["k"], r["ts"], r["id"]): r["f"]
+            for r in kr.prefix_last(kr.frame, "vv", "f").collect()
+        }
+        assert got == want
+
     def test_no_per_key_window_in_plan(self, spark):
         """The executed plan's window specs partition by (__pid, k),
         never by the bare key — the serialization this machinery

@@ -396,6 +396,10 @@ REWRITTEN_IN: dict[str, int] = {
     "events_markov_transitions": 12,
     "events_bot_regularity": 12,
     "events_streak_lengths": 12,
+    # r12 (same family, prefix_last): the forward-fill / as-of-carry
+    # windows ported onto KeyedRanges.prefix_last.
+    "events_gap_fill_ffill": 12,
+    "events_asof_join": 12,
 }
 
 

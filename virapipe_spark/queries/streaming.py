@@ -268,14 +268,15 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("view_value"),
         F.col("value").alias("click_value"),
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_click", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # r12: the as-of carry runs on scale.KeyedRanges.prefix_last
+    # (segmented scan) — one hot user's merged stream cannot
+    # serialize onto one window task; see sessionize_events
+    from virapipe_spark.scale import KeyedRanges
+
+    kr = KeyedRanges(
+        views.union(clicks), "user_id", ["ts", "is_click", "event_id"]
     )
-    filled = views.union(clicks).withColumn(
-        "last_view_value", F.last("view_value", ignorenulls=True).over(w)
-    )
+    filled = kr.prefix_last(kr.frame, "view_value", "last_view_value")
     return filled.filter(F.col("is_click") == 1).select(
         "user_id",
         "event_id",
@@ -1144,19 +1145,18 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
         )
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        grid.join(daily, ["user_id", "day"], "left")
-        .select(
-            "user_id",
-            "day",
-            F.last("cents", ignorenulls=True).over(w).alias("cents"),
-            F.col("cents").isNull().alias("filled"),
-        )
+    # r12: the forward fill runs on scale.KeyedRanges.prefix_last
+    # (segmented scan) — a user with a years-long span cannot
+    # serialize onto one window task; see sessionize_events
+    from virapipe_spark.scale import KeyedRanges
+
+    dense = grid.join(daily, ["user_id", "day"], "left")
+    kr = KeyedRanges(dense, "user_id", ["day"])
+    return kr.prefix_last(kr.frame, "cents", "__f").select(
+        "user_id",
+        "day",
+        F.col("__f").alias("cents"),
+        F.col("cents").isNull().alias("filled"),
     )
 
 

@@ -691,3 +691,77 @@ class KeyedRanges:
             )
             .drop("__fk", "__ci")
         )
+
+    def prefix_last(self, frame: DataFrame, value_col: str, out_col: str) -> DataFrame:
+        """Exact per-key ``last(value_col, ignorenulls=True)`` over the
+        cumulative frame (forward fill / as-of carry) as ``out_col``:
+        NULL until the key's first non-null observation, then the most
+        recent non-null at or before each row. The carry per range is
+        the chain's most recent non-null for the boundary key — a
+        range whose tail segment is all-NULL passes the incoming carry
+        through (when the whole range belongs to that key), so fills
+        survive arbitrarily long NULL gaps spanning many ranges."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        spark = frame.sparkSession
+        lk = [(p, self._last[p][self.key]) for p in self._pids]
+        kt_t = self._field_type(self.key)
+        lk_df = spark.createDataFrame(
+            lk,
+            StructType(
+                [StructField("__pid", IntegerType()), StructField("__lk", kt_t)]
+            ),
+        )
+        # last non-null in each range's tail segment, by full order —
+        # max_by over the non-null rows (deterministic: order is total)
+        tails = {
+            r["__pid"]: r["t"]
+            for r in frame.join(F.broadcast(lk_df), "__pid")
+            .filter(
+                (F.col(self.key) == F.col("__lk"))
+                & F.col(value_col).isNotNull()
+            )
+            .groupBy("__pid")
+            .agg(
+                F.max_by(
+                    value_col, F.struct(*[F.col(c) for c in self.order])
+                ).alias("t")
+            )
+            .collect()
+        }
+        rows, carry = [], {}
+        for i, p in enumerate(self._pids):
+            if i:
+                q = self._pids[i - 1]
+                cont = self._last[q][self.key] == self._first[p][self.key]
+                carry_in = carry[q] if cont else None
+            else:
+                carry_in = None
+            rows.append((p, self._first[p][self.key], carry_in))
+            whole = self._first[p][self.key] == self._last[p][self.key]
+            t = tails.get(p)
+            carry[p] = t if t is not None else (carry_in if whole else None)
+        b = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("__pid", IntegerType()),
+                    StructField("__fk", kt_t),
+                    StructField("__ci", self._field_type(value_col), True),
+                ]
+            ),
+        )
+        within = F.last(value_col, ignorenulls=True).over(
+            self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            frame.join(F.broadcast(b), "__pid")
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col(self.key) == F.col("__fk"),
+                    F.coalesce(within, F.col("__ci")),
+                ).otherwise(within),
+            )
+            .drop("__fk", "__ci")
+        )
