@@ -790,6 +790,38 @@ class TestKeyedRanges:
         }
         assert got == want
 
+    def test_prefix_max_and_exclusive_variants(self, spark):
+        """prefix_max (keyed high-water mark) and the exclusive forms
+        of both aggregates: NULL on each key's first row (empty-frame
+        convention), negative values so exclusive-sum's NULL-vs-0
+        distinction is observable."""
+        df = self._df(spark).withColumn("sv", F.col("id") % 7 - 3)
+        w = W.partitionBy("k").orderBy("ts", "id")
+        truth = (
+            df.withColumn(
+                "mi", F.max("sv").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            )
+            .withColumn(
+                "mx", F.max("sv").over(w.rowsBetween(W.unboundedPreceding, -1))
+            )
+            .withColumn(
+                "sx", F.sum("sv").over(w.rowsBetween(W.unboundedPreceding, -1))
+            )
+        )
+        want = {
+            (r["k"], r["ts"], r["id"]): (r["mi"], r["mx"], r["sx"])
+            for r in truth.collect()
+        }
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], num_partitions=21)
+        f = kr.prefix_max(kr.frame, "sv", "mi")
+        f = kr.prefix_max(f, "sv", "mx", inclusive=False)
+        f = kr.prefix_sum(f, "sv", "sx", inclusive=False)
+        got = {
+            (r["k"], r["ts"], r["id"]): (r["mi"], r["mx"], r["sx"])
+            for r in f.collect()
+        }
+        assert got == want
+
     def test_no_per_key_window_in_plan(self, spark):
         """The executed plan's window specs partition by (__pid, k),
         never by the bare key — the serialization this machinery

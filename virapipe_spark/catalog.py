@@ -400,6 +400,10 @@ REWRITTEN_IN: dict[str, int] = {
     # windows ported onto KeyedRanges.prefix_last.
     "events_gap_fill_ffill": 12,
     "events_asof_join": 12,
+    # r12 (same family): exclusive prefix-max watermark + the two-pass
+    # SCD2 lag/lead, both on KeyedRanges.
+    "events_late_arrivals": 12,
+    "events_scd2_history": 12,
 }
 
 

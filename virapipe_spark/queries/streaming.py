@@ -532,19 +532,26 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("k"),
         )
     )
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = src.withColumn("prev_k", F.lag("k").over(wo))
+    # r12: both passes on scale.KeyedRanges (segmented scan) — a hot
+    # user's version history never lands on one window task; see
+    # sessionize_events. The lag column (k) is nullable: lag_col's
+    # row-identity boundary matching round-trips genuine NULLs.
+    from virapipe_spark.scale import KeyedRanges
+
+    kr = KeyedRanges(src, "user_id", ["ts", "event_id"], carry_cols=("k",))
+    changes = kr.lag_col(kr.frame, "k", "prev_k")
     versions = changes.filter(
         F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k"))
     ).select("user_id", F.col("ts").alias("valid_from"), "event_id", "k")
     # total order (event_id tiebreak): two same-ts changes of one user
-    # would otherwise make lead() engine-arbitrary
-    wv = W.partitionBy("user_id").orderBy("valid_from", "event_id")
-    return versions.select(
-        "user_id",
-        "k",
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
+    # would otherwise make lead() engine-arbitrary. The versions frame
+    # is change-count-sized but still per-user — second segmented scan.
+    kr2 = KeyedRanges(
+        versions, "user_id", ["valid_from", "event_id"],
+        carry_cols=("valid_from",),
+    )
+    return kr2.lead_col(kr2.frame, "valid_from", "valid_to").select(
+        "user_id", "k", "valid_from", "valid_to"
     )
 
 
@@ -876,16 +883,21 @@ def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the same state partitioning the streaming engine uses) —
     never a global ORDER BY; the first row's empty frame yields NULL
     -> not late on both engines identically."""
+    # r12: the running high-water mark is a keyed EXCLUSIVE prefix max
+    # on scale.KeyedRanges — a hot key's history never lands on one
+    # window task; see sessionize_events. The first row's NULL
+    # watermark -> not late, exactly the empty-frame convention.
+    from virapipe_spark.scale import KeyedRanges
+
     ev = table(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
+    kr = KeyedRanges(
+        ev.select("user_id", "event_id", "ts"), "user_id", ["event_id"]
     )
-    wm_us = F.unix_micros(F.max("ts").over(w))
+    f = kr.prefix_max(kr.frame, "ts", "__wm", inclusive=False)
+    wm_us = F.unix_micros(F.col("__wm"))
     late = F.when(wm_us - F.unix_micros(F.col("ts")) > _DAY_US, 1).otherwise(0)
     return (
-        ev.select("user_id", late.alias("late"))
+        f.select("user_id", late.alias("late"))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),

@@ -643,22 +643,54 @@ class KeyedRanges:
             .drop("__epid", "__nv", *[f"__e_{c}" for c in [self.key, *self.order]])
         )
 
-    def prefix_sum(self, frame: DataFrame, value_col: str, out_col: str) -> DataFrame:
-        """Exact per-key running sum of ``value_col`` (inclusive) as
-        ``out_col``. ``frame`` must carry ``__pid``, the key/order
-        columns and the same rows as :attr:`frame` — typically the
-        output of :meth:`lag_col` plus derived columns, so the tail
-        totals see the SAME corrected values the scan sums."""
+    def prefix_sum(
+        self, frame: DataFrame, value_col: str, out_col: str, inclusive: bool = True
+    ) -> DataFrame:
+        """Exact per-key running sum of ``value_col`` as ``out_col``.
+        ``frame`` must carry ``__pid``, the key/order columns and the
+        same rows as :attr:`frame` — typically the output of
+        :meth:`lag_col` plus derived columns, so the tail totals see
+        the SAME corrected values the scan sums. ``inclusive=False``
+        gives the strict prefix (NULL on each key's first row — the
+        empty-frame convention, matching ``rowsBetween(.., -1)``)."""
+        return self._prefix_agg(frame, value_col, out_col, "sum", inclusive)
+
+    def prefix_max(
+        self, frame: DataFrame, value_col: str, out_col: str, inclusive: bool = True
+    ) -> DataFrame:
+        """Exact per-key running max of ``value_col`` as ``out_col`` —
+        the keyed high-water mark (watermark audits, drawdowns).
+        ``inclusive=False`` excludes the current row (NULL on each
+        key's first row)."""
+        return self._prefix_agg(frame, value_col, out_col, "max", inclusive)
+
+    def _prefix_agg(
+        self,
+        frame: DataFrame,
+        value_col: str,
+        out_col: str,
+        agg: str,
+        inclusive: bool,
+    ) -> DataFrame:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         spark = frame.sparkSession
-        lk = [(p, self._last[p][self.key]) for p in self._pids]
-        kt = self._dtypes[self.key]
-        lk_df = spark.createDataFrame(lk, f"__pid int, __lk {kt}")
+        fn = F.sum if agg == "sum" else F.max
+        kt_t = self._field_type(self.key)
+        lk_df = spark.createDataFrame(
+            [(p, self._last[p][self.key]) for p in self._pids],
+            StructType(
+                [StructField("__pid", IntegerType()), StructField("__lk", kt_t)]
+            ),
+        )
+        # per-range tail aggregate over the boundary key — ALWAYS the
+        # full (inclusive) segment: it feeds the NEXT range's carry
         tails = {
             r["__pid"]: r["t"]
             for r in frame.join(F.broadcast(lk_df), "__pid")
             .filter(F.col(self.key) == F.col("__lk"))
             .groupBy("__pid")
-            .agg(F.sum(value_col).alias("t"))
+            .agg(fn(value_col).alias("t"))
             .collect()
         }
         rows, carry = [], {}
@@ -666,28 +698,51 @@ class KeyedRanges:
             if i:
                 q = self._pids[i - 1]
                 cont = self._last[q][self.key] == self._first[p][self.key]
-                carry_in = carry[q] if cont else 0
+                carry_in = carry[q] if cont else None
             else:
-                carry_in = 0
+                carry_in = None
             rows.append((p, self._first[p][self.key], carry_in))
             whole = self._first[p][self.key] == self._last[p][self.key]
-            carry[p] = (tails.get(p) or 0) + (carry_in if whole else 0)
+            t = tails.get(p)
+            vals = [v for v in (t, carry_in if whole else None) if v is not None]
+            if agg == "sum":
+                carry[p] = sum(vals) if vals else None
+            else:
+                carry[p] = max(vals) if vals else None
         vt = self._dtypes.get(value_col, "bigint")
-        if vt in ("tinyint", "smallint", "int", "bigint"):
+        if agg == "sum" and vt in ("tinyint", "smallint", "int", "bigint"):
             vt = "bigint"  # sum widens; the carry can exceed input width
-        kt = self._dtypes[self.key]
-        b = spark.createDataFrame(rows, f"__pid int, __fk {kt}, __ci {vt}")
-        within = F.sum(value_col).over(
-            self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+        from pyspark.sql.types import _parse_datatype_string
+
+        b = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("__pid", IntegerType()),
+                    StructField("__fk", kt_t),
+                    StructField("__ci", _parse_datatype_string(vt), True),
+                ]
+            ),
         )
+        end = 0 if inclusive else -1
+        within = fn(value_col).over(
+            self._win().rowsBetween(W.unboundedPreceding, end)
+        )
+        if agg == "sum":
+            combined = F.when(within.isNull(), F.col("__ci")).otherwise(
+                within + F.coalesce(F.col("__ci"), F.lit(0))
+            )
+        else:
+            combined = F.when(within.isNull(), F.col("__ci")).otherwise(
+                F.greatest(within, F.col("__ci"))
+            )
         return (
             frame.join(F.broadcast(b), "__pid")
             .withColumn(
                 out_col,
-                F.when(
-                    F.col(self.key) == F.col("__fk"),
-                    within + F.col("__ci"),
-                ).otherwise(within),
+                F.when(F.col(self.key) == F.col("__fk"), combined).otherwise(
+                    within
+                ),
             )
             .drop("__fk", "__ci")
         )
