@@ -790,6 +790,46 @@ class TestKeyedRanges:
         }
         assert got == want
 
+    def test_merged_lags_multi_offset(self, spark):
+        """lags() with mixed offsets in ONE pass: the per-spec rank
+        guard matters — a deeper sibling's lookup row (rank <= maxoff)
+        must not clobber a shallower spec's correct within-range value
+        (the bug the first implementation had), and all window
+        expressions must agree with the per-key window truth."""
+        df = self._df(spark).withColumn(
+            "s", F.concat(F.lit("t"), (F.col("id") % 5).cast("string"))
+        )
+        w = W.partitionBy("k").orderBy("ts", "id")
+        truth = (
+            df.withColumn("l1", F.lag("s", 1).over(w))
+            .withColumn("l2", F.lag("s", 2).over(w))
+            .withColumn("l3", F.lag("s", 3).over(w))
+            .withColumn("t1", F.lag("ts", 1).over(w))
+        )
+        want = {
+            (r["k"], r["ts"], r["id"]): (r["l1"], r["l2"], r["l3"], r["t1"])
+            for r in truth.collect()
+        }
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("s", "ts"), num_partitions=37
+        )
+        f = kr.lags(
+            kr.frame,
+            [("s", "l1", 1), ("s", "l2", 2), ("s", "l3", 3), ("ts", "t1", 1)],
+        )
+        got = {
+            (r["k"], r["ts"], r["id"]): (r["l1"], r["l2"], r["l3"], r["t1"])
+            for r in f.collect()
+        }
+        assert got == want
+
+    def test_deep_lag_rejects_derived_columns(self, spark):
+        df = self._df(spark)
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], num_partitions=3)
+        f = kr.frame.withColumn("dv", F.col("v") * 2)
+        with pytest.raises(ValueError, match="construction frame"):
+            kr.lags(f, [("dv", "x", 2)])
+
     def test_prefix_max_and_exclusive_variants(self, spark):
         """prefix_max (keyed high-water mark) and the exclusive forms
         of both aggregates: NULL on each key's first row (empty-frame

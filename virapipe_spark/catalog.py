@@ -404,6 +404,11 @@ REWRITTEN_IN: dict[str, int] = {
     # SCD2 lag/lead, both on KeyedRanges.
     "events_late_arrivals": 12,
     "events_scd2_history": 12,
+    # r12 (family close-out): the last event-volume per-key window —
+    # session-scoped trigram lags become user-level lags (one merged
+    # KeyedRanges.lags pass, deep offset-2 boundary carry) masked by
+    # session-continuity flags.
+    "events_path_trigrams": 12,
 }
 
 

@@ -3223,12 +3223,33 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k rank runs on that reduced table, not on rows."""
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
-    ordered = ev.select(
+    ordered_src = ev.select(
         "user_id", "event_type", us.alias("us"), "event_id"
-    ).withColumn(
-        "prev_us", F.lag("us").over(w)
-    ).withColumn(
+    )
+    # r12: segmented scan (scale.KeyedRanges) instead of per-user and
+    # per-(user, session) windows — a metronome bot that never gaps
+    # 12 h is ONE session of its entire history, the worst single-task
+    # sort; see sessionize_events. The (user, session) lags become
+    # USER-level lags masked by session continuity: lag1 is in-session
+    # iff new_session == 0; lag2 additionally needs the PREVIOUS row
+    # in-session, and new_session[i-1] reconstructs from (us[i-1],
+    # us[i-2]) = (prev_us, us2) without a second scan.
+    from virapipe_spark.scale import KeyedRanges
+
+    kr = KeyedRanges(
+        ordered_src, "user_id", ["us", "event_id"],
+        carry_cols=("us", "event_type"),
+    )
+    f = kr.lags(
+        kr.frame,
+        [
+            ("us", "prev_us", 1),
+            ("event_type", "__p1", 1),
+            ("event_type", "__p2", 2),
+            ("us", "__us2", 2),
+        ],
+    )
+    f = f.withColumn(
         "new_session",
         F.when(
             F.col("prev_us").isNull()
@@ -3236,16 +3257,14 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    sess = ordered.withColumn(
-        "sid",
-        F.sum("new_session").over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    w2 = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
-    tri = sess.select(
-        F.lag("event_type", 2).over(w2).alias("e1"),
-        F.lag("event_type", 1).over(w2).alias("e2"),
+    prev_ns = F.when(
+        F.col("__us2").isNull() | (F.col("prev_us") - F.col("__us2") > _GAP_US),
+        1,
+    ).otherwise(0)
+    in_sess1 = F.col("new_session") == 0
+    tri = f.select(
+        F.when(in_sess1 & (prev_ns == 0), F.col("__p2")).alias("e1"),
+        F.when(in_sess1, F.col("__p1")).alias("e2"),
         F.col("event_type").alias("e3"),
     ).filter(F.col("e1").isNotNull())
     counts = tri.groupBy("e1", "e2", "e3").agg(

@@ -565,37 +565,212 @@ class KeyedRanges:
     def _win(self):
         return W.partitionBy("__pid", self.key).orderBy(*self.order)
 
-    def lag_col(self, frame: DataFrame, col: str, out_col: str) -> DataFrame:
-        """Exact per-key ``lag(col)`` as ``out_col`` (NULL for each
-        key's true first row). ``frame`` must carry ``__pid`` and the
-        same rows as :attr:`frame` (itself, or a projection of it)."""
+    def lag_col(
+        self, frame: DataFrame, col: str, out_col: str, offset: int = 1
+    ) -> DataFrame:
+        """Exact per-key ``lag(col, offset)`` as ``out_col`` (NULL for
+        each key's first ``offset`` rows) — single-column wrapper over
+        :meth:`lags`."""
+        return self.lags(frame, [(col, out_col, offset)])
+
+    def lags(
+        self, frame: DataFrame, specs: list
+    ) -> DataFrame:
+        """Exact per-key lags for MANY columns/offsets in one pass —
+        ``specs`` is ``[(col, out_col, offset), ...]``. All window
+        expressions share one Window node (one sort); the boundary
+        substitutions apply as at most TWO broadcast joins (one merged
+        table for offset-1 specs keyed on the range's first-row
+        identity, one for deeper specs keyed on (range, within-key
+        rank)). Deep offsets run ONE bounded job on the checkpointed
+        base frame collecting each range's last ``max(offset)`` tail
+        rows (window partition <= range size, <= max(offset) rows per
+        range collected), chained driver-side through ranges wholly
+        owned by the boundary key — so every boundary structure stays
+        partition-count-sized control plane.
+
+        Deep (offset > 1) specs must name columns of the CHECKPOINTED
+        construction frame (the boundary values come from it); offset-1
+        specs may lag any column carried in ``carry_cols``. ``frame``
+        must carry ``__pid`` and the same rows as :attr:`frame`."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         spark = frame.sparkSession
-        rows = []
-        for i, p in enumerate(self._pids):
-            prev = self._last[self._pids[i - 1]] if i else None
-            cont = prev is not None and prev[self.key] == self._first[p][self.key]
-            rows.append(
-                tuple(self._first[p][c] for c in [self.key, *self.order])
-                + (p, prev[col] if cont else None)
-            )
-        schema = self._edge_schema("__bv", col)
-        b = spark.createDataFrame(rows, schema)
-        within = F.lag(col).over(self._win())
-        # substitute ONLY on the range's true first row (matched on the
-        # full (key, order) identity, not a NULL probe — ``col`` itself
-        # may legitimately hold NULLs)
-        on_edge = F.col("__epid").isNotNull()
-        out = (
-            frame.join(
+        for c, o, off in specs:
+            if off < 1:
+                raise ValueError(f"lag offset must be >= 1, got {off}")
+        shallow = [s for s in specs if s[2] == 1]
+        deep = [s for s in specs if s[2] > 1]
+        kt_t = self._field_type(self.key)
+
+        # one Window node: every within-range lag plus (if needed) the
+        # within-key rank, all over the same spec
+        sel = list(frame.columns)
+        sel += [
+            F.lag(c, off).over(self._win()).alias(f"__w_{out}")
+            for c, out, off in specs
+        ]
+        if deep:
+            sel.append(F.row_number().over(self._win()).alias("__ern"))
+        cur = frame.select(*sel)
+
+        if shallow:
+            rows = []
+            for i, p in enumerate(self._pids):
+                prev = self._last[self._pids[i - 1]] if i else None
+                cont = (
+                    prev is not None
+                    and prev[self.key] == self._first[p][self.key]
+                )
+                rows.append(
+                    tuple(self._first[p][c] for c in [self.key, *self.order])
+                    + (p,)
+                    + tuple(
+                        prev[c] if cont else None for c, _o, _f in shallow
+                    )
+                )
+            st = StructType()
+            for c in [self.key, *self.order]:
+                st = st.add(StructField(f"__e_{c}", self._field_type(c), True))
+            st = st.add(StructField("__epid", IntegerType(), True))
+            for c, out, _off in shallow:
+                st = st.add(StructField(f"__bv_{out}", self._field_type(c), True))
+            b = spark.createDataFrame(rows, st)
+            on_edge = F.col("__epid").isNotNull()
+            cur = cur.join(
                 F.broadcast(b),
-                [frame["__pid"] == b["__epid"]]
-                + [frame[c].eqNullSafe(b[f"__e_{c}"]) for c in [self.key, *self.order]],
+                [cur["__pid"] == b["__epid"]]
+                + [
+                    cur[c].eqNullSafe(b[f"__e_{c}"])
+                    for c in [self.key, *self.order]
+                ],
                 "left",
             )
-            .withColumn(out_col, F.when(on_edge, F.col("__bv")).otherwise(within))
-            .drop("__epid", "__bv", *[f"__e_{c}" for c in [self.key, *self.order]])
-        )
-        return out
+            for c, out, _off in shallow:
+                # substitute ONLY on the range's true first row (matched
+                # on the full (key, order) identity, not a NULL probe —
+                # the lagged column may legitimately hold NULLs)
+                cur = cur.withColumn(
+                    out,
+                    F.when(on_edge, F.col(f"__bv_{out}")).otherwise(
+                        F.col(f"__w_{out}")
+                    ),
+                )
+            cur = cur.drop(
+                "__epid",
+                *[f"__e_{c}" for c in [self.key, *self.order]],
+                *[f"__bv_{out}" for _c, out, _f in shallow],
+            )
+
+        if deep:
+            base_cols = set(self.frame.columns)
+            for c, _o, off in deep:
+                if c not in base_cols:
+                    raise ValueError(
+                        f"deep lag (offset {off}) needs a column of the "
+                        f"construction frame, got derived column {c!r}"
+                    )
+            maxoff = max(off for _c, _o, off in deep)
+            dcols = sorted({c for c, _o, _f in deep})
+            lk_df = spark.createDataFrame(
+                [(p, self._last[p][self.key]) for p in self._pids],
+                StructType(
+                    [
+                        StructField("__pid", IntegerType()),
+                        StructField("__lk", kt_t),
+                    ]
+                ),
+            )
+            # ONE bounded job on the checkpointed base: each range\'s
+            # last maxoff tail-segment rows, most recent first
+            w_desc = W.partitionBy("__pid").orderBy(
+                *[F.col(c).desc() for c in self.order]
+            )
+            collected = (
+                self.frame.join(F.broadcast(lk_df), "__pid")
+                .filter(F.col(self.key) == F.col("__lk"))
+                .select(
+                    "__pid",
+                    *dcols,
+                    F.row_number().over(w_desc).alias("__r"),
+                )
+                .filter(F.col("__r") <= maxoff)
+                .collect()
+            )
+            tails: dict[int, list] = {}
+            for r in sorted(collected, key=lambda x: (x["__pid"], x["__r"])):
+                tails.setdefault(r["__pid"], []).append(r)
+            chain: dict[int, list] = {}
+            carry: dict[int, list] = {}
+            for i, p in enumerate(self._pids):
+                if i:
+                    q = self._pids[i - 1]
+                    cont = (
+                        self._last[q][self.key] == self._first[p][self.key]
+                    )
+                    carry[p] = chain[q] if cont else []
+                else:
+                    carry[p] = []
+                whole = self._first[p][self.key] == self._last[p][self.key]
+                ext = carry[p] if whole else []
+                chain[p] = (tails.get(p, []) + ext)[:maxoff]
+            # lookup rows: the rn-th row of a range continuing its
+            # boundary key takes chain position offset - rn for each
+            # deep spec (0 = most recent predecessor before the range)
+            rows = []
+            for p in self._pids:
+                vals = carry[p]
+                for rn in range(1, maxoff + 1):
+                    vr = []
+                    for c, _out, off in deep:
+                        idx = off - rn
+                        vr.append(
+                            vals[idx][c]
+                            if 0 <= idx < len(vals)
+                            else None
+                        )
+                    rows.append(
+                        (p, rn, self._first[p][self.key]) + tuple(vr)
+                    )
+            st = StructType(
+                [
+                    StructField("__dpid", IntegerType()),
+                    StructField("__drn", IntegerType()),
+                    StructField("__dfk", kt_t, True),
+                ]
+            )
+            for c, out, _off in deep:
+                st = st.add(StructField(f"__dv_{out}", self._field_type(c), True))
+            b2 = spark.createDataFrame(rows, st)
+            on_deep = F.col("__dpid").isNotNull()
+            cur = cur.join(
+                F.broadcast(b2),
+                (cur["__pid"] == b2["__dpid"])
+                & (cur["__ern"] == b2["__drn"])
+                & cur[self.key].eqNullSafe(b2["__dfk"]),
+                "left",
+            )
+            for _c, out, off in deep:
+                # substitute only while the within-key rank is inside
+                # THIS spec's offset — a deeper sibling spec's lookup
+                # row (rank <= maxoff) must not clobber a shallower
+                # spec's correct within-range value
+                cur = cur.withColumn(
+                    out,
+                    F.when(
+                        on_deep & (F.col("__ern") <= F.lit(off)),
+                        F.col(f"__dv_{out}"),
+                    ).otherwise(F.col(f"__w_{out}")),
+                )
+            cur = cur.drop(
+                "__dpid",
+                "__drn",
+                "__dfk",
+                "__ern",
+                *[f"__dv_{out}" for _c, out, _f in deep],
+            )
+        return cur.drop(*[f"__w_{out}" for _c, out, _f in specs])
+
 
     def _edge_schema(self, val_name: str, val_col: str) -> "object":
         from pyspark.sql.types import StructField, StructType, IntegerType
