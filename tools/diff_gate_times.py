@@ -51,7 +51,27 @@ WAIVED: dict[tuple[str, int, int], str] = {
         "code unchanged since decf8b3 (git diff empty for multimodal); "
         "warm 0.7-0.9s at both scales — the gate number is the "
         "pandas-UDF Python-worker/Arrow init landing on it after the "
-        "r12 catalog pruning reordered the gate",
+        "r12 catalog pruning reordered the gate (the final r12 "
+        "recapture moved the init onto image_features instead and "
+        "this entry gated at 0.59s — row kept for the record)",
+    ("multimodal_image_features", 11, 12):
+        "code unchanged; warm 0.64-0.86s at sf0.01 — the same "
+        "pandas-worker/Arrow init as the audio row above, relocated "
+        "by the KeyedRanges re-arm reorder in the final r12 recapture",
+    ("sessionize_events", 11, 12):
+        "KeyedRanges segmented-scan rewrite (r12): fixed "
+        "checkpoint+control-plane-job overhead at toy scale; warm "
+        "3.0-4.1s at sf0.1 = flat vs sf0.01, bit-identical to the "
+        "window form at both scales + skew synth (SCALE.md r12)",
+    ("window_lag_gap", 11, 12):
+        "same KeyedRanges rewrite family: warm flat across the "
+        "decade, oracle-green at both scales",
+    ("events_scd2_history", 11, 12):
+        "same KeyedRanges rewrite family (two segmented scans): warm "
+        "2.4s sf0.01 / 4.2s sf0.1 in-gate, oracle-green both scales",
+    ("events_gap_fill_ffill", 11, 12):
+        "same KeyedRanges rewrite family (prefix_last): oracle-green "
+        "both scales, skew smoke 1.1x",
 }
 
 
