@@ -862,6 +862,89 @@ class TestKeyedRanges:
         }
         assert got == want
 
+    def test_null_key_group_carries_across_ranges(self, spark):
+        """r12 review: W.partitionBy treats a NULL key as a normal
+        group, so the prefix carries must be NULL-SAFE on the key — a
+        NULL-key group straddling a range boundary previously lost its
+        cross-range carry silently (the == filter dropped the tail
+        segment). NULL keys sort first in range partitioning, so a
+        large NULL group + many ranges forces the straddle."""
+        rows = [(None, i, i, 1) for i in range(60)] + [
+            (k, i, 100 + k * 50 + i, 1) for k in range(1, 4) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "k int, ts long, id long, v int")
+        w = W.partitionBy("k").orderBy("ts", "id")
+        want = {
+            (r["k"], r["ts"]): (r["ps"], r["lg"], r["fl"])
+            for r in df.withColumn(
+                "ps",
+                F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
+            .withColumn("lg", F.lag("ts").over(w))
+            .withColumn(
+                "fl",
+                F.last(
+                    F.when(F.col("id") % 7 == 0, F.col("ts")), ignorenulls=True
+                ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
+            .collect()
+        }
+        kr = scale.KeyedRanges(
+            df, "k", ["ts", "id"], carry_cols=("ts",), num_partitions=12
+        )
+        f = kr.frame.withColumn(
+            "mv", F.when(F.col("id") % 7 == 0, F.col("ts"))
+        )
+        f = kr.prefix_sum(f, "v", "ps")
+        f = kr.lag_col(f, "ts", "lg")
+        f = kr.prefix_last(f, "mv", "fl")
+        got = {
+            (r["k"], r["ts"]): (r["ps"], r["lg"], r["fl"]) for r in f.collect()
+        }
+        assert got == want
+        # and the NULL group genuinely straddled ranges
+        spans = (
+            kr.frame.filter(F.col("k").isNull())
+            .select("__pid")
+            .distinct()
+            .count()
+        )
+        assert spans >= 2
+
+    def test_lag_requires_carried_column(self, spark):
+        """r12 review: a shallow lag of a column outside the edge stats
+        must fail deterministically at call time, not only when some
+        range happens to continue a key."""
+        df = self._df(spark)
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], num_partitions=3)
+        with pytest.raises(ValueError, match="carry_cols"):
+            kr.lag_col(kr.frame, "v", "x")
+        with pytest.raises(ValueError, match="carry_cols"):
+            kr.lead_col(kr.frame, "v", "x")
+
+    def test_prefix_sum_of_derived_double(self, spark):
+        """r12 review: the carry dtype must come from the PASSED frame
+        (a derived double column used to hit a silent bigint fallback
+        that only crashed when a boundary carry materialized)."""
+        df = self._df(spark)
+        w = W.partitionBy("k").orderBy("ts", "id")
+        want = {
+            (r["k"], r["ts"], r["id"]): r["ps"]
+            for r in df.withColumn("dv", F.col("v") / 2.0)
+            .withColumn(
+                "ps",
+                F.sum("dv").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
+            .collect()
+        }
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], num_partitions=17)
+        f = kr.frame.withColumn("dv", F.col("v") / 2.0)
+        got = {
+            (r["k"], r["ts"], r["id"]): r["ps"]
+            for r in kr.prefix_sum(f, "dv", "ps").collect()
+        }
+        assert got == want
+
     def test_no_per_key_window_in_plan(self, spark):
         """The executed plan's window specs partition by (__pid, k),
         never by the bare key — the serialization this machinery

@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.scale import exact_ntile, truncate_lineage, two_phase_rank
+from virapipe_spark.scale import (
+    KeyedRanges,
+    exact_ntile,
+    truncate_lineage,
+    two_phase_rank,
+)
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 
@@ -501,8 +506,6 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bot-tail key histogram cannot serialize one user onto one task —
     see sessionize_events for the full rationale; bit-identical at
     sf0.01/sf0.1/skew."""
-    from virapipe_spark.scale import KeyedRanges
-
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
     kr = KeyedRanges(ev, "user_id", ["ts", "event_id"], carry_cols=("ts",))
     f = kr.lag_col(kr.frame, "ts", "__prev_ts")

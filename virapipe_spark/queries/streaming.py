@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from virapipe_spark.catalog import query, table
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 from virapipe_spark import streaming as vstream
-from virapipe_spark.scale import truncate_lineage
+from virapipe_spark.scale import KeyedRanges, truncate_lineage
 
 _DAY_US = 86_400_000_000
 
@@ -116,8 +116,6 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_plans.py); the streaming twin
     (streaming.session_aggregate) replaces the sort with stateful
     session merge."""
-    from virapipe_spark.scale import KeyedRanges
-
     ev = table(spark, sf_dir, "events")
     kr = KeyedRanges(ev, "user_id", ["ts", "event_id"], carry_cols=("ts",))
     f = kr.lag_col(kr.frame, "ts", "__prev_ts")
@@ -271,8 +269,6 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: the as-of carry runs on scale.KeyedRanges.prefix_last
     # (segmented scan) — one hot user's merged stream cannot
     # serialize onto one window task; see sessionize_events
-    from virapipe_spark.scale import KeyedRanges
-
     kr = KeyedRanges(
         views.union(clicks), "user_id", ["ts", "is_click", "event_id"]
     )
@@ -536,8 +532,6 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user's version history never lands on one window task; see
     # sessionize_events. The lag column (k) is nullable: lag_col's
     # row-identity boundary matching round-trips genuine NULLs.
-    from virapipe_spark.scale import KeyedRanges
-
     kr = KeyedRanges(src, "user_id", ["ts", "event_id"], carry_cols=("k",))
     changes = kr.lag_col(kr.frame, "k", "prev_k")
     versions = changes.filter(
@@ -887,8 +881,6 @@ def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on scale.KeyedRanges — a hot key's history never lands on one
     # window task; see sessionize_events. The first row's NULL
     # watermark -> not late, exactly the empty-frame convention.
-    from virapipe_spark.scale import KeyedRanges
-
     ev = table(spark, sf_dir, "events")
     kr = KeyedRanges(
         ev.select("user_id", "event_id", "ts"), "user_id", ["event_id"]
@@ -1077,8 +1069,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials; the normalizing sum is a window over those
     same few groups. Nothing grows with event count except the first
     shuffle's input."""
-    from virapipe_spark.scale import KeyedRanges
-
     ev = table(spark, sf_dir, "events")
     # r12: lead() via scale.KeyedRanges (segmented scan) — a hot user
     # cannot serialize onto one window task; see sessionize_events
@@ -1160,8 +1150,6 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: the forward fill runs on scale.KeyedRanges.prefix_last
     # (segmented scan) — a user with a years-long span cannot
     # serialize onto one window task; see sessionize_events
-    from virapipe_spark.scale import KeyedRanges
-
     dense = grid.join(daily, ["user_id", "day"], "left")
     kr = KeyedRanges(dense, "user_id", ["day"])
     return kr.prefix_last(kr.frame, "cents", "__f").select(
@@ -1724,8 +1712,6 @@ def events_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     x active days — then a per-user window and two aggregates on the
     same key; the window partition is a user's active-day count, never
     event volume."""
-    from virapipe_spark.scale import KeyedRanges
-
     e = table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
     days = e.select("user_id", day.alias("day")).distinct()
@@ -2725,8 +2711,6 @@ def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable groupBy — no pair formation; at 100 TB this is
     the standard downsampling pass over an entity-partitioned,
     time-sorted layout."""
-    from virapipe_spark.scale import KeyedRanges
-
     ev = table(spark, sf_dir, "events")
     pts = ev.select(
         "user_id",
@@ -3234,8 +3218,6 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iff new_session == 0; lag2 additionally needs the PREVIOUS row
     # in-session, and new_session[i-1] reconstructs from (us[i-1],
     # us[i-2]) = (prev_us, us2) without a second scan.
-    from virapipe_spark.scale import KeyedRanges
-
     kr = KeyedRanges(
         ordered_src, "user_id", ["us", "event_id"],
         carry_cols=("us", "event_type"),
@@ -4217,8 +4199,6 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model), then a user-keyed partial aggregate; the HAVING
     prunes the long inactive tail early. Mergeable: (n, Σx, Σx²) are
     the canonical mergeable moment sketch."""
-    from virapipe_spark.scale import KeyedRanges
-
     ev = table(spark, sf_dir, "events")
     # r12: lag() via scale.KeyedRanges (segmented scan) — a bot user's
     # whole history never lands on one window task; see sessionize_events

@@ -547,6 +547,7 @@ class KeyedRanges:
         self.key, self.order = key, list(order)
         cols = [key, *self.order]
         cols += [c for c in carry_cols if c not in cols]
+        self._edge_cols = list(cols)
         edge = F.struct(*[F.col(c) for c in cols])
         self.frame, stats = _adaptive_ranged(
             df,
@@ -601,6 +602,15 @@ class KeyedRanges:
                 raise ValueError(f"lag offset must be >= 1, got {off}")
         shallow = [s for s in specs if s[2] == 1]
         deep = [s for s in specs if s[2] > 1]
+        for c, _o, _f in shallow:
+            if c not in self._edge_cols:
+                # fail deterministically at call time — without this, a
+                # missing carry_col only crashes when some range happens
+                # to continue a key (partition-layout-dependent)
+                raise ValueError(
+                    f"lag of {c!r} needs it in carry_cols (edge stats "
+                    f"carry {self._edge_cols})"
+                )
         kt_t = self._field_type(self.key)
 
         # one Window node: every within-range lag plus (if needed) the
@@ -688,7 +698,7 @@ class KeyedRanges:
             )
             collected = (
                 self.frame.join(F.broadcast(lk_df), "__pid")
-                .filter(F.col(self.key) == F.col("__lk"))
+                .filter(F.col(self.key).eqNullSafe(F.col("__lk")))
                 .select(
                     "__pid",
                     *dcols,
@@ -796,6 +806,11 @@ class KeyedRanges:
         boundary value for a range's LAST row comes from the NEXT
         range's first row when that range continues the same key."""
         spark = frame.sparkSession
+        if col not in self._edge_cols:
+            raise ValueError(
+                f"lead of {col!r} needs it in carry_cols (edge stats "
+                f"carry {self._edge_cols})"
+            )
         rows = []
         for i, p in enumerate(self._pids):
             nxt = self._first[self._pids[i + 1]] if i + 1 < len(self._pids) else None
@@ -850,6 +865,12 @@ class KeyedRanges:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         spark = frame.sparkSession
+        if frame is not self.frame:
+            # the tail-totals job and the caller's consumption would
+            # otherwise EACH execute the derived plan (lag windows,
+            # boundary joins, flag projections) — checkpoint once, both
+            # passes read the blocks, freed when the result is dropped
+            frame = truncate_lineage(frame, eager=False)
         fn = F.sum if agg == "sum" else F.max
         kt_t = self._field_type(self.key)
         lk_df = spark.createDataFrame(
@@ -863,7 +884,7 @@ class KeyedRanges:
         tails = {
             r["__pid"]: r["t"]
             for r in frame.join(F.broadcast(lk_df), "__pid")
-            .filter(F.col(self.key) == F.col("__lk"))
+            .filter(F.col(self.key).eqNullSafe(F.col("__lk")))
             .groupBy("__pid")
             .agg(fn(value_col).alias("t"))
             .collect()
@@ -884,7 +905,12 @@ class KeyedRanges:
                 carry[p] = sum(vals) if vals else None
             else:
                 carry[p] = max(vals) if vals else None
-        vt = self._dtypes.get(value_col, "bigint")
+        ft = dict(frame.dtypes)
+        if value_col not in ft:
+            raise ValueError(
+                f"prefix aggregate column {value_col!r} not in frame"
+            )
+        vt = ft[value_col]
         if agg == "sum" and vt in ("tinyint", "smallint", "int", "bigint"):
             vt = "bigint"  # sum widens; the carry can exceed input width
         from pyspark.sql.types import _parse_datatype_string
@@ -915,7 +941,7 @@ class KeyedRanges:
             frame.join(F.broadcast(b), "__pid")
             .withColumn(
                 out_col,
-                F.when(F.col(self.key) == F.col("__fk"), combined).otherwise(
+                F.when(F.col(self.key).eqNullSafe(F.col("__fk")), combined).otherwise(
                     within
                 ),
             )
@@ -934,6 +960,8 @@ class KeyedRanges:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         spark = frame.sparkSession
+        if frame is not self.frame:
+            frame = truncate_lineage(frame, eager=False)  # see _prefix_agg
         lk = [(p, self._last[p][self.key]) for p in self._pids]
         kt_t = self._field_type(self.key)
         lk_df = spark.createDataFrame(
@@ -948,7 +976,7 @@ class KeyedRanges:
             r["__pid"]: r["t"]
             for r in frame.join(F.broadcast(lk_df), "__pid")
             .filter(
-                (F.col(self.key) == F.col("__lk"))
+                F.col(self.key).eqNullSafe(F.col("__lk"))
                 & F.col(value_col).isNotNull()
             )
             .groupBy("__pid")
@@ -977,7 +1005,15 @@ class KeyedRanges:
                 [
                     StructField("__pid", IntegerType()),
                     StructField("__fk", kt_t),
-                    StructField("__ci", self._field_type(value_col), True),
+                    StructField(
+                        "__ci",
+                        next(
+                            f.dataType
+                            for f in frame.schema.fields
+                            if f.name == value_col
+                        ),
+                        True,
+                    ),
                 ]
             ),
         )
@@ -989,7 +1025,7 @@ class KeyedRanges:
             .withColumn(
                 out_col,
                 F.when(
-                    F.col(self.key) == F.col("__fk"),
+                    F.col(self.key).eqNullSafe(F.col("__fk")),
                     F.coalesce(within, F.col("__ci")),
                 ).otherwise(within),
             )
