@@ -26,11 +26,16 @@ Hygiene (per round-1, round-3 and round-10 ADVICE):
 
 Output contract (round-12, after BENCH_r11's `parsed: null`): the
 driver records only the LAST ~2,000 chars of stdout, and the full
-per-query JSON outgrew that budget once `queries_min` landed — so the
-FULL JSON now goes to a local file (`bench_full.json` beside this
-script, committed per round) and stdout ends with ONE COMPACT line
-(metric/value/value_min/sf/n_queries/slowest5 + the detail path,
-~0.4 KB) that always fits the tail. Spark's console progress bar is
+per-query JSON outgrew that budget once `queries_min` landed. The r12
+optimization round's fix keeps the DRIVER CONTRACT intact: the final
+stdout line still carries the full ``queries`` median dict (the driver
+reads per-query numbers from it to measure core-count scaling) plus
+the ``value_min`` total, and moves only the per-query minima
+(``queries_min`` — the half whose addition caused the overflow) to a
+local file (`bench_full.json` beside this script, committed per
+round). At 50 headline queries the line is ~1.5 KB, inside the tail
+with margin; test_bench_policy pins the budget against headline
+growth. Spark's console progress bar is
 suppressed (`spark.ui.showConsoleProgress=false`) so the tail isn't
 carriage-return-polluted either.
 """
@@ -261,20 +266,19 @@ def emit(
         # full, read-only checkout): a bench run's minutes of timings
         # must never be lost to the side channel (r12 review finding)
         print(f"bench detail write to {detail_path} failed: {e}", file=sys.stderr)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
-    # the compact line is the FINAL stdout line — it must fit (with
-    # margin) in the driver's ~2,000-char stdout tail
+    # the final stdout line is what the driver parses: it MUST carry the
+    # per-query median dict (driver contract — per-query numbers feed the
+    # core-count scaling measurement) and must fit (with margin) in the
+    # driver's ~2,000-char stdout tail. queries_min lives in the detail
+    # file only; it is what overflowed BENCH_r11.
     return json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
-            "value_min": total_min,
+            "queries": timings,
             "sf": sf,
-            "n_queries": len(timings),
-            "slowest5": slowest,
+            "value_min": total_min,
             "detail": os.path.basename(detail_path),
         }
     )

@@ -44,24 +44,30 @@ class TestNeedsMore:
 
 class TestEmitTailBudget:
     """r12 output contract (BENCH_r11's `parsed: null` postmortem): the
-    driver keeps only ~2,000 chars of stdout tail, so the final line
-    must stay compact no matter how many headline queries exist, and
-    the full per-query detail must land in bench_full.json."""
+    driver keeps only ~2,000 chars of stdout tail AND parses the final
+    line's ``queries`` dict (per-query medians feed its core-count
+    scaling measurement), so the line must carry queries yet stay
+    inside the tail; only ``queries_min`` (the half whose addition
+    caused the r11 overflow) moves to bench_full.json."""
 
-    def test_compact_line_fits_tail_even_at_double_headline(self, tmp_path):
+    def test_line_carries_queries_and_fits_tail_at_todays_headline(self, tmp_path):
         import json
 
-        # worst-case: twice today's headline count, long names, slow values
-        timings = {f"some_quite_long_query_name_{i:03d}": 12.345 for i in range(100)}
-        minima = {k: 11.111 for k in timings}
+        # real headline names, worst-case 4-char values: the driver-facing
+        # line must parse AND fit the ~2,000-char tail with margin
+        timings = {n: 9.999 for n in bench.HEADLINE}
+        minima = {k: 9.888 for k in timings}
         line = bench.emit(timings, minima, 0.1, str(tmp_path / "full.json"))
-        assert len(line) < 1000  # half the tail budget, with margin
+        assert len(line) < 1900, (
+            "final stdout line outgrew the driver tail budget — trim the "
+            "headline list or re-negotiate the contract before it truncates"
+        )
         parsed = json.loads(line)
         assert parsed["metric"] == "headline_queries_total"
-        assert parsed["value"] == round(12.345 * 100, 3)
-        assert parsed["value_min"] == round(11.111 * 100, 3)
-        assert parsed["n_queries"] == 100
-        assert len(parsed["slowest5"]) == 5
+        assert parsed["queries"] == timings  # driver contract: per-query medians
+        assert parsed["value"] == round(9.999 * len(bench.HEADLINE), 3)
+        assert parsed["value_min"] == round(9.888 * len(bench.HEADLINE), 3)
+        assert parsed["sf"] == 0.1
 
     def test_detail_field_names_the_actual_file(self, tmp_path):
         import json
