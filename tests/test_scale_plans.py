@@ -1835,3 +1835,110 @@ class TestGlobalWindowSweep:
         assert not self._has_global_window(
             "windowspecdefinition(k#4, x#1 ASC NULLS FIRST, " + frame
         )
+
+
+class TestKeyedRangesSmallPath:
+    """r12 optimization: KeyedRanges' scale-adaptive fallback. Below
+    the size threshold (and with num_partitions unpinned) every method
+    must emit the plain keyed-window formulation — no range shuffle,
+    no checkpoint, no stats collect — and match the segmented path's
+    results exactly. The segmented twins above all pin num_partitions,
+    so they keep covering the scaffold."""
+
+    def _df(self, spark, monkeypatch=None):
+        # createDataFrame frames carry Catalyst's unknown-size sentinel
+        # (Long.MaxValue — and projections can scale it PAST 2**63:
+        # Catalyst stats are BigInt), which correctly routes to the
+        # segmented path; tests of the SMALL path raise the threshold
+        # far above the sentinel so the path mechanics are exercised
+        # without IO.
+        if monkeypatch is not None:
+            monkeypatch.setenv("SPARK_GRAFT_SEGSCAN_SMALL_BYTES", str(2**127))
+        rows = [(k, i * 7 + k, k * 100 + i, (k + i) % 3) for k in range(4)
+                for i in range(9)]
+        return spark.createDataFrame(rows, "k int, ts long, id long, v int")
+
+    def test_parquet_input_takes_window_path_by_default(
+        self, spark, tmp_path
+    ):
+        """The realistic case: a parquet-backed frame estimates its
+        file footprint, which at test/bench scale is far under the
+        small-bytes bound — the plain-window path must be chosen with
+        NO env override."""
+        p = str(tmp_path / "kr_small.parquet")
+        self._df(spark).write.parquet(p)
+        df = spark.read.parquet(p)
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], carry_cols=("ts",))
+        assert kr._small is True
+        # no scaffold: the construction frame IS the input (no __pid)
+        assert "__pid" not in kr.frame.columns
+
+    def test_unknown_size_falls_back_to_segmented(self, spark):
+        """createDataFrame input has no size estimate (MaxValue
+        sentinel) — the conservative choice is the segmented path."""
+        kr = scale.KeyedRanges(self._df(spark), "k", ["ts", "id"],
+                               carry_cols=("ts",))
+        assert kr._small is False
+        assert "__pid" in kr.frame.columns
+
+    def test_zero_threshold_forces_segmented(self, spark, monkeypatch, tmp_path):
+        monkeypatch.setenv("SPARK_GRAFT_SEGSCAN_SMALL_BYTES", "0")
+        p = str(tmp_path / "kr_force.parquet")
+        self._df(spark).write.parquet(p)
+        kr = scale.KeyedRanges(spark.read.parquet(p), "k", ["ts", "id"],
+                               carry_cols=("ts",))
+        assert kr._small is False
+        assert "__pid" in kr.frame.columns
+
+    def test_small_results_match_segmented(self, spark, monkeypatch):
+        df = self._df(spark, monkeypatch).withColumn(
+            "maybe", F.when(F.col("id") % 3 == 0, F.col("ts"))
+        )
+        small = scale.KeyedRanges(df, "k", ["ts", "id"],
+                                  carry_cols=("ts", "maybe"))
+        assert small._small
+        seg = scale.KeyedRanges(df, "k", ["ts", "id"],
+                                carry_cols=("ts", "maybe"),
+                                num_partitions=7)
+        assert not seg._small
+
+        def run(kr):
+            f = kr.lag_col(kr.frame, "ts", "lg")
+            f = kr.lead_col(f, "maybe", "nx")
+            f = kr.prefix_sum(f, "v", "ps")
+            f = kr.prefix_max(f, "v", "pm", inclusive=False)
+            f = kr.prefix_last(f, "maybe", "ff")
+            return {
+                (r["k"], r["ts"], r["id"]): (
+                    r["lg"], r["nx"], r["ps"], r["pm"], r["ff"]
+                )
+                for r in f.collect()
+            }
+
+        assert run(small) == run(seg)
+
+    def test_small_path_keeps_error_contract(self, spark, monkeypatch):
+        kr = scale.KeyedRanges(self._df(spark, monkeypatch), "k", ["ts", "id"])
+        assert kr._small
+        with pytest.raises(ValueError, match="carry_cols"):
+            kr.lag_col(kr.frame, "v", "lg")  # v not carried
+        with pytest.raises(ValueError, match="not in frame"):
+            kr.prefix_sum(kr.frame, "nope", "ps")
+        with pytest.raises(ValueError, match="offset must be"):
+            kr.lags(kr.frame, [("ts", "lg", 0)])
+
+    def test_small_deep_lag_matches_window(self, spark, monkeypatch):
+        df = self._df(spark, monkeypatch)
+        kr = scale.KeyedRanges(df, "k", ["ts", "id"], carry_cols=("ts",))
+        assert kr._small
+        f = kr.lags(kr.frame, [("ts", "l1", 1), ("ts", "l3", 3)])
+        w = W.partitionBy("k").orderBy("ts", "id")
+        want = {
+            (r["k"], r["ts"], r["id"]): (r["l1"], r["l3"])
+            for r in df.withColumn("l1", F.lag("ts", 1).over(w))
+            .withColumn("l3", F.lag("ts", 3).over(w))
+            .collect()
+        }
+        got = {(r["k"], r["ts"], r["id"]): (r["l1"], r["l3"])
+               for r in f.collect()}
+        assert got == want

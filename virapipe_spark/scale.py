@@ -492,6 +492,30 @@ def exact_ntile(rn: Column, n: int, k: int) -> Column:
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan — a
+    driver-side, zero-job number (for parquet scans it is the on-disk
+    file footprint propagated through the operators). Returns ``None``
+    when the internal API is unavailable (e.g. Spark Connect)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _segscan_small_bytes() -> int:
+    """Input-size threshold (bytes, est.) below which the segmented
+    scan's scaffold is pure overhead and the plain keyed window already
+    meets the SAME per-task bound the scan enforces: with
+    ``target_rows_per_range`` = 4M rows at ~256 B/row ≈ 1 GiB, an input
+    estimated under this many bytes cannot put more rows in one window
+    task — even if a single key owns ALL of it — than one segmented
+    range is allowed to hold. Env-overridable so a cluster deployment
+    can re-derive it from its executor sizing (and so tests/verification
+    can force the segmented path everywhere with ``=0``)."""
+    return int(os.environ.get("SPARK_GRAFT_SEGSCAN_SMALL_BYTES", str(1 << 30)))
+
+
 class KeyedRanges:
     """Distributed SEGMENTED scan over ``(key, order)`` — the per-KEY
     sibling of :func:`two_phase_rank`/:func:`two_phase_prefix_agg`, for
@@ -533,7 +557,21 @@ class KeyedRanges:
 
     ``order`` must make ``(key, *order)`` a total order (same contract
     as two_phase_rank). ``carry_cols`` names every column whose value
-    :meth:`lag_col` will need from boundary rows."""
+    :meth:`lag_col` will need from boundary rows.
+
+    Scale-adaptive (r12 optimization): when ``num_partitions`` is not
+    pinned and the input's Catalyst size estimate is under
+    :func:`_segscan_small_bytes`, construction skips the scaffold
+    entirely and every method emits the plain
+    ``W.partitionBy(key).orderBy(*order)`` formulation — the exact
+    definitional twin the segmented path is tested against, so results
+    are identical by construction. Below that bound the window path
+    already satisfies the segmented scan's per-task row bound even
+    under total skew (the whole input is smaller than one permitted
+    range), so the scaffold's ~3 extra input passes buy nothing.
+    Setting ``SPARK_GRAFT_SEGSCAN_SMALL_BYTES=0`` forces the segmented
+    path everywhere (verification); passing ``num_partitions`` pins it
+    per call site (tests, skew smokes)."""
 
     def __init__(
         self,
@@ -548,6 +586,28 @@ class KeyedRanges:
         cols = [key, *self.order]
         cols += [c for c in carry_cols if c not in cols]
         self._edge_cols = list(cols)
+        self._dtypes = dict(df.dtypes)
+        self._schema = df.schema
+        # Scale-adaptive path choice (r12, guide §1.2/§2): the scaffold
+        # (range-sampling pass + checkpoint + stats collect) costs ~3
+        # passes over the input before the first window runs. Below the
+        # small-bytes bound a plain keyed window satisfies the identical
+        # per-task row bound (see _segscan_small_bytes), and every
+        # method's small formulation IS the definitional window twin the
+        # segmented path is tested against — bit-identical by
+        # construction. ``num_partitions`` pins the segmented path
+        # unconditionally (tests, skew smokes); an unavailable estimate
+        # falls back to segmented (wrong-toward-slow, never wrong at
+        # scale).
+        if num_partitions is None:
+            est = _plan_size_bytes(df)
+            self._small = est is not None and est <= _segscan_small_bytes()
+        else:
+            self._small = False
+        if self._small:
+            self.frame = df
+            self._pids, self._first, self._last = [], {}, {}
+            return
         edge = F.struct(*[F.col(c) for c in cols])
         self.frame, stats = _adaptive_ranged(
             df,
@@ -560,10 +620,10 @@ class KeyedRanges:
         self._pids = sorted(stats)
         self._first = {p: stats[p]["first"] for p in self._pids}
         self._last = {p: stats[p]["last"] for p in self._pids}
-        self._dtypes = dict(df.dtypes)
-        self._schema = df.schema
 
     def _win(self):
+        if self._small:
+            return W.partitionBy(self.key).orderBy(*self.order)
         return W.partitionBy("__pid", self.key).orderBy(*self.order)
 
     def lag_col(
@@ -611,6 +671,24 @@ class KeyedRanges:
                     f"lag of {c!r} needs it in carry_cols (edge stats "
                     f"carry {self._edge_cols})"
                 )
+        if self._small:
+            # plain keyed window — the definitional twin of the
+            # segmented formulation (same validation so misuse fails
+            # identically on both paths)
+            base_cols = set(self.frame.columns)
+            for c, _o, off in deep:
+                if c not in base_cols:
+                    raise ValueError(
+                        f"deep lag (offset {off}) needs a column of the "
+                        f"construction frame, got derived column {c!r}"
+                    )
+            return frame.select(
+                *frame.columns,
+                *[
+                    F.lag(c, off).over(self._win()).alias(out)
+                    for c, out, off in specs
+                ],
+            )
         kt_t = self._field_type(self.key)
 
         # one Window node: every within-range lag plus (if needed) the
@@ -811,6 +889,8 @@ class KeyedRanges:
                 f"lead of {col!r} needs it in carry_cols (edge stats "
                 f"carry {self._edge_cols})"
             )
+        if self._small:
+            return frame.withColumn(out_col, F.lead(col).over(self._win()))
         rows = []
         for i, p in enumerate(self._pids):
             nxt = self._first[self._pids[i + 1]] if i + 1 < len(self._pids) else None
@@ -864,6 +944,17 @@ class KeyedRanges:
     ) -> DataFrame:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        fn = F.sum if agg == "sum" else F.max
+        if self._small:
+            if value_col not in frame.columns:
+                raise ValueError(
+                    f"prefix aggregate column {value_col!r} not in frame"
+                )
+            end = 0 if inclusive else -1
+            within = fn(value_col).over(
+                self._win().rowsBetween(W.unboundedPreceding, end)
+            )
+            return frame.withColumn(out_col, within)
         spark = frame.sparkSession
         if frame is not self.frame:
             # the tail-totals job and the caller's consumption would
@@ -871,7 +962,6 @@ class KeyedRanges:
             # boundary joins, flag projections) — checkpoint once, both
             # passes read the blocks, freed when the result is dropped
             frame = truncate_lineage(frame, eager=False)
-        fn = F.sum if agg == "sum" else F.max
         kt_t = self._field_type(self.key)
         lk_df = spark.createDataFrame(
             [(p, self._last[p][self.key]) for p in self._pids],
@@ -959,6 +1049,13 @@ class KeyedRanges:
         survive arbitrarily long NULL gaps spanning many ranges."""
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        if self._small:
+            return frame.withColumn(
+                out_col,
+                F.last(value_col, ignorenulls=True).over(
+                    self._win().rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
         spark = frame.sparkSession
         if frame is not self.frame:
             frame = truncate_lineage(frame, eager=False)  # see _prefix_agg
