@@ -151,6 +151,47 @@ class TestPowerIterationDirection:
         cos = abs(v2 @ top) / (np.linalg.norm(v2) * np.linalg.norm(top))
         assert cos > 0.99, cos
 
+    def test_driver_direction_matches_distributed_chain(self, spark):
+        """r12 optimization twin: _power_direction (driver-side PI on
+        the collected Gram — what embed_knn_abtt / embed_abtt_residual
+        now run) must be BIT-IDENTICAL to chaining _pi_step, including
+        the trunc-toward-zero rescale on negative components and the
+        double-division scale derivation."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from virapipe_spark.queries.extensions import (
+            _gram,
+            _pi_step,
+            _power_direction,
+        )
+
+        rng = np.random.RandomState(7)
+        d, n = 16, 120
+        X = rng.randint(-5000, 5000, (n, d))
+        dims = spark.createDataFrame(
+            [
+                (int(i), int(j + 1), int(X[i, j]))
+                for i in range(n)
+                for j in range(d)
+            ],
+            "vec_id LONG, d LONG, qv LONG",
+        )
+        gram = _gram(dims)
+        v0 = (
+            gram.select(F.col("d1").alias("vd"))
+            .distinct()
+            .withColumn("v", F.lit(1).cast("long"))
+        )
+        v2_rows = _pi_step(gram, _pi_step(gram, v0, 10000), 1000).collect()
+        want = {int(r["vd"]): int(r["v"]) for r in v2_rows}
+        want_n2 = sum(v * v for v in want.values())
+        got, got_n2 = _power_direction(
+            _gram(dims, materialize=False), (10000, 1000)
+        )
+        assert got == want
+        assert got_n2 == want_n2
+
 
 class TestRandomProjectionJL:
     def test_distortion_bounded_on_real_pairs(self, spark):

@@ -3406,7 +3406,7 @@ def _vec_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gram(dims: DataFrame) -> DataFrame:
+def _gram(dims: DataFrame, materialize: bool = True) -> DataFrame:
     """Integer Gram matrix X^T X as (d1, d2, g): one vec_id-blocked
     self-join, map-side combined — the only data-sized pass of the
     spectral family; checkpointed because every iteration plus the
@@ -3415,14 +3415,18 @@ def _gram(dims: DataFrame) -> DataFrame:
     (tools/ab_gram.py, embed_abtt_residual end-to-end): checkpoint
     median 2.28 s vs recompute 2.77 s, every paired rep lower — the
     shuffle-aggregate precedent (pagerank edges, setsim sets) holds;
-    contrast the IVF broadcast projection where recompute won."""
+    contrast the IVF broadcast projection where recompute won.
+
+    ``materialize=False`` skips the checkpoint for single-consumer
+    callers (r12: the `_power_direction` collect reads the Gram exactly
+    once — storing blocks nobody re-reads is pure overhead there)."""
     gram = (
         dims.alias("a")
         .join(dims.alias("b"), "vec_id")
         .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("g"))
     )
-    return truncate_lineage(gram, eager=False)
+    return truncate_lineage(gram, eager=False) if materialize else gram
 
 
 def _pi_step(gram: DataFrame, v: DataFrame, out_scale: int) -> DataFrame:
@@ -3441,6 +3445,48 @@ def _pi_step(gram: DataFrame, v: DataFrame, out_scale: int) -> DataFrame:
     return u.crossJoin(F.broadcast(s)).select(
         F.col("d").alias("vd"), F.expr("u div s").alias("v")
     )
+
+
+def _power_direction(
+    gram: DataFrame, scales: tuple[int, ...]
+) -> tuple[dict[int, int], int]:
+    """Driver-side power iteration over the COLLECTED Gram matrix —
+    bit-identical to chaining :func:`_pi_step` (r12 optimization,
+    guide §5: the driver does control-plane work, and the Gram matrix
+    is control-plane by construction — dims² = 64² = 4096 rows at ANY
+    corpus size, the t-digest/BAM-dictionary collect pattern).
+    The distributed chain ran ~8 tiny Spark jobs (per-step G·v joins,
+    scalar-rescale crossJoins, the n² aggregate) over 64-row frames;
+    those jobs cost the same fixed seconds at 100 TB as at sf0.1,
+    which is exactly why they belong on the driver.
+
+    Exactness: G entries and iterates stay within int64 by the rescale
+    envelope (see `embed_abtt_residual`), so Python's exact ints equal
+    Spark's non-overflowing longs; the per-step scale
+    ``s = trunc(double(max|u|) / double(scale)) + 1`` reproduces
+    Spark's double division + cast(long) (same IEEE op on the same
+    operands), and ``u div s`` truncates toward zero (Spark's integer
+    div), NOT Python's floor ``//``. Returns ({d: v}, Σv²) for the
+    final iterate."""
+    rows = gram.collect()  # dims² rows — fixed size, data-independent
+    g: dict[tuple[int, int], int] = {(r["d1"], r["d2"]): r["g"] for r in rows}
+    ds = sorted({d1 for d1, _ in g})
+    v = {d: 1 for d in ds}
+    for out_scale in scales:
+        u = {
+            d1: sum(
+                gv * v[d2] for (gd1, d2), gv in g.items() if gd1 == d1
+            )
+            for d1 in ds
+        }
+        maxabs = max(abs(x) for x in u.values()) if u else 0
+        s = int(float(maxabs) / float(out_scale)) + 1
+        v = {
+            d: (abs(x) // s if x >= 0 else -(abs(x) // s))
+            for d, x in u.items()
+        }
+    n2 = sum(x * x for x in v.values())
+    return v, n2
 
 
 
@@ -3805,36 +3851,40 @@ def embed_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors against a 64-row broadcast direction + a vec_id-keyed
     integer aggregate — linear, map-side combinable, no float
     reduction anywhere."""
+    # r12 optimization: direction + n² computed driver-side from the
+    # collected (dims²-sized, control-plane) Gram and inlined as
+    # literals; per-vector moments reduce each row's own q array — see
+    # embed_knn_abtt for the full rationale. Bit-identical: exact
+    # integer sums reassociate, and _power_direction reproduces
+    # _pi_step's rescale op-for-op.
     dims = _vec_dims(spark, sf_dir)
-    gram = _gram(dims)
-    v0 = (
-        gram.select(F.col("d1").alias("vd"))
-        .distinct()
-        .withColumn("v", F.lit(1).cast("long"))
+    v2m, n2 = _power_direction(_gram(dims, materialize=False), (_QUANT, 1000))
+    v2arr = F.array(
+        *[F.lit(v2m.get(d, 0)).cast("long") for d in range(1, _PI_DIMS + 1)]
     )
-    v1 = _pi_step(gram, v0, _QUANT)
-    v2 = _pi_step(gram, v1, 1000).select(
-        F.col("vd").alias("d"), F.col("v")
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), v2arr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
-    per = (
-        dims.join(F.broadcast(v2), "d")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("qv") * F.col("v")).cast("long").alias("dot"),
-            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("qn2"),
-        )
+    qn2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    return (
-        per.crossJoin(F.broadcast(n2))
-        .select(
-            "vec_id",
-            "dot",
-            (F.col("qn2") * F.col("n2") - F.col("dot") * F.col("dot")).alias(
-                "res_num"
-            ),
-            F.expr(_ABTT_RATIO).alias("res_ratio"),
-        )
+    per = _quantized(spark, sf_dir).select(
+        "vec_id",
+        dot.alias("dot"),
+        qn2.alias("qn2"),
+        F.lit(n2).cast("long").alias("n2"),
+    )
+    return per.select(
+        "vec_id",
+        "dot",
+        (F.col("qn2") * F.col("n2") - F.col("dot") * F.col("dot")).alias(
+            "res_num"
+        ),
+        F.expr(_ABTT_RATIO).alias("res_ratio"),
     )
 
 
@@ -3990,25 +4040,36 @@ def embed_knn_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moments ride the same row, so ABTT correction at 100 TB costs
     one extra broadcast join — not a second vector pass. IVF/LSH
     candidate generation composes in front unchanged."""
+    # r12 optimization: the spectral chain up to the direction is
+    # control-plane-sized (Gram = dims² rows regardless of corpus), so
+    # the two power-iteration rounds run driver-side on the collected
+    # Gram (_power_direction — bit-identical integer math) and the
+    # direction comes back as a 64-element LITERAL array. The
+    # per-vector moments then reduce over each row's own q array —
+    # no posexplode, no dims join, no vec_id re-aggregation shuffle,
+    # and no join-back onto _quantized (the moments ride the same
+    # projection). Plan: 10 jobs -> 3, the 1987-line physical plan
+    # collapses to ~40 lines; measured 3.1 s -> ~1 s at sf0.1 with the
+    # same oracle hash. Integer sums reassociate exactly, so the
+    # array-order reduction equals the exploded groupBy sum.
     dims = _vec_dims(spark, sf_dir)
-    gram = _gram(dims)
-    v0 = (
-        gram.select(F.col("d1").alias("vd"))
-        .distinct()
-        .withColumn("v", F.lit(1).cast("long"))
+    v2m, n2 = _power_direction(_gram(dims, materialize=False), (_QUANT, 1000))
+    v2arr = F.array(
+        *[F.lit(v2m.get(d, 0)).cast("long") for d in range(1, _PI_DIMS + 1)]
     )
-    v1 = _pi_step(gram, v0, _QUANT)
-    v2 = _pi_step(gram, v1, 1000).select(F.col("vd").alias("d"), "v")
-    n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
-    per = (
-        dims.join(F.broadcast(v2), "d")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("qv") * F.col("v")).cast("long").alias("dv"),
-            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("qn2"),
-        )
+    dv = F.aggregate(
+        F.zip_with(F.col("q"), v2arr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    vecs = _quantized(spark, sf_dir).select("vec_id", "q").join(per, "vec_id")
+    qn2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vecs = _quantized(spark, sf_dir).select(
+        "vec_id", "q", dv.alias("dv"), qn2.alias("qn2")
+    )
     queries = vecs.filter(F.col("vec_id") < _N_QUERIES).alias("a")
     corpus = vecs.alias("b")
     dab = F.aggregate(
@@ -4019,11 +4080,10 @@ def embed_knn_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("a.vec_id") != F.col("b.vec_id"))
-        .crossJoin(F.broadcast(n2))
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            "n2",
+            F.lit(n2).cast("long").alias("n2"),
             dab.cast("long").alias("dab"),
             F.col("a.dv").alias("da"),
             F.col("b.dv").alias("db"),
