@@ -1942,3 +1942,47 @@ class TestKeyedRangesSmallPath:
         got = {(r["k"], r["ts"], r["id"]): (r["l1"], r["l3"])
                for r in f.collect()}
         assert got == want
+
+
+class TestSpreadScan:
+    """r12 optimization: scale-adaptive scan spreading. A small
+    parquet-backed frame (single file, one row group → one scan task)
+    must be round-robin repartitioned to defaultParallelism so the map
+    stage above it parallelizes; anything above the byte bound, or of
+    unknown size, must pass through UNCHANGED (no data-sized payload
+    shuffle at scale)."""
+
+    def test_small_parquet_is_spread(self, spark, tmp_path):
+        p = str(tmp_path / "spread_small.parquet")
+        spark.range(100).write.parquet(p)
+        df = spark.read.parquet(p)
+        out = scale.spread_scan(df)
+        assert out is not df
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        # round-robin only moves rows, never changes them
+        assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+    def test_explicit_num_partitions(self, spark, tmp_path):
+        p = str(tmp_path / "spread_n.parquet")
+        spark.range(50).write.parquet(p)
+        out = scale.spread_scan(spark.read.parquet(p), num=7)
+        assert out.rdd.getNumPartitions() == 7
+
+    def test_large_input_passes_through(self, spark, tmp_path, monkeypatch):
+        """Above the bound the split planner already spreads the scan —
+        the helper must be a no-op (threshold forced to 0 to simulate
+        'large' without writing gigabytes)."""
+        monkeypatch.setenv("SPARK_GRAFT_SPREAD_SMALL_BYTES", "0")
+        p = str(tmp_path / "spread_large.parquet")
+        spark.range(10).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert scale.spread_scan(df) is df
+
+    def test_unknown_size_passes_through(self, spark):
+        """createDataFrame frames carry Catalyst's MaxValue sentinel
+        (unknown = possibly huge) — never spread those."""
+        df = spark.createDataFrame([(1,)], "x int")
+        assert scale.spread_scan(df) is df

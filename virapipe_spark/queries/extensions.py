@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
-from virapipe_spark.scale import truncate_lineage, two_phase_rank
+from virapipe_spark.scale import spread_scan, truncate_lineage, two_phase_rank
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 
 # ---------------------------------------------------------------------------
@@ -54,9 +54,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda references it: inlined, the split expression is re-evaluated
     for each of the 3 element_at calls of every gram (O(tokens²) per
     doc — measured 5× slower at sf0.1)."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("__toks")
-    )
+    # r12: spread the raw (doc_id, text) rows BEFORE tokenizing so the
+    # shingling map stage parallelizes on small single-split inputs
+    # (spread_scan is a no-op at scale); repartitioning text, not the
+    # wider token arrays, keeps the one bounded exchange narrow.
+    d = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
     t = F.col("__toks")
     grams = F.when(
         F.size(t) >= 3,
@@ -280,7 +284,10 @@ def _minhash_sig_bands(
     parameter existed."""
     if docs is None:
         docs = table(spark, sf_dir, "documents")
-    d = docs.select(
+    # r12: the shingling + 16-md5-per-shingle signature map stage
+    # inherits the scan's parallelism — spread small inputs (no-op at
+    # scale; min-aggregates downstream are order-insensitive)
+    d = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.col("text"), " ").alias("__toks")
     )
     t = F.col("__toks")
@@ -1913,9 +1920,11 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc, gram) pairs, never doc-pairs. The keep verdict is an
     integer comparison (n_boiler <= 0.3 * n_tokens) so no float
     boundary can flip it cross-engine."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
+    # r12: spread small inputs before the gram-explode map stage (see
+    # spread_scan); counts/distinct downstream are order-insensitive
+    d = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     grams = d.filter(F.size("toks") >= 3).select(
         "doc_id",
         F.posexplode(
@@ -2944,7 +2953,9 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus tokens. Both aggregations are plain hash-aggs; the pair
     alphabet (<=26^2 + boundary chars) keeps the final shuffle tiny.
     All counts are exact integers — hash-stable cross-engine."""
-    words = table(spark, sf_dir, "documents").select(
+    # r12: spread small inputs before the tokenize/explode map stage
+    # (see spread_scan); integer counts downstream
+    words = spread_scan(table(spark, sf_dir, "documents").select("text")).select(
         F.explode(
             F.split(F.lower(F.col("text")), "[^a-z]+")
         ).alias("w")
@@ -4613,9 +4624,12 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-doc ordered window (partition = document). Linear end to
     end; at 100 TB the dup-fingerprint table is the only global state
     and it shrinks with the duplication rate."""
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.split("text", " ").alias("toks")
-    )
+    # r12: spread small inputs before the window-fingerprint map stage
+    # (md5 per 8-token window, scan-rooted — one task on a single-split
+    # file); no-op at scale, aggregates all integer/count
+    t = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "text", F.split("text", " ").alias("toks"))
     wins = (
         t.filter(F.size("toks") >= 8)
         .select(
@@ -6297,7 +6311,9 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel per document shard and term-partitioned
     posting lists would serve the same plan incrementally.
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r12: spread small inputs before the posting-explode map stage
+    # (see spread_scan); the downstream agg is an integer offset count
+    d = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
     dim = spark.createDataFrame(
         [
             (pid, off, term, len(words))
@@ -6680,7 +6696,11 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text copies never outlive their stage. Dedup is one hash-keyed
     partial-aggregated count — the exact_dedup cost model at chunk
     grain. Mergeable: per-shard chunk stores union by hash."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r12: the per-position md5 gate is the heaviest map stage in the
+    # bench and runs at the scan's parallelism — spread small inputs
+    # (no-op at scale; every downstream agg is count/sum-of-int or a
+    # sort_array'd collect_list, partition-order-insensitive)
+    d = spread_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
     # >= 9, not >= 8: at length 8 the candidate range [2, len-7] = [2, 1]
     # is EMPTY in the oracle (generate_series(2, 1) -> no rows) but
     # Spark's sequence(2, 1) DESCENDS ([2, 1], default step -1), which

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from virapipe_spark import functions as vf
 from virapipe_spark.catalog import query, table
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
+from virapipe_spark.scale import spread_scan
 
 
 # ---------------------------------------------------------------------------
@@ -106,8 +107,13 @@ def _kmer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     one k-mer, not len-k of them)."""
     d = table(spark, sf_dir, "documents")
     n = F.length("text") - F.lit(_K - 1)
+    # r12: the position explode multiplies rows x(len-k+1) ABOVE the
+    # scan, so its parallelism is the scan's — one task on a small
+    # single-row-group file. spread_scan re-spreads small inputs
+    # (measured 3.2 s -> 0.7 s at sf0.1); no-op at scale. Downstream
+    # aggs are count/min — partition-order-insensitive.
     return (
-        d.filter(n > 0)
+        spread_scan(d.filter(n > 0).select("doc_id", "text"))
         .select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("g"))
         .select("doc_id", F.expr(f"substring(text, g, {_K})").alias("kmer"))
     )
@@ -853,8 +859,10 @@ def virapipe_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dq = q.join(dedup_ids, "doc_id", "left_semi")
     n = F.length("text") - F.lit(_K - 1)
+    # r12: spread the surviving rows before the k-mer explode — the
+    # chain's heaviest map stage (see _kmer_explode / scale.spread_scan)
     km = (
-        dq.filter(n > 0)
+        spread_scan(dq.filter(n > 0).select("doc_id", "text"))
         .select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("g"))
         .select("doc_id", F.expr(f"substring(text, g, {_K})").alias("kmer"))
     )

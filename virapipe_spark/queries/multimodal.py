@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from virapipe_spark.catalog import query, table
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
-from virapipe_spark.scale import truncate_lineage
+from virapipe_spark.scale import spread_scan, truncate_lineage
 
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,7 +1572,12 @@ def multimodal_sobel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from virapipe_spark import multimodal as mm
 
-    d = table(spark, sf_dir, "documents").select(
+    # r12: spread small inputs so the codec round-trip (Arrow
+    # boundary) and the 9x pixel scatter parallelize past the scan's
+    # single split (see scale.spread_scan); energy sums are exact int64
+    d = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.substring(
             F.concat(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from virapipe_spark.catalog import query, table
 from virapipe_spark.queries.staged import staged_r7, staged_r8, staged_r9
 from virapipe_spark import streaming as vstream
-from virapipe_spark.scale import KeyedRanges, truncate_lineage
+from virapipe_spark.scale import KeyedRanges, spread_scan, truncate_lineage
 
 _DAY_US = 86_400_000_000
 
@@ -1946,8 +1946,12 @@ def events_tdigest_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("long")
     shard = F.pmod(F.hash("user_id"), F.lit(8)).cast("int")
+    # r12: spread small inputs so the pre-aggregation map stage is not
+    # serialized on the scan's split count (see scale.spread_scan);
+    # counts are order-insensitive and the digest build sorts its
+    # (value, weight) pairs, so partitioning cannot move the output
     src = (
-        ev.select(day.alias("day"), shard.alias("shard"), F.col("value"))
+        spread_scan(ev.select(day.alias("day"), shard.alias("shard"), F.col("value")))
         .groupBy("day", "shard", "value")
         .agg(F.count("*").cast("double").alias("w"))
     )

@@ -516,6 +516,46 @@ def _segscan_small_bytes() -> int:
     return int(os.environ.get("SPARK_GRAFT_SEGSCAN_SMALL_BYTES", str(1 << 30)))
 
 
+def _spread_small_bytes() -> int:
+    """Input-size bound (bytes, est.) under which :func:`spread_scan`
+    re-spreads a scan. Default 256 MiB: Spark's file-split packing
+    floors each split at ``spark.sql.files.openCostInBytes`` (4 MiB),
+    so an input under ~cores x 4 MiB plans to a handful of scan tasks
+    (a single small parquet file with one row group plans to ONE), and
+    the whole map stage above it — explodes, shingling, hashing —
+    runs serially no matter how many cores the session has. Below this
+    bound one round-robin exchange of the base rows is strictly
+    bounded (<= 256 MiB crosses the wire once) and unlocks full map
+    parallelism; above it, the split planner already spreads the scan
+    and the exchange would be a data-sized payload shuffle — so the
+    helper is a no-op. Env-overridable per deployment."""
+    return int(os.environ.get("SPARK_GRAFT_SPREAD_SMALL_BYTES", str(1 << 28)))
+
+
+def spread_scan(df: DataFrame, num: int | None = None) -> DataFrame:
+    """Scale-adaptive scan spreading (r12 optimization, guide §2.5
+    input-skew / §6 small-files): round-robin repartition ``df`` to
+    ``num`` (default ``defaultParallelism``) partitions when its
+    Catalyst size estimate is under :func:`_spread_small_bytes`,
+    else return it unchanged.
+
+    Use on the SOURCE frame of a heavy map stage (position explodes,
+    shingling, per-row hashing), after any pushable filters — placing
+    it above the scan would block predicate pushdown. Only safe where
+    downstream aggregation is partition-order-insensitive (integer
+    sums/counts/min/max, distinct) or deterministically re-sorted —
+    float accumulation order changes with partitioning.
+
+    Frames whose size Catalyst cannot estimate (the MaxValue sentinel
+    on createDataFrame/RDD inputs, or no estimate at all) are left
+    unchanged — unknown means possibly huge, and the failure mode of
+    not spreading is slow, never wrong."""
+    est = _plan_size_bytes(df)
+    if est is None or est > _spread_small_bytes():
+        return df
+    return df.repartition(num or df.sparkSession.sparkContext.defaultParallelism)
+
+
 class KeyedRanges:
     """Distributed SEGMENTED scan over ``(key, order)`` — the per-KEY
     sibling of :func:`two_phase_rank`/:func:`two_phase_prefix_agg`, for
