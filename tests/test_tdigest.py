@@ -178,3 +178,55 @@ class TestWeightedBuild:
         m, w = td.build_weighted(np.array([3.0]), np.array([250.0]))
         assert td.quantile(m, w, 0.5) == 3.0
         assert w.sum() == 250.0
+
+
+class TestScalarKPathBitIdentity:
+    """r12 optimization: _merge_pass evaluates k once per input point,
+    so it uses a scalar fast path (np.arcsin on a Python float) instead
+    of building a 1-element ndarray per point. These tests pin the two
+    invariants that make that a pure speedup: numpy's float64 arcsin is
+    bit-identical across its scalar and array code paths, and the whole
+    pass is byte-identical to the array-at-a-time reference form."""
+
+    def test_numpy_arcsin_scalar_equals_array_path(self):
+        xs = np.linspace(-1.0, 1.0, 40001)
+        batch = np.arcsin(xs)  # array (SIMD) path
+        scalar = np.array([float(np.arcsin(float(x))) for x in xs])
+        assert np.array_equal(batch, scalar)
+
+    def test_merge_pass_matches_array_reference(self):
+        def reference(means, weights, delta):
+            # the pre-r12 array-at-a-time form, verbatim
+            total = float(weights.sum())
+            out_m, out_w = [], []
+            cur_m = float(means[0])
+            cur_w = float(weights[0])
+            q_left = 0.0
+            k_left = float(td._k(np.array([0.0]), delta)[0])
+            for i in range(1, len(means)):
+                w = float(weights[i])
+                q_right = (q_left * total + cur_w + w) / total
+                if td._k(np.array([q_right]), delta)[0] - k_left <= 1.0:
+                    cur_m += (means[i] - cur_m) * (w / (cur_w + w))
+                    cur_w += w
+                else:
+                    out_m.append(cur_m)
+                    out_w.append(cur_w)
+                    q_left += cur_w / total
+                    k_left = float(td._k(np.array([q_left]), delta)[0])
+                    cur_m = float(means[i])
+                    cur_w = w
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            return np.array(out_m), np.array(out_w)
+
+        rng = np.random.default_rng(77)
+        for _ in range(10):
+            n = int(rng.integers(2, 3000))
+            v = np.sort(rng.normal(0, 100, n))
+            w = rng.integers(1, 40, n).astype(np.float64)
+            for delta in (50.0, 200.0):
+                rm, rw = reference(v, w, delta)
+                nm, nw = td._merge_pass(v, w, delta)
+                assert np.array_equal(rm, nm)
+                assert np.array_equal(rw, nw)
