@@ -166,8 +166,14 @@ class TestPlanProperties:
             # (join_bloom_prefilter left this set in r8: the single-pass
             # rewrite folds all four count branches into one aggregate —
             # no crossJoin remains; tools/ab_bloom_singlepass.py)
+            # (embed_abtt_residual left this set in r12: the power
+            # iteration runs driver-side on the collected 64x64 Gram, so
+            # the direction is a LITERAL — no rescale crossJoin and no
+            # direction broadcast remain; the residual moments reduce
+            # each row's own array. embed_knn_abtt keeps its exemption:
+            # its final query x corpus stage is still the brute-force
+            # 10-row broadcast NLJ on the != condition.)
             "embed_power_iteration",
-            "embed_abtt_residual",
             "embed_knn_abtt",
             "docs_bm25_rank",
             "docs_minhash_recall",
@@ -362,11 +368,26 @@ class TestPlanProperties:
 
     def test_kmer_agg_is_fused_single_shuffle(self, spark):
         """explode -> count must shuffle once, with map-side partials —
-        shuffle bytes bounded by distinct kmers, not exploded rows."""
+        shuffle bytes bounded by distinct kmers, not exploded rows.
+        The r12 `spread_scan` round-robin adds one Exchange BELOW the
+        explode (it moves compact pre-explode scan rows, small by the
+        spread gate's own size bound, and only fires under it); the
+        invariant is that exploded rows still cross exactly one
+        hash-partitioned shuffle, as map-side partials."""
         df = catalog.QUERIES["kmer_count_band"](spark, SF_DIR)
         p = _plan(df)
-        assert p.count("Exchange") == 1
+        hash_ex = p.count("Exchange hashpartitioning")
+        rr_ex = p.count("Exchange RoundRobinPartitioning")
+        assert hash_ex == 1, p
+        assert p.count("Exchange") == hash_ex + rr_ex, p
         assert "partial_count" in p
+        # the round-robin spread (if it fired) must sit below the
+        # explode: no exploded row crosses it (the tree prints the
+        # downstream operator first, so upstream = larger index)
+        if rr_ex:
+            assert p.index("Generate explode") < p.index(
+                "Exchange RoundRobinPartitioning"
+            ), "spread must be below the explode"
 
     def test_minhash_signatures_single_pass(self, spark):
         """All 16 min-aggregates must compute in one aggregation, not 16
