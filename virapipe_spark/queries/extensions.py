@@ -1219,23 +1219,54 @@ def _ivf_assign_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the _IVF_C broadcast centroids, kept to crn<=nprobe. Module
     level so tests/test_scale_plans.py asserts the broadcast property on
     the PRODUCTION pipeline (the checkpoint in embed_knn_ivf truncates
-    the visible plan at a Scan ExistingRDD, hiding the join strategy)."""
+    the visible plan at a Scan ExistingRDD, hiding the join strategy).
+
+    r12 (guide §2.4): the centroid table rides as ONE broadcast row
+    holding the (cid, cq) struct array, and the per-vector top-nprobe
+    is computed IN the map stage — score all C centroids with a
+    ``transform``, ``array_sort`` the (-dot, cid) structs (identical
+    ordering to the old ``row_number() OVER (ORDER BY dot DESC, cid)``
+    tie-break), slice nprobe, posexplode. The old shape crossJoined C
+    centroid ROWS (inflating the corpus C-fold) and then paid a
+    corpus-sized Exchange + Sort + Window on vec_id to rank them —
+    a full shuffle of every (64-long q, C candidates) row that at
+    100 TB re-moves the entire corpus once per consumer. Same
+    compute bound (C dots per vector), zero shuffle."""
     qdf = _quantized(spark, sf_dir)
-    cent = qdf.filter(F.col("vec_id") < _IVF_C).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    cent_arr = (
+        qdf.filter(F.col("vec_id") < _IVF_C)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cq"))).alias("cents"))
     )
-    dot_c = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -F.aggregate(
+                    F.zip_with(F.col("q"), c["cq"], lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nd"),
+            c["cid"].alias("cid"),
+        ),
     )
-    wc = W.partitionBy("vec_id").orderBy(F.col("__dot").desc(), "cid")
+    top = F.slice(F.array_sort(scored), 1, max(_IVF_PROBE, 1))
     return (
-        qdf.crossJoin(F.broadcast(cent))
-        .withColumn("__dot", dot_c)
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= F.lit(max(_IVF_PROBE, 1)))
-        .select("vec_id", "q", "qnorm", "cid", "crn")
+        qdf.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "q",
+            "qnorm",
+            F.posexplode(top).alias("pos", "t"),
+        )
+        .select(
+            "vec_id",
+            "q",
+            "qnorm",
+            F.col("t.cid").alias("cid"),
+            (F.col("pos") + 1).alias("crn"),
+        )
     )
 
 
@@ -1338,6 +1369,12 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, mode: str = "checkpoint") -> Dat
     probes = assign_scored.filter(
         (F.col("vec_id") < _N_QUERIES) & (F.col("crn") <= _IVF_PROBE)
     ).select("vec_id", "q", "qnorm", "cid")
+    # explicit hint (guide §3.1): probes is N_QUERIES x nprobe rows by
+    # construction, but the r12 array-form assignment puts a
+    # Generate+BNLJ above the scan and Catalyst's size estimate blows
+    # up — without the hint the candidate join planned as a SortMergeJoin
+    # that shuffled the CORPUS side by cid
+    probes = F.broadcast(probes)
     a, b = probes.alias("a"), assign.alias("b")
     scored = a.join(
         b, (F.col("a.cid") == F.col("b.cid")) & (F.col("b.vec_id") != F.col("a.vec_id"))

@@ -1421,24 +1421,51 @@ def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _order_pair_counts(li: DataFrame) -> DataFrame:
+def _order_pair_counts(
+    li: DataFrame, distinct_parts: bool = False
+) -> DataFrame:
     """(pa, pb, support) for every ordered part pair co-occurring in an
     order — the shared pair stage of the co-purchase graph family
     (triangle count, PageRank, association rules). Blocks on the order
     key (pairs per order bounded by basket size², never corpus size);
     callers choose the input grain (raw lineitem = line-pair support,
-    ``.distinct()`` rows = distinct-order support) and the support
-    threshold."""
-    a, b = li.alias("a"), li.alias("b")
+    ``distinct_parts=True`` or pre-``.distinct()`` rows = distinct-order
+    support) and the support threshold.
+
+    r12 (guide §2.3/§2.4): baskets instead of a self-join. The old
+    form shuffled ``li`` TWICE (both sides of the orderkey equi-join)
+    and inflated to basket² rows *before* the pair aggregate's map
+    side. Now one ``groupBy(l_orderkey).collect_list`` shuffle builds
+    the basket (map-side partial collects), pairs expand from the
+    array in the map stage of the pair aggregate, and partial counts
+    bound that shuffle by the pair domain. Same basket-size² compute
+    bound, two data-sized exchanges instead of four, no join.
+    ``distinct_parts=True`` folds the caller's per-order
+    ``.distinct()`` into the same shuffle via ``collect_set``
+    (distinct over (l_orderkey, l_partkey) IS per-basket dedup).
+    Pair semantics are value-based (``pa < pb``), identical to the
+    old ``a.l_partkey < b.l_partkey`` join condition: duplicate parts
+    within an order multiply line-pair support exactly as the
+    multiset self-join did, and never pair with themselves."""
+    collect = F.collect_set if distinct_parts else F.collect_list
+    baskets = li.groupBy("l_orderkey").agg(
+        collect("l_partkey").alias("__parts")
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "__parts",
+                lambda x: F.transform(
+                    "__parts",
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        ),
+        lambda p: p["pa"] < p["pb"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("support"))
     )
 
@@ -1696,13 +1723,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison bitwise, per the graph.pagerank docstring."""
     from virapipe_spark.graph import pagerank
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # distinct-order grain via collect_set: the per-order dedup rides
+    # the basket shuffle instead of paying its own exchange (r12)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     und = (
-        _order_pair_counts(li)
+        _order_pair_counts(li, distinct_parts=True)
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
@@ -2027,13 +2052,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     support >= 2 sparsifies before any iteration)."""
     from virapipe_spark.graph import bfs_hops
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # distinct-order grain via collect_set (see graph_pagerank note)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     und = (
-        _order_pair_counts(li)
+        _order_pair_counts(li, distinct_parts=True)
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
