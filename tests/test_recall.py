@@ -192,6 +192,36 @@ class TestPowerIterationDirection:
         assert got == want
         assert got_n2 == want_n2
 
+    def test_arrow_gram_bit_equals_join_gram(self, spark):
+        """r12 optimization twin: _gram_arrow (zero-join — each task
+        matmuls its own Arrow batches, X.T @ X in exact int64, one
+        dims^2 partial per task) must reproduce the join-form Gram over
+        the REAL quantized table bit-for-bit — integer matmul and sums
+        reassociate, so any difference is a bug, not tolerance."""
+        from pyspark.sql import functions as F
+
+        from virapipe_spark.queries.extensions import (
+            _gram,
+            _gram_arrow,
+            _quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        dims = (
+            _quantized(spark, sf)
+            .select("vec_id", F.posexplode("q").alias("pos", "qv"))
+            .select("vec_id", (F.col("pos") + 1).alias("d"), "qv")
+        )
+        want = {
+            (r["d1"], r["d2"]): r["g"]
+            for r in _gram(dims, materialize=False).collect()
+        }
+        got = {
+            (r["d1"], r["d2"]): r["g"]
+            for r in _gram_arrow(spark, sf, materialize=False).collect()
+        }
+        assert got == want
+
 
 class TestRandomProjectionJL:
     def test_distortion_bounded_on_real_pairs(self, spark):

@@ -462,6 +462,20 @@ class TestPlanProperties:
             # r7 (staged r8): BMP decode to coordinate pixel rows is the
             # codec boundary; the Sobel scatter is a JVM explode+groupBy
             "multimodal_sobel_energy",
+            # r12 (sweep extended to FlatMapGroupsInPandas — these two
+            # were already-designed boundaries the old pattern list
+            # missed, not new ones): the t-digest build/merge is the
+            # sketch boundary, DOMAIN-sized by the r12 pre-aggregation
+            # (measured: 10.0M -> 685k boundary rows at the 10x synth);
+            # ALS's per-user/item least-squares solve is grouped numpy
+            # on k x k normal equations (k=8), group-bounded.
+            "events_tdigest_daily_merge",
+            "embed_als_factorize",
+            # (r12 note: the spectral family's _gram_arrow matmul
+            # boundary does NOT appear in entry plans — it runs at
+            # plan-build time under _power_direction's control-plane
+            # collect, or behind embed_power_iteration's checkpoint —
+            # its bit-equality twin is tests/test_recall.py)
         }
     # r7 process fix: audit staged entries pre-flip too (the r6 red
     # test came from this sweep missing the staged set).
@@ -470,11 +484,20 @@ class TestPlanProperties:
     def test_no_python_row_udfs(self, spark, plan_cache, name):
         """Per-entry sweep over live + staged (see ALLOWED_PANDAS
         above); shares the session plan cache with the cartesian
-        sweep."""
+        sweep. r12: the sweep now also catches MapInArrow and
+        FlatMapGroupsInPandas (applyInPandas) nodes — previously only
+        ArrowEvalPython/MapInPandas were matched, so grouped-pandas
+        and Arrow-iterator boundaries escaped the audit entirely."""
         p = _entry_plan(plan_cache, name)
         assert "BatchEvalPython" not in p, name
         if name not in self.ALLOWED_PANDAS:
-            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, name
+            for node in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "MapInArrow",
+                "FlatMapGroupsInPandas",
+            ):
+                assert node not in p, (name, node)
 
 
 class TestTwoPhaseRank:

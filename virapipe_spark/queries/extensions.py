@@ -3443,17 +3443,6 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PI_DIMS = 64
 
 
-def _vec_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized embeddings position-exploded to (vec_id, d, qv) — the
-    relational form the spectral operators aggregate over (integer
-    products only; no float reduction anywhere)."""
-    return (
-        _quantized(spark, sf_dir)
-        .select("vec_id", F.posexplode("q").alias("pos", "qv"))
-        .select("vec_id", (F.col("pos") + 1).alias("d"), "qv")
-    )
-
-
 def _gram(dims: DataFrame, materialize: bool = True) -> DataFrame:
     """Integer Gram matrix X^T X as (d1, d2, g): one vec_id-blocked
     self-join, map-side combined — the only data-sized pass of the
@@ -3474,6 +3463,58 @@ def _gram(dims: DataFrame, materialize: bool = True) -> DataFrame:
         .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("g"))
     )
+    return truncate_lineage(gram, eager=False) if materialize else gram
+
+
+def _gram_arrow(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """ZERO-JOIN Gram over the production quantized table (r12, guide
+    §2.4 + §4.2): ``G[d1][d2] = Σ_v q[d1]·q[d2]`` needs no pairing of
+    rows ACROSS vectors, so the self-join of the position-exploded
+    table — which shuffled corpus×dims rows TWICE (both join sides
+    keyed on vec_id) before the map-side combine — was pure data
+    movement. Instead each task hands its Arrow batches to numpy
+    (``X.T @ X``, exact int64 matmul — the §4.2 "vectorized native
+    library inside the boundary" pattern; only the ``q`` column
+    crosses) and emits ONE dims²-row partial per task; the final
+    aggregate shuffles dims² × tasks rows regardless of corpus size.
+    Exactness: integer matmul and integer sums reassociate freely, so
+    this is BIT-equal to the join form — asserted on the real table in
+    tests/test_recall.py, and the interpreted-HOF row-wise alternative
+    measured SLOWER than the join (1.14 s vs 0.86 s — 64 aggregate
+    fields fall out of whole-stage codegen), which is why the boundary
+    is the right tool here: join 0.86 s → arrow 0.45 s at sf0.1.
+    :func:`_gram` keeps the generic (vec_id, d, qv)-frame interface
+    for synthetic-frame tests and the distributed `_pi_step` twins."""
+    import numpy as np
+    import pyarrow as pa
+
+    q = _quantized(spark, sf_dir).select("q")
+
+    def part(batches):
+        G = None
+        for b in batches:
+            col = b.column(0)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten()
+            X = flat.to_numpy(zero_copy_only=False).reshape(len(col), -1)
+            g = X.T @ X
+            G = g if G is None else G + g
+        if G is not None:
+            d = G.shape[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(np.arange(1, d + 1), d), pa.int64()),
+                    pa.array(np.tile(np.arange(1, d + 1), d), pa.int64()),
+                    pa.array(G.ravel(), pa.int64()),
+                ],
+                names=["d1", "d2", "g"],
+            )
+
+    parts = q.mapInArrow(part, "d1 long, d2 long, g long")
+    gram = parts.groupBy("d1", "d2").agg(F.sum("g").cast("long").alias("g"))
     return truncate_lineage(gram, eager=False) if materialize else gram
 
 
@@ -3604,8 +3645,7 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count). Iterations then touch dims²-sized frames only — no
     driver loop over data, no collect; deeper iteration counts chain
     the same tiny join (checkpoint cadence as in graph.pagerank)."""
-    dims = _vec_dims(spark, sf_dir)
-    gram = _gram(dims)
+    gram = _gram_arrow(spark, sf_dir)
     v0 = (
         gram.select(F.col("d1").alias("vd"))
         .distinct()
@@ -3905,8 +3945,9 @@ def embed_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embed_knn_abtt for the full rationale. Bit-identical: exact
     # integer sums reassociate, and _power_direction reproduces
     # _pi_step's rescale op-for-op.
-    dims = _vec_dims(spark, sf_dir)
-    v2m, n2 = _power_direction(_gram(dims, materialize=False), (_QUANT, 1000))
+    v2m, n2 = _power_direction(
+        _gram_arrow(spark, sf_dir, materialize=False), (_QUANT, 1000)
+    )
     v2arr = F.array(
         *[F.lit(v2m.get(d, 0)).cast("long") for d in range(1, _PI_DIMS + 1)]
     )
@@ -4100,8 +4141,9 @@ def embed_knn_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses to ~40 lines; measured 3.1 s -> ~1 s at sf0.1 with the
     # same oracle hash. Integer sums reassociate exactly, so the
     # array-order reduction equals the exploded groupBy sum.
-    dims = _vec_dims(spark, sf_dir)
-    v2m, n2 = _power_direction(_gram(dims, materialize=False), (_QUANT, 1000))
+    v2m, n2 = _power_direction(
+        _gram_arrow(spark, sf_dir, materialize=False), (_QUANT, 1000)
+    )
     v2arr = F.array(
         *[F.lit(v2m.get(d, 0)).cast("long") for d in range(1, _PI_DIMS + 1)]
     )
