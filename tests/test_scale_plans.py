@@ -471,6 +471,13 @@ class TestPlanProperties:
             # on k x k normal equations (k=8), group-bounded.
             "events_tdigest_daily_merge",
             "embed_als_factorize",
+            # r12: the PQ encode (argmin-L2 codeword per row x block)
+            # moved from ~1k interpreted HOF lambdas per row to a
+            # vectorized exact-int64 numpy argmin per Arrow batch
+            # against the driver-collected control-plane codebook —
+            # the FAISS-shaped boundary; tie-break twin-checked by the
+            # unchanged oracle hash
+            "embed_knn_pq",
             # (r12 note: the spectral family's _gram_arrow matmul
             # boundary does NOT appear in entry plans — it runs at
             # plan-build time under _power_direction's control-plane

@@ -2513,28 +2513,68 @@ def embed_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = _quantized(spark, sf_dir)
     cbrow = _pq_codebook_row(qdf)
 
-    def codes_col() -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(_PQ_M)),
-            lambda m: F.array_min(
-                F.transform(
-                    F.col("cbs"),
-                    lambda c: F.struct(
-                        _pq_block_dist(F.col("q"), c["cq"], m).alias("d"),
-                        c["k"].alias("k"),
+    # r12 (guide §4.2, the _gram_arrow precedent): the encode pass —
+    # argmin-L2 codeword per (row, block) — ran as nested interpreted
+    # HOFs ({_PQ_M}×{_PQ_K}×{_PQ_D} ≈ 1k lambda evaluations per row,
+    # no codegen). Each task now encodes its Arrow batches with
+    # vectorized exact-int64 numpy against the driver-collected
+    # codebook ({_PQ_K}×{_PI_DIMS} ints — control-plane-sized, the
+    # t-digest/BAM-dictionary collect pattern; production FAISS ships
+    # codebooks to workers the same way). np.argmin returns the FIRST
+    # minimum = the old array_min struct tie-break (min d, then min k,
+    # k ascending by construction). Only (vec_id, cid, q) crosses the
+    # boundary; codes come back as {_PQ_M} small ints per row.
+    cb_rows = (
+        qdf.filter(F.col("vec_id") < _PQ_K).select("vec_id", "q").collect()
+    )
+    cb_np = [
+        [int(x) for x in r["q"]]
+        for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+    ]
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cb_np, dtype=np.int64)  # (_PQ_K, dims)
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            qcol = b.column(b.schema.get_field_index("q"))
+            if isinstance(qcol, pa.ChunkedArray):
+                qcol = qcol.combine_chunks()
+            X = (
+                qcol.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+            )
+            codes = np.empty((n, _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                blk = slice(m * _PQ_D, (m + 1) * _PQ_D)
+                d2 = ((X[:, None, blk] - C[None, :, blk]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    b.column(b.schema.get_field_index("cid")),
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(0, (n + 1) * _PQ_M, _PQ_M),
+                            pa.int32(),
+                        ),
+                        pa.array(codes.ravel(), pa.int64()),
                     ),
-                )
-            )["k"],
-        )
+                ],
+                names=["neighbor_id", "bcid", "bcodes"],
+            )
 
     assign = _ivf_assign_scored(spark, sf_dir)
     cand = (
         assign.filter(F.col("crn") == 1)
-        .crossJoin(F.broadcast(cbrow))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cid").alias("bcid"),
-            codes_col().alias("bcodes"),
+        .select("vec_id", "cid", "q")
+        .mapInArrow(
+            encode, "neighbor_id long, bcid long, bcodes array<long>"
         )
     )
     probes = (
