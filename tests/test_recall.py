@@ -222,6 +222,49 @@ class TestPowerIterationDirection:
         }
         assert got == want
 
+    def test_arrow_lloyd_assign_bit_equals_hof(self, spark):
+        """r12 optimization twin: the Lloyd assignment's mapInArrow
+        numpy argmin (exact int64 squared-L2, first-minimum over
+        cid-ascending centroids) must reproduce the old interpreted-HOF
+        array_min(struct(dist, cid)) assignment row-for-row on the REAL
+        quantized table, INCLUDING the trained (not just seed)
+        centroids — integer arithmetic both sides, so any difference is
+        a tie-break or layout bug, not tolerance."""
+        from pyspark.sql import functions as F
+
+        from virapipe_spark.queries.extensions import (
+            _lloyd_train_assign,
+            _quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        final, c2_tbl = _lloyd_train_assign(spark, sf)
+        got = {r["vec_id"]: r["cid"] for r in final.collect()}
+
+        # the pre-r12 HOF form, verbatim, over the same trained c2
+        qdf = _quantized(spark, sf).select("vec_id", "q")
+        cents_row = c2_tbl.groupBy().agg(
+            F.collect_list(F.struct("cid", "c")).alias("cents")
+        )
+        scored = F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with("q", s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        want = {
+            r["vec_id"]: r["cid"]
+            for r in qdf.crossJoin(F.broadcast(cents_row))
+            .select("vec_id", F.array_min(scored)["cid"].alias("cid"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
 
 class TestRandomProjectionJL:
     def test_distortion_bounded_on_real_pairs(self, spark):

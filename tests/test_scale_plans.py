@@ -122,7 +122,12 @@ class TestPlanProperties:
     #: the n50 row) — constant-size build sides by construction.
     ALLOWED_NLJ = {
             "embed_knn_bruteforce",
-            "embed_kmeans_lloyd",
+            # (embed_kmeans_lloyd left this set in r12: the assignment
+            # argmin moved to a mapInArrow numpy pass against the
+            # driver-collected centroid list, so no centroid-row
+            # crossJoin remains — the ABTT-residual pruning precedent.
+            # embed_cluster_purity below keeps its exemption: its own
+            # ONE-ROW purity-total crossJoin is untouched.)
             "embed_knn_ivf",
             "assembly_n50_stats",
             # reuses _ivf_assign_scored: the same 8-row centroid
@@ -478,6 +483,13 @@ class TestPlanProperties:
             # the FAISS-shaped boundary; tie-break twin-checked by the
             # unchanged oracle hash
             "embed_knn_pq",
+            # r12: the Lloyd assignment (argmin over C centroids) moved
+            # from the interpreted-HOF array_min to the same vectorized
+            # exact-int64 numpy argmin per Arrow batch (PQ precedent);
+            # the final assignment pass is the MapInArrow node in both
+            # consumers' plans. Bit-equality twin in tests/test_recall.py.
+            "embed_kmeans_lloyd",
+            "embed_cluster_purity",
             # (r12 note: the spectral family's _gram_arrow matmul
             # boundary does NOT appear in entry plans — it runs at
             # plan-build time under _power_direction's control-plane

@@ -1468,21 +1468,18 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive bit-identical centroids, and argmin ties (exact, integer)
     break on min cid in both.
 
-    Scale shape: ASSIGNMENT IS A ZERO-SHUFFLE PROJECTION — the C
-    centroids collapse to ONE broadcast row of array<struct<cid,c>>,
-    and a per-row array_min over struct(dist, cid) does the argmin with
-    the tie-break built into lexicographic struct ordering; no N×C
-    row explosion, no per-vector window shuffle (the relational
+    Scale shape: ASSIGNMENT IS A ZERO-SHUFFLE PASS — the C centroids
+    are collected once per iteration (C×dims longs, control-plane
+    sized — the PQ-codebook pattern) and each task argmins its own
+    Arrow batches with exact-int64 numpy (r12; previously a per-row
+    interpreted-HOF array_min, same semantics, ~1k lambda evaluations
+    per row outside codegen — see _lloyd_train_assign); no N×C row
+    explosion, no per-vector window shuffle (the relational
     alternative shuffles N×C rows per iteration — the oracle computes
     that way precisely because DuckDB is single-node). The UPDATE
     shuffles only (cid, pos) partial sums — C×dims rows regardless of
-    corpus size, map-side combined. Per-iteration centroid tables (C
-    rows) are lazily truncate_lineage-d so each assignment reads a
-    materialized 8-row table instead of re-deriving the whole lineage
-    (blocks freed when the result is dereferenced — no session cache
-    pinning). The per-row distance transform is higher-order (outside
-    codegen; SCALE.md) — O(C·d) arithmetic per row beats an N×C
-    shuffle by construction at any C worth broadcasting."""
+    corpus size, map-side combined, and keeps Spark's F.round mean
+    semantics bit-identical across the rewrite."""
     final, c2_tbl = _lloyd_train_assign(spark, sf_dir)
     norms = c2_tbl.select(
         "cid",
@@ -1507,33 +1504,25 @@ def _lloyd_train_assign(spark: SparkSession, sf_dir: str):
     """The Lloyd construction shared by `embed_kmeans_lloyd` (cluster
     stats) and `embed_cluster_purity` (label agreement): returns
     (final assignment (vec_id, q, cid), trained centroid table
-    (cid, c)). Plan shape documented on the catalog entry."""
+    (cid, c)). Plan shape documented on the catalog entry.
+
+    r12 (guide §4.2, the embed_knn_pq encode precedent): the argmin
+    ASSIGNMENT ran as interpreted HOFs — per row, C=`_KM_C` structs of
+    zip_with+aggregate over the 64 dims (~1k lambda evaluations outside
+    whole-stage codegen), three times (two training passes + the final
+    assignment). Each pass is now a `mapInArrow` task-local numpy
+    argmin over exact int64 squared-L2 against the driver-collected
+    centroid table (C×dims longs — control-plane-sized, the PQ-codebook
+    collect pattern). `np.argmin`'s first-minimum over cid-ascending
+    centroids reproduces the old `array_min(struct(dist, cid))`
+    tie-break exactly. The UPDATE (the only non-integer step: the
+    rounded mean) stays in Spark untouched, so `F.round`'s HALF_UP
+    double semantics — and therefore every trained centroid — are
+    bit-identical to the previous form; the collected `c2` rows are
+    re-wrapped as a literal 8-row DataFrame so the norm consumer reads
+    values, not lineage. Bit-equality twin:
+    tests/test_recall.py::test_arrow_lloyd_assign_bit_equals_hof."""
     qdf = _quantized(spark, sf_dir).select("vec_id", "q")
-
-    def centroid_row(cm: DataFrame) -> DataFrame:
-        """(cid, c) rows -> one broadcastable row: cents array<struct>."""
-        return truncate_lineage(
-            cm.groupBy().agg(
-                F.collect_list(F.struct("cid", "c")).alias("cents")
-            ),
-            eager=False,
-        )
-
-    def assign(cents_row: DataFrame) -> DataFrame:
-        scored = F.transform(
-            F.col("cents"),
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with("q", s["c"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-                s["cid"].alias("cid"),
-            ),
-        )
-        return qdf.crossJoin(F.broadcast(cents_row)).select(
-            "vec_id", "q", F.array_min(scored)["cid"].alias("cid")
-        )
 
     def update(assigned: DataFrame) -> DataFrame:
         lf = assigned.select("cid", F.posexplode("q").alias("pos", "v"))
@@ -1549,14 +1538,59 @@ def _lloyd_train_assign(spark: SparkSession, sf_dir: str):
             ).alias("c")
         )
 
-    c0 = centroid_row(
-        qdf.filter(F.col("vec_id") < _KM_C).select(
-            F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        """Corpus pass: exact-int64 numpy argmin per Arrow batch
+        against the collected (cid-ascending) centroid list."""
+        cids = [cid for cid, _ in cents]
+        mat = [vec for _, vec in cents]
+
+        def fn(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            C = np.asarray(mat, dtype=np.int64)  # (C, dims)
+            ids = np.asarray(cids, dtype=np.int64)
+            for b in batches:
+                n = b.num_rows
+                if not n:
+                    continue
+                qcol = b.column(b.schema.get_field_index("q"))
+                if isinstance(qcol, pa.ChunkedArray):
+                    qcol = qcol.combine_chunks()
+                X = (
+                    qcol.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, -1)
+                )
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cid = ids[np.argmin(d2, axis=1)]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(b.schema.get_field_index("vec_id")),
+                        qcol,
+                        pa.array(cid, pa.int64()),
+                    ],
+                    names=["vec_id", "q", "cid"],
+                )
+
+        return qdf.mapInArrow(fn, "vec_id long, q array<long>, cid long")
+
+    def cent_list(rows) -> list[tuple[int, list[int]]]:
+        return sorted(
+            (int(r["cid"]), [int(x) for x in r["c"]]) for r in rows
         )
+
+    c0 = cent_list(
+        qdf.filter(F.col("vec_id") < _KM_C)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
+        .collect()
     )
-    c1 = centroid_row(update(assign(c0)))
-    c2_tbl = truncate_lineage(update(assign(c1)), eager=False)
-    final = assign(centroid_row(c2_tbl))
+    c1 = cent_list(update(assign(c0)).collect())
+    c2 = cent_list(update(assign(c1)).collect())
+    c2_tbl = spark.createDataFrame(
+        [(cid, vec) for cid, vec in c2], schema="cid long, c array<long>"
+    )
+    final = assign(c2)
     return final, c2_tbl
 
 
