@@ -764,6 +764,256 @@ class TestSsspIndependent:
         assert got2 == dist_py
 
 
+class TestBipartiteFinishIndependent:
+    def test_driver_closure_equals_distributed_composition(self, spark):
+        """r12 optimization twin: graph_bipartite_check's driver-side
+        closure (_bipartite_finish on the collected domain-bounded edge
+        list) must equal the pre-r12 distributed composition (doubling
+        CC + capped frontier BFS + the conflict aggregate, graph.py)
+        row-for-row on REAL data — all-integer output, so any
+        difference is a semantics bug, not tolerance."""
+        from pyspark.sql import functions as F
+
+        from virapipe_spark import catalog
+        from virapipe_spark.graph import (
+            bfs_hops,
+            connected_components_doubling,
+        )
+        from virapipe_spark.queries.relational import _order_pair_counts
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            tuple(r)
+            for r in catalog.QUERIES["graph_bipartite_check"](
+                spark, sf
+            ).collect()
+        )
+
+        # the pre-r12 distributed form, verbatim
+        li = (
+            catalog.table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .filter(F.col("l_partkey") < 600)
+        )
+        e = (
+            _order_pair_counts(li)
+            .filter(F.col("support") >= 2)
+            .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        )
+        nodes = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        comp = connected_components_doubling(
+            e, nodes, node_col="node", label_col="comp"
+        ).select("node", F.col("comp").cast("long").alias("comp"))
+        roots = comp.filter(F.col("node") == F.col("comp")).select("node")
+        sym = e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        dist = bfs_hops(sym, roots, max_hops=24).select(
+            "node", F.col("dist").cast("long").alias("d")
+        )
+        marked = (
+            e.join(comp.withColumnRenamed("node", "a"), "a")
+            .join(
+                dist.select(F.col("node").alias("a"), F.col("d").alias("da")),
+                "a",
+            )
+            .join(
+                dist.select(F.col("node").alias("b"), F.col("d").alias("db")),
+                "b",
+            )
+            .select(
+                "comp",
+                "a",
+                "b",
+                F.when(F.col("da") == F.col("db"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("conflict"),
+            )
+        )
+        nstat = (
+            comp.join(dist, "node")
+            .groupBy("comp")
+            .agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                F.max("d").cast("long").alias("max_dist"),
+            )
+        )
+        want = sorted(
+            tuple(r)
+            for r in nstat.join(marked, "comp")
+            .groupBy("comp", "n_nodes", "max_dist")
+            .agg(
+                F.count("a").cast("long").alias("n_edges"),
+                F.sum("conflict").cast("long").alias("n_conflicts"),
+                F.when(F.sum("conflict") == 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("is_bipartite"),
+            )
+            .collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_finish_semantics_on_constructed_graphs(self):
+        """The three semantics the hop-capped oracle pins: odd cycle
+        (conflict), even cycle (bipartite), and the >24-hop tail —
+        nodes beyond the cap vanish from dist, edges touching them
+        vanish from the audit, and a component whose every edge is
+        dropped vanishes entirely."""
+        from virapipe_spark.queries.relational import _bipartite_finish
+
+        # triangle (odd cycle): 1 conflict edge, not bipartite
+        assert _bipartite_finish([(1, 2), (1, 3), (2, 3)]) == [
+            (1, 3, 1, 3, 1, 0)
+        ]
+        # square (even cycle): bipartite
+        assert _bipartite_finish([(1, 2), (1, 4), (2, 3), (3, 4)]) == [
+            (1, 4, 2, 4, 0, 1)
+        ]
+        # path of 30 edges from the root: nodes at d>24 are absent, so
+        # n_nodes=25 (d 0..24), and the 5 edges fully/partially beyond
+        # the horizon drop (edge (24,25) survives? no: node 25 has
+        # d=25 -> absent -> edge dropped), leaving 24 edges
+        chain = [(i, i + 1) for i in range(31)]
+        assert _bipartite_finish(chain) == [(0, 25, 24, 24, 0, 1)]
+        # two components, one entirely beyond nothing (both small):
+        # output is per-component and sorted by comp id
+        two = [(1, 2), (10, 11), (10, 12), (11, 12)]
+        assert _bipartite_finish(two) == [
+            (1, 2, 1, 1, 0, 1),
+            (10, 3, 1, 3, 1, 0),
+        ]
+
+
+class TestSsspFinishIndependent:
+    def test_driver_closure_equals_distributed_composition(self, spark):
+        """r12 optimization twin: graph_sssp_weighted's driver-side
+        closure (_sssp_finish on the collected domain-bounded pair
+        list) must equal the pre-r12 distributed composition
+        (frontier-limited graph.sssp + the min_ok certification)
+        row-for-row on REAL data."""
+        from pyspark.sql import functions as F
+
+        from virapipe_spark import catalog
+        from virapipe_spark.graph import sssp
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            tuple(r)
+            for r in catalog.QUERIES["graph_sssp_weighted"](
+                spark, sf
+            ).collect()
+        )
+
+        # the pre-r12 distributed form, verbatim
+        li = (
+            catalog.table(spark, sf, "lineitem")
+            .filter(F.col("l_partkey") < 2000)
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        und = (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .distinct()
+        )
+        w = (F.col("pa") + F.col("pb")) % 9 + 1
+        edges = und.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), w.alias("w")
+        ).unionAll(
+            und.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst"), w.alias("w")
+            )
+        )
+        seeds = edges.filter(F.col("src") % 97 == 0).select(
+            F.col("src").alias("node")
+        )
+        dist = sssp(edges, seeds, max_rounds=10, checkpoint_every=3)
+        best = (
+            dist.alias("d")
+            .join(edges.alias("e"), F.col("d.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.min(F.col("d.dist") + F.col("e.w")).alias("best_in"))
+        )
+        want = sorted(
+            tuple(r)
+            for r in dist.join(best, "node", "left")
+            .select(
+                "node",
+                F.col("dist").cast("long").alias("dist"),
+                (
+                    F.col("best_in").isNull()
+                    | (F.col("best_in") >= F.col("dist"))
+                ).alias("min_ok"),
+            )
+            .collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_finish_round_cap_and_reference_bf(self):
+        """_sssp_finish vs an independent dict-based synchronous
+        Bellman-Ford on a deep chain (fixpoint depth > the 10-round
+        cap: nodes beyond 10 edge-hops must stay ABSENT — the exact
+        place a Dijkstra shortcut would silently diverge) and on a
+        dense pseudo-random pair list."""
+        from virapipe_spark.queries.relational import _sssp_finish
+
+        def reference(und, rounds=10):
+            sym = []
+            for a, b in und:
+                wt = (a + b) % 9 + 1
+                sym.append((a, b, wt))
+                sym.append((b, a, wt))
+            dist = {n: 0 for n in {s for s, _, _ in sym} if n % 97 == 0}
+            for _ in range(rounds):
+                prev = dict(dist)
+                for s, d, wt in sym:
+                    if s in prev and prev[s] + wt < dist.get(d, 1 << 62):
+                        dist[d] = min(
+                            dist.get(d, 1 << 62), prev[s] + wt
+                        )
+                if dist == prev:
+                    break
+            best = {}
+            for s, d, wt in sym:
+                if s in dist:
+                    best[d] = min(best.get(d, 1 << 62), dist[s] + wt)
+            return sorted(
+                (n, dv, best.get(n, 1 << 62) >= dv)
+                for n, dv in dist.items()
+            )
+
+        chain = [(i, i + 1) for i in range(15)]  # seed 0 only; depth 15
+        got = _sssp_finish(chain, n_bound=2000, rounds=10)
+        want = reference(chain)
+        assert got == want
+        assert max(n for n, _, _ in got) == 10  # the cap bites
+
+        dense = sorted(
+            {
+                (min(a, b), max(a, b))
+                for i in range(400)
+                for a, b in [((i * 37) % 150, (i * 91 + 13) % 150)]
+                if a != b
+            }
+        )
+        assert _sssp_finish(dense, n_bound=2000, rounds=10) == reference(
+            dense
+        )
+
+
 class TestGreedyCoverageIndependent:
     def test_matches_python_greedy(self, spark):
         """Honest-claims check for docs_greedy_coverage: a pure-python
