@@ -73,30 +73,41 @@ def connected_components(
     sym = sym.persist()
     labels = nodes.select(node_col, F.col(node_col).alias(label_col))
     changed = -1
+    prev = None
     for rnd in range(max_rounds):
         neigh = (
             sym.join(labels, sym["a"] == labels[node_col])
             .groupBy(F.col("b").alias(node_col))
             .agg(F.min(label_col).alias("__nmin"))
         )
+        # r12: the round-start label rides along as __old so the
+        # convergence check is a FILTER on the round's own output, not
+        # a third vertex-keyed join per round (the doubling variant's
+        # documented fix — the new-vs-old count join was ~1/3 of each
+        # round's cost there)
         new_labels = labels.join(neigh, node_col, "left").select(
             node_col,
             F.least(label_col, F.coalesce("__nmin", label_col)).alias(label_col),
+            F.col(label_col).alias("__old"),
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
             # truncate lineage: the next round's plan starts from the
-            # materialized labels, not the whole join chain so far
-            new_labels = truncate_lineage(new_labels, reliable=True)
+            # materialized labels, not the whole join chain so far.
+            # lazy: the convergence count below is a full action over
+            # new_labels, so it materializes the checkpoint in the
+            # same job (the CC-doubling fuse, tools/ab_cc_lazyckpt.py)
+            new_labels = truncate_lineage(
+                new_labels, eager=False, reliable=True
+            )
         else:
             new_labels = new_labels.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), node_col)
-            .filter(F.col(f"n.{label_col}") != F.col(f"o.{label_col}"))
-            .count()
+            new_labels.filter(F.col(label_col) != F.col("__old")).count()
         )
-        labels.unpersist()  # no-op on the (unpersisted) initial frame
-        labels = new_labels
+        if prev is not None:
+            prev.unpersist()
+        prev = new_labels
+        labels = new_labels.select(node_col, label_col)
         if changed == 0:
             break
     sym.unpersist()
@@ -186,13 +197,19 @@ def connected_components_doubling(
             ).alias(label_col),
             "__old",
         )
-        # per-round EAGER truncation: the convergence count below has to
+        # per-round truncation: the convergence count below has to
         # materialize the round anyway, and a flat plan each round beats
         # the old persist-twice-checkpoint-every-third cadence measurably
         # (interleaved A/B on a chain-heavy 15-round graph: 13.2s -> 7.6s
         # warm); checkpoint_every is kept in the signature for callers
-        # but truncation now happens every round by construction
-        new_labels = truncate_lineage(new_labels, reliable=True)
+        # but truncation now happens every round by construction.
+        # r12: LAZY — the count() is a FULL action, so it materializes
+        # the checkpoint in the same job instead of paying a dedicated
+        # eager-materialization job per round (interleaved A/B x7 on the
+        # euler graph, tools/ab_cc_lazyckpt.py: 4.453 -> 3.945 s median,
+        # identical labels). bfs_hops stays eager: its isEmpty() probe
+        # is a PARTIAL action and must not be the materializer.
+        new_labels = truncate_lineage(new_labels, eager=False, reliable=True)
         changed = (
             new_labels.filter(F.col(label_col) != F.col("__old")).count()
         )
@@ -426,7 +443,9 @@ def kcore(
             F.col("src").alias("node")
         )
         if (rnd + 1) % checkpoint_every == 0:
-            kept = truncate_lineage(kept, reliable=True)
+            # lazy: the count() below is a full action and materializes
+            # the checkpoint in the same job (the CC-doubling fuse)
+            kept = truncate_lineage(kept, eager=False, reliable=True)
         else:
             kept = kept.persist()
         n_now = kept.count()
@@ -615,7 +634,10 @@ def sssp(
             .agg(F.min("dist").alias("dist"))
         )
         if rnd % checkpoint_every == 0:
-            merged = truncate_lineage(merged, reliable=True)
+            # lazy: the frontier count() below consumes merged fully
+            # (both anti-join sides), so it materializes the checkpoint
+            # in the same job (the CC-doubling fuse)
+            merged = truncate_lineage(merged, eager=False, reliable=True)
         else:
             merged = merged.persist()
         # improved nodes only: (node, dist) pairs not present before
@@ -676,7 +698,8 @@ def boruvka_msf(
     )
     e = edges.select("a", "b", "cost").persist()
     comp = nodes.select("node", F.col("node").alias("comp"))
-    comp = truncate_lineage(comp, reliable=True)
+    # lazy: the v0 count materializes the checkpoint (CC-doubling fuse)
+    comp = truncate_lineage(comp, eager=False, reliable=True)
     v0 = comp.count()
     if v0 == 0:
         e.unpersist()
@@ -757,7 +780,12 @@ def boruvka_msf(
             comp.join(p, comp["comp"] == p["c"], "left")
             .select("node", F.coalesce("t", "comp").alias("comp"))
         )
-        comp_new = truncate_lineage(comp_new, reliable=True)
+        # lazy: the count() is the round's single materialization (the
+        # CC-doubling fuse); `best` above stays EAGER — it is consumed
+        # three times inside this job (picked + both pointer sides) and
+        # an unmaterialized lazy checkpoint would re-run its window
+        # per consumer
+        comp_new = truncate_lineage(comp_new, eager=False, reliable=True)
         comp_new.count()
         e2.unpersist()
         comp = comp_new

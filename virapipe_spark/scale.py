@@ -271,7 +271,15 @@ def truncate_lineage(df, eager: bool = True, reliable: bool = False):
             sc = df.sparkSession.sparkContext
             if sc._jsc.sc().getCheckpointDir().isDefined():
                 if not eager:
-                    return df.checkpoint(eager=False)
+                    # persist-before-lazy-checkpoint: when the first
+                    # action materializes the frame, the checkpoint
+                    # write job reads the cached blocks instead of
+                    # recomputing the plan (the same double-compute
+                    # hazard the eager branch below guards). No paired
+                    # unpersist exists on the lazy path — blocks are
+                    # reclaimed by the ContextCleaner when the frame is
+                    # dereferenced, the localCheckpoint lifecycle.
+                    return df.persist().checkpoint(eager=False)
                 cached = df.persist()
                 try:
                     return cached.checkpoint(eager=True)
