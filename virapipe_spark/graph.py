@@ -765,17 +765,39 @@ def boruvka_msf(
         # composing lazily doubles the logical plan per hop (2^hops
         # nodes — measured 20x round cost in Catalyst alone); the LAZY
         # localCheckpoint cuts the plan to a LogicalRDD at every hop
-        # while deferring computation to the round's single
-        # materialization. Hop count shrinks with the halving
-        # invariant: after r rounds <= V/2^r components survive.
-        hops_rnd = max(1, hops - rnd)
-        for _hop in range(hops_rnd):
-            p = truncate_lineage(p, eager=False)
-            nxt = p.select(F.col("c").alias("jc"), F.col("t").alias("jt"))
-            p = (
-                p.join(nxt, p["t"] == nxt["jc"], "left")
-                .select("c", F.coalesce("jt", "t").alias("t"))
+        # while deferring computation to the batch materialization.
+        # r12: hop count is ADAPTIVE — profiling showed the contraction
+        # dominates every round (2.5 -> 0.8 s at sf0.01) while the true
+        # pointer-tree depth shrinks to 1-2 hops, so the former fixed
+        # ceil(log2 V) - rnd bound materialized up to 11 chained
+        # self-joins where 2 suffice. Hops run in batches of 2; one
+        # count per batch both materializes the batch (the CC
+        # convergence-count fuse) and tests the fixpoint — an extra hop
+        # moving nothing PROVES full resolution, replacing the
+        # worst-case-bound argument with a checked one. The same
+        # ceil(log2 V) cap still bounds total hops. Interleaved A/B x5
+        # (tools/ab_boruvka_adaptive_hops.py): 8.466 -> 5.883 s median
+        # end-to-end, identical forests.
+        def _hop_once(frame):
+            nxt = frame.select(
+                F.col("c").alias("jc"), F.col("t").alias("jt")
             )
+            return frame.join(nxt, frame["t"] == nxt["jc"], "left").select(
+                "c",
+                F.coalesce("jt", "t").alias("t"),
+                (F.coalesce("jt", "t") != F.col("t")).alias("__moved"),
+            )
+
+        done_hops = 0
+        while done_hops < hops:
+            for _hop in range(min(2, hops - done_hops)):
+                p = truncate_lineage(p.select("c", "t"), eager=False)
+                p = _hop_once(p)
+                done_hops += 1
+            p = truncate_lineage(p, eager=False)
+            if p.filter(F.col("__moved")).count() == 0:
+                break
+        p = p.select("c", "t")
         comp_new = (
             comp.join(p, comp["comp"] == p["c"], "left")
             .select("node", F.coalesce("t", "comp").alias("comp"))
