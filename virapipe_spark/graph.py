@@ -718,10 +718,6 @@ def boruvka_msf(
             .filter(F.col("ca") != F.col("cb"))
             .persist()
         )
-        if e2.isEmpty():
-            e2.unpersist()
-            done = True
-            break
         cand = e2.select(
             F.col("ca").alias("c"), "cost", "a", "b", F.col("cb").alias("oc")
         ).union(
@@ -738,7 +734,18 @@ def boruvka_msf(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        best = truncate_lineage(best, reliable=True)
+        # r12: the former per-round e2.isEmpty() probe + EAGER best
+        # checkpoint were two jobs; one lazy checkpoint whose count()
+        # is the materializing FULL action (the CC convergence-count
+        # fuse) is one — and best is empty exactly when e2 is (every
+        # component with a cross edge picks one), so the count IS the
+        # termination probe. best's three consumers (picked + both
+        # pointer sides) read the materialized checkpoint as before.
+        best = truncate_lineage(best, eager=False, reliable=True)
+        if best.count() == 0:
+            e2.unpersist()
+            done = True
+            break
         picked = best.select("a", "b", "cost").distinct()
         chosen_all = (
             picked if chosen_all is None else chosen_all.union(picked)

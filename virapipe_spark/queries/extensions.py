@@ -5413,9 +5413,17 @@ def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratings = truncate_lineage(li, eager=False)
 
-    vf = _als_init_factors(
-        spark, ratings.select("item").distinct(), "item"
-    ).withColumnRenamed("factors", "vfac")
+    # r12 (§5 caching): vf feeds THREE consumers (user-solve join, s0,
+    # s1) and uf1 below feeds three more (item-solve join, s1, s2) —
+    # unpersisted, each consumer re-ran the init distinct-shuffle and,
+    # for uf1, the whole applyInPandas ridge solve. persist() shares
+    # the computed result across the final plan's subtrees without
+    # adding a materialization job.
+    vf = (
+        _als_init_factors(spark, ratings.select("item").distinct(), "item")
+        .withColumnRenamed("factors", "vfac")
+        .persist()
+    )
     uf0 = _als_init_factors(
         spark, ratings.select("user").distinct(), "user"
     ).withColumnRenamed("factors", "ufac")
@@ -5486,7 +5494,7 @@ def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ju = ratings.join(vf, "item").select(
         "user", F.col("item").alias("other"), "r", "vfac"
     )
-    uf1 = _solve(ju, "user", "vfac").withColumnRenamed("factors", "factors")
+    uf1 = _solve(ju, "user", "vfac").persist()
     # item half-step: solve V given new U
     jv = (
         ratings.join(

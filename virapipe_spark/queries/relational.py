@@ -2347,23 +2347,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates every 3 rounds via reliable-capable checkpoints."""
     from virapipe_spark.graph import kcore
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # r12: basket edge build (the _order_pair_counts port) —
+    # distinct_parts folds the old li.distinct() into the same shuffle
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = _order_pair_counts(li, distinct_parts=True).filter(
+        F.col("support") >= 2
     )
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-    )
-    und = pairs.groupBy("pa", "pb").count().filter(F.col("count") >= 2)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -2806,23 +2795,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliable-capable lineage truncation every 2 rounds."""
     from virapipe_spark.graph import label_propagation
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # r12: basket edge build (the _order_pair_counts port) —
+    # distinct_parts folds the old li.distinct() into the same shuffle
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = _order_pair_counts(li, distinct_parts=True).filter(
+        F.col("support") >= 2
     )
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-    )
-    und = pairs.groupBy("pa", "pb").count().filter(F.col("count") >= 2)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -3338,24 +3316,15 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths, and both early-stop at the fixpoint; twin test pins this
     on real data). `graph.sssp` remains the unbounded-graph path and
     stays exercised by its hand-graph/Dijkstra tests."""
+    # r12: basket edge build (the _order_pair_counts port) —
+    # distinct_parts folds the old li.distinct() into the shuffle, and
+    # the pair aggregate IS the old pairs-level .distinct()
     li = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") < 2000)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    und = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    und = _order_pair_counts(li, distinct_parts=True).select("pa", "pb")
     pairs = [(int(r["pa"]), int(r["pb"])) for r in und.collect()]
     rows = _sssp_finish(pairs, n_bound=2000, rounds=10)
     return spark.createDataFrame(
@@ -5176,6 +5145,32 @@ _GS_ROUNDS = 16
 _GS_K = 4  # preference-list length
 
 
+def _rank_gs(p, s):
+    """Part p's md5-derived rank of supplier s (low bits = s, so ranks
+    are distinct by construction) — shared by the entry and the
+    fixpoint A/B tool (tools/ab_gs_fixpoint.py)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pr|"),
+                        p.cast("string"),
+                        F.lit("|"),
+                        s.cast("string"),
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 1048576
+        + s
+    )
+
+
 def _gs_oracle() -> str:
     """Unrolled batch deferred-acceptance rounds in plain SQL. With
     preferences fixed, every proposal order (sequential, batch) yields
@@ -5341,27 +5336,7 @@ def supplier_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_idx")
     )
 
-    def _rank(p, s):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("pr|"),
-                            p.cast("string"),
-                            F.lit("|"),
-                            s.cast("string"),
-                        )
-                    ),
-                    1,
-                    10,
-                ),
-                16,
-                10,
-            ).cast("long")
-            * 1048576
-            + s
-        )
+    _rank = _rank_gs
 
     st = (
         s_idx.crossJoin(F.broadcast(msc))
@@ -5453,7 +5428,23 @@ def supplier_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if r % 2 == 0:
-            st = truncate_lineage(st, reliable=True)
+            # r12: lazy checkpoint + fixpoint probe in ONE job (the CC
+            # convergence-count fuse). The probe is a FULL action, so
+            # the checkpoint is materialized exactly as the old eager
+            # cut was. When no free supplier still has a proposal left
+            # (part NULL and pos <= k), every remaining round is the
+            # identity — claims come only from holders, each part's
+            # winner is its current holder, pos never advances — so
+            # breaking at the fixpoint is bit-identical to running the
+            # full _GS_ROUNDS budget (which the oracle still does).
+            st = truncate_lineage(st, eager=False, reliable=True)
+            if (
+                st.filter(
+                    F.col("part").isNull() & (F.col("pos") <= k)
+                ).count()
+                == 0
+            ):
+                break
     fin = st.select(
         "s_idx",
         "h",
@@ -5603,22 +5594,12 @@ def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference capability class: graph mining extras
     (SURVEY.md section 2 — triangle/k-core/MIS family)."""
+    # r12: basket edge build (the _order_pair_counts port)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("x")
-    b = li.alias("y")
     e = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("a", "b")
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )
     e = truncate_lineage(e, eager=True, reliable=True)
     stat_frames = []
@@ -6006,22 +5987,12 @@ def graph_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIS/densest family — the traversability member)."""
     from virapipe_spark.graph import connected_components_doubling
 
+    # r12: basket edge build (the _order_pair_counts port)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("x")
-    b = li.alias("y")
     und = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("a", "b")
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )
     und = truncate_lineage(und, reliable=True)
     sym = und.unionAll(
@@ -6417,22 +6388,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference capability class: graph statistics
     (clustering-coefficient family; SURVEY.md graph extras)."""
+    # r12: basket edge build (the _order_pair_counts port)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("x")
-    b = li.alias("y")
     und = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("a", "b")
+        _order_pair_counts(li)
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )
     und = truncate_lineage(und, reliable=True)
     sym = und.unionAll(
