@@ -6280,8 +6280,19 @@ def docs_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             scores.orderBy(F.col("marginal").desc(), "doc_id")
             .limit(1)
             .select(F.lit(rnd).cast("long").alias("round"), "doc_id", "marginal")
-            .persist()
         )
+        # r12 (§3.3 plan truncation): persist() alone let the LOGICAL
+        # tree grow combinatorially — each round's sel embedded every
+        # prior round's full plan via the covered/picked chains, and by
+        # round 6 the composed plan was 8.4k lines / 920 Exchanges of
+        # pure Catalyst re-analysis cost (measured 12-24 s warm at
+        # sf0.01). Checkpointing the ONE-ROW sel cuts every chain at
+        # the round boundary: covered/picked then build on flat
+        # LogicalRDD leaves, so covered only needs a persist (its
+        # linear union-of-checkpointed-leaves plan is cheap to
+        # re-analyze, and skipping its checkpoint job measured 5.4 ->
+        # 3.5 s warm; tools/ab_greedy_truncate.py).
+        sel = truncate_lineage(sel, reliable=True)
         sels.append(sel)
         new_cov = toks.join(sel.select("doc_id"), "doc_id").select("tok")
         covered = (
