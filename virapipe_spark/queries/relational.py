@@ -4902,10 +4902,17 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(h).cast("long").alias("d"))
             .distinct()
         )
+        # r12: lazy checkpoint + emptiness probe in ONE job (the CC
+        # convergence-count fuse) — the count is a FULL action, so the
+        # checkpoint is materialized for the frontier's three consumers
+        # exactly as the old eager cut + isEmpty pair was, one job
+        # cheaper per hop.
         frontier = truncate_lineage(
-            nxt.join(dist, ["s", "node"], "left_anti"), reliable=True
+            nxt.join(dist, ["s", "node"], "left_anti"),
+            eager=False,
+            reliable=True,
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         dist = dist.unionAll(frontier)
     return dist.groupBy(F.col("s").alias("source")).agg(
@@ -5101,6 +5108,11 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nb/cand/removed are empty frames — identical output, pure
         # scheduling waste — so stop (the checkpoint above already
         # materialized `active`; isEmpty reads the cached blocks).
+        # r12 NEGATIVE: the lazy-checkpoint count fuse measured WORSE
+        # here (1.776 -> 1.864 s median, every order statistic higher;
+        # tools/ab_frontier_fuse.py) — active shrinks geometrically, so
+        # isEmpty's partial scan of cached blocks beats a full count
+        # once the set is nearly empty. Eager + isEmpty stays.
         if active.isEmpty():
             break
     status = (
