@@ -314,10 +314,17 @@ def _adaptive_ranged(
     spark = df.sparkSession
 
     def _pass(src: DataFrame, p: int):
+        # r12: LAZY checkpoint + the stats collect as the materializing
+        # action (the CC convergence-count fuse) — the collect is a
+        # FULL action (one aggregate row per partition consumes every
+        # partition), so the partitioning freezes at the same point the
+        # old eager checkpoint froze it, one job cheaper per pass
+        # (tools/ab_ranged_lazyckpt.py).
         ranged = truncate_lineage(
             src.repartitionByRange(p, *order).withColumn(
                 "__pid", F.spark_partition_id()
             ),
+            eager=False,
             reliable=True,
         )
         stats = {
