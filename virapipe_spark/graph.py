@@ -90,17 +90,23 @@ def connected_components(
             F.least(label_col, F.coalesce("__nmin", label_col)).alias(label_col),
             F.col(label_col).alias("__old"),
         )
-        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            # truncate lineage: the next round's plan starts from the
-            # materialized labels, not the whole join chain so far.
-            # lazy: the convergence count below is a full action over
-            # new_labels, so it materializes the checkpoint in the
-            # same job (the CC-doubling fuse, tools/ab_cc_lazyckpt.py)
-            new_labels = truncate_lineage(
-                new_labels, eager=False, reliable=True
-            )
-        else:
-            new_labels = new_labels.persist()
+        # truncate lineage EVERY round (r12): the persist-on-off-rounds
+        # cadence cached the DATA but let the LOGICAL tree compound —
+        # each round references labels twice (neighbor min + shortcut),
+        # so a loop converging before the cadence fired returned a
+        # 2^rounds-node plan (embed_dbscan_clusters measured 38,619
+        # explain lines vs the 87-line catalog median; Catalyst
+        # re-analyzes that tree on every round's count AND on every
+        # downstream consumer). lazy: the convergence count below is a
+        # full action over new_labels, so it materializes the
+        # checkpoint in the same job (the CC-doubling fuse,
+        # tools/ab_cc_lazyckpt.py) — per-round flat plans at the same
+        # one-job-per-round cost, the cadence the doubling variant
+        # adopted in r10. checkpoint_every is retained for call-site
+        # compatibility but no longer used.
+        new_labels = truncate_lineage(
+            new_labels, eager=False, reliable=True
+        )
         changed = (
             new_labels.filter(F.col(label_col) != F.col("__old")).count()
         )

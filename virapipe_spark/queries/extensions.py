@@ -3725,8 +3725,14 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("v", F.lit(1).cast("long"))
     )
-    v1 = _pi_step(gram, v0, _QUANT)
-    v2 = _pi_step(gram, v1, _QUANT)
+    # r12 (§3.3 plan truncation): each iterate is a DIMS-row frame (64
+    # rows — control-plane by construction) consumed 3-4 times (next
+    # step, norm, dot, final join); uncut, the chained _pi_step plans
+    # compounded to 2,378 explain lines re-analyzed per consumer.
+    # Checkpointing each iterate is one fixed-size job per step —
+    # unchanged at any corpus size.
+    v1 = truncate_lineage(_pi_step(gram, v0, _QUANT), reliable=True)
+    v2 = truncate_lineage(_pi_step(gram, v1, _QUANT), reliable=True)
     n1 = v1.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n1"))
     n2 = v2.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("n2"))
     dot = (

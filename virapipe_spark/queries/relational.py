@@ -4485,6 +4485,13 @@ def lineitem_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     )
+    # r12 (§3.3 plan truncation): every reduction level AND its union
+    # branch into `out` re-embedded the data-sized leaf aggregate —
+    # ~21 logical copies, 1,153 explain lines (64-row algebra above a
+    # lineitem scan). One checkpoint of the 64-row leaf level runs the
+    # data pass exactly once; the six reductions then fold a flat
+    # constant-size frame.
+    level = truncate_lineage(level, reliable=True)
     out = level.select(F.lit(6).cast("long").alias("level"), "idx", "digest")
     cur = level
     for lvl in range(5, -1, -1):
