@@ -1729,6 +1729,35 @@ class TestPartitionPruning:
         assert rows == {"click", "purchase"}
 
 
+class TestPlanSizeSweep:
+    """Catalog-wide PLAN-SIZE budget (r12) — the cheap detector for
+    the compounding-lineage failure class: an iterative loop that
+    persists (caches DATA) without truncating LINEAGE returns a
+    2^rounds-node logical tree that Catalyst re-analyzes on every
+    action and every consumer. docs_greedy_coverage hit 8,427
+    formatted-explain lines and embed_dbscan_clusters 38,619 before
+    the r12 checkpoint fixes (measured 12-24 s of pure re-analysis);
+    post-fix the catalog's LARGEST executed plan is ~360 lines at the
+    test SF. The budget is 4x that — generous enough for honest
+    growth, far below the exponential class. A failure here means a
+    loop is missing its per-round truncate_lineage, not that the
+    budget needs raising (see tools/plan_size_sweep.py for the
+    exploratory form)."""
+
+    MAX_EXECUTED_PLAN_LINES = 1_500
+
+    @pytest.mark.parametrize("name", _AUDITED_NAMES)
+    def test_plan_size_within_budget(self, spark, plan_cache, name):
+        p = _entry_plan(plan_cache, name)
+        n = p.count("\n")
+        assert n <= self.MAX_EXECUTED_PLAN_LINES, (
+            f"{name}: executed plan is {n} lines (budget "
+            f"{self.MAX_EXECUTED_PLAN_LINES}) — compounding lineage? "
+            f"Add a per-round truncate_lineage (the plain-CC r12 fix) "
+            f"rather than raising the budget."
+        )
+
+
 class TestGlobalWindowSweep:
     """Catalog-wide audit of GLOBAL (unpartitioned) windows — the
     third per-entry sweep, extending the ALLOWED_NLJ discipline to
