@@ -15,12 +15,13 @@ Scale properties:
   label propagation. Rounds needed = graph diameter; near-dup components
   are shallow (template clusters, not social graphs), so 3-5 rounds
   suffice in practice.
-- Iterative DataFrame loops grow lineage linearly; on a high-diameter
-  (adversarial) graph the accumulated plan eventually overwhelms the
-  optimizer and task serialization. ``checkpoint_every`` truncates
-  lineage via ``scale.truncate_lineage`` so plan size stays bounded by
-  the checkpoint interval, not the round count (asserted in
-  tests/test_scale_plans.py). The helper picks the store: executor-
+- Iterative DataFrame loops grow lineage EXPONENTIALLY here (each
+  round references the label table twice), so since r12 every round
+  truncates lineage via ``scale.truncate_lineage`` — lazily, with the
+  convergence count as the materializing action, so the flat-plan
+  cadence costs no extra job (asserted in tests/test_scale_plans.py;
+  the old persist-between-cadence shape compounded to a 38k-line plan
+  in embed_dbscan_clusters). The helper picks the store: executor-
   local blocks by default, RELIABLE ``checkpoint()`` automatically
   whenever the session has ``setCheckpointDir`` configured (the
   preemptible-executor requirement — set the dir, every iterative
