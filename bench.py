@@ -233,17 +233,27 @@ def emit(
     sf: float | None,
     detail_path: str | None = None,
 ) -> str:
-    """Write the full per-query JSON to ``bench_full.json`` and return
-    the compact summary line (the caller prints it LAST). Factored out
-    so the tail-budget contract is unit-testable (test_bench_policy)."""
+    """Write the full per-query JSON to ``bench_full_c{cpus}.json`` and
+    return the compact summary line (the caller prints it LAST).
+    Factored out so the tail-budget contract is unit-testable
+    (test_bench_policy).
+
+    r13 (VERDICT_r12 "What's wrong" #3): the detail file is named by
+    the run's core count — the driver re-runs the bench at a lower
+    core count minutes after the main run, and a single shared
+    ``bench_full.json`` meant the c8 re-run CLOBBERED the 32-core
+    per-query minima (BENCH_r12's are unrecoverable). The stdout-line
+    contract is unchanged; only the side-channel filename varies."""
     total = round(sum(timings.values()), 3)
     total_min = round(sum(minima.values()), 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         # drift diagnostics (see module docstring): medians move
         # with the box, minima move with the code.
         "value_min": total_min,
@@ -251,7 +261,8 @@ def emit(
     }
     if detail_path is None:
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_full_c{cpus}.json",
         )
     try:
         # atomic tmp+rename: a concurrent reader (or a mid-write crash)

@@ -98,3 +98,24 @@ class TestEmitTailBudget:
         assert full["queries_min"] == minima
         assert full["value"] == 3.0
         assert full["value_min"] == 2.7
+
+    def test_default_detail_path_is_per_core_count(self, monkeypatch):
+        """r13 (VERDICT_r12 #3): the driver's lower-core-count re-run
+        must not clobber the 32-core detail file — the default detail
+        path is named by $SPARK_GRAFT_CPUS and the detail JSON records
+        the core count it was measured at."""
+        import json
+
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        written = {}
+
+        def fake_replace(tmp, dst):
+            written["dst"] = dst
+            import os
+
+            os.unlink(tmp)
+
+        monkeypatch.setattr(bench.os, "replace", fake_replace)
+        line = bench.emit({"a": 1.0}, {"a": 1.0}, 0.1)
+        assert written["dst"].endswith("bench_full_c8.json")
+        assert json.loads(line)["detail"] == "bench_full_c8.json"

@@ -59,6 +59,27 @@ class TestPythonDataSource:
         df = spark.read.format("synthetic_reads").option("n", 0).load()
         assert df.count() == 0
 
+    def test_reader_chunks_batches_to_cap(self, monkeypatch):
+        """r13 (ADVICE_r12): a split yields MULTIPLE RecordBatches of at
+        most _ARROW_CHUNK_ROWS rows — one batch per split held the whole
+        split in memory twice, unbounded by n/partitions. Values stay
+        identical and in order across the chunk boundary."""
+        import virapipe_spark.pydatasource as pds
+        from pyspark.sql.datasource import InputPartition
+
+        monkeypatch.setattr(pds, "_ARROW_CHUNK_ROWS", 16)
+        reader = pds.SyntheticReadsReader(
+            {"n": "40", "partitions": "1", "read_len": "32"}
+        )
+        batches = list(reader.read(InputPartition((0, 40))))
+        assert [b.num_rows for b in batches] == [16, 16, 8]
+        ids = [i for b in batches for i in b.column(0).to_pylist()]
+        assert ids == list(range(40))
+        first = batches[0]
+        rid, name, bases, qual = synth_read(5, 32)
+        assert first.column(1).to_pylist()[5] == name
+        assert first.column(2).to_pylist()[5] == bases
+
 
 def _write_fastq_file(path, n, tag, read_len=24):
     recs = []

@@ -11,9 +11,10 @@ pin exact content — the same derivation as the BAM round-trip fixtures.
 Scale notes: partition planning is the whole story — N partitions = N
 parallel tasks, and a real connector shards by the remote system's
 native ranges (key ranges, topic partitions, time slices). Since r12
-the readers yield ONE pyarrow.RecordBatch per split (SPARK-48493), so
-rows cross the Python worker boundary as Arrow arrays, not pickled
-tuples; what remains driver-side is the split-planning stream (the
+the readers yield pyarrow.RecordBatches (SPARK-48493) — chunked to
+``_ARROW_CHUNK_ROWS`` rows each since r13 so a huge split cannot spike
+worker memory — so rows cross the Python worker boundary as Arrow
+arrays, not pickled tuples; what remains driver-side is the split-planning stream (the
 reference-faithful Interleave pass), so for data-plane volume a JVM
 source (io.read_fastq) or landing as parquet is still preferred — the
 Python DataSource earns its place for bespoke-format feeds where
@@ -28,6 +29,14 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 _DNA16 = "ACGTACGTACGTACGT"
 _HEX = "0123456789abcdef"
+
+#: Max rows per yielded RecordBatch (r13, ADVICE_r12): a split's row
+#: count is data/option-driven with no upper bound, so one batch per
+#: split held the whole split as Python lists plus the Arrow copy
+#: (~2-3x split bytes peak). Fixed-size chunks bound the Arrow-side
+#: peak regardless of split sizing; 64k rows ≈ a few MB at read-length
+#: scale, far above the vectorization-payoff floor.
+_ARROW_CHUNK_ROWS = 65536
 
 
 def synth_read(i: int, read_len: int = 32) -> tuple[int, str, str, str]:
@@ -76,26 +85,31 @@ class SyntheticReadsReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        # r12 (guide §4): yield ONE Arrow batch per split instead of
-        # row-at-a-time tuples — Spark 4's DataSourceReader accepts
+        # r12 (guide §4): yield Arrow batches instead of row-at-a-time
+        # tuples — Spark 4's DataSourceReader accepts
         # pyarrow.RecordBatch directly (SPARK-48493), so the rows skip
         # per-row pickling entirely. Values are identical; only the
         # serialization changes.
+        # r13 (ADVICE_r12): batches are CHUNKED to _ARROW_CHUNK_ROWS —
+        # a split is n/partitions rows with no upper bound, and one
+        # batch per split would hold the whole split as Python lists
+        # plus the Arrow copy (~2-3x split bytes peak); fixed-size
+        # chunks bound worker memory regardless of n/partitions.
         import pyarrow as pa
 
         lo, hi = partition.value
-        if hi <= lo:
-            return
-        recs = [synth_read(i, self.read_len) for i in range(lo, hi)]
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([r[0] for r in recs], type=pa.int64()),
-                pa.array([r[1] for r in recs], type=pa.string()),
-                pa.array([r[2] for r in recs], type=pa.string()),
-                pa.array([r[3] for r in recs], type=pa.string()),
-            ],
-            names=["read_id", "name", "bases", "quality"],
-        )
+        for base in range(lo, hi, _ARROW_CHUNK_ROWS):
+            top = min(base + _ARROW_CHUNK_ROWS, hi)
+            recs = [synth_read(i, self.read_len) for i in range(base, top)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in recs], type=pa.int64()),
+                    pa.array([r[1] for r in recs], type=pa.string()),
+                    pa.array([r[2] for r in recs], type=pa.string()),
+                    pa.array([r[3] for r in recs], type=pa.string()),
+                ],
+                names=["read_id", "name", "bases", "quality"],
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +425,10 @@ class FastqReader(DataSourceReader):
         )
 
     def read(self, partition):
+        # r13 (ADVICE_r12): yield in _ARROW_CHUNK_ROWS-row batches —
+        # one batch per split peaked at ~2-3x split bytes (stanza list
+        # + Arrow copy); chunked yields bound the Arrow-side copy while
+        # the stanza list stays one split (bounded by lines_per_split).
         kind = partition.value[0]
         if kind == "single":
             split = partition.value[1]
@@ -418,8 +436,11 @@ class FastqReader(DataSourceReader):
                 return
             path, start, end, base = split
             recs = _read_stanzas(path, start, end)
-            if recs:
-                yield self._batch(range(base, base + len(recs)), recs)
+            for lo in range(0, len(recs), _ARROW_CHUNK_ROWS):
+                chunk = recs[lo : lo + _ARROW_CHUNK_ROWS]
+                yield self._batch(
+                    range(base + lo, base + lo + len(chunk)), chunk
+                )
             return
         a, b = partition.value[1], partition.value[2]
         if a is None:
@@ -441,4 +462,8 @@ class FastqReader(DataSourceReader):
             recs.append(m1)
             ids.append(2 * (base1 + j) + 1)
             recs.append(m2)
-        yield self._batch(ids, recs)
+        for lo in range(0, len(recs), _ARROW_CHUNK_ROWS):
+            yield self._batch(
+                ids[lo : lo + _ARROW_CHUNK_ROWS],
+                recs[lo : lo + _ARROW_CHUNK_ROWS],
+            )
