@@ -1782,6 +1782,25 @@ class TestStableMatchingIndependent:
         }
         assert got == want
 
+    def test_fixpoint_break_equals_full_budget(self, spark, monkeypatch):
+        """r13 (ADVICE_r12): the r12 early-break at the free-supplier
+        fixpoint is equivalent to running all _GS_ROUNDS by a comment-
+        proof only — pin it ON THE REAL ENTRY: flip the production
+        knob off, run the full budget, and require bit-identical
+        output to the break path. (The oracle always runs the full
+        budget, so this is exactly the equivalence the gate leans on.)"""
+        import virapipe_spark.queries.relational as rel
+
+        sf = "/root/testdata/sf0.001"
+        broke = sorted(
+            map(tuple, rel.supplier_stable_matching(spark, sf).collect())
+        )
+        monkeypatch.setattr(rel, "_GS_EARLY_STOP", False)
+        full = sorted(
+            map(tuple, rel.supplier_stable_matching(spark, sf).collect())
+        )
+        assert broke == full and broke
+
 
 class TestGridNnIndependent:
     """Third construction for events_grid_nn_join: brute force over

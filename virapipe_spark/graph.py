@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from virapipe_spark.scale import truncate_lineage
+from virapipe_spark.scale import reset_size_stats, truncate_lineage
 
 
 def connected_components(
@@ -64,6 +64,11 @@ def connected_components(
     partial labels would silently split components, and the caller can't
     detect it. ``max_rounds`` is a safety cap against adversarial
     graphs, not a tuning knob — dedup-shaped graphs converge in 3-5.
+
+    ``checkpoint_every`` is DEPRECATED and ignored (r12): lineage is
+    truncated EVERY round — see the in-loop comment. Kept only for
+    call-site compatibility, matching the doubling variant's
+    convention.
     """
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -74,7 +79,6 @@ def connected_components(
     sym = sym.persist()
     labels = nodes.select(node_col, F.col(node_col).alias(label_col))
     changed = -1
-    prev = None
     for rnd in range(max_rounds):
         neigh = (
             sym.join(labels, sym["a"] == labels[node_col])
@@ -111,9 +115,11 @@ def connected_components(
         changed = (
             new_labels.filter(F.col(label_col) != F.col("__old")).count()
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = new_labels
+        # NOTE (r13, ADVICE_r12): no per-round unpersist — the frame is
+        # checkpoint-wrapped, so DataFrame.unpersist() on it is a no-op;
+        # prior rounds' blocks are reclaimed by the ContextCleaner when
+        # the frame is dereferenced (the truncate_lineage lazy-path
+        # contract), not deterministically per round.
         labels = new_labels.select(node_col, label_col)
         if changed == 0:
             break
@@ -683,52 +689,74 @@ def boruvka_msf(
     neighbor's min, costs strictly decrease along pointer chains —
     every pseudotree terminates in exactly one mutual-min 2-cycle.
     Rooting the 2-cycle at its smaller id turns the structure into a
-    proper forest, and ``ceil(log2 V)`` LAZY pointer-doubling hops
-    resolve every component to its root. No action runs inside the
-    doubling loop — the whole contraction is one composed plan,
-    materialized once per outer round at the lineage checkpoint (the
-    lesson from profiling the general-CC variant: per-hop
-    materialization cost 20x more than the joins themselves).
+    proper forest, and adaptive LAZY pointer-doubling hops resolve
+    every component to its root (fixpoint-checked, capped at
+    ``ceil(log2 2E)``).
 
-    The per-round emptiness probe and the initial node count are
-    driver control flow only (the CC convergence-count precedent).
-    Raises ``RuntimeError`` if cross-component edges survive
-    ``max_rounds`` (default log2(V) + 2): a partial forest is silent
-    data loss.
+    r13 — THE EDGE LIST ITSELF CONTRACTS (guide §2.1/§2.4; prototyped
+    output-identical in tools/ab_boruvka_contract.py): edges carry
+    their CURRENT component endpoints (ca, cb) beside the original
+    payload (a, b, cost). After picking, endpoints relabel through the
+    pointer forest (joins against the PICKED-component-sized root
+    table, not a V-sized vertex→component table), self-edges drop, and
+    multi-edges dedupe to the min-cost representative per unordered
+    component pair — so the frame each later round touches SHRINKS
+    GEOMETRICALLY instead of re-joining the full original edge list
+    against a V-sized comp table every round (the pre-r13 shape: two
+    V-sized relabel joins + a comp-update join + its count, all
+    E/V-sized every round). The V-sized comp table disappears
+    entirely. Equivalence: Borůvka picks per component the MINIMUM
+    outgoing edge; pair-dedup keeps the minimum-cost edge per
+    component pair, which can never remove any component's overall
+    minimum (costs are UNIQUE, so min over pair-representatives = min
+    over all outgoing edges); picked sets are therefore identical
+    round by round, hence so are the pointer forests, contractions and
+    the final forest (also asserted row-identical by the A/B tool).
+
+    The per-round emptiness probe is driver control flow only (the CC
+    convergence-count precedent): ``best`` is empty exactly when the
+    contracted edge list is (self-edges were dropped at contraction,
+    so every surviving edge is cross-component and every component
+    with an edge picks one). Raises ``RuntimeError`` if
+    cross-component edges survive ``max_rounds`` (default
+    ceil(log2 2E) + 2 >= ceil(log2 V) + 2, since V <= 2E over the
+    edge list's endpoints): a partial forest is silent data loss.
     """
     import math
 
-    nodes = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .distinct()
-    )
-    e = edges.select("a", "b", "cost").persist()
-    comp = nodes.select("node", F.col("node").alias("comp"))
-    # lazy: the v0 count materializes the checkpoint (CC-doubling fuse)
-    comp = truncate_lineage(comp, eager=False, reliable=True)
-    v0 = comp.count()
-    if v0 == 0:
-        e.unpersist()
-        return e.limit(0)
-    hops = max(1, math.ceil(math.log2(max(v0, 2))))
+    # ca/cb: current component endpoints (start = the nodes
+    # themselves); a/b/cost: the original payload the forest reports.
+    # Self-loops (a == b) can never be picked — drop them up front,
+    # matching the pre-r13 loop's ca != cb filter.
+    e = edges.select(
+        F.col("a").alias("ca"), F.col("b").alias("cb"), "a", "b", "cost"
+    ).filter(F.col("ca") != F.col("cb"))
+    # lazy: the n_e count materializes the checkpoint (CC-doubling
+    # fuse). reset_size_stats on EVERY checkpoint in this loop: the
+    # relabel/doubling self-joins SQUARE Catalyst's sizeInBytes each
+    # round and the estimate survives checkpoints (origin-stats
+    # propagation) — without the reset the driver ends up multiplying
+    # thousand-digit BigIntegers per join planned (the r12 prototype's
+    # one-core stall; see scale.reset_size_stats).
+    e = reset_size_stats(truncate_lineage(e, eager=False, reliable=True))
+    n_e = e.count()
+    if n_e == 0:
+        return edges.select("a", "b", "cost").limit(0)
+    # V <= 2E over the edge list's endpoints, so ceil(log2 2E) bounds
+    # the ceil(log2 V) doubling depth WITHOUT a distinct-nodes pass
+    # (the pre-r13 loop paid a full distinct over both endpoint
+    # columns just to size this cap); the cap is fixpoint-checked
+    # below, so overshooting it costs nothing.
+    hops = max(1, math.ceil(math.log2(max(2 * n_e, 2))))
     if max_rounds is None:
         max_rounds = hops + 2
     chosen_all: DataFrame | None = None
     done = False
     for rnd in range(max_rounds):
-        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
-        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
-        e2 = (
-            e.join(ca, "a")
-            .join(cb, "b")
-            .filter(F.col("ca") != F.col("cb"))
-            .persist()
-        )
-        cand = e2.select(
+        cand = e.select(
             F.col("ca").alias("c"), "cost", "a", "b", F.col("cb").alias("oc")
         ).union(
-            e2.select(
+            e.select(
                 F.col("cb").alias("c"), "cost", "a", "b", F.col("ca").alias("oc")
             )
         )
@@ -741,16 +769,19 @@ def boruvka_msf(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # r12: the former per-round e2.isEmpty() probe + EAGER best
-        # checkpoint were two jobs; one lazy checkpoint whose count()
-        # is the materializing FULL action (the CC convergence-count
-        # fuse) is one — and best is empty exactly when e2 is (every
-        # component with a cross edge picks one), so the count IS the
-        # termination probe. best's three consumers (picked + both
-        # pointer sides) read the materialized checkpoint as before.
-        best = truncate_lineage(best, eager=False, reliable=True)
+        # One lazy checkpoint whose count() is the materializing FULL
+        # action (the CC convergence-count fuse) — the count ALSO
+        # materializes the prior contraction's lazy checkpoint of `e`
+        # in the same job, and IS the termination probe: best is empty
+        # exactly when the contracted e is (every component with a
+        # cross edge picks one; contraction dropped self-edges). best
+        # is LAZY but materialized here — its three consumers (picked
+        # + both pointer sides) read the stored blocks; removing this
+        # count would reintroduce per-consumer recompute.
+        best = reset_size_stats(
+            truncate_lineage(best, eager=False, reliable=True)
+        )
         if best.count() == 0:
-            e2.unpersist()
             done = True
             break
         picked = best.select("a", "b", "cost").distinct()
@@ -805,39 +836,55 @@ def boruvka_msf(
         done_hops = 0
         while done_hops < hops:
             for _hop in range(min(2, hops - done_hops)):
-                p = truncate_lineage(p.select("c", "t"), eager=False)
+                p = reset_size_stats(
+                    truncate_lineage(p.select("c", "t"), eager=False)
+                )
                 p = _hop_once(p)
                 done_hops += 1
-            p = truncate_lineage(p, eager=False)
+            p = reset_size_stats(truncate_lineage(p, eager=False))
             if p.filter(F.col("__moved")).count() == 0:
                 break
         p = p.select("c", "t")
-        comp_new = (
-            comp.join(p, comp["comp"] == p["c"], "left")
-            .select("node", F.coalesce("t", "comp").alias("comp"))
-        )
-        # lazy: the count() is the round's single materialization (the
-        # CC-doubling fuse); `best` above stays EAGER — it is consumed
-        # three times inside this job (picked + both pointer sides) and
-        # an unmaterialized lazy checkpoint would re-run its window
-        # per consumer
-        comp_new = truncate_lineage(comp_new, eager=False, reliable=True)
-        comp_new.count()
-        e2.unpersist()
-        comp = comp_new
-    if not done:
-        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
-        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
-        left = (
-            e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
-        )
-        if not left.isEmpty():
-            raise RuntimeError(
-                f"boruvka_msf did not converge after {max_rounds} rounds"
+        # CONTRACT the edge list (r13): relabel both endpoints through
+        # the pointer-forest ROOT table (sized by picked components,
+        # not V), drop now-internal edges, canonicalize orientation,
+        # and dedupe multi-edges to the min-cost representative per
+        # component pair — min(struct(cost, a, b)) is exact because
+        # costs are unique, and it is a map-side-combinable aggregate.
+        # The next round's frame is the contracted one.
+        pa = p.select(F.col("c").alias("ca"), F.col("t").alias("ta"))
+        pb = p.select(F.col("c").alias("cb"), F.col("t").alias("tb"))
+        nca = F.coalesce("ta", "ca")
+        ncb = F.coalesce("tb", "cb")
+        e = (
+            e.join(pa, "ca", "left")
+            .join(pb, "cb", "left")
+            .select(
+                F.least(nca, ncb).alias("nca"),
+                F.greatest(nca, ncb).alias("ncb"),
+                "a",
+                "b",
+                "cost",
             )
-    if chosen_all is not None:
-        chosen_all = truncate_lineage(chosen_all, reliable=True)
-    e.unpersist()
+            .filter(F.col("nca") != F.col("ncb"))
+            .groupBy("nca", "ncb")
+            .agg(F.min(F.struct("cost", "a", "b")).alias("m"))
+            .select(
+                F.col("nca").alias("ca"),
+                F.col("ncb").alias("cb"),
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                F.col("m.cost").alias("cost"),
+            )
+        )
+        # lazy: the NEXT round's best.count() (or the convergence check
+        # below) materializes this checkpoint in its first job — no
+        # dedicated per-round materialization job remains at all.
+        e = reset_size_stats(truncate_lineage(e, eager=False, reliable=True))
+    if not done and e.count() != 0:
+        raise RuntimeError(
+            f"boruvka_msf did not converge after {max_rounds} rounds"
+        )
     if chosen_all is None:
         return edges.select("a", "b", "cost").limit(0)
-    return chosen_all
+    return truncate_lineage(chosen_all, reliable=True)

@@ -231,6 +231,46 @@ def hamilton_allocate(
     )
 
 
+def reset_size_stats(df):
+    """Rebuild ``df`` over its own physical RDD so the logical plan is a
+    FRESH ``LogicalRDD`` carrying NO inherited statistics.
+
+    Why this exists (r13, found by a §7.3 driver thread dump): since
+    Spark preserves the origin plan's statistics through
+    ``checkpoint``/``localCheckpoint`` (the checkpointed LogicalRDD
+    copies ``originStats``), Catalyst's ``sizeInBytes`` — a product
+    over join children — COMPOUNDS across checkpoint boundaries. An
+    iterative self-join (pointer doubling, CC label propagation)
+    SQUARES the estimate every round, so its BigInteger digit count
+    doubles per round and survives every truncate_lineage call:
+    measured 4 → 2,927 digits in 9 self-join hops, after which each
+    join-planning stats evaluation spends minutes in
+    ``BigInteger.multiply`` (Karatsuba/Toom-Cook frames in the driver
+    thread dump — the "analysis-shaped" one-core stall that blocked
+    the r12 boruvka-contraction prototype). Stripping the stats resets
+    the frame to ``defaultSizeInBytes``, which is exactly what a
+    checkpoint yielded BEFORE stats propagation existed.
+
+    Trade-off: the stripped frame loses any honest small-size estimate
+    too, so joins against it will not AUTO-broadcast — use it from
+    ITERATIVE LOOPS (where the inherited estimate is a many-round join
+    product, i.e. garbage, and the joins already planned as SMJ), not
+    from one-shot checkpoints whose consumers rely on auto-broadcast;
+    call sites that need a broadcast add the explicit hint. Falls back
+    to the input unchanged when the JVM internals are unavailable
+    (Spark Connect)."""
+    try:
+        from pyspark.sql import DataFrame as _DF
+
+        jdf = df._jdf
+        jspark = df.sparkSession._jsparkSession
+        rdd = jdf.queryExecution().toRdd()
+        njdf = jspark.internalCreateDataFrame(rdd, jdf.schema(), False)
+        return _DF(njdf, df.sparkSession)
+    except Exception:
+        return df
+
+
 def truncate_lineage(df, eager: bool = True, reliable: bool = False):
     """Checkpoint ``df`` to truncate lineage.
 
