@@ -3471,7 +3471,31 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_doc))
         .join(sizes, "doc_id")
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") * t) + 1)
-        .select("doc_id", "s", "n")
+        .select("doc_id", "s", "n", "rn")
+    )
+    # r13 (guide §2.3 — prune before the expensive join): the PPJoin
+    # POSITIONAL filter (Xiao et al., VLDB'08 §3.2). A match row knows
+    # the shared shingle's rank inside both docs' rarest-first orders;
+    # the full-set overlap is bounded by 1 + min(na - rn_a, nb - rn_b)
+    # at the pair's FIRST common shingle, so rows where that bound is
+    # below the minimum qualifying overlap ceil((na+nb)/3) (Jaccard
+    # t=1/2: c >= t/(1+t)*(na+nb)) drop BEFORE the pair-distinct and
+    # the verification explode-join. No false negatives: for a
+    # qualifying pair the first common shingle w1 sits inside BOTH
+    # prefixes (if w1 were outside a's prefix, every common shingle
+    # would be — they all rank >= w1 — putting all c common shingles
+    # in a suffix of length ceil(t*na) - 1 < c), and at w1's row all c
+    # common shingles occupy distinct ranks >= rn in each doc, so the
+    # bound holds and that row SURVIVES; the pair-distinct needs any
+    # one surviving row. Measured at sf0.1: candidate pairs 309,803 ->
+    # 124,979 (59.7% pruned); interleaved A/B x7 median 6.63 -> 3.93 s,
+    # every order statistic lower, results identical
+    # (tools/ab_setsim_positional.py).
+    minov = F.floor(
+        (F.col("a.n") + F.col("b.n") + F.lit(2)) / F.lit(3)
+    ).cast("long")
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
     )
     cand = (
         prefix.alias("a")
@@ -3481,6 +3505,7 @@ def docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.n") >= F.col("a.n") * t)
             & (F.col("a.n") >= F.col("b.n") * t)
         )
+        .filter(ubound >= minov)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
