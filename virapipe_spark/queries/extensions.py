@@ -5400,6 +5400,24 @@ def _als_init_factors(spark: SparkSession, items: DataFrame, key: str) -> DataFr
     return items.select(key, F.array(*fs).alias("factors"))
 
 
+def _als_share(df: DataFrame) -> DataFrame:
+    """Share a multiply-consumed ALS subtree across the final plan
+    (vf: 3 consumers; uf1: 3 consumers) — persist(), the r12 shape.
+
+    r13 NEGATIVE experiment (VERDICT_r12 #7, guide §3.3): swapping the
+    persists for LAZY localCheckpoints was measured WORSE by
+    interleaved A/B x7 at sf0.01 (tools/ab_als_ckpt.py: persist median
+    7.73 s vs lazy-ckpt 9.02 s, pairwise ~1 s slower every rep) while
+    flattening the printed plan only 1,444 -> 1,193 lines — the share
+    points truncate, but the three objective subtrees dominate the
+    line count, and the checkpoint's row-copy + optimization fence
+    costs real time at this scale. The plan stays analysis-bounded
+    (under the 1,500-line catalog budget; execution reuses the cache),
+    so persist stays. The A/B tool monkeypatches this helper to flip
+    variants."""
+    return df.persist()
+
+
 @staged_r8("embed_als_factorize")  # rows-only: least-squares factors are
 # float linear algebra no SQL oracle reproduces; self-check columns below
 def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5447,13 +5465,16 @@ def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 (§5 caching): vf feeds THREE consumers (user-solve join, s0,
     # s1) and uf1 below feeds three more (item-solve join, s1, s2) —
     # unpersisted, each consumer re-ran the init distinct-shuffle and,
-    # for uf1, the whole applyInPandas ridge solve. persist() shares
-    # the computed result across the final plan's subtrees without
-    # adding a materialization job.
-    vf = (
-        _als_init_factors(spark, ratings.select("item").distinct(), "item")
-        .withColumnRenamed("factors", "vfac")
-        .persist()
+    # for uf1, the whole applyInPandas ridge solve. _als_share (r13:
+    # lazy localCheckpoint) shares the computed result across the
+    # final plan's subtrees without adding a materialization job AND
+    # truncates the logical plan at the share point (the r12 persists
+    # kept a 1,445-line printed plan — Catalyst re-embedded the full
+    # subtree per consumer; VERDICT_r12 #7).
+    vf = _als_share(
+        _als_init_factors(
+            spark, ratings.select("item").distinct(), "item"
+        ).withColumnRenamed("factors", "vfac")
     )
     uf0 = _als_init_factors(
         spark, ratings.select("user").distinct(), "user"
@@ -5525,7 +5546,7 @@ def embed_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ju = ratings.join(vf, "item").select(
         "user", F.col("item").alias("other"), "r", "vfac"
     )
-    uf1 = _solve(ju, "user", "vfac").persist()
+    uf1 = _als_share(_solve(ju, "user", "vfac"))
     # item half-step: solve V given new U
     jv = (
         ratings.join(
