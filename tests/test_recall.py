@@ -222,6 +222,49 @@ class TestPowerIterationDirection:
         }
         assert got == want
 
+    def test_arrow_pair_dot_bit_equals_hof(self, spark):
+        """r13 optimization twin (VERDICT_r12 #5): _arrow_pair_dot's
+        vectorized numpy dot must reproduce the interpreted-HOF
+        zip_with+aggregate dot over ALL pairs of the REAL quantized
+        table bit-for-bit — int64 sums of int64 products reassociate,
+        so any difference is a layout bug, not tolerance."""
+        from pyspark.sql import functions as F
+
+        from virapipe_spark.queries.extensions import (
+            _arrow_pair_dot,
+            _quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        qdf = _quantized(spark, sf)
+        a, b = qdf.alias("a"), qdf.alias("b")
+        pairs = a.join(
+            b, F.col("a.vec_id") < F.col("b.vec_id")
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.q").alias("qa"),
+            F.col("b.q").alias("qb"),
+            F.col("a.qnorm").alias("na"),
+            F.col("b.qnorm").alias("nb"),
+        )
+        hof = F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        want = {
+            (r["vec_a"], r["vec_b"]): r["dot"]
+            for r in pairs.select(
+                "vec_a", "vec_b", hof.alias("dot")
+            ).collect()
+        }
+        got = {
+            (r["vec_a"], r["vec_b"]): r["dot"]
+            for r in _arrow_pair_dot(pairs).collect()
+        }
+        assert got == want and got
+
     def test_arrow_lloyd_assign_bit_equals_hof(self, spark):
         """r12 optimization twin: the Lloyd assignment's mapInArrow
         numpy argmin (exact int64 squared-L2, first-minimum over

@@ -495,6 +495,17 @@ class TestPlanProperties:
             # plan-build time under _power_direction's control-plane
             # collect, or behind embed_power_iteration's checkpoint —
             # its bit-equality twin is tests/test_recall.py)
+            # r13: semdedup's in-cell cosine verify (cell-sized
+            # candidate volume, ~250k pairs at sf0.1) moved to the
+            # vectorized exact-int64 numpy dot per Arrow batch
+            # (_arrow_pair_dot — the PQ/Lloyd precedent; 1.84x by
+            # interleaved A/B); divide/threshold stay JVM expressions,
+            # so the boundary carries (ids, qa, qb, norms) in and
+            # (ids, dot, norms) out. Bit-equality pinned in
+            # tests/test_recall.py. embed_cosine_neardup measured
+            # NEGATIVE on the same pass (few LSH-bucket pairs — the
+            # boundary round trip outweighs the HOF) and keeps the HOF.
+            "embed_semdedup_verdicts",
         }
     # r7 process fix: audit staged entries pre-flip too (the r6 red
     # test came from this sweep missing the staged set).

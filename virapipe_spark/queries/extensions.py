@@ -1010,6 +1010,57 @@ def _cosine(a: str, b: str) -> Column:
     return dot.cast("double") / (F.col(f"{a}.qnorm") * F.col(f"{b}.qnorm"))
 
 
+def _arrow_pair_dot(pairs: DataFrame) -> DataFrame:
+    """Exact-int64 dot product per candidate pair, vectorized in numpy
+    per Arrow batch (r13, VERDICT_r12 #5; the PQ-encode/Lloyd-argmin
+    precedent, guide §4.2).
+
+    Input: (vec_a, vec_b, qa, qb, na, nb) — one row per candidate
+    pair. Output: the same rows with ``dot`` (long) replacing the two
+    quantized arrays. The float work (divide by the norm product,
+    round, threshold) stays OUTSIDE in the same Spark expressions the
+    HOF form used, so bit-equality reduces to exact integer equality
+    of the dot — int64 sums of int64 products reassociate freely, so
+    numpy's row-wise multiply-sum is bit-equal to the zip_with/
+    aggregate HOF (which ran ~2·dims interpreted lambda evals per
+    PAIR, outside codegen)."""
+    import pyarrow as pa
+
+    def part(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            names = b.schema.names
+            ia, ib = names.index("qa"), names.index("qb")
+            ca, cb = b.column(ia), b.column(ib)
+            if isinstance(ca, pa.ChunkedArray):
+                ca = ca.combine_chunks()
+            if isinstance(cb, pa.ChunkedArray):
+                cb = cb.combine_chunks()
+            Xa = ca.flatten().to_numpy(zero_copy_only=False).reshape(
+                b.num_rows, -1
+            )
+            Xb = cb.flatten().to_numpy(zero_copy_only=False).reshape(
+                b.num_rows, -1
+            )
+            dot = (Xa * Xb).sum(axis=1)
+            keep = [i for i, n in enumerate(names) if n not in ("qa", "qb")]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in keep] + [pa.array(dot, pa.int64())],
+                names=[names[i] for i in keep] + ["dot"],
+            )
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pairs.schema.fields
+            if f.name not in ("qa", "qb")
+        )
+        + ", dot long"
+    )
+    return pairs.mapInArrow(part, out_schema)
+
+
 @query(
     "embed_knn_bruteforce",
     oracle=f"""
@@ -1192,6 +1243,14 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = qdf.alias("a")
     b = qdf.alias("b")
+    # r13 NEGATIVE experiment (VERDICT_r12 #5, tools/ab_pair_dot.py):
+    # routing this verify through _arrow_pair_dot measured SLOWER by
+    # interleaved A/B x7 at sf0.1 (HOF median 2.08 s vs Arrow 2.47 s,
+    # every order statistic higher) — the sign-bucket blocking leaves
+    # FEW candidate pairs, so the Python-boundary round trip costs
+    # more than the ~2·dims interpreted lambda evals it removes. The
+    # HOF stays here; embed_semdedup_verdicts (cell-sized candidate
+    # volume, ~250k pairs) took the Arrow pass with a 1.84x win.
     return (
         a.join(
             b,
@@ -2390,14 +2449,27 @@ def embed_semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "q", "qnorm", "cid"
     )
     a, b = assign.alias("a"), assign.alias("b")
+    # r13 (guide §4.2, VERDICT_r12 #5): in-cell pair dots vectorized
+    # via _arrow_pair_dot (see embed_cosine_neardup); the threshold
+    # compare keeps the identical double expression, bit-equal output.
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("a.q").alias("qa"),
+        F.col("b.q").alias("qb"),
+        F.col("a.qnorm").alias("na"),
+        F.col("b.qnorm").alias("nb"),
+    )
     drops = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        _arrow_pair_dot(pairs)
+        .filter(
+            F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+            >= _SEMDEDUP_COS
         )
-        .filter(_cosine("a", "b") >= _SEMDEDUP_COS)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        .select("vec_id")
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
